@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: every entry point (Verify, Bench, tests) builds through
+  * here so plan-shaping configs are uniform.
+  *
+  * - shuffle partitions sized for local[32] (a cluster deploy would raise
+  *   this to ~2-3× total cores; AQE coalesces the excess either way)
+  * - AQE on: runtime skew-join splitting and partition coalescing are the
+  *   first line of defense at 100 TB
+  * - nanosAsLong: the testdata's TIMESTAMP(NANOS) columns surface as LONG
+  *   (see [[graft.sources.Tables]])
+  * - UTC session timezone: bar bucketing must be timezone-stable
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, cores: String = "32"): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val s = configure(SparkSession.builder().appName(appName).master(s"local[$cores]"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
