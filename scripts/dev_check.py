@@ -38,9 +38,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> bool:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # exact compare: both sides round() their outputs, so any residual
+            # difference is a real cross-engine drift the driver's hash would
+            # also see
             bad = ~(
                 (av.isna() & bv.isna())
-                | (abs(av.astype(float) - bv.astype(float)) <= 1e-9)
+                | (av.astype(float) == bv.astype(float))
             )
         else:
             bad = ~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))

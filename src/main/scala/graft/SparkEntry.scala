@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, Canonical, Gaps, Resample, TfAggregate}
+import graft.functions.Features
+import graft.operators.{Audit, Canonical, EmaTrend, Gaps, Resample, TfAggregate}
 import graft.sources.{Bars, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -126,11 +127,199 @@ object SparkEntry {
       Audit.auditDerived(h1, stepMs = 3600000L, n = 4)
         .orderBy("symbol")
     }),
+
+    // §2 #15 — true range + ATR(14) as SMA of TR (build_m1_features.py:70-89).
+    "atr" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withAtrSma(h1, len = 14)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("tr"), 6).as("tr"), round(col("atr"), 6).as("atr"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #16 — rolling mean/std/min/max + Bollinger width over 20 bars
+    // (build_mtf_context_h4_v1.py:109-113).
+    "rolling_stats" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withRollingStats(h1, "close", len = 20)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("roll_mean"), 6).as("roll_mean"),
+          round(col("roll_std"), 6).as("roll_std"),
+          round(col("roll_min"), 6).as("roll_min"),
+          round(col("roll_max"), 6).as("roll_max"),
+          round(col("bb_width"), 6).as("bb_width"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #16 — anchored VWAP distance z-score
+    // (build_mtf_context_h4_v1.py:97-105).
+    "vwap_zscore" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withVwapZ(h1, win = 24, minPeriods = 12)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("vwap"), 6).as("vwap"),
+          round(col("vwap_dist"), 6).as("vwap_dist"),
+          round(col("vwap_dist_z"), 6).as("vwap_dist_z"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #21 — Kaufman efficiency ratio over 10 bars
+    // (build_h1_regime_router_v2.py:53-57).
+    "efficiency_ratio" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withEfficiencyRatio(h1, n = 10)
+        .select(col("symbol"), col("bar_ts_ms"), round(col("er"), 6).as("er"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #21 — rolling percentile of close within its trailing 24-bar window
+    // (build_h1_regime_router_v2.py:44-50).
+    "rolling_percentile" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withRollingPercentile(h1, "close", "close_pctl", n = 24)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("close_pctl"), 6).as("close_pctl"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
+    // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
+    // Recursive smoothing — not ANSI-SQL-expressible; covered by FeatureSpec.
+    "ema_trend" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      EmaTrend(h1)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("ema20"), 6).as("ema20"),
+          round(col("ema50"), 6).as("ema50"),
+          round(col("ema200"), 6).as("ema200"),
+          round(col("ema20_50_spread"), 6).as("ema20_50_spread"),
+          round(col("kc_width"), 6).as("kc_width"),
+          round(col("squeeze_ratio"), 6).as("squeeze_ratio"),
+          round(col("trend_score"), 6).as("trend_score"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
   )
+
+  /** Shared DuckDB CTE: hour bars from the tick stream (mirrors
+    * Bars.fromTicks(events, "hour")). */
+  private val H1Cte: String =
+    """WITH h1 AS (
+      |  SELECT event_type AS symbol,
+      |         epoch_ms(date_trunc('hour', ts)) AS bar_ts_ms,
+      |         arg_min(value, event_id) AS open,
+      |         max(value) AS high,
+      |         min(value) AS low,
+      |         arg_max(value, event_id) AS close,
+      |         sum(value) AS volume,
+      |         count(*) AS n_trades
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "atr" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms) AS prev_c
+        |  FROM h1),
+        |trt AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS tr
+        |  FROM t)
+        |SELECT symbol, bar_ts_ms, round(tr, 6) AS tr,
+        |       round(CASE WHEN count(tr) OVER w14 = 14
+        |             THEN avg(tr) OVER w14 END, 6) AS atr
+        |FROM trt
+        |WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rolling_stats" ->
+      s"""$H1Cte
+        |SELECT symbol, bar_ts_ms,
+        |       round(CASE WHEN count(close) OVER w = 20
+        |             THEN avg(close) OVER w END, 6) AS roll_mean,
+        |       round(CASE WHEN count(close) OVER w = 20
+        |             THEN stddev_pop(close) OVER w END, 6) AS roll_std,
+        |       round(CASE WHEN count(close) OVER w = 20
+        |             THEN min(close) OVER w END, 6) AS roll_min,
+        |       round(CASE WHEN count(close) OVER w = 20
+        |             THEN max(close) OVER w END, 6) AS roll_max,
+        |       round(((CASE WHEN count(close) OVER w = 20
+        |                THEN avg(close) OVER w END
+        |               + 2.0 * CASE WHEN count(close) OVER w = 20
+        |                       THEN stddev_pop(close) OVER w END)
+        |              - (CASE WHEN count(close) OVER w = 20
+        |                 THEN avg(close) OVER w END
+        |               - 2.0 * CASE WHEN count(close) OVER w = 20
+        |                       THEN stddev_pop(close) OVER w END))
+        |             / nullif(CASE WHEN count(close) OVER w = 20
+        |                      THEN avg(close) OVER w END, 0), 6) AS bb_width
+        |FROM h1
+        |WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "vwap_zscore" ->
+      s"""$H1Cte,
+        |v AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         sum((high + low + close) / 3.0 * coalesce(volume, 0)) OVER cum
+        |           / nullif(sum(coalesce(volume, 0)) OVER cum, 0) AS vwap
+        |  FROM h1
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT symbol, bar_ts_ms, vwap,
+        |         (close - vwap) / nullif(vwap, 0) AS vwap_dist
+        |  FROM v)
+        |SELECT symbol, bar_ts_ms, round(vwap, 6) AS vwap,
+        |       round(vwap_dist, 6) AS vwap_dist,
+        |       round((vwap_dist -
+        |              CASE WHEN count(vwap_dist) OVER w24 >= 12
+        |                   THEN avg(vwap_dist) OVER w24 END)
+        |             / (CASE WHEN count(vwap_dist) OVER w24 >= 12
+        |                THEN stddev_pop(vwap_dist) OVER w24 END + 1e-12),
+        |             6) AS vwap_dist_z
+        |FROM d
+        |WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "efficiency_ratio" ->
+      s"""$H1Cte,
+        |d AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         abs(close - lag(close) OVER w) AS adiff,
+        |         lag(close, 10) OVER w AS close_n
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms))
+        |SELECT symbol, bar_ts_ms,
+        |       round(abs(close - close_n)
+        |             / nullif(CASE WHEN count(adiff) OVER wn = 10
+        |                      THEN sum(adiff) OVER wn END, 0), 6) AS er
+        |FROM d
+        |WINDOW wn AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rolling_percentile" ->
+      s"""$H1Cte,
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         list(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |           AS arr
+        |  FROM h1)
+        |SELECT symbol, bar_ts_ms,
+        |       round(CASE WHEN len(arr) = 24
+        |             THEN len(list_filter(arr, y -> y <= close)) * 100.0 / 24
+        |             END, 6) AS close_pctl
+        |FROM a ORDER BY 1, 2""".stripMargin,
+
     "m1_bars" ->
       """SELECT event_type AS symbol,
         |       epoch_ms(date_trunc('minute', ts)) AS minute_ms,
