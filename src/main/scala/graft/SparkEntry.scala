@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.functions.Features
-import graft.operators.{Audit, Canonical, EmaTrend, Gaps, Resample, TfAggregate}
-import graft.sources.{Bars, Tables}
+import graft.operators.{AsOf, Audit, Canonical, EmaTrend, Gaps, Resample, TfAggregate}
+import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,6 +184,39 @@ object SparkEntry {
         .orderBy("symbol", "bar_ts_ms")
     }),
 
+    // §2 #20 — anti-lookahead as-of join: each minute row picks up the close
+    // of the last COMPLETED 4h bucket strictly before its own bucket
+    // (build_mtf_context_h4_v1.py:228, merge_asof backward + shift(1)).
+    "asof_join" -> ((s, dir) => {
+      val m1 = Bars.fromTicks(events(s, dir), "minute")
+        .select(col("symbol"), col("bar_ts_ms").as("minute_ms"), col("close"))
+      val h4 = TfAggregate(Bars.fromTicks(events(s, dir), "hour"), 3600000L, 4)
+      val wb = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val ctx = h4.select(col("symbol"), col("bucket_ms"),
+        lag(col("close"), 1).over(wb).as("ctx_close"))
+      AsOf.joinBackward(m1, ctx, "symbol", "minute_ms", "bucket_ms",
+          matchedTsCol = "ctx_bucket_ms")
+        .select(col("symbol"), col("minute_ms"), col("close"),
+          col("ctx_bucket_ms"), col("ctx_close"))
+        .orderBy("symbol", "minute_ms")
+    }),
+
+    // §2 #6 — month-partition merge/upsert: incoming slice replaces existing
+    // rows on key collision (aggregate_tf.py:164-179). Existing = bars built
+    // before Jan 20; incoming = bars rebuilt from Jan 10 on; the 10-day
+    // overlap is where keep-incoming semantics bite.
+    "merge_upsert" -> ((s, dir) => {
+      val e = events(s, dir)
+      val old = Bars.fromTicks(e.where(col("ts") < lit("2024-01-20").cast("timestamp")), "minute")
+        .select(col("symbol"), col("bar_ts_ms").as("minute_ms"),
+          col("open"), col("close"), col("n_trades"))
+      val inc = Bars.fromTicks(e.where(col("ts") >= lit("2024-01-10").cast("timestamp")), "minute")
+        .select(col("symbol"), col("bar_ts_ms").as("minute_ms"),
+          col("open"), col("close"), col("n_trades"))
+      Lake.mergeUpsert(old, inc, Seq("symbol", "minute_ms"))
+        .orderBy("symbol", "minute_ms")
+    }),
+
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
     // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
     // Recursive smoothing — not ANSI-SQL-expressible; covered by FeatureSpec.
@@ -305,6 +340,58 @@ object SparkEntry {
         |WINDOW wn AS (PARTITION BY symbol ORDER BY bar_ts_ms
         |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      s"""$H1Cte,
+        |b AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 14400000) * 14400000 AS bucket_ms,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2
+        |  HAVING count(*) = 4 AND count(DISTINCT bar_ts_ms) = 4
+        |     AND max(bar_ts_ms) - min(bar_ts_ms) = 10800000),
+        |ctx AS (
+        |  SELECT symbol, bucket_ms,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms)
+        |           AS ctx_close
+        |  FROM b),
+        |m1 AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT m1.symbol, m1.minute_ms, m1.close,
+        |       ctx.bucket_ms AS ctx_bucket_ms, ctx.ctx_close AS ctx_close
+        |FROM m1 ASOF LEFT JOIN ctx
+        |  ON m1.symbol = ctx.symbol AND m1.minute_ms >= ctx.bucket_ms
+        |ORDER BY 1, 2""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH old AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+        |         arg_min(value, event_id) AS open,
+        |         arg_max(value, event_id) AS close,
+        |         count(*) AS n_trades
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        |  GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+        |         arg_min(value, event_id) AS open,
+        |         arg_max(value, event_id) AS close,
+        |         count(*) AS n_trades
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, 0 AS pri FROM old
+        |  UNION ALL
+        |  SELECT *, 1 AS pri FROM inc)
+        |SELECT symbol, minute_ms,
+        |       arg_max(open, pri) AS open,
+        |       arg_max(close, pri) AS close,
+        |       CAST(arg_max(n_trades, pri) AS BIGINT) AS n_trades
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "rolling_percentile" ->
       s"""$H1Cte,

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The lake write path: hive-partitioned layout, merge/upsert, compaction
+  * and `_meta.json` management.
+  *
+  * References: /root/reference/src/bfdl/transforms/aggregate_tf.py:27-45
+  * (symbol=/year=/month= layout), 164-179 (month merge: concat, dedup on
+  * key keep NEW, sort, atomic replace), compact_months.py:13 and
+  * compact_staging.py (staging parts → one part per month),
+  * verify_all.py:38-54 + fix_meta.py (`_meta.json` schema contract).
+  *
+  * Spark-first design: the layout IS the index — `symbol=`/`year=`/`month=`
+  * directories give Catalyst partition pruning for free, so per-symbol /
+  * per-month reads never touch the rest of the lake (the property the whole
+  * reference directory scheme exists for). Merge is a tagged union + one
+  * keep-last window — no read-modify-write of whole months on the driver.
+  * Compaction is `repartition(partition cols)` so each hive partition is
+  * written by exactly one task → one file, the distributed equivalent of the
+  * reference's per-month rewrite.
+  */
+object Lake {
+
+  /** Upsert semantics of aggregate_tf.py:164-179: rows from `incoming`
+    * replace rows from `existing` on key collision; both sides otherwise
+    * kept. One shuffle on the keys. */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val u = existing.withColumn("_pri", lit(0))
+      .unionByName(incoming.withColumn("_pri", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_pri").desc)
+    u.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_pri")
+  }
+
+  /** Write bars into the partitioned lake layout. `tsMsCol` drives the
+    * year=/month= derivation; `symbol` must already be a column. */
+  def writePartitioned(df: DataFrame, root: String, tsMsCol: String = "bar_ts_ms",
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("year", year(timestamp_millis(col(tsMsCol))))
+      .withColumn("month", month(timestamp_millis(col(tsMsCol))))
+      .write.mode(mode)
+      .partitionBy("symbol", "year", "month")
+      .parquet(root)
+
+  /** Compact a staging lake in place of many small parts: one task — hence
+    * one parquet part — per (symbol, year, month). */
+  def compact(spark: SparkSession, root: String, outRoot: String): Unit = {
+    val df = spark.read.parquet(root)
+    df.repartition(col("symbol"), col("year"), col("month"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("symbol", "year", "month")
+      .parquet(outRoot)
+  }
+
+  /** Read back with partition pruning available; filters on symbol/year/month
+    * prune at planning time. */
+  def read(spark: SparkSession, root: String): DataFrame = spark.read.parquet(root)
+
+  /** Minimal `_meta.json`: schema fingerprint + row count, the contract
+    * verify_all.py checks. Driver-side write of a few hundred bytes. */
+  def writeMeta(df: DataFrame, root: String): Unit = {
+    val fields = df.schema.filterNot(f => Seq("year", "month").contains(f.name))
+      .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+      .mkString("[", ",", "]")
+    val json = s"""{"schema":$fields,"n_rows":${df.count()}}"""
+    Files.writeString(Paths.get(root, "_meta.json"), json)
+  }
+
+  /** Schema validation against an expected contract (verify_all.py:38-54):
+    * returns the list of violations, empty = valid. */
+  def validateSchema(actual: StructType, expected: StructType): Seq[String] = {
+    val a = actual.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    expected.fields.toSeq.flatMap { f =>
+      a.get(f.name) match {
+        case None => Some(s"missing column ${f.name}")
+        case Some(t) if t != f.dataType.simpleString =>
+          Some(s"column ${f.name}: expected ${f.dataType.simpleString}, got $t")
+        case _ => None
+      }
+    } ++ actual.fields.toSeq.collect {
+      case f if !expected.fieldNames.contains(f.name) && !Seq("year", "month").contains(f.name) =>
+        s"unexpected column ${f.name}"
+    }
+  }
+}
