@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.operators.{AsOf, Audit, Canonical, EmaTrend, Gaps, Resample, TfAggregate}
+import graft.operators.{AsOf, Audit, Canonical, EmaTrend, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -217,6 +217,30 @@ object SparkEntry {
         .orderBy("symbol", "minute_ms")
     }),
 
+    // §2 #19 — Ichimoku trend scoring with lagged cloud visibility
+    // (compute_ichimoku_mtf_trend_v1.py:99-165).
+    "ichimoku" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Ichimoku(h1, IchimokuParams())
+        .select(col("symbol"), col("bar_ts_ms"), col("bull_score"),
+          col("bear_score"), col("label"), col("score_display"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #22 — CHAOS/TREND/RANGE regime router
+    // (build_h1_regime_router_v2.py:96-135).
+    "regime_router" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Regime.router(h1, RegimeParams())
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("er"), 6).as("er"),
+          round(col("atr_pct_pctl"), 6).as("atr_pct_pctl"),
+          col("aligned_bull"), col("aligned_bear"),
+          round(col("trend_score"), 6).as("trend_score"),
+          col("regime"), col("router_mode"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
     // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
     // Recursive smoothing — not ANSI-SQL-expressible; covered by FeatureSpec.
@@ -340,6 +364,154 @@ object SparkEntry {
         |WINDOW wn AS (PARTITION BY symbol ORDER BY bar_ts_ms
         |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
+
+    "ichimoku" ->
+      s"""$H1Cte,
+        |f AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN count(high) OVER w9 = 9
+        |           THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0 END AS tenkan,
+        |         CASE WHEN count(high) OVER w26 = 26
+        |           THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS kijun,
+        |         CASE WHEN count(high) OVER w52 = 52
+        |           THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0 END AS ssb,
+        |         row_number() OVER wk AS rn
+        |  FROM h1
+        |  WINDOW w9 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |         w26 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |         w52 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
+        |         wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |g AS (SELECT *, (tenkan + kijun) / 2.0 AS ssa FROM f),
+        |h AS (
+        |  SELECT *,
+        |         lag(ssa, 25) OVER wk AS ssa_vis,
+        |         lag(ssb, 25) OVER wk AS ssb_vis,
+        |         lag(close, 25) OVER wk AS close_lag
+        |  FROM g WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |sc AS (
+        |  SELECT *,
+        |         CASE WHEN ssa > ssb THEN 1 ELSE 0 END
+        |         + CASE WHEN close > greatest(ssa_vis, ssb_vis) THEN 1 ELSE 0 END
+        |         + CASE WHEN close > close_lag THEN 1 ELSE 0 END
+        |         + CASE WHEN tenkan > kijun THEN 1 ELSE 0 END AS bull_raw,
+        |         CASE WHEN ssa < ssb THEN 1 ELSE 0 END
+        |         + CASE WHEN close < least(ssa_vis, ssb_vis) THEN 1 ELSE 0 END
+        |         + CASE WHEN close < close_lag THEN 1 ELSE 0 END
+        |         + CASE WHEN tenkan < kijun THEN 1 ELSE 0 END AS bear_raw,
+        |         (tenkan IS NOT NULL AND kijun IS NOT NULL AND ssa IS NOT NULL
+        |          AND ssb IS NOT NULL AND ssa_vis IS NOT NULL
+        |          AND ssb_vis IS NOT NULL AND close_lag IS NOT NULL
+        |          AND rn >= 78) AS ready
+        |  FROM h)
+        |SELECT symbol, bar_ts_ms,
+        |       CAST(CASE WHEN ready THEN bull_raw ELSE 0 END AS INTEGER)
+        |         AS bull_score,
+        |       CAST(CASE WHEN ready THEN bear_raw ELSE 0 END AS INTEGER)
+        |         AS bear_score,
+        |       CASE WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+        |                 AND bull_raw >= 3 AND bull_raw > bear_raw THEN 'LONG'
+        |            WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+        |                 AND bear_raw >= 3 AND bear_raw > bull_raw THEN 'SHORT'
+        |            ELSE 'NEUTRE' END AS label,
+        |       CAST(CASE WHEN NOT ready THEN 0
+        |            WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+        |                 AND bull_raw >= 3 AND bull_raw > bear_raw THEN bull_raw
+        |            WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+        |                 AND bear_raw >= 3 AND bear_raw > bull_raw THEN bear_raw
+        |            ELSE greatest(bull_raw, bear_raw) END AS INTEGER)
+        |         AS score_display
+        |FROM sc ORDER BY 1, 2""".stripMargin,
+
+    "regime_router" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |ap AS (SELECT *, atr / nullif(close, 0) AS atr_pct FROM a),
+        |pc AS (
+        |  -- non-null count gate (NOT len(arr)): DuckDB list() keeps NULLs,
+        |  -- but pandas min_periods and Spark collect_list count non-null only
+        |  SELECT * EXCLUDE (arr, nn),
+        |         CASE WHEN nn = 48
+        |           THEN len(list_filter(arr, y -> y <= atr_pct)) * 100.0 / 48
+        |         END AS atr_pct_pctl
+        |  FROM (SELECT *,
+        |          list(atr_pct) OVER w48 AS arr,
+        |          count(atr_pct) OVER w48 AS nn
+        |        FROM ap
+        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))),
+        |d AS (
+        |  SELECT *,
+        |         abs(close - lag(close) OVER wk) AS adiff,
+        |         lag(close, 24) OVER wk AS close_n
+        |  FROM pc WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |e AS (
+        |  SELECT *,
+        |         abs(close - close_n)
+        |           / nullif(CASE WHEN count(adiff) OVER w24 = 24
+        |                    THEN sum(adiff) OVER w24 END, 0) AS er
+        |  FROM d
+        |  WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT *,
+        |         CASE WHEN count(close) OVER w20 = 20
+        |           THEN avg(close) OVER w20 END AS sma20,
+        |         CASE WHEN count(close) OVER w50 = 50
+        |           THEN avg(close) OVER w50 END AS sma50,
+        |         CASE WHEN count(close) OVER w200 = 200
+        |           THEN avg(close) OVER w200 END AS sma200
+        |  FROM e
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w50 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+        |         w200 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                  ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT *,
+        |         CASE WHEN sma20 > sma50 AND sma50 > sma200 THEN 1 ELSE 0 END
+        |           AS aligned_bull,
+        |         CASE WHEN sma20 < sma50 AND sma50 < sma200 THEN 1 ELSE 0 END
+        |           AS aligned_bear,
+        |         ((sma50 - lag(sma50, 8) OVER wk) / 8.0) / nullif(atr, 0)
+        |           AS slope50_norm
+        |  FROM s WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms))
+        |SELECT symbol, bar_ts_ms,
+        |       round(er, 6) AS er,
+        |       round(atr_pct_pctl, 6) AS atr_pct_pctl,
+        |       aligned_bull, aligned_bear,
+        |       round(0.5 * least(greatest(er, 0), 1)
+        |             + 0.3 * (least(abs(slope50_norm), 5) / 5.0)
+        |             + 0.2 * (aligned_bull + aligned_bear), 6) AS trend_score,
+        |       CASE WHEN atr_pct_pctl >= 80.0 AND er <= 0.25 THEN 'CHAOS'
+        |            WHEN er >= 0.45 AND (aligned_bull = 1 OR aligned_bear = 1
+        |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
+        |            ELSE 'RANGE' END AS regime,
+        |       CASE WHEN atr_pct_pctl >= 80.0 AND er <= 0.25 THEN 'OFF'
+        |            WHEN er >= 0.45 AND (aligned_bull = 1 OR aligned_bear = 1
+        |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
+        |            ELSE 'RANGE' END AS router_mode
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     "asof_join" ->
       s"""$H1Cte,
