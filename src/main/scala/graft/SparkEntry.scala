@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.operators.{AsOf, Audit, Canonical, EmaTrend, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -239,6 +239,47 @@ object SparkEntry {
           round(col("trend_score"), 6).as("trend_score"),
           col("regime"), col("router_mode"))
         .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #24 — MAE/MFE excursion diagnostics for hypothetical SHORT entries
+    // (trade_diagnostics_mae_mfe_short.py:65-82).
+    "mae_mfe" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      Backtest.maeMfeShort(h1, horizon = 16, slK = 1.0)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("entry"), 6).as("entry"),
+          round(col("mae_r"), 6).as("mae_r"),
+          round(col("mfe_r"), 6).as("mfe_r"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #25 — tp-R parameter sweep with conservative both-touch
+    // (trade_sweep_tpR_short.py).
+    "param_sweep" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      Backtest.sweepTpR(h1, Seq(1.0, 1.5, 2.0, 3.0), horizon = 16, slK = 1.0)
+        .select(col("tp_r"), col("n_trades"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"))
+        .orderBy("tp_r")
+    }),
+
+    // §2 #23 — event-driven SHORT backtest: ichimoku SHORT label arms an
+    // entry at next open; SL/TP/time exits, one position per symbol
+    // (backtest_router_event_v1_1.py:255-475). Stateful scan — no SQL
+    // oracle; BacktestSpec covers it against hand-computed trades.
+    "backtest_trades" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val sig = Ichimoku(h1, IchimokuParams())
+        .withColumn("signal", when(col("label") === "SHORT", 1).otherwise(0))
+        .select(col("symbol"), col("bar_ts_ms"), col("open"), col("high"),
+          col("low"), col("close"), col("atr"), col("signal"))
+      Backtest.runShort(sig, "signal", tpR = 2.0, slK = 1.0, horizon = 16)
+        .select(col("symbol"), col("entry_ts"), round(col("entry_price"), 6).as("entry_price"),
+          col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
+          col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
+        .orderBy("symbol", "entry_ts")
     }),
 
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
@@ -512,6 +553,97 @@ object SparkEntry {
         |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
         |            ELSE 'RANGE' END AS router_mode
         |FROM g ORDER BY 1, 2""".stripMargin,
+
+    "mae_mfe" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |         lead(open, 1) OVER wk AS entry,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN max(high) OVER fwd END AS fwd_max_high,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN min(low) OVER fwd END AS fwd_min_low
+        |  FROM a
+        |  WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms),
+        |         fwd AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING))
+        |SELECT symbol, bar_ts_ms, round(entry, 6) AS entry,
+        |       round((fwd_max_high - entry) / (1.0 * atr), 6) AS mae_r,
+        |       round((entry - fwd_min_low) / (1.0 * atr), 6) AS mfe_r
+        |FROM f
+        |WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |  AND fwd_max_high IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+
+    "param_sweep" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |         lead(open, 1) OVER wk AS entry,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN max(high) OVER fwd END AS fwd_max_high,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN min(low) OVER fwd END AS fwd_min_low,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN nth_value(close, 16) OVER fwd END AS fwd_close
+        |  FROM a
+        |  WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms),
+        |         fwd AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING)),
+        |g AS (
+        |  SELECT f.*, CAST(t.tp_r AS DOUBLE) AS tp_r
+        |  FROM f CROSS JOIN (VALUES (1.0), (1.5), (2.0), (3.0)) t(tp_r)
+        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |    AND fwd_max_high IS NOT NULL),
+        |o AS (
+        |  SELECT tp_r,
+        |         CASE WHEN fwd_max_high >= entry + 1.0 * atr THEN -1.0
+        |              WHEN fwd_min_low <= entry - tp_r * (1.0 * atr) THEN tp_r
+        |              ELSE (entry - fwd_close) / (1.0 * atr) END AS r_mult
+        |  FROM g)
+        |SELECT tp_r, CAST(count(*) AS BIGINT) AS n_trades,
+        |       round(avg(r_mult), 6) AS mean_r,
+        |       round(avg(CASE WHEN r_mult > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN r_mult > 0 THEN r_mult ELSE 0 END)
+        |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
+        |                      0), 6) AS pf
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "asof_join" ->
       s"""$H1Cte,

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField}
+
+/** Trade analytics: MAE/MFE excursion diagnostics, vectorized tp-R parameter
+  * sweep, and the event-driven backtest engine.
+  *
+  * References: /root/reference/trade_diagnostics_mae_mfe_short.py:47-82,299
+  * (forward-window excursions in R multiples, profit factor),
+  * trade_sweep_tpR_short.py (fixed policy, tp-R grid, conservative SL-first
+  * on both-touch), scripts/backtest/backtest_router_event_v1_1.py:255-475
+  * (entry at next open, SL/TP/time exits, per-bar state machine).
+  *
+  * Spark-first split: everything *path-free* (excursions, window-level
+  * outcome classification, the whole sweep grid) is window functions + one
+  * broadcast cross join with the parameter grid — fully parallel, no state.
+  * Only the genuinely sequential position lifecycle (one open position at a
+  * time, entries gated on being flat) runs as a [[SeqScan]] state machine.
+  */
+object Backtest {
+
+  /** Forward-window excursion diagnostics for hypothetical SHORT entries at
+    * the next bar's open: MAE/MFE over the following `horizon` bars, in R
+    * multiples of `slK`·ATR (trade_diagnostics_mae_mfe_short.py:65-82). */
+  def maeMfeShort(bars: DataFrame, horizon: Int = 16, slK: Double = 1.0,
+                  symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val fwd = w.rowsBetween(1, horizon)
+    val entry = lead(col("open"), 1).over(w)
+    val risk = lit(slK) * col("atr")
+    val full = count(col("high")).over(fwd) === horizon
+    bars
+      .withColumn("entry", entry)
+      .withColumn("_risk", risk)
+      .withColumn("fwd_max_high", when(full, max(col("high")).over(fwd)))
+      .withColumn("fwd_min_low", when(full, min(col("low")).over(fwd)))
+      .where(col("entry").isNotNull && col("_risk").isNotNull &&
+        col("_risk") > 0.0 && col("fwd_max_high").isNotNull)
+      .withColumn("mae_r", (col("fwd_max_high") - col("entry")) / col("_risk"))
+      .withColumn("mfe_r", (col("entry") - col("fwd_min_low")) / col("_risk"))
+      .drop("_risk")
+  }
+
+  /** Window-level SHORT outcome for one (entry, tpR): SL-first when both
+    * touched (conservative), else TP, else time exit at the horizon close. */
+  private def outcomeR(tpR: Column): Column = {
+    val slTouched = col("fwd_max_high") >= col("entry") + col("_risk")
+    val tpTouched = col("fwd_min_low") <= col("entry") - tpR * col("_risk")
+    when(slTouched, lit(-1.0))
+      .when(tpTouched, tpR)
+      .otherwise((col("entry") - col("fwd_close")) / col("_risk"))
+  }
+
+  /** tp-R parameter sweep (trade_sweep_tpR_short.py): every bar is a
+    * hypothetical entry; the tiny grid is broadcast cross-joined, outcomes
+    * classified per (bar, tpR) and rolled up per tpR. One shuffle (the final
+    * groupBy); the grid side is a literal local relation. */
+  def sweepTpR(bars: DataFrame, tpRs: Seq[Double], horizon: Int = 16,
+               slK: Double = 1.0, symbolCol: String = "symbol",
+               tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val fwd = w.rowsBetween(1, horizon)
+    val full = count(col("high")).over(fwd) === horizon
+    val staged = bars
+      .withColumn("entry", lead(col("open"), 1).over(w))
+      .withColumn("_risk", lit(slK) * col("atr"))
+      .withColumn("fwd_max_high", when(full, max(col("high")).over(fwd)))
+      .withColumn("fwd_min_low", when(full, min(col("low")).over(fwd)))
+      .withColumn("fwd_close", when(full, nth_value(col("close"), horizon).over(fwd)))
+      .where(col("entry").isNotNull && col("_risk").isNotNull &&
+        col("_risk") > 0.0 && col("fwd_max_high").isNotNull)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val grid = broadcast(tpRs.toDF("tp_r"))
+    staged.crossJoin(grid)
+      .withColumn("r_mult", outcomeR(col("tp_r")))
+      .groupBy(col("tp_r"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        avg(col("r_mult")).as("mean_r"),
+        avg(when(col("r_mult") > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(col("r_mult") > 0.0, col("r_mult")).otherwise(0.0)).as("_pos"),
+        sum(when(col("r_mult") < 0.0, -col("r_mult")).otherwise(0.0)).as("_neg"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+
+  private val tradeFields = Seq(
+    StructField("entry_ts", LongType, nullable = true),
+    StructField("entry_price", DoubleType, nullable = true),
+    StructField("exit_price", DoubleType, nullable = true),
+    StructField("exit_reason", StringType, nullable = true),
+    StructField("r_mult", DoubleType, nullable = true),
+    StructField("bars_held", IntegerType, nullable = true))
+
+  private final class PosState {
+    var inPos = false
+    var pendingEntry = false
+    var entryTs = 0L
+    var entry = 0.0
+    var risk = 0.0
+    var barsHeld = 0
+  }
+
+  /** Event-driven SHORT backtest (backtest_router_event_v1_1.py:255-475):
+    * one open position per symbol; `signalCol`==1 arms an entry executed at
+    * the NEXT bar's open; exits on SL (entry + slK·ATR, conservative first),
+    * TP (entry − tpR·risk) or time-out after `horizon` bars at close.
+    * Emits one row per closed trade. Runs as a per-symbol [[SeqScan]] — the
+    * position lifecycle is inherently sequential; parallelism is across
+    * symbols, exactly like a keyed stream processor. */
+  def runShort(bars: DataFrame, signalCol: String, tpR: Double = 2.0,
+               slK: Double = 1.0, horizon: Int = 16,
+               symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
+    val sch = bars.schema
+    val iTs = sch.fieldIndex(tsCol)
+    val iOpen = sch.fieldIndex("open")
+    val iHigh = sch.fieldIndex("high")
+    val iLow = sch.fieldIndex("low")
+    val iClose = sch.fieldIndex("close")
+    val iAtr = sch.fieldIndex("atr")
+    val iSig = sch.fieldIndex(signalCol)
+
+    val perBar = SeqScan.mapOrdered(bars, symbolCol, tsCol, tradeFields)(
+      () => new PosState) { (st, row) =>
+      var out: Seq[Any] = Seq(null, null, null, null, null, null)
+      val ts = row.getLong(iTs)
+      val open = row.getDouble(iOpen)
+      val high = row.getDouble(iHigh)
+      val low = row.getDouble(iLow)
+      val close = row.getDouble(iClose)
+
+      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr)) {
+        st.inPos = true
+        st.entryTs = ts
+        st.entry = open
+        st.risk = slK * row.getDouble(iAtr)
+        st.barsHeld = 0
+      }
+      if (st.inPos && st.risk > 0.0) {
+        st.barsHeld += 1
+        val sl = st.entry + st.risk
+        val tp = st.entry - tpR * st.risk
+        val exited: Option[(Double, String, Double)] =
+          if (high >= sl) Some((sl, "SL", -1.0))
+          else if (low <= tp) Some((tp, "TP", tpR))
+          else if (st.barsHeld >= horizon) Some((close, "TIME", (st.entry - close) / st.risk))
+          else None
+        exited.foreach { case (px, reason, r) =>
+          out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
+            reason, Double.box(r), Int.box(st.barsHeld))
+          st.inPos = false
+        }
+      }
+      st.pendingEntry = !st.inPos &&
+        !row.isNullAt(iSig) && row.getInt(iSig) == 1
+      out
+    }
+    perBar
+      .where(col("exit_reason").isNotNull)
+      .select(col(symbolCol), col("entry_ts"), col("entry_price"),
+        col(tsCol).as("exit_ts"), col("exit_price"), col("exit_reason"),
+        col("r_mult"), col("bars_held"))
+  }
+
+  /** Per-symbol performance rollup of a trades frame: n, mean R, win rate,
+    * profit factor, max drawdown of the cumulative R curve
+    * (trade_diagnostics_mae_mfe_short.py:85-90, backtest_router_event_v1_1
+    * .py:133-150). */
+  def perf(trades: DataFrame, symbolCol: String = "symbol"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy("exit_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withEq = trades
+      .withColumn("_eq", sum(col("r_mult")).over(w))
+      .withColumn("_peak", max(col("_eq")).over(w))
+      .withColumn("_dd", col("_peak") - col("_eq"))
+    withEq.groupBy(col(symbolCol))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        avg(col("r_mult")).as("mean_r"),
+        avg(when(col("r_mult") > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(col("r_mult") > 0.0, col("r_mult")).otherwise(0.0)).as("_pos"),
+        sum(when(col("r_mult") < 0.0, -col("r_mult")).otherwise(0.0)).as("_neg"),
+        max(col("_dd")).as("max_drawdown_r"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+}
