@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
+import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate}
 import graft.sources.{Bars, Lake, Tables}
 
@@ -21,6 +22,31 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+
+  /** documents ∪ seeded near-dups (every 5th doc with its last two tokens
+    * dropped, id offset +1000000): the synthetic corpus has no natural
+    * near-dups, so dedup queries seed deterministic ones to have something
+    * real to find (and a known ground truth for recall). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), "\\s+")
+    val aug = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+    d.unionByName(aug)
+  }
+
+  /** embeddings ∪ seeded near-dups (every 5th vector, position-dependent
+    * jitter, id offset +1000000), all cast to array<double>. */
+  private def embeddingsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = e.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) => x + lit(0.01) * (pmod(i, lit(7)) - lit(3)))
+          .as("embedding"))
+    e.unionByName(aug)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hour-bar OHLCV build over the full stream — the reference lake's single
@@ -280,6 +306,115 @@ object SparkEntry {
           col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
           col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
         .orderBy("symbol", "entry_ts")
+    }),
+
+    // §2 #26 — exact dedup on the canonical-form content hash. Seeded exact
+    // dups: every 7th doc re-appears under id+1000000.
+    "exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exact(d.unionByName(dup))
+        .orderBy("fingerprint")
+    }),
+
+    // §2 #29 — n-gram Jaccard verification over an explicit pair list
+    // (consecutive doc ids).
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = d.select(col("doc_id").as("id1"), col("text").as("_text1"))
+        .join(d.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+          col("text").as("_text2")), "id1")
+      Dedup.withJaccard(pairs, "_text1", "_text2", n = 3)
+        .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1")
+    }),
+
+    // §2 #27 — MinHash+LSH near-dup detection on the seeded corpus. Banded
+    // equi-join candidates only — no all-pairs (DedupSpec asserts no
+    // CartesianProduct in the plan). Hash-specific → no SQL oracle.
+    "minhash_lsh" -> ((s, dir) => {
+      MinHashLsh.nearDupPairs(docsWithNearDups(s, dir), threshold = 0.3)
+        .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // §2 #28 — SimHash 64-bit fingerprints + banded near-dup pairs.
+    "simhash" -> ((s, dir) => {
+      SimHash.nearDupPairs(docsWithNearDups(s, dir), maxHamming = 12)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy("id1", "id2")
+    }),
+
+    // §2 #31 — brute-force cosine top-k (exact ANN baseline): 30 query
+    // vectors against the full table, k=5.
+    "ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKBrute(e, e.where(col("vec_id") < 30), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
+    // brute verified in SimilaritySpec).
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKLsh(e, e.where(col("vec_id") < 30), k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2 #30 — embedding cosine near-dup via hyperplane-LSH buckets on the
+    // seeded corpus.
+    "embed_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(embeddingsWithNearDups(s, dir),
+          threshold = 0.98, dim = 64)
+        .orderBy("id1", "id2")
+    }),
+
+    // §2 #33 — stopword-profile language ID.
+    "lang_id" -> ((s, dir) => {
+      TextAnalysis.withLangId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("sw_en"), col("sw_fr"),
+          col("sw_de"), col("sw_es"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #34 — length/punct/stopword quality scoring.
+    "quality_score" -> ((s, dir) => {
+      TextAnalysis.withQuality(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
+    "token_count" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+          size(TextAnalysis.tokensBpeIsh(col("text"))).as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #36 — canonical-form document fingerprint.
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #37 — multimodal payload + typed metadata (decode stage is the
+    // batched stub covered by MultimodalSpec).
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.withPayload(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.content_id").as("content_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id")
     }),
 
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
@@ -553,6 +688,138 @@ object SparkEntry {
         |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
         |            ELSE 'RANGE' END AS router_mode
         |FROM g ORDER BY 1, 2""".stripMargin,
+
+    "exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fingerprint
+        |  FROM all_docs)
+        |SELECT fingerprint, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           list_distinct(list_transform(range(len(toks) - 2),
+        |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |         ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sa, b.sh AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+        |SELECT id1, id2,
+        |       CAST(len(list_intersect(sa, sb)) AS INTEGER) AS n_inter,
+        |       CAST(len(list_distinct(list_concat(sa, sb))) AS INTEGER)
+        |         AS n_union,
+        |       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |             / nullif(len(list_distinct(list_concat(sa, sb))), 0), 6)
+        |         AS jaccard
+        |FROM p ORDER BY 1""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 30),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qv,
+        |               CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT query_id, rank, neighbor_id, sim
+        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |      AS INTEGER) AS sw_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','de','un','une','est','que','pour'], x)))
+        |      AS INTEGER) AS sw_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+        |      AS INTEGER) AS sw_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','la','los','y','de','un','una','es','que','por'], x)))
+        |      AS INTEGER) AS sw_es
+        |  FROM t)
+        |SELECT doc_id, lang, sw_en, sw_fr, sw_de, sw_es,
+        |       CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
+        |            WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
+        |            WHEN sw_de >= sw_es THEN 'de'
+        |            ELSE 'es' END AS lang_pred
+        |FROM c ORDER BY 1""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |           AS punct
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars AS INTEGER) AS n_chars,
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+        |         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / nullif(len(toks), 0)
+        |           AS mean_token_len
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens,
+        |       round(punct_ratio, 6) AS punct_ratio,
+        |       round(stop_ratio, 6) AS stop_ratio,
+        |       round(mean_token_len, 6) AS mean_token_len,
+        |       round(least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
+        |             * least(1.0, stop_ratio * 4.0), 6) AS quality_score
+        |FROM u ORDER BY 1""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_ws_tokens,
+        |       CAST(len(list_filter(string_split_regex(
+        |              regexp_replace(text,
+        |                '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', ' \1 ', 'g'),
+        |              '\s+'), x -> x <> '')) AS INTEGER) AS n_bpeish_tokens
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |         AS fingerprint
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       substr(md5(text), 1, 8) AS content_id,
+        |       CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER)
+        |         AS height
+        |FROM documents ORDER BY 1""".stripMargin,
 
     "mae_mfe" ->
       s"""$H1Cte,

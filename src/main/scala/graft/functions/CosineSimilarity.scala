@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` columns.
+  *
+  * Why an Expression and not a UDF or `aggregate`/`zip_with` composition:
+  * the similarity evaluation is THE hot inner loop of brute-force and
+  * LSH-rerank ANN — a scalar UDF would box every array element and break
+  * whole-stage codegen, and the higher-order-function composition walks the
+  * array three times. `doGenCode` emits one fused primitive loop that stays
+  * inside WholeStageCodegen.
+  *
+  * Null semantics: null if either side is null or either norm is zero.
+  * If lengths differ, the common prefix is scored (callers validate dims).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double>; callers cast (ExpectsInputTypes'
+  // AbstractDataType is private[sql], so validation stays at the call site)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    if (den == 0.0) null else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $x.getDouble(i);
+         |  double yi = $y.getDouble(i);
+         |  dot += xi * yi;
+         |  nx += xi * xi;
+         |  ny += yi * yi;
+         |}
+         |double den = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |if (den == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = dot / den;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Register as the SQL function `cosine_sim` so DataFrame code can use
+    * `expr("cosine_sim(a, b)")`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+}

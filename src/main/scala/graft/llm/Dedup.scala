@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for web-scale corpora: exact (content hash) and n-gram
+  * Jaccard verification. Near-dup candidate generation lives in
+  * [[MinHashLsh]] and [[SimHash]].
+  *
+  * Scale posture: exact dedup is one hash-shuffle on the fingerprint —
+  * the canonical 100 TB design (identical payloads land on the same
+  * reducer). Jaccard verification only ever runs on explicit candidate
+  * PAIRS (equi-joins), never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on the canonical-form fingerprint: one survivor per hash
+    * (lowest id), with the duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    fp.groupBy(col("fingerprint"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
+  /** Survivor view: drop all but the lowest-id row per fingerprint. */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol).asc)
+    fp.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles of the case-folded text, distinct. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** n-gram Jaccard similarity for an explicit pair frame with `textCol1`/
+    * `textCol2` columns: |A∩B| / |A∪B| over distinct word n-grams. */
+  def withJaccard(pairs: DataFrame, textCol1: String, textCol2: String,
+                  n: Int = 3): DataFrame = {
+    val a = shingles(col(textCol1), n)
+    val b = shingles(col(textCol2), n)
+    pairs
+      .withColumn("_a", a).withColumn("_b", b)
+      .withColumn("n_union", size(array_distinct(concat(col("_a"), col("_b")))))
+      .withColumn("n_inter", size(array_intersect(col("_a"), col("_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          when(col("n_union") =!= 0, col("n_union")).cast("double"))
+      .drop("_a", "_b")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding near-duplicate detection.
+  *
+  * Pipeline: word shingles → 31-bit shingle hashes → k permutation minima
+  * (the MinHash signature) → b bands of r = k/b values hashed to bucket keys
+  * → equi-join on (band, bucket) for candidate pairs → n-gram Jaccard
+  * verification.
+  *
+  * Scale posture (the ONLY design that survives 100 TB): candidate pairs come
+  * exclusively from equi-joins on band buckets — an all-pairs cross join is
+  * structurally impossible here. Signature computation is per-row codegen'd
+  * column algebra (no shuffle); the band join shuffles on (band, bucket)
+  * which AQE skew-splits if a bucket runs hot (identical boilerplate docs);
+  * a bucket-size cap can be applied upstream for pathological corpora.
+  */
+object MinHashLsh {
+
+  /** Mersenne prime 2^61 - 1: (a·h + b) mod P stays overflow-free for
+    * 31-bit h and 31-bit a/b even under ANSI arithmetic. */
+  val Prime: Long = (1L << 61) - 1
+
+  private def perm(seed: Int, k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new Random(seed)
+    val a = Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Append the k-value MinHash signature array for `textCol`. */
+  def withSignature(docs: DataFrame, textCol: String = "text", k: Int = 32,
+                    shingleN: Int = 3, seed: Int = 42): DataFrame = {
+    val (a, b) = perm(seed, k)
+    val hashes = transform(Dedup.shingles(col(textCol), shingleN),
+      s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+    val withH = docs.withColumn("_h", hashes)
+    val sig = array((0 until k).map { i =>
+      array_min(transform(col("_h"), h => pmod(h * lit(a(i)) + lit(b(i)), lit(Prime))))
+    }: _*)
+    withH.withColumn("minhash_sig", sig).drop("_h")
+  }
+
+  /** Explode each doc into `bands` rows keyed by (band, bucket-hash of its
+    * r signature values). */
+  def bandBuckets(signed: DataFrame, idCol: String = "doc_id", k: Int = 32,
+                  bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
+    val r = k / bands
+    val bandStructs = array((0 until bands).map { bIdx =>
+      val cols = (0 until r).map(j => element_at(col("minhash_sig"), bIdx * r + j + 1))
+      struct(lit(bIdx).as("band"), xxhash64((lit(bIdx) +: cols): _*).as("bucket"))
+    }: _*)
+    signed.select(col(idCol), explode(bandStructs).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.bucket").as("bucket"))
+  }
+
+  /** Distinct candidate pairs (id1 < id2) from shared band buckets — an
+    * equi-join on (band, bucket), never a cross join. */
+  def candidatePairs(signed: DataFrame, idCol: String = "doc_id", k: Int = 32,
+                     bands: Int = 8): DataFrame = {
+    val bb = bandBuckets(signed, idCol, k, bands)
+    val l = bb.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val rgt = bb.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    l.join(rgt, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: candidates + n-gram Jaccard verification,
+    * keeping pairs with jaccard >= `threshold`. */
+  def nearDupPairs(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, seed: Int = 42): DataFrame = {
+    val signed = withSignature(docs, textCol, k, shingleN, seed)
+    val pairs = candidatePairs(signed, idCol, k, bands)
+    val t1 = docs.select(col(idCol).as("id1"), col(textCol).as("_text1"))
+    val t2 = docs.select(col(idCol).as("id2"), col(textCol).as("_text2"))
+    Dedup.withJaccard(pairs.join(t1, "id1").join(t2, "id2"), "_text1", "_text2", shingleN)
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+}

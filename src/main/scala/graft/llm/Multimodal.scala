@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary payloads with typed metadata,
+  * and a batched decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so `decodeFeatures` STUBS the
+  * actual decode with a deterministic byte-level extractor — but the
+  * Spark-side plumbing is real and is what matters at 100 TB: binary column +
+  * metadata struct schema, batched per-partition processing (the Scala
+  * analogue of `mapInPandas` batches), and a narrow, shuffle-free plan. A
+  * real deployment swaps `stubDecode` for a codec call; nothing else changes.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload (here: utf-8 bytes standing in for
+    * image bytes) and typed metadata derived without decoding. */
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("payload", encode(col(textCol), "utf-8"))
+      .withColumn("meta", struct(
+        octet_length(col(textCol)).as("n_bytes"),
+        substring(md5(col(textCol)), 1, 8).as("content_id"),
+        (lit(64) + pmod(octet_length(col(textCol)), lit(512))).as("width"),
+        (lit(64) + pmod(octet_length(col(textCol)) * 7, lit(512))).as("height")))
+
+  /** STUB decode: deterministic byte statistics standing in for a codec.
+    * Marked clearly; a real build replaces only this function. */
+  private def stubDecode(bytes: Array[Byte]): (Double, Int, Array[Long]) = {
+    var sum = 0L
+    var mx = 0
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      if (v > mx) mx = v
+      hist(v >> 6) += 1
+      i += 1
+    }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    (mean, mx, hist)
+  }
+
+  /** Batched per-partition "decode" over the binary payload — the real
+    * plumbing (schema, batching, partition-parallel, no shuffle) with the
+    * codec stubbed. */
+  def decodeFeatures(withPayloads: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(withPayloads.schema.fields ++ Seq(
+      StructField("mean_byte", DoubleType),
+      StructField("max_byte", IntegerType),
+      StructField("byte_hist", ArrayType(LongType))))
+    val idx = withPayloads.schema.fieldIndex(payloadCol)
+    withPayloads.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val (mean, mx, hist) = stubDecode(bytes)
+        Row.fromSeq(row.toSeq ++ Seq(mean, mx, hist.toSeq))
+      }
+    }(Encoders.row(schema))
+  }
+}

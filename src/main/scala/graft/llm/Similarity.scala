@@ -1,0 +1,120 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+
+/** Approximate-nearest-neighbor search and embedding near-dup detection over
+  * an `array<float>` embedding column.
+  *
+  * Two paths, per the standard scale ladder:
+  *  - brute-force top-k (exact baseline): broadcast the small query set,
+  *    fused-loop cosine ([[CosineSimilarity]]) against every candidate,
+  *    per-query top-k. Cost O(|Q|·N) — right when |Q| is small.
+  *  - random-hyperplane LSH: sign-signature buckets (SimHash over the
+  *    embedding space) → candidates from equi-joins on (band, chunk) →
+  *    exact cosine re-rank. Cost O(N·P + candidates) — the 100 TB path;
+  *    recall tunable via planes/bands (verified against brute in tests).
+  */
+object Similarity {
+
+  // Column <-> Expression bridging via the GraftBridge shim
+  private def cos(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Cosine similarity column over two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = cos(a, b)
+
+  /** Exact brute-force top-k: for each query row, the k nearest candidates
+    * by cosine (rounded to 6dp for a deterministic, engine-stable order;
+    * ties break on candidate id). Query side is broadcast. */
+  def annTopKBrute(candidates: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv")))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("_cv"))
+    val scored = c.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal columns. */
+  private def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Column] = {
+    val rnd = new Random(seed)
+    (0 until nPlanes).map { _ =>
+      lit(Array.fill(dim)(rnd.nextGaussian()))
+    }
+  }
+
+  /** Sign-signature band buckets: `nPlanes` hyperplane sign bits split into
+    * `bands` chunks; each row explodes into one (band, bucket) row per band. */
+  def withLshBuckets(df: DataFrame, dim: Int, nPlanes: Int = 16, bands: Int = 2,
+                     seed: Int = 7, vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0)
+    val perBand = nPlanes / bands
+    val ps = planes(nPlanes, dim, seed)
+    val v = col(vecCol).cast("array<double>")
+    val signBits = ps.map(p => when(coalesce(cos(v, p), lit(0.0)) > 0.0, 1).otherwise(0))
+    val bandStructs = array((0 until bands).map { b =>
+      val chunk = signBits.slice(b * perBand, (b + 1) * perBand)
+      struct(lit(b).as("band"), xxhash64((lit(b) +: chunk): _*).as("bucket"))
+    }: _*)
+    df.withColumn("_b", explode(bandStructs))
+      .withColumn("band", col("_b.band"))
+      .withColumn("bucket", col("_b.bucket"))
+      .drop("_b")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to rows sharing a
+    * signature band with the query, then exact cosine re-rank. */
+  def annTopKLsh(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = withLshBuckets(candidates, dim, nPlanes, bands, seed, vecCol)
+      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+    val qb = withLshBuckets(queries, dim, nPlanes, bands, seed, vecCol)
+      .select(col("band"), col("bucket"), col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+    val cand = cb.join(qb, Seq("band", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .distinct()
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs: LSH candidates (id1 < id2) verified at
+    * cosine >= threshold. */
+  def nearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+                   nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = withLshBuckets(df, dim, nPlanes, bands, seed, vecCol)
+      .select(col("band"), col("bucket"), col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+    val l = b.select(col("band"), col("bucket"), col("_id").as("id1"), col("_v").as("_v1"))
+    val r = b.select(col("band"), col("bucket"), col("_id").as("id2"), col("_v").as("_v2"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("_v1"), col("_v2"))
+      .distinct()
+      .withColumn("cosine", round(cos(col("_v1"), col("_v2")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, stopword-profile language ID and document
+  * fingerprinting. All pure per-row column expressions — fully codegen'd,
+  * no shuffles, trivially scalable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the baseline tokenizer; a BPE-ish regex
+    * tokenizer is [[tokensBpeIsh]]). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish pre-tokenization: words, numbers, and single punctuation marks
+    * as separate tokens (GPT-2-style pre-split, ASCII approximation). */
+  def tokensBpeIsh(text: Column): Column =
+    filter(split(regexp_replace(text, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])", " $1 "), "\\s+"),
+      t => t =!= "")
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private val StopwordsFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
+  private val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")
+  private val StopwordsEs = Seq("el", "la", "los", "y", "de", "un", "una", "es", "que", "por")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t)))
+
+  /** Token count, char count, punctuation ratio, stopword ratio and a
+    * [0,1] composite quality score (length/punct/stopword heuristics of the
+    * usual web-scale quality filters). */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val nTok = size(toks)
+    val nChars = length(col(textCol))
+    val punct = nChars - length(regexp_replace(col(textCol), "[.,!?;:]", ""))
+    val stops = stopCount(toks, StopwordsEn)
+    docs
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio",
+        punct.cast("double") / when(nChars =!= 0, nChars).cast("double"))
+      .withColumn("stop_ratio",
+        stops.cast("double") / when(nTok =!= 0, nTok).cast("double"))
+      .withColumn("mean_token_len",
+        (nChars - (nTok - lit(1))).cast("double") / when(nTok =!= 0, nTok).cast("double"))
+      .withColumn("quality_score",
+        least(lit(1.0), nTok.cast("double") / 20.0) * (lit(1.0) - col("punct_ratio")) *
+          least(lit(1.0), col("stop_ratio") * 4.0))
+  }
+
+  /** Stopword-profile language ID over en/fr/de/es with a deterministic
+    * preference order on ties (en > fr > de > es). */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val cEn = stopCount(toks, StopwordsEn)
+    val cFr = stopCount(toks, StopwordsFr)
+    val cDe = stopCount(toks, StopwordsDe)
+    val cEs = stopCount(toks, StopwordsEs)
+    docs
+      .withColumn("sw_en", cEn).withColumn("sw_fr", cFr)
+      .withColumn("sw_de", cDe).withColumn("sw_es", cEs)
+      .withColumn("lang_pred",
+        when(col("sw_en") >= greatest(col("sw_fr"), col("sw_de"), col("sw_es")), "en")
+          .when(col("sw_fr") >= greatest(col("sw_de"), col("sw_es")), "fr")
+          .when(col("sw_de") >= col("sw_es"), "de")
+          .otherwise("es"))
+  }
+
+  /** Canonical-form fingerprint: md5 of case-folded, whitespace-collapsed
+    * text — the exact-dedup key. Shingle-level rolling hashes live in
+    * [[MinHashLsh]]. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
