@@ -357,10 +357,12 @@ object SparkEntry {
     }),
 
     // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
-    // brute verified in SimilaritySpec).
+    // brute verified in LlmSpec). 8 short bands: this corpus has low
+    // pairwise similarity, so recall needs band-collision probability up.
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.annTopKLsh(e, e.where(col("vec_id") < 30), k = 5, dim = 64)
+      Similarity.annTopKLsh(e, e.where(col("vec_id") < 30), k = 5, dim = 64,
+          nPlanes = 16, bands = 8)
         .orderBy("query_id", "rank")
     }),
 

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Streaming ingestion: the collector path (reference
+  * /root/reference/src/bfdl/collectors/klines_m1.py:31-210 polls an API and
+  * appends month-partition staging parts) re-expressed as Structured
+  * Streaming — readStream → watermark → dedup → windowed OHLCV aggregation →
+  * hive-partitioned parquet sink. The same canonicalization (dedup on the
+  * ingestion id) and bar semantics as the batch path, incremental by
+  * construction instead of by checkpoint files.
+  */
+object Ingest {
+
+  /** Minute-bar aggregation over a streaming tick frame. Late data beyond
+    * the watermark is dropped; duplicate event ids within the watermark are
+    * deduped before aggregation (exactly-once bars per (symbol, minute) in
+    * append mode once the watermark passes). */
+  def minuteBars(ticks: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type").as("symbol"), window(col("ts"), "1 minute"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("symbol"), col("window.start").as("bar_ts"),
+        unix_millis(col("window.start")).as("bar_ts_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+
+  /** Append-mode sink into the partitioned lake layout (symbol=/year=/month=
+    * like the batch writer). */
+  def toLake(bars: DataFrame, root: String, checkpoint: String): DataStreamWriter[Row] =
+    bars
+      .withColumn("year", year(col("bar_ts")))
+      .withColumn("month", month(col("bar_ts")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", root)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("symbol", "year", "month")
+
+  final case class Tick(symbol: String, tsMs: Long, value: Double)
+  final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)
+
+  /** Custom keyed state example (mapGroupsWithState family): an online gap
+    * detector that remembers the last minute seen per symbol and emits a
+    * GapEvent whenever a tick jumps more than one grid step — the streaming
+    * analogue of [[graft.operators.Gaps.gapsReport]]. */
+  def gapDetector(ticks: Dataset[Tick], stepMs: Long = 60000L): Dataset[GapEvent] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[Long, GapEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, it: Iterator[Tick], state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(t => (t.tsMs))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
+          var last = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { t =>
+            val minuteMs = t.tsMs / stepMs * stepMs
+            if (last != Long.MinValue && minuteMs > last + stepMs) {
+              out += GapEvent(symbol, last, minuteMs, (minuteMs - last) / stepMs - 1)
+            }
+            if (minuteMs > last) last = minuteMs
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
+}

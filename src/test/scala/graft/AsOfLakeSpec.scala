@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+import graft.sources.Lake
+
+class AsOfLakeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof backward join: inclusive match, null before first right row") {
+    val left = Seq(("A", 5L), ("A", 10L), ("A", 25L), ("B", 5L))
+      .toDF("symbol", "ts")
+    val right = Seq(("A", 10L, 1.0), ("A", 20L, 2.0))
+      .toDF("symbol", "rts", "ctx")
+    val out = AsOf.joinBackward(left, right, "symbol", "ts", "rts")
+      .orderBy("symbol", "ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ctx")))      // A@5: nothing yet
+    assert(out(1).getAs[Double]("ctx") == 1.0)             // A@10: inclusive
+    assert(out(1).getAs[Long]("matched_ts") == 10L)
+    assert(out(2).getAs[Double]("ctx") == 2.0)             // A@25: latest
+    assert(out(3).isNullAt(out(3).fieldIndex("ctx")))      // B: no right rows
+  }
+
+  test("asof grid fast path equals general join on grid-aligned data") {
+    val left = Seq(("A", 0L), ("A", 100L), ("A", 250L)).toDF("symbol", "ts")
+    val right = Seq(("A", 0L, 10.0), ("A", 100L, 20.0), ("A", 200L, 30.0))
+      .toDF("symbol", "bucket", "ctx")
+    val grid = AsOf.joinGrid(left, right, "symbol", "ts", "bucket", bucketMs = 100L)
+      .orderBy("ts").select("ctx").collect().map(r => Option(r.get(0)))
+    assert(grid.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0)))
+  }
+
+  test("mergeUpsert: incoming wins on collision, both sides kept otherwise") {
+    val old = Seq(("A", 1L, 10.0), ("A", 2L, 20.0)).toDF("symbol", "k", "v")
+    val inc = Seq(("A", 2L, 99.0), ("A", 3L, 30.0)).toDF("symbol", "k", "v")
+    val out = Lake.mergeUpsert(old, inc, Seq("symbol", "k"))
+      .orderBy("k").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 99.0, 30.0))
+  }
+
+  test("partitioned lake write prunes partitions and compacts to one file each") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "lake").toString
+    val bars = Seq(
+      ("A", 1704067200000L, 1.0), ("A", 1706745600000L, 2.0),
+      ("B", 1704067200000L, 3.0))
+      .toDF("symbol", "bar_ts_ms", "close")
+    Lake.writePartitioned(bars, root)
+    val read = Lake.read(spark, root).where(col("symbol") === "A" && col("month") === 1)
+    assert(read.count() == 1)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("symbol"),
+      s"partition pruning missing from plan:\n$scan")
+
+    val compacted = root + "-compact"
+    Lake.compact(spark, root, compacted)
+    val parts = new java.io.File(compacted + "/symbol=A/year=2024/month=1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 1)
+  }
+
+  test("meta json + schema validation") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "meta").toString
+    val df = Seq(("A", 1L, 1.0)).toDF("symbol", "bar_ts_ms", "close")
+    Lake.writeMeta(df, root)
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_meta.json")))
+    assert(meta.contains("\"n_rows\":1") && meta.contains("bar_ts_ms"))
+    assert(Lake.validateSchema(df.schema, df.schema).isEmpty)
+    val wrong = Seq((1, "x")).toDF("symbol", "extra")
+    assert(Lake.validateSchema(wrong.schema, df.schema).nonEmpty)
+  }
+}

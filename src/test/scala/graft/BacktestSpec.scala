@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Backtest
+
+class BacktestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (symbol, ts, open, high, low, close, atr, signal)
+  private def mk(rows: (Long, Double, Double, Double, Double, Double, Int)*) =
+    rows.map { case (ts, o, h, l, c, atr, sig) => ("A", ts, o, h, l, c, atr, sig) }
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr", "signal")
+
+  test("SL exit: signal arms entry at next open; stop at entry + atr") {
+    val bars = mk(
+      (0L, 100, 101, 99, 100, 10.0, 1),   // signal
+      (1L, 100, 102, 98, 101, 10.0, 0),   // entry at open=100, SL=110
+      (2L, 101, 115, 100, 112, 10.0, 0))  // high 115 >= 110 -> SL
+    val t = Backtest.runShort(bars, "signal", tpR = 2.0, slK = 1.0, horizon = 16)
+      .collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[Long]("entry_ts") == 1L)
+    assert(t(0).getAs[Double]("entry_price") == 100.0)
+    assert(t(0).getAs[String]("exit_reason") == "SL")
+    assert(t(0).getAs[Double]("exit_price") == 110.0)
+    assert(t(0).getAs[Double]("r_mult") == -1.0)
+  }
+
+  test("TP exit at entry - tpR*risk") {
+    val bars = mk(
+      (0L, 100, 101, 99, 100, 5.0, 1),
+      (1L, 100, 101, 99, 100, 5.0, 0),    // entry 100, risk 5, TP=90
+      (2L, 99, 100, 89, 95, 5.0, 0))      // low 89 <= 90 -> TP
+    val t = Backtest.runShort(bars, "signal", tpR = 2.0).collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("exit_reason") == "TP")
+    assert(t(0).getAs[Double]("r_mult") == 2.0)
+  }
+
+  test("conservative both-touch: SL wins inside one bar") {
+    val bars = mk(
+      (0L, 100, 101, 99, 100, 5.0, 1),
+      (1L, 100, 120, 80, 100, 5.0, 0))    // both SL(105) and TP(90) touched
+    val t = Backtest.runShort(bars, "signal", tpR = 2.0).collect()
+    assert(t(0).getAs[String]("exit_reason") == "SL")
+  }
+
+  test("time exit after horizon bars at close; no re-entry while in position") {
+    val bars = mk(
+      (0L, 100, 100, 100, 100, 5.0, 1),
+      (1L, 100, 101, 99, 100, 5.0, 1),    // entry; signal here ignored (in pos)
+      (2L, 100, 101, 99, 98, 5.0, 0),
+      (3L, 98, 99, 97, 95, 5.0, 0))       // horizon=3 -> exit at close 95
+    val t = Backtest.runShort(bars, "signal", tpR = 10.0, slK = 1.0, horizon = 3)
+      .collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("exit_reason") == "TIME")
+    assert(t(0).getAs[Double]("r_mult") == 1.0) // (100-95)/5
+    assert(t(0).getAs[Int]("bars_held") == 3)
+  }
+
+  test("mae/mfe in R multiples over the forward window") {
+    // 5 bars, horizon 2: entry at next open, excursions from following 2 bars
+    val bars = mk(
+      (0L, 100, 100, 100, 100, 10.0, 0),
+      (1L, 100, 100, 100, 100, 10.0, 0),
+      (2L, 100, 115, 95, 100, 10.0, 0),
+      (3L, 100, 105, 85, 100, 10.0, 0),
+      (4L, 100, 100, 100, 100, 10.0, 0))
+    val out = Backtest.maeMfeShort(bars, horizon = 2, slK = 1.0)
+      .orderBy("bar_ts_ms").collect()
+    // row at ts=1: entry=open@2=100, fwd bars 2..3: maxH=115, minL=85
+    val r = out.find(_.getAs[Long]("bar_ts_ms") == 1L).get
+    assert(r.getAs[Double]("mae_r") == 1.5)
+    assert(r.getAs[Double]("mfe_r") == 1.5)
+  }
+
+  test("sweep ranks outcomes per tp_r with conservative both-touch") {
+    val bars = mk(
+      (0L, 100, 100, 100, 100, 10.0, 0),
+      (1L, 100, 100, 100, 100, 10.0, 0),
+      (2L, 100, 105, 79, 100, 10.0, 0),
+      (3L, 100, 105, 95, 92, 10.0, 0))
+    val out = Backtest.sweepTpR(bars, Seq(1.0, 3.0), horizon = 2, slK = 1.0)
+      .orderBy("tp_r").collect()
+    // two qualifying entries (ts=0 and ts=1, both entry=100, no SL touch):
+    // tp_r=1: TP at 90 touched for both (low 79) -> mean 1.0
+    // tp_r=3: TP at 70 missed -> TIME exits at close 100 (r=0) and 92 (r=0.8)
+    assert(out(0).getAs[Double]("mean_r") == 1.0)
+    assert(out(1).getAs[Double]("mean_r") == 0.4)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  /** docs plus seeded near-dups: last two tokens dropped, id + 1000000. */
+  private lazy val seeded = {
+    val toks = split(col("text"), "\\s+")
+    docs.unionByName(docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+  }
+
+  test("exact dedup groups identical canonical forms") {
+    val withDup = docs.unionByName(
+      docs.where(col("doc_id") === 0)
+        .select(lit(999999L).as("doc_id"), upper(col("text")).as("text")))
+    val groups = Dedup.exact(withDup)
+    assert(groups.where(col("n_copies") === 2).count() == 1)
+    assert(groups.where(col("n_copies") === 2).select("keep_id")
+      .as[Long].collect()(0) == 0L)
+  }
+
+  test("minhash LSH finds seeded near-dups with high recall, no cartesian") {
+    val pairs = MinHashLsh.nearDupPairs(seeded, threshold = 0.3)
+    assertNoCartesian(pairs)
+    val found = pairs.where(col("id2") - col("id1") === 1000000).count()
+    val total = seeded.where(col("doc_id") >= 1000000).count()
+    assert(total > 0)
+    assert(found.toDouble / total >= 0.85, s"recall $found/$total")
+  }
+
+  test("simhash finds seeded near-dups, no cartesian") {
+    val pairs = SimHash.nearDupPairs(seeded, maxHamming = 12)
+    assertNoCartesian(pairs)
+    val found = pairs.where(col("id2") - col("id1") === 1000000).count()
+    val total = seeded.where(col("doc_id") >= 1000000).count()
+    assert(found.toDouble / total >= 0.7, s"recall $found/$total")
+  }
+
+  test("jaccard: identical texts 1.0, disjoint 0.0") {
+    val pairs = Seq(("a b c d", "a b c d"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+    val out = Dedup.withJaccard(pairs, "t1", "t2").select("jaccard")
+      .as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("cosine expression: exact values, null on zero norm") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 1.0), Array(0.0, 0.0))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out(0).contains(1.0))
+    assert(out(1).contains(0.0))
+    assert(out(2).isEmpty)
+  }
+
+  test("LSH ANN recall vs brute-force top-k") {
+    // short bands (8 bands x 2 bits): the synthetic embeddings have low
+    // pairwise similarity (max cosine ~0.5), so long bands would nearly
+    // never collide; shorter bands trade candidate volume for recall.
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.annTopKBrute(e, q, k = 3).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val lshDf = Similarity.annTopKLsh(e, q, k = 3, dim = 64, nPlanes = 16, bands = 8)
+    assertNoCartesian(lshDf)
+    val lsh = lshDf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall vs brute: $recall")
+  }
+
+  test("embedding near-dup finds seeded jittered copies") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = e.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) => x + lit(0.01) * (pmod(i, lit(7)) - lit(3)))
+          .as("embedding"))
+    val pairs = Similarity.nearDupPairs(e.unionByName(aug), threshold = 0.98, dim = 64)
+    val found = pairs.where(col("id2") - col("id1") === 1000000).count()
+    val total = aug.count()
+    assert(found.toDouble / total >= 0.7, s"recall $found/$total")
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint invariants") {
+    val df = Seq((1L, "The cat and the dog. Le chat!")).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df).collect()(0)
+    assert(q.getAs[Int]("n_tokens") == 7)
+    assert(q.getAs[Double]("punct_ratio") > 0)
+    val l = TextAnalysis.withLangId(df).collect()(0)
+    assert(l.getAs[Int]("sw_en") == 3) // the, and, the
+    assert(l.getAs[String]("lang_pred") == "en")
+    // fingerprint is whitespace/case-insensitive
+    val fps = Seq((1L, "a  b C"), (2L, "A B  c")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .distinct().count()
+    assert(fps == 1)
+  }
+
+  test("multimodal: payload metadata + stubbed batched decode") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(Multimodal.withPayload(df)).collect()(0)
+    assert(out.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("n_bytes") == 3)
+    // 'a'=97 'b'=98 'c'=99
+    assert(out.getAs[Double]("mean_byte") == 98.0)
+    assert(out.getAs[Int]("max_byte") == 99)
+    assert(out.getAs[Seq[Long]]("byte_hist")(1) == 3L) // all in [64,128)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Ingest
+
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming minute bars: dedup + windowed OHLCV into the lake layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val ticks = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-lake").toString
+    val ckpt = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-ckpt").toString
+    val q = Ingest.toLake(Ingest.minuteBars(ticks, "2 minutes"), root, ckpt).start()
+
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05"), "X", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:30"), "X", 12.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:30"), "X", 12.0), // dup id
+      (3L, Timestamp.valueOf("2024-01-01 00:01:10"), "X", 11.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 00:00 window
+    input.addData((9L, Timestamp.valueOf("2024-01-01 00:30:00"), "X", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val bars = spark.read.parquet(root)
+    val first = bars.where(col("bar_ts_ms") === 1704067200000L).collect()
+    assert(first.length == 1)
+    assert(first(0).getAs[Double]("open") == 10.0)
+    assert(first(0).getAs[Double]("close") == 12.0)
+    assert(first(0).getAs[Long]("n_trades") == 2L) // dup dropped
+    // partitioned layout materialized
+    assert(new java.io.File(root + "/symbol=X/year=2024/month=1").exists())
+  }
+
+  test("stateful gap detector emits gaps across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ingest.Tick]
+    val out = Ingest.gapDetector(input.toDS())
+    val q = out.writeStream.format("memory").queryName("gaps_out")
+      .outputMode("append").start()
+
+    input.addData(Ingest.Tick("A", 0L, 1.0), Ingest.Tick("A", 60000L, 1.0))
+    q.processAllAvailable()
+    input.addData(Ingest.Tick("A", 300000L, 1.0)) // 3 missing minutes
+    q.processAllAvailable()
+    q.stop()
+
+    val gaps = spark.table("gaps_out").as[Ingest.GapEvent].collect()
+    assert(gaps.length == 1)
+    assert(gaps(0).gapMinutes == 3L)
+    assert(gaps(0).prevMs == 60000L && gaps(0).tsMs == 300000L)
+  }
+}
