@@ -47,16 +47,22 @@ object Dedup {
   /** n-gram Jaccard similarity for an explicit pair frame with `textCol1`/
     * `textCol2` columns: |A∩B| / |A∪B| over distinct word n-grams. */
   def withJaccard(pairs: DataFrame, textCol1: String, textCol2: String,
-                  n: Int = 3): DataFrame = {
-    val a = shingles(col(textCol1), n)
-    val b = shingles(col(textCol2), n)
+                  n: Int = 3): DataFrame =
+    jaccardOnShingles(pairs
+      .withColumn("_a", shingles(col(textCol1), n))
+      .withColumn("_b", shingles(col(textCol2), n)))
+      .drop("_a", "_b")
+
+  /** Jaccard over precomputed shingle-array columns `_a`/`_b`. Compute the
+    * arrays BEFORE a pair join when one doc appears in many pairs — after
+    * the join's exchange they are concrete attributes, evaluated once, while
+    * inline shingle expressions (codegen-fallback HOFs, no subexpression
+    * elimination) would re-evaluate per reference. */
+  def jaccardOnShingles(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("_a", a).withColumn("_b", b)
       .withColumn("n_union", size(array_distinct(concat(col("_a"), col("_b")))))
       .withColumn("n_inter", size(array_intersect(col("_a"), col("_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           when(col("n_union") =!= 0, col("n_union")).cast("double"))
-      .drop("_a", "_b")
-  }
 }

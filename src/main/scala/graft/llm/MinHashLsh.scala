@@ -32,17 +32,26 @@ object MinHashLsh {
     (a, b)
   }
 
-  /** Append the k-value MinHash signature array for `textCol`. */
+  /** Append the k-value MinHash signature array for `textCol`.
+    *
+    * Single-pass formulation: one `aggregate` over the shingle hashes updates
+    * all k minima per hash (k separate `array_min(transform(...))` columns
+    * would re-evaluate the shingle+hash array k times after Catalyst's
+    * projection collapse — measured 20x slower). */
   def withSignature(docs: DataFrame, textCol: String = "text", k: Int = 32,
                     shingleN: Int = 3, seed: Int = 42): DataFrame = {
     val (a, b) = perm(seed, k)
+    val aLit = lit(a)
+    val bLit = lit(b)
     val hashes = transform(Dedup.shingles(col(textCol), shingleN),
       s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
-    val withH = docs.withColumn("_h", hashes)
-    val sig = array((0 until k).map { i =>
-      array_min(transform(col("_h"), h => pmod(h * lit(a(i)) + lit(b(i)), lit(Prime))))
-    }: _*)
-    withH.withColumn("minhash_sig", sig).drop("_h")
+    val sig = aggregate(
+      hashes,
+      array_repeat(lit(Prime), k),
+      (acc, h) => transform(sequence(lit(0), lit(k - 1)),
+        i => least(element_at(acc, i + 1),
+          pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(Prime)))))
+    docs.withColumn("minhash_sig", sig)
   }
 
   /** Explode each doc into `bands` rows keyed by (band, bucket-hash of its
@@ -60,10 +69,16 @@ object MinHashLsh {
   }
 
   /** Distinct candidate pairs (id1 < id2) from shared band buckets — an
-    * equi-join on (band, bucket), never a cross join. */
+    * equi-join on (band, bucket), never a cross join.
+    *
+    * The bucket frame is cached before the self-join: signature evaluation is
+    * a higher-order-function aggregate (codegen fallback, no subexpression
+    * elimination), so without materialization both join sides would recompute
+    * every signature. At cluster scale the signatures/buckets table is
+    * persisted to storage once and reused the same way. */
   def candidatePairs(signed: DataFrame, idCol: String = "doc_id", k: Int = 32,
                      bands: Int = 8): DataFrame = {
-    val bb = bandBuckets(signed, idCol, k, bands)
+    val bb = bandBuckets(signed, idCol, k, bands).cache()
     val l = bb.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val rgt = bb.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(rgt, Seq("band", "bucket"))
@@ -79,9 +94,11 @@ object MinHashLsh {
                    shingleN: Int = 3, seed: Int = 42): DataFrame = {
     val signed = withSignature(docs, textCol, k, shingleN, seed)
     val pairs = candidatePairs(signed, idCol, k, bands)
-    val t1 = docs.select(col(idCol).as("id1"), col(textCol).as("_text1"))
-    val t2 = docs.select(col(idCol).as("id2"), col(textCol).as("_text2"))
-    Dedup.withJaccard(pairs.join(t1, "id1").join(t2, "id2"), "_text1", "_text2", shingleN)
+    val sh = docs.select(col(idCol),
+      Dedup.shingles(col(textCol), shingleN).as("_sh"))
+    val s1 = sh.select(col(idCol).as("id1"), col("_sh").as("_a"))
+    val s2 = sh.select(col(idCol).as("id2"), col("_sh").as("_b"))
+    Dedup.jaccardOnShingles(pairs.join(s1, "id1").join(s2, "id2"))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("n_inter"), col("n_union"), col("jaccard"))
   }

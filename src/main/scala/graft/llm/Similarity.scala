@@ -104,9 +104,11 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                    nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cached before the self-join so plane projections evaluate once per row
     val b = withLshBuckets(df, dim, nPlanes, bands, seed, vecCol)
       .select(col("band"), col("bucket"), col(idCol).as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
+      .cache()
     val l = b.select(col("band"), col("bucket"), col("_id").as("id1"), col("_v").as("_v1"))
     val r = b.select(col("band"), col("bucket"), col("_id").as("id2"), col("_v").as("_v2"))
     l.join(r, Seq("band", "bucket"))

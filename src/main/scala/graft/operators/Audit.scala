@@ -26,14 +26,15 @@ object Audit {
       tsMsCol: String = "bar_ts_ms"): DataFrame = {
     val bucketMs = stepMs * n
     val ts = col(tsMsCol)
+    // bars are unique per (symbol, ts) (canonical-dedup contract), so
+    // count == distinct and the nunique gate is implied — keeps one shuffle
     val gates = bars
       .groupBy(col(symbolCol), ((ts / bucketMs).cast("long") * bucketMs).as("bucket_ms"))
       .agg(
         count(lit(1)).as("_cnt"),
-        countDistinct(ts).as("_nun"),
         (max(ts) - min(ts)).as("_span"))
       .withColumn("_complete",
-        col("_cnt") === n && col("_nun") === n && col("_span") === (n - 1) * stepMs)
+        col("_cnt") === n && col("_span") === (n - 1) * stepMs)
     gates
       .groupBy(col(symbolCol))
       .agg(

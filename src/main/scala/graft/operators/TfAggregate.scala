@@ -26,33 +26,44 @@ object TfAggregate {
     *               with open/high/low/close/volume/n_trades columns
     * @param stepMs base bar step in milliseconds (60000 for m1)
     * @param n      number of base bars per bucket (5 for m1→m5)
+    * @param assumeUniqueTimestamps bars are unique per (symbol, ts) — the
+    *               canonical-dedup contract upstream guarantees this, and
+    *               then distinct==count so the nunique gate is implied and
+    *               the plan stays ONE shuffle. Pass false to enforce the
+    *               reference's literal nunique gate on non-canonical input
+    *               (costs an extra distinct-aggregation shuffle).
     */
   def apply(
       bars: DataFrame,
       stepMs: Long,
       n: Int,
       symbolCol: String = "symbol",
-      tsMsCol: String = "bar_ts_ms"): DataFrame = {
+      tsMsCol: String = "bar_ts_ms",
+      assumeUniqueTimestamps: Boolean = true): DataFrame = {
     require(n > 0 && stepMs > 0, s"invalid tf spec: n=$n stepMs=$stepMs")
     val bucketMs = stepMs * n
     val ts = col(tsMsCol)
-    bars
+    val aggs = Seq(
+      min_by(col("open"), ts).as("open"),
+      max("high").as("high"),
+      min("low").as("low"),
+      max_by(col("close"), ts).as("close"),
+      sum("volume").as("volume"),
+      sum("n_trades").as("n_trades"),
+      count(lit(1)).as("_cnt"),
+      min(ts).as("_mn"),
+      max(ts).as("_mx")) ++
+      (if (assumeUniqueTimestamps) Nil else Seq(countDistinct(ts).as("_nun")))
+    val gated = bars
       .groupBy(col(symbolCol), ((ts / bucketMs).cast("long") * bucketMs).as("bucket_ms"))
-      .agg(
-        min_by(col("open"), ts).as("open"),
-        max("high").as("high"),
-        min("low").as("low"),
-        max_by(col("close"), ts).as("close"),
-        sum("volume").as("volume"),
-        sum("n_trades").as("n_trades"),
-        count(lit(1)).as("_cnt"),
-        countDistinct(ts).as("_nun"),
-        min(ts).as("_mn"),
-        max(ts).as("_mx"))
-      .where(col("_cnt") === n && col("_nun") === n &&
-        (col("_mx") - col("_mn")) === (n - 1) * stepMs)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("_cnt") === n &&
+        (col("_mx") - col("_mn")) === (n - 1) * stepMs &&
+        (if (assumeUniqueTimestamps) lit(true) else col("_nun") === n))
+    gated
       .withColumn("close_time_ms", col("bucket_ms") + bucketMs - 1)
-      .drop("_cnt", "_nun", "_mn", "_mx")
+      .drop((Seq("_cnt", "_mn", "_mx") ++
+        (if (assumeUniqueTimestamps) Nil else Seq("_nun"))): _*)
   }
 
   /** Incremental variant: aggregate only buckets strictly after a checkpoint

@@ -41,6 +41,12 @@ class BarsTfSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("bucket_ms") == 240000L)
   }
 
+  test("strict nunique gate rejects duplicate-timestamp buckets") {
+    // symbol B has two bars at ts=0: cnt==2 but nun==1 and span==0
+    val strict = TfAggregate(bars, 60000L, 2, assumeUniqueTimestamps = false)
+    assert(strict.where($"symbol" === "B").count() == 0)
+  }
+
   test("incremental aggregation only emits buckets at/after the checkpoint") {
     val out = TfAggregate.incremental(bars, 60000L, 2, nextBucketOpenMs = 240000L)
     assert(out.select("bucket_ms").as[Long].collect().toSeq == Seq(240000L))

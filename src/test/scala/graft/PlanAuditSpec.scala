@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TfAggregate
+import graft.sources.{Bars, Tables}
+
+/** Plan-shape audits: the properties that decide whether an operator
+  * survives a 100× scale-up, asserted on the actual physical plans. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("tf aggregation is a single-shuffle hash aggregate with map-side partials") {
+    val h1 = Bars.fromTicks(Tables.events(spark, sfDir), "hour")
+    val p = plan(TfAggregate(h1, 3600000L, 4))
+    // two logical aggregations (bars, buckets) => exactly two exchanges, no more
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+    // partial aggregation present (HashAggregate appears in partial+final pairs)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > "2024-06-01")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(li)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("window feature pipelines reuse one exchange across all frames") {
+    val h1 = Bars.fromTicks(Tables.events(spark, sfDir), "hour")
+    val feats = graft.functions.Features.withRollingStats(
+      graft.functions.Features.withAtrSma(h1, 14), "close", 20)
+    val p = plan(feats)
+    // one exchange for the bar aggregation + one for the window partitioning
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("param sweep broadcasts the grid (no shuffle on the big side)") {
+    val h1 = graft.functions.Features.withAtrSma(
+      Bars.fromTicks(Tables.events(spark, sfDir), "hour"), 14)
+    val p = plan(graft.operators.Backtest.sweepTpR(h1, Seq(1.0, 2.0)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val e = Tables.embeddings(spark, sfDir)
+    val p = plan(graft.llm.Similarity.annTopKBrute(e, e.where(col("vec_id") < 5), 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the fused cosine expression, not a UDF
+    assert(p.contains("cosine_sim") || p.contains("CosineSimilarity"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("asof join is union + one window exchange, no range join explosion") {
+    import spark.implicits._
+    val left = Seq(("A", 5L)).toDF("symbol", "ts")
+    val right = Seq(("A", 1L, 1.0)).toDF("symbol", "rts", "ctx")
+    val p = plan(graft.operators.AsOf.joinBackward(left, right, "symbol", "ts", "rts"))
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+}
