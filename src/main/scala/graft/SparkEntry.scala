@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate}
+import graft.ml.MlFilter
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -306,6 +307,68 @@ object SparkEntry {
           col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
           col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
         .orderBy("symbol", "entry_ts")
+    }),
+
+    // §2 #22b — LOW/MID/HIGH volatility regime from the range percentile
+    // (build_m5_vol_regime.py:148-185).
+    "vol_regime" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      VolRegime(h1, lookback = 48, pLow = 25.0, pHigh = 70.0)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("range_pctl"), 6).as("range_pctl"),
+          col("vol_state"), col("market_ready"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #19b — flat kijun plateau levels via run-length encoding
+    // (find_ichimoku_flat_levels_v1.py:93-131).
+    "flat_levels" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+        .rowsBetween(-25, Window.currentRow)
+      val kijun = when(count(col("high")).over(w) === 26,
+        (max(col("high")).over(w) + min(col("low")).over(w)) / 2.0)
+      FlatLevels(h1.withColumn("kijun", kijun), "kijun", minFlatBars = 3)
+        .select(col("symbol"), round(col("level"), 6).as("level"),
+          col("start_ms"), col("end_ms"), col("length_bars"))
+        .orderBy("symbol", "start_ms")
+    }),
+
+    // §2 #20b — multi-TF context composition: two chained anti-lookahead
+    // as-of joins (h4 + day) onto minute rows (build_joined_m1_long_v1.py,
+    // build_mtf_context_day_v1.py).
+    "mtf_join" -> ((s, dir) => {
+      val m1 = Bars.fromTicks(events(s, dir), "minute")
+        .select(col("symbol"), col("bar_ts_ms").as("minute_ms"), col("close"))
+      val wb = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val h4ctx = TfAggregate(Bars.fromTicks(events(s, dir), "hour"), 3600000L, 4)
+        .select(col("symbol"), col("bucket_ms"),
+          lag(col("close"), 1).over(wb).as("h4_close"))
+      val wd = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      val dayctx = Resample.ohlc(Bars.fromTicks(events(s, dir), "minute"), "day")
+        .select(col("symbol"), col("bar_ts_ms"),
+          lag(col("close"), 1).over(wd).as("day_close"))
+      val j1 = AsOf.joinBackward(m1, h4ctx, "symbol", "minute_ms", "bucket_ms",
+        matchedTsCol = "h4_bucket_ms")
+      AsOf.joinBackward(j1, dayctx, "symbol", "minute_ms", "bar_ts_ms",
+          matchedTsCol = "day_bucket_ms")
+        .select(col("symbol"), col("minute_ms"), col("close"),
+          col("h4_bucket_ms"), col("h4_close"),
+          col("day_bucket_ms"), col("day_close"))
+        .orderBy("symbol", "minute_ms")
+    }),
+
+    // §2 #23b — MLlib logistic-regression trade filter over bar features
+    // (run_ml_filter_v1.py family). Model training — no SQL oracle;
+    // MlSpec covers learnability on a separable corpus.
+    "ml_filter" -> ((s, dir) => {
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      val scored = MlFilter.trainScore(
+        MlFilter.withLabel(h1), Seq("atr_pct", "er", "vwap_dist_z"))
+      MlFilter.confusion(scored).orderBy("symbol")
     }),
 
     // §2 #26 — exact dedup on the canonical-form content hash. Seeded exact
@@ -690,6 +753,106 @@ object SparkEntry {
         |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
         |            ELSE 'RANGE' END AS router_mode
         |FROM g ORDER BY 1, 2""".stripMargin,
+
+    "vol_regime" ->
+      s"""$H1Cte,
+        |rp AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         (high - low) / nullif(close, 0) AS range_pct
+        |  FROM h1),
+        |pc AS (
+        |  SELECT * EXCLUDE (arr, nn),
+        |         CASE WHEN nn = 48
+        |           THEN len(list_filter(arr, y -> y <= range_pct)) * 100.0 / 48
+        |         END AS range_pctl
+        |  FROM (SELECT *,
+        |          list(range_pct) OVER w48 AS arr,
+        |          count(range_pct) OVER w48 AS nn
+        |        FROM rp
+        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)))
+        |SELECT symbol, bar_ts_ms, round(range_pctl, 6) AS range_pctl,
+        |       CASE WHEN range_pctl IS NULL THEN NULL
+        |            WHEN range_pctl < 25.0 THEN 'LOW'
+        |            WHEN range_pctl > 70.0 THEN 'HIGH'
+        |            ELSE 'MID' END AS vol_state,
+        |       CASE WHEN range_pctl IS NULL THEN NULL
+        |            WHEN (CASE WHEN range_pctl < 25.0 THEN 'LOW'
+        |                       WHEN range_pctl > 70.0 THEN 'HIGH'
+        |                       ELSE 'MID' END) <> 'LOW' THEN 1 ELSE 0 END
+        |         AS market_ready
+        |FROM pc ORDER BY 1, 2""".stripMargin,
+
+    "flat_levels" ->
+      s"""$H1Cte,
+        |k AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         CASE WHEN count(high) OVER w26 = 26
+        |           THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0
+        |         END AS kijun
+        |  FROM h1
+        |  WINDOW w26 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN kijun IS NULL OR lag(kijun) OVER wk IS NULL
+        |                   OR kijun <> lag(kijun) OVER wk
+        |              THEN 1 ELSE 0 END AS newrun
+        |  FROM k WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |r AS (
+        |  SELECT *, sum(newrun) OVER (PARTITION BY symbol ORDER BY bar_ts_ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM f)
+        |SELECT symbol, round(min(kijun), 6) AS level,
+        |       min(bar_ts_ms) AS start_ms, max(bar_ts_ms) AS end_ms,
+        |       CAST(count(*) AS BIGINT) AS length_bars
+        |FROM r WHERE kijun IS NOT NULL
+        |GROUP BY symbol, run HAVING count(*) >= 3
+        |ORDER BY 1, 3""".stripMargin,
+
+    "mtf_join" ->
+      s"""$H1Cte,
+        |b AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 14400000) * 14400000 AS bucket_ms,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2
+        |  HAVING count(*) = 4 AND count(DISTINCT bar_ts_ms) = 4
+        |     AND max(bar_ts_ms) - min(bar_ts_ms) = 10800000),
+        |h4ctx AS (
+        |  SELECT symbol, bucket_ms,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms)
+        |           AS h4_close
+        |  FROM b),
+        |m1 AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol, epoch_ms(date_trunc('day', bar_ts)) AS day_ms,
+        |         arg_max(close, bar_ts) AS close
+        |  FROM (SELECT event_type AS symbol,
+        |               date_trunc('minute', ts) AS bar_ts,
+        |               arg_max(value, event_id) AS close
+        |        FROM events GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |dayctx AS (
+        |  SELECT symbol, day_ms,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY day_ms)
+        |           AS day_close
+        |  FROM d),
+        |j1 AS (
+        |  SELECT m1.symbol, m1.minute_ms, m1.close,
+        |         h4ctx.bucket_ms AS h4_bucket_ms, h4ctx.h4_close
+        |  FROM m1 ASOF LEFT JOIN h4ctx
+        |    ON m1.symbol = h4ctx.symbol AND m1.minute_ms >= h4ctx.bucket_ms)
+        |SELECT j1.symbol, j1.minute_ms, j1.close,
+        |       j1.h4_bucket_ms, j1.h4_close,
+        |       dayctx.day_ms AS day_bucket_ms, dayctx.day_close
+        |FROM j1 ASOF LEFT JOIN dayctx
+        |  ON j1.symbol = dayctx.symbol AND j1.minute_ms >= dayctx.day_ms
+        |ORDER BY 1, 2""".stripMargin,
 
     "exact_dedup" ->
       """WITH all_docs AS (

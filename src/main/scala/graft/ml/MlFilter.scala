@@ -1,0 +1,62 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML trade filter: train a classifier on bar features to predict the next
+  * bar's direction and score every bar.
+  *
+  * Reference: /root/reference/scripts/backtest/run_ml_filter_v1.py and the
+  * run_ml_* family (sklearn models over engineered features filtering router
+  * entries). Re-expressed with Spark MLlib — the model trains distributed
+  * (LBFGS over partitioned data) and scoring is a narrow map, so the same
+  * pipeline runs unchanged on a cluster at full history scale.
+  */
+object MlFilter {
+
+  /** Label each bar with the sign of the NEXT bar's close move (anti-lookahead:
+    * features at t predict t+1). */
+  def withLabel(bars: DataFrame, symbolCol: String = "symbol",
+                tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    bars.withColumn("label",
+      when(lead(col("close"), 1).over(w) > col("close"), 1.0).otherwise(0.0))
+      .withColumn("_has_next", lead(col("close"), 1).over(w).isNotNull)
+      .where(col("_has_next")).drop("_has_next")
+  }
+
+  /** Train on the feature columns and score every row; returns the input
+    * plus `probability_up` and `prediction`. Deterministic for a fixed
+    * dataset (LBFGS, no sampling). */
+  def trainScore(labeled: DataFrame, featureCols: Seq[String],
+                 maxIter: Int = 25): DataFrame = {
+    val clean = labeled.na.drop(featureCols :+ "label")
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(clean)
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(0.01)
+      .fit(assembled)
+    val up = udfProb
+    model.transform(assembled)
+      .withColumn("probability_up", up(col("probability")))
+      .drop("features", "rawPrediction", "probability")
+  }
+
+  private def udfProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+
+  /** Per-symbol confusion-matrix rollup of a scored frame. */
+  def confusion(scored: DataFrame, symbolCol: String = "symbol"): DataFrame =
+    scored.groupBy(col(symbolCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)).as("fn"))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+}
