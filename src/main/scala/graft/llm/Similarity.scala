@@ -78,20 +78,27 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates restricted to rows sharing a
-    * signature band with the query, then exact cosine re-rank. */
+    * signature band with the query, then exact cosine re-rank.
+    *
+    * The band join and the candidate-pair `distinct` carry only ids — the
+    * 64-dim vectors would otherwise ride through two shuffles; they re-join
+    * afterwards (query side broadcast). */
   def annTopKLsh(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = withLshBuckets(candidates, dim, nPlanes, bands, seed, vecCol)
-      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("_cv"))
+      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"))
     val qb = withLshBuckets(queries, dim, nPlanes, bands, seed, vecCol)
-      .select(col("band"), col("bucket"), col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("_qv"))
-    val cand = cb.join(qb, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col(idCol).as("query_id"))
+    val ids = cb.join(qb, Seq("band", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv")))
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val cand = ids.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -104,17 +111,21 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                    nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // cached before the self-join so plane projections evaluate once per row
+    // cached before the self-join so plane projections evaluate once per
+    // row; the pair distinct carries ids only, vectors re-join afterwards
     val b = withLshBuckets(df, dim, nPlanes, bands, seed, vecCol)
-      .select(col("band"), col("bucket"), col(idCol).as("_id"),
-        col(vecCol).cast("array<double>").as("_v"))
+      .select(col("band"), col("bucket"), col(idCol).as("_id"))
       .cache()
-    val l = b.select(col("band"), col("bucket"), col("_id").as("id1"), col("_v").as("_v1"))
-    val r = b.select(col("band"), col("bucket"), col("_id").as("id2"), col("_v").as("_v2"))
-    l.join(r, Seq("band", "bucket"))
+    val ids = b.select(col("band"), col("bucket"), col("_id").as("id1"))
+      .join(b.select(col("band"), col("bucket"), col("_id").as("id2")),
+        Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("_v1"), col("_v2"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    ids
+      .join(v.select(col(idCol).as("id1"), col("_v").as("_v1")), "id1")
+      .join(v.select(col(idCol).as("id2"), col("_v").as("_v2")), "id2")
       .withColumn("cosine", round(cos(col("_v1"), col("_v2")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
