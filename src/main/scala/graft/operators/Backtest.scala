@@ -105,16 +105,34 @@ object Backtest {
     var barsHeld = 0
   }
 
-  /** Event-driven SHORT backtest (backtest_router_event_v1_1.py:255-475):
-    * one open position per symbol; `signalCol`==1 arms an entry executed at
-    * the NEXT bar's open; exits on SL (entry + slK·ATR, conservative first),
-    * TP (entry − tpR·risk) or time-out after `horizon` bars at close.
-    * Emits one row per closed trade. Runs as a per-symbol [[SeqScan]] — the
-    * position lifecycle is inherently sequential; parallelism is across
-    * symbols, exactly like a keyed stream processor. */
+  /** Event-driven SHORT backtest — see [[run]]. */
   def runShort(bars: DataFrame, signalCol: String, tpR: Double = 2.0,
                slK: Double = 1.0, horizon: Int = 16,
-               symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
+               symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame =
+    run(bars, signalCol, short = true, tpR, slK, horizon, feeBps = 0.0,
+      symbolCol, tsCol)
+
+  /** Event-driven LONG backtest — mirrored exits. */
+  def runLong(bars: DataFrame, signalCol: String, tpR: Double = 2.0,
+              slK: Double = 1.0, horizon: Int = 16, feeBps: Double = 0.0,
+              symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame =
+    run(bars, signalCol, short = false, tpR, slK, horizon, feeBps,
+      symbolCol, tsCol)
+
+  /** Event-driven backtest (backtest_router_event_v1_1.py:255-475):
+    * one open position per symbol; `signalCol`==1 arms an entry executed at
+    * the NEXT bar's open; exits on SL (conservative first on both-touch),
+    * TP (tpR·risk in the trade direction) or time-out after `horizon` bars
+    * at close. `feeBps` deducts round-trip costs (entry+exit, in basis
+    * points of the entry price) from the R multiple, like the reference's
+    * apply_costs_on_entry. Emits one row per closed trade. Runs as a
+    * per-symbol [[SeqScan]] — the position lifecycle is inherently
+    * sequential; parallelism is across symbols, exactly like a keyed stream
+    * processor. */
+  def run(bars: DataFrame, signalCol: String, short: Boolean,
+          tpR: Double = 2.0, slK: Double = 1.0, horizon: Int = 16,
+          feeBps: Double = 0.0,
+          symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
     val sch = bars.schema
     val iTs = sch.fieldIndex(tsCol)
     val iOpen = sch.fieldIndex("open")
@@ -142,16 +160,22 @@ object Backtest {
       }
       if (st.inPos && st.risk > 0.0) {
         st.barsHeld += 1
-        val sl = st.entry + st.risk
-        val tp = st.entry - tpR * st.risk
+        val sl = if (short) st.entry + st.risk else st.entry - st.risk
+        val tp = if (short) st.entry - tpR * st.risk else st.entry + tpR * st.risk
+        val slHit = if (short) high >= sl else low <= sl
+        val tpHit = if (short) low <= tp else high >= tp
+        val timeR =
+          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
         val exited: Option[(Double, String, Double)] =
-          if (high >= sl) Some((sl, "SL", -1.0))
-          else if (low <= tp) Some((tp, "TP", tpR))
-          else if (st.barsHeld >= horizon) Some((close, "TIME", (st.entry - close) / st.risk))
+          if (slHit) Some((sl, "SL", -1.0))
+          else if (tpHit) Some((tp, "TP", tpR))
+          else if (st.barsHeld >= horizon) Some((close, "TIME", timeR))
           else None
         exited.foreach { case (px, reason, r) =>
+          // round-trip fees in R multiples of the risk unit
+          val feeR = 2.0 * feeBps * 1e-4 * st.entry / st.risk
           out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
-            reason, Double.box(r), Int.box(st.barsHeld))
+            reason, Double.box(r - feeR), Int.box(st.barsHeld))
           st.inPos = false
         }
       }
