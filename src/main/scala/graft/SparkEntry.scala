@@ -482,6 +482,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37b — batched decode/feature-extract stage over the binary
+    // payload (deterministic stub codec; plumbing is real). No SQL oracle —
+    // rows-only + LlmSpec hand values.
+    "multimodal_decode" -> ((s, dir) => {
+      Multimodal.decodeFeatures(
+          Multimodal.withPayload(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), round(col("mean_byte"), 6).as("mean_byte"),
+          col("max_byte"), col("byte_hist"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
     // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
     // Recursive smoothing — not ANSI-SQL-expressible; covered by FeatureSpec.

@@ -63,6 +63,18 @@ object Lake {
     * prune at planning time. */
   def read(spark: SparkSession, root: String): DataFrame = spark.read.parquet(root)
 
+  /** Write a bucketed+sorted table: repeated joins/aggregations on
+    * `bucketCols` become exchange-free (co-located), the classic big-joins
+    * layout at 100 TB. Bucketed tables require the table catalog
+    * (`saveAsTable`), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Minimal `_meta.json`: schema fingerprint + row count, the contract
     * verify_all.py checks. Driver-side write of a few hundred bytes. */
   def writeMeta(df: DataFrame, root: String): Unit = {

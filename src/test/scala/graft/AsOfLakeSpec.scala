@@ -62,6 +62,20 @@ class AsOfLakeSpec extends SparkTestBase {
     assert(parts == 1)
   }
 
+  test("bucketed tables join without an exchange (co-located)") {
+    val bars = Seq(("A", 1L, 1.0), ("B", 2L, 2.0), ("C", 3L, 3.0))
+      .toDF("symbol", "bar_ts_ms", "close")
+    Lake.writeBucketed(bars, "bkt_left", 4, Seq("symbol"))
+    Lake.writeBucketed(bars.withColumnRenamed("close", "ctx"), "bkt_right", 4, Seq("symbol"))
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(l) */ l.symbol, l.close, r.ctx
+        |FROM bkt_left l JOIN bkt_right r ON l.symbol = r.symbol""".stripMargin)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$p")
+    assert(joined.count() == 3)
+  }
+
   test("meta json + schema validation") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "meta").toString
