@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -369,6 +369,18 @@ object SparkEntry {
       val scored = MlFilter.trainScore(
         MlFilter.withLabel(h1), Seq("atr_pct", "er", "vwap_dist_z"))
       MlFilter.confusion(scored).orderBy("symbol")
+    }),
+
+    // §2 #14b — funding pipeline: settlement-window premium → 8h funding
+    // rates → cumulative accrual projected anti-lookahead onto hour bars
+    // (premium_index_m1.py + funding_events.py domain).
+    "funding_accrual" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val rates = Funding.ratesFromBars(h1)
+      Funding.accrueOntoBars(h1, rates)
+        .select(col("symbol"), col("bar_ts_ms"), col("last_pay_ms"),
+          round(col("cum_funding"), 6).as("cum_funding"))
+        .orderBy("symbol", "bar_ts_ms")
     }),
 
     // §2 #26 — exact dedup on the canonical-form content hash. Seeded exact
@@ -764,6 +776,25 @@ object SparkEntry {
         |                 OR abs(slope50_norm) >= 1.0) THEN 'TREND'
         |            ELSE 'RANGE' END AS router_mode
         |FROM g ORDER BY 1, 2""".stripMargin,
+
+    "funding_accrual" ->
+      s"""$H1Cte,
+        |rt AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 28800000) * 28800000 AS bucket_ms,
+        |         avg((close - open) / nullif(open, 0)) AS rate
+        |  FROM h1 GROUP BY 1, 2),
+        |cumt AS (
+        |  SELECT symbol, bucket_ms + 28800000 AS pay_ms,
+        |         sum(rate) OVER (PARTITION BY symbol ORDER BY bucket_ms
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_funding
+        |  FROM rt)
+        |SELECT h1.symbol, h1.bar_ts_ms, cumt.pay_ms AS last_pay_ms,
+        |       round(coalesce(cumt.cum_funding, 0.0), 6) AS cum_funding
+        |FROM h1 ASOF LEFT JOIN cumt
+        |  ON h1.symbol = cumt.symbol AND h1.bar_ts_ms >= cumt.pay_ms
+        |ORDER BY 1, 2""".stripMargin,
 
     "vol_regime" ->
       s"""$H1Cte,

@@ -63,6 +63,16 @@ class AsOfLakeSpec extends SparkTestBase {
   }
 
   test("bucketed tables join without an exchange (co-located)") {
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     val bars = Seq(("A", 1L, 1.0), ("B", 2L, 2.0), ("C", 3L, 3.0))
       .toDF("symbol", "bar_ts_ms", "close")
     Lake.writeBucketed(bars, "bkt_left", 4, Seq("symbol"))
@@ -74,6 +84,26 @@ class AsOfLakeSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$p")
     assert(joined.count() == 3)
+  }
+
+  test("checkpoint round-trip and resume semantics") {
+    import graft.operators.TfAggregate
+    import graft.sources.Checkpoint
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ckpt").toString
+    val bars = Seq(
+      ("A", 0L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("A", 60000L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("A", 120000L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("A", 180000L, 1.0, 1.0, 1.0, 1.0, 1.0, 1L))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "volume", "n_trades")
+    val derived = TfAggregate(bars, 60000L, 2)
+    val next = Checkpoint.advance(derived, bucketMs = 120000L)
+    assert(next == Map("A" -> 240000L)) // past the last complete bucket
+    Checkpoint.write(root, "m2", next)
+    assert(Checkpoint.read(root, "m2") == next)
+    // resuming from the checkpoint emits nothing until new bars arrive
+    assert(TfAggregate.incremental(bars, 60000L, 2, next("A")).count() == 0)
   }
 
   test("meta json + schema validation") {
