@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -381,6 +381,17 @@ object SparkEntry {
         .select(col("symbol"), col("bar_ts_ms"), col("last_pay_ms"),
           round(col("cum_funding"), 6).as("cum_funding"))
         .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #19c — consolidation range boxes: RLE over the inside-band
+    // predicate (build_range_boxes_from_flats_v2.py).
+    "range_boxes" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      RangeBoxes(h1, smaLen = 20, atrLen = 14, bandK = 1.0, minBars = 6)
+        .select(col("symbol"), col("start_ms"), col("end_ms"), col("n_bars"),
+          round(col("box_low"), 6).as("box_low"),
+          round(col("box_high"), 6).as("box_high"))
+        .orderBy("symbol", "start_ms")
     }),
 
     // §2 #26 — exact dedup on the canonical-form content hash. Seeded exact
@@ -794,6 +805,53 @@ object SparkEntry {
         |       round(coalesce(cumt.cum_funding, 0.0), 6) AS cum_funding
         |FROM h1 ASOF LEFT JOIN cumt
         |  ON h1.symbol = cumt.symbol AND h1.bar_ts_ms >= cumt.pay_ms
+        |ORDER BY 1, 2""".stripMargin,
+
+    "range_boxes" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         lag(close) OVER wk AS prev_c
+        |  FROM h1 WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT *, CASE WHEN count(close) OVER w20 = 20
+        |            THEN avg(close) OVER w20 END AS sma
+        |  FROM a
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |i AS (
+        |  SELECT *, CASE WHEN sma IS NOT NULL AND atr IS NOT NULL
+        |                  AND abs(close - sma) <= 1.0 * atr
+        |            THEN 1 ELSE 0 END AS inside
+        |  FROM s),
+        |n AS (
+        |  SELECT *, CASE WHEN inside = 0
+        |                  OR coalesce(lag(inside) OVER wk, 0) = 0
+        |            THEN 1 ELSE 0 END AS newrun
+        |  FROM i WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |r AS (
+        |  SELECT *, sum(newrun) OVER (PARTITION BY symbol ORDER BY bar_ts_ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM n)
+        |SELECT symbol, min(bar_ts_ms) AS start_ms, max(bar_ts_ms) AS end_ms,
+        |       CAST(count(*) AS BIGINT) AS n_bars,
+        |       round(min(low), 6) AS box_low,
+        |       round(max(high), 6) AS box_high
+        |FROM r WHERE inside = 1
+        |GROUP BY symbol, run HAVING count(*) >= 6
         |ORDER BY 1, 2""".stripMargin,
 
     "vol_regime" ->

@@ -36,6 +36,49 @@ object VolRegime {
   }
 }
 
+/** Consolidation range boxes: maximal runs of bars whose closes stay inside
+  * a band around the rolling mean (|close - sma| <= k·ATR for >= minBars).
+  *
+  * Reference: /root/reference/scripts/research/build_range_boxes_from_flats
+  * _v2.py (expand a window around flat levels while bars stay "inside").
+  * Re-expressed as run-length encoding over the inside-band predicate — the
+  * same windows-only pattern as [[FlatLevels]], no imperative expansion loop.
+  */
+object RangeBoxes {
+
+  def apply(bars: DataFrame, smaLen: Int = 20, atrLen: Int = 14,
+            bandK: Double = 1.0, minBars: Int = 6,
+            symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
+    import graft.functions.Features
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frame = w.rowsBetween(-(smaLen - 1), Window.currentRow)
+    val sma = when(count(col("close")).over(frame) === smaLen,
+      avg(col("close")).over(frame))
+    val withF = Features.withAtrSma(bars, atrLen, symbolCol, tsCol)
+      .withColumn("_sma", sma)
+      .withColumn("_inside",
+        when(col("_sma").isNotNull && col("atr").isNotNull,
+          (abs(col("close") - col("_sma")) <= lit(bandK) * col("atr")).cast("int"))
+          .otherwise(0))
+    val newRun = when(col("_inside") === 0 ||
+      coalesce(lag(col("_inside"), 1).over(w), lit(0)) === 0, 1).otherwise(0)
+    withF
+      .withColumn("_new", newRun)
+      .withColumn("_run", sum(col("_new")).over(run))
+      .where(col("_inside") === 1)
+      .groupBy(col(symbolCol), col("_run"))
+      .agg(
+        min(col(tsCol)).as("start_ms"),
+        max(col(tsCol)).as("end_ms"),
+        count(lit(1)).as("n_bars"),
+        min(col("low")).as("box_low"),
+        max(col("high")).as("box_high"))
+      .where(col("n_bars") >= minBars)
+      .drop("_run")
+  }
+}
+
 /** Flat-level (plateau) detection on a line such as the Ichimoku kijun/SSB.
   *
   * Reference: /root/reference/scripts/research/find_ichimoku_flat_levels_v1
