@@ -34,24 +34,20 @@ object MinHashLsh {
 
   /** Append the k-value MinHash signature array for `textCol`.
     *
-    * Single-pass formulation: one `aggregate` over the shingle hashes updates
-    * all k minima per hash (k separate `array_min(transform(...))` columns
-    * would re-evaluate the shingle+hash array k times after Catalyst's
-    * projection collapse — measured 20x slower). */
+    * The signature is a native Catalyst expression
+    * ([[graft.functions.MinHashSignature]]): one fused hash+minima loop in
+    * generated code. The equivalent higher-order-function formulation
+    * (`aggregate` over `transform`) is CodegenFallback and measured several
+    * times slower; k separate `array_min(transform(...))` columns are ~20x
+    * slower again because projection collapse re-evaluates the shingle
+    * array per column. */
   def withSignature(docs: DataFrame, textCol: String = "text", k: Int = 32,
                     shingleN: Int = 3, seed: Int = 42): DataFrame = {
     val (a, b) = perm(seed, k)
-    val aLit = lit(a)
-    val bLit = lit(b)
-    val hashes = transform(Dedup.shingles(col(textCol), shingleN),
-      s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
-    val sig = aggregate(
-      hashes,
-      array_repeat(lit(Prime), k),
-      (acc, h) => transform(sequence(lit(0), lit(k - 1)),
-        i => least(element_at(acc, i + 1),
-          pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(Prime)))))
-    docs.withColumn("minhash_sig", sig)
+    val sigExpr = graft.functions.MinHashSignature(
+      org.apache.spark.sql.GraftBridge.expression(Dedup.shingles(col(textCol), shingleN)),
+      a.toSeq, b.toSeq)
+    docs.withColumn("minhash_sig", org.apache.spark.sql.GraftBridge.column(sigExpr))
   }
 
   /** Explode each doc into `bands` rows keyed by (band, bucket-hash of its

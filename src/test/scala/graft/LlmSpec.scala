@@ -45,6 +45,27 @@ class LlmSpec extends SparkTestBase {
     assert(found.toDouble / total >= 0.7, s"recall $found/$total")
   }
 
+  test("native minhash expression equals the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.GraftBridge
+    val k = 8
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    val sh = Dedup.shingles(col("text"), 3)
+    val hof = aggregate(
+      transform(sh, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL))),
+      array_repeat(lit(MinHashLsh.Prime), k),
+      (acc, h) => transform(sequence(lit(0), lit(k - 1)),
+        i => least(element_at(acc, i + 1),
+          pmod(h * element_at(lit(a), i + 1) + element_at(lit(b), i + 1),
+            lit(MinHashLsh.Prime)))))
+    val native = GraftBridge.column(graft.functions.MinHashSignature(
+      GraftBridge.expression(sh), a.toSeq, b.toSeq))
+    val diff = docs.select(hof.as("x"), native.as("y"))
+      .where(col("x") =!= col("y")).count()
+    assert(diff == 0)
+  }
+
   test("jaccard: identical texts 1.0, disjoint 0.0") {
     val pairs = Seq(("a b c d", "a b c d"), ("a b c", "x y z"))
       .toDF("t1", "t2")
