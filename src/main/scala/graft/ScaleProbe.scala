@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Features
+import graft.operators.{Canonical, Gaps, TfAggregate, AsOf}
+
+/** Engineering scale probe (not part of the driver contract): synthesizes an
+  * n-row minute-bar lake in memory (64 symbols, 10% gaps, hash-derived
+  * prices) and times the core operators, printing one JSON line with
+  * rows/sec per operator. Used to validate that plans hold their shape and
+  * throughput at 100-1000x the bench scale factor; results summarized in
+  * BASELINE.md.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = GraftSession.local("scale-probe")
+    import spark.implicits._
+
+    val bars = spark.range(n).select(
+        concat(lit("S"), pmod(col("id"), lit(64))).as("symbol"),
+        ((col("id") / 64).cast("long") * 60000L).as("bar_ts_ms"),
+        (pmod(xxhash64(col("id")), lit(1000L)) / 10.0 + 50.0).as("open"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000L)) / 10.0 + 100.0).as("high"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(1000L)) / 10.0).as("low"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000L)) / 10.0 + 50.0).as("close"),
+        lit(1.0).as("volume"),
+        lit(1L).as("n_trades"),
+        col("id").as("event_id"))
+      .where(pmod(xxhash64(col("id"), lit(9)), lit(10L)) =!= 0)
+
+    def time(name: String)(f: => Long): (String, Double) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $sec%.1f s, $rows rows, ${n / sec / 1e6}%.1f M input rows/s")
+      name -> (n / sec)
+    }
+
+    val results = Seq(
+      time("tf_aggregate_m5") { TfAggregate(bars, 60000L, 5).count() },
+      time("gaps_report") { Gaps.gapsReport(bars, 60000L).count() },
+      // count() would let Catalyst prune the windowed/joined columns and
+      // skip the work entirely — aggregate over the computed column instead
+      time("rolling_stats") {
+        Features.withRollingStats(bars, "close", 20)
+          .agg(count(col("roll_mean"))).as[Long].collect()(0)
+      },
+      time("dedup_keep_last") {
+        Canonical.dedupKeepLast(bars, Seq("symbol", "bar_ts_ms"), col("event_id")).count()
+      },
+      time("asof_join_h1ctx") {
+        val ctx = TfAggregate(bars, 60000L, 60)
+          .select(col("symbol"), col("bucket_ms"), col("close").as("ctx_close"))
+        AsOf.joinBackward(bars.select("symbol", "bar_ts_ms", "close"), ctx,
+          "symbol", "bar_ts_ms", "bucket_ms")
+          .agg(count(col("ctx_close"))).as[Long].collect()(0)
+      })
+
+    val qs = results.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$qs}""")
+    spark.stop()
+  }
+}

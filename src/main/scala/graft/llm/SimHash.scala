@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash over whitespace tokens of the case-folded text. */
+  /** 64-bit SimHash over whitespace tokens of the case-folded text — the
+    * native fused-loop expression ([[graft.functions.SimHash64]]). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    docs.withColumn("simhash",
+      GraftBridge.column(graft.functions.SimHash64(GraftBridge.expression(toks))))
+  }
+
+  /** Reference HOF formulation of the fingerprint (interpreted; kept for the
+    * bit-for-bit equivalence test against [[graft.functions.SimHash64]]).
+    * Variable shift amounts need SQL-expression lambdas (the Scala DSL's
+    * shiftright takes a literal only). */
+  def withFingerprintHof(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val withToks = docs.withColumn("_toks", TextAnalysis.tokens(lower(col(textCol))))
-    // variable shift amounts need SQL-expression lambdas (the Scala DSL's
-    // shiftright takes a literal only)
     val bitSums = expr(
       """aggregate(
         |  _toks,

@@ -66,6 +66,14 @@ class LlmSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("native simhash expression equals the HOF formulation bit-for-bit") {
+    val diff = SimHash.withFingerprint(docs).select(col("doc_id"), col("simhash"))
+      .join(SimHash.withFingerprintHof(docs)
+        .select(col("doc_id"), col("simhash").as("hof")), "doc_id")
+      .where(col("simhash") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("jaccard: identical texts 1.0, disjoint 0.0") {
     val pairs = Seq(("a b c d", "a b c d"), ("a b c", "x y z"))
       .toDF("t1", "t2")
