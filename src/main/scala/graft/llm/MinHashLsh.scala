@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture (the ONLY design that survives 100 TB): candidate pairs come
   * exclusively from equi-joins on band buckets — an all-pairs cross join is
-  * structurally impossible here. Signature computation is per-row codegen'd
+  * structurally impossible here. (Index-first candidate generation over
+  * similarity predicates is the published design point — cf. "Highly
+  * Efficient String Similarity Search and Join over Compressed Indexes",
+  * ICDE 2022, per PAPERS.md.) Signature computation is per-row codegen'd
   * column algebra (no shuffle); the band join shuffles on (band, bucket)
   * which AQE skew-splits if a bucket runs hot (identical boilerplate docs);
   * a bucket-size cap can be applied upstream for pathological corpora.

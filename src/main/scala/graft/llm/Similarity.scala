@@ -19,6 +19,12 @@ import graft.functions.CosineSimilarity
   *    embedding space) → candidates from equi-joins on (band, chunk) →
   *    exact cosine re-rank. Cost O(N·P + candidates) — the 100 TB path;
   *    recall tunable via planes/bands (verified against brute in tests).
+  *
+  * Distributed top-k via partition-local pruning structures then a global
+  * re-rank is the published pattern (cf. "REPOSE: Distributed Top-k
+  * Trajectory Similarity Search with Local Reference Point Tries",
+  * ICDE 2021, per PAPERS.md) — the band buckets play the role of the local
+  * pruning index here.
   */
 object Similarity {
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.StructType
   * Spark-first design: the layout IS the index — `symbol=`/`year=`/`month=`
   * directories give Catalyst partition pruning for free, so per-symbol /
   * per-month reads never touch the rest of the lake (the property the whole
-  * reference directory scheme exists for). Merge is a tagged union + one
+  * reference directory scheme exists for; the same layout-as-metadata
+  * philosophy as "Delta Lake: High-Performance ACID Table Storage over
+  * Cloud Object Stores", VLDB 2020, per PAPERS.md — minus the transaction
+  * log, which the driver-side `_meta.json` + checkpoint files stand in
+  * for at this scope). Merge is a tagged union + one
   * keep-last window — no read-modify-write of whole months on the driver.
   * Compaction is `repartition(partition cols)` so each hive partition is
   * written by exactly one task → one file, the distributed equivalent of the
