@@ -130,6 +130,17 @@ object SparkEntry {
         .orderBy("symbol", "missing_ms")
     }),
 
+    // §2 #9b — grid forward-fill (LOCF): every minute between a symbol's
+    // first and last bar, missing minutes carrying the last seen close.
+    "grid_ffill" -> ((s, dir) => {
+      val m1 = Bars.fromTicks(events(s, dir), "minute")
+        .select(col("symbol"), col("bar_ts_ms"), col("close"))
+      Gaps.gridFfill(m1, 60000L)
+        .select(col("symbol"), col("grid_ms"), col("src_ms"),
+          col("close"), col("is_filled"))
+        .orderBy("symbol", "grid_ms")
+    }),
+
     // §2 #13 — last-row probe per symbol (last_minute.py:17).
     "last_row" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1363,6 +1374,24 @@ object SparkEntry {
         |         AS missing_ms
         |FROM g
         |WHERE prev_ms IS NOT NULL AND ms - prev_ms > 60000
+        |ORDER BY 1, 2""".stripMargin,
+
+    "grid_ffill" ->
+      """WITH m1 AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('minute', ts)) AS bar_ts_ms,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol,
+        |         unnest(generate_series(min(bar_ts_ms), max(bar_ts_ms), 60000))
+        |           AS grid_ms
+        |  FROM m1 GROUP BY symbol)
+        |SELECT g.symbol, g.grid_ms,
+        |       m1.bar_ts_ms AS src_ms, m1.close,
+        |       CAST(m1.bar_ts_ms <> g.grid_ms AS INTEGER) AS is_filled
+        |FROM g ASOF LEFT JOIN m1
+        |  ON g.symbol = m1.symbol AND g.grid_ms >= m1.bar_ts_ms
         |ORDER BY 1, 2""".stripMargin,
 
     "last_row" ->

@@ -78,6 +78,26 @@ object Gaps {
       explode(sequence(col("gap_start_ms"), col("gap_end_ms"), lit(stepMs)))
         .as("missing_ms"))
 
+  /** Forward-fill bars onto the full time grid (last observation carried
+    * forward): generate every grid step between each symbol's min and max
+    * timestamp, then as-of join the present bars backward — missing steps
+    * inherit the most recent bar, flagged `is_filled`. The distributed LOCF:
+    * grid generation is per-symbol `sequence`+`explode` (no driver loop) and
+    * the fill is one [[AsOf]] window pass. */
+  def gridFfill(
+      bars: DataFrame,
+      stepMs: Long,
+      symbolCol: String = "symbol",
+      tsMsCol: String = "bar_ts_ms"): DataFrame = {
+    val grid = bars.groupBy(col(symbolCol))
+      .agg(min(col(tsMsCol)).as("_mn"), max(col(tsMsCol)).as("_mx"))
+      .select(col(symbolCol),
+        explode(sequence(col("_mn"), col("_mx"), lit(stepMs))).as("grid_ms"))
+    AsOf.joinBackward(grid, bars, symbolCol, "grid_ms", tsMsCol,
+        matchedTsCol = "src_ms")
+      .withColumn("is_filled", (col("src_ms") =!= col("grid_ms")).cast("int"))
+  }
+
   /** Per-symbol last-row probe (last_minute.py:17): max grid timestamp and
     * the latest value by ingestion order. A pure aggregation — on the lake
     * layout this prunes to the newest month partition. */
