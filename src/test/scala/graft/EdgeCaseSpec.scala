@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Features
+import graft.llm.{Dedup, MinHashLsh, SimHash, TextAnalysis}
+import graft.operators._
+import graft.sources.Lake
+
+/** Degenerate-input robustness: every operator must return an empty/sane
+  * frame on empty and single-row inputs, never throw. */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emptyBars = Seq.empty[(String, Long, Double, Double, Double, Double, Double, Long)]
+    .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "volume", "n_trades")
+  private lazy val oneBar = Seq(("A", 0L, 1.0, 2.0, 0.5, 1.5, 1.0, 1L))
+    .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "volume", "n_trades")
+  private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc = Seq((1L, "hello world end")).toDF("doc_id", "text")
+
+  private def sizes(dfs: (String, DataFrame, Long)*): Unit =
+    dfs.foreach { case (name, df, expected) =>
+      assert(df.count() == expected, s"$name expected $expected rows")
+    }
+
+  test("bar/tf/gap operators survive empty input") {
+    sizes(
+      ("tf", TfAggregate(emptyBars, 60000L, 2), 0L),
+      ("gaps", Gaps.gapsReport(emptyBars, 60000L), 0L),
+      ("ffill", Gaps.gridFfill(emptyBars, 60000L), 0L),
+      ("resample", Resample.ohlc(emptyBars.withColumn("bar_ts", timestamp_millis(col("bar_ts_ms"))), "day"), 0L),
+      ("atr", Features.withAtrSma(emptyBars, 14), 0L),
+      ("ichimoku", Ichimoku(emptyBars), 0L),
+      ("regime", Regime.router(emptyBars), 0L),
+      ("boxes", RangeBoxes(emptyBars), 0L),
+      ("ewm", Ewm(emptyBars, Seq(EwmSpec.span("e", "close", 3))), 0L))
+  }
+
+  test("single-bar input: warmup gates yield nulls, no crashes") {
+    assert(TfAggregate(oneBar, 60000L, 2).count() == 0) // incomplete bucket
+    assert(TfAggregate(oneBar, 60000L, 1).count() == 1) // n=1 complete
+    val f = Features.withAtrSma(oneBar, 14).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("atr")))
+    assert(Gaps.gridFfill(oneBar, 60000L).count() == 1)
+    val ich = Ichimoku(oneBar).collect()(0)
+    assert(ich.getAs[String]("label") == "NEUTRE")
+  }
+
+  test("asof join with empty right side keeps all left rows null-filled") {
+    val left = Seq(("A", 5L)).toDF("symbol", "ts")
+    val right = Seq.empty[(String, Long, Double)].toDF("symbol", "rts", "ctx")
+    val out = AsOf.joinBackward(left, right, "symbol", "ts", "rts").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("ctx")))
+  }
+
+  test("llm operators survive empty and single-doc corpora") {
+    sizes(
+      ("exact", Dedup.exact(emptyDocs), 0L),
+      ("minhash", MinHashLsh.nearDupPairs(emptyDocs, 0.5), 0L),
+      ("simhash", SimHash.nearDupPairs(emptyDocs), 0L),
+      ("quality", TextAnalysis.withQuality(emptyDocs), 0L))
+    // a single doc can never pair with itself
+    assert(MinHashLsh.nearDupPairs(oneDoc, 0.0).count() == 0)
+    assert(SimHash.nearDupPairs(oneDoc).count() == 0)
+    assert(Dedup.exact(oneDoc).count() == 1)
+  }
+
+  test("merge upsert with one empty side degenerates to identity") {
+    val a = Seq(("A", 1L, 1.0)).toDF("symbol", "k", "v")
+    val none = Seq.empty[(String, Long, Double)].toDF("symbol", "k", "v")
+    assert(Lake.mergeUpsert(a, none, Seq("symbol", "k")).count() == 1)
+    assert(Lake.mergeUpsert(none, a, Seq("symbol", "k")).count() == 1)
+    assert(Lake.mergeUpsert(none, none, Seq("symbol", "k")).count() == 0)
+  }
+
+  test("backtest with no signals emits no trades") {
+    val bars = Seq(("A", 0L, 1.0, 2.0, 0.5, 1.5, 1.0, 0))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr", "signal")
+    assert(Backtest.runShort(bars, "signal").count() == 0)
+    assert(Backtest.maeMfeShort(bars, horizon = 2).count() == 0)
+  }
+}
