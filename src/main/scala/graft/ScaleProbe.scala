@@ -51,6 +51,9 @@ object ScaleProbe {
       time("dedup_keep_last") {
         Canonical.dedupKeepLast(bars, Seq("symbol", "bar_ts_ms"), col("event_id")).count()
       },
+      time("dedup_keep_last_agg") {
+        Canonical.dedupKeepLastAgg(bars, Seq("symbol", "bar_ts_ms"), col("event_id")).count()
+      },
       time("asof_join_h1ctx") {
         val ctx = TfAggregate(bars, 60000L, 60)
           .select(col("symbol"), col("bucket_ms"), col("close").as("ctx_close"))

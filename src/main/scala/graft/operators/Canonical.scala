@@ -25,6 +25,21 @@ object Canonical {
       .drop("_rn")
   }
 
+  /** Hash-aggregation formulation of keep-last: pack the row into a struct
+    * and take `max_by(row, ord)` — one hash aggregate, no sort. Same result
+    * as [[dedupKeepLast]] (asserted in BarsTfSpec). Measured at 20M rows of
+    * near-unique keys the WINDOW version is ~1.7x faster: Spark inserts
+    * WindowGroupLimit (map-side partial top-1 per key before the shuffle)
+    * while this variant pays per-row struct packing across an 18M-entry
+    * aggregation map. Prefer this variant only when keys are low-cardinality
+    * with many duplicates (struct per group, not per row). */
+  def dedupKeepLastAgg(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("_row"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_row.$c")): _*)
+  }
+
   /** Keep the FIRST row by `ord` instead (used by exact text dedup where the
     * canonical survivor is the lowest id). */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {

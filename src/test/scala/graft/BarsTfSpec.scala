@@ -77,6 +77,16 @@ class BarsTfSpec extends SparkTestBase {
     assert(first.map(_.getAs[Int]("v")).toSeq == Seq(10, 50))
   }
 
+  test("hash-agg keep-last equals the window formulation") {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("minute_ms", unix_millis(date_trunc("minute", col("ts"))))
+      .select("event_type", "minute_ms", "event_id", "value")
+    val viaWindow = Canonical.dedupKeepLast(e, Seq("event_type", "minute_ms"), col("event_id"))
+    val viaAgg = Canonical.dedupKeepLastAgg(e, Seq("event_type", "minute_ms"), col("event_id"))
+    assert(viaWindow.count() == viaAgg.count())
+    assert(viaWindow.exceptAll(viaAgg.select(viaWindow.columns.map(col): _*)).count() == 0)
+  }
+
   test("testdata smoke: entry returns rows and tf pipeline runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     val h1 = Bars.fromTicks(Tables.events(spark, sfDir), "hour")
