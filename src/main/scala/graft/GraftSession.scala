@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def configure(b: SparkSession.Builder, cores: String = "32"): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", "32")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

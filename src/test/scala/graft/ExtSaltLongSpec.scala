@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 
 import graft.functions.Salting
@@ -9,11 +8,9 @@ import graft.operators.Backtest
 class ExtSaltLongSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("GraftExtensions registers cosine_sim for SQL use") {
-    // inject into the live session's registry through the extensions hook
-    val ext = new SparkSessionExtensions
-    new GraftExtensions()(ext)
-    graft.functions.CosineSimilarity.register(spark)
+  test("cosine_sim is available from SQL via spark.sql.extensions") {
+    // GraftSession sets spark.sql.extensions=graft.GraftExtensions, so the
+    // function resolves with no per-session registration call
     val out = Seq((Array(1.0, 0.0), Array(1.0, 0.0)))
       .toDF("a", "b")
       .selectExpr("cosine_sim(a, b) AS c")
