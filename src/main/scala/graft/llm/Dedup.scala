@@ -34,8 +34,17 @@ object Dedup {
     fp.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Word n-gram shingles of the case-folded text, distinct. */
+  /** Word n-gram shingles of the case-folded text, distinct — the native
+    * single-pass expression ([[graft.functions.WordShingles]]); sits twice
+    * on the near-dup hot path (signature input + Jaccard verification). */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.functions.WordShingles(GraftBridge.expression(text), n))
+  }
+
+  /** HOF reference formulation (kept for the equivalence test). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
     array_distinct(
       when(size(toks) >= n,

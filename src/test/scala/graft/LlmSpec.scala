@@ -66,6 +66,18 @@ class LlmSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("native shingles expression equals the HOF formulation") {
+    val withEdge = docs.unionByName(Seq(
+      (900001L, "one two"),           // fewer tokens than n
+      (900002L, " leading  spaces x y z ")
+    ).toDF("doc_id", "text"))
+    val diff = withEdge.select(
+        Dedup.shingles(col("text"), 3).as("a"),
+        Dedup.shinglesHof(col("text"), 3).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("native simhash expression equals the HOF formulation bit-for-bit") {
     val diff = SimHash.withFingerprint(docs).select(col("doc_id"), col("simhash"))
       .join(SimHash.withFingerprintHof(docs)
