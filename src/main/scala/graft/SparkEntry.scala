@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -301,6 +301,42 @@ object SparkEntry {
           round(col("wr"), 6).as("wr"),
           round(col("pf"), 6).as("pf"))
         .orderBy("tp_r")
+    }),
+
+    // §2 #25+ — 2-D (slK × tpR) parameter sweep
+    // (trade_sweep_short_atr_tpR.py).
+    "param_sweep_2d" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      Backtest.sweepGrid(h1, slKs = Seq(0.5, 1.5), tpRs = Seq(1.0, 2.0))
+        .select(col("sl_k"), col("tp_r"), col("n_trades"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"))
+        .orderBy("sl_k", "tp_r")
+    }),
+
+    // §2 #22+ — sticky direction regime with hysteresis + ML-ready
+    // regime_id/state_age (build_m15_direction_regime.py:274-340).
+    // Sequential state machine — no SQL oracle; StickyStateSpec covers it.
+    "direction_regime" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      def sma(len: Int) = {
+        val f = w.rowsBetween(-(len - 1), Window.currentRow)
+        when(count(col("close")).over(f) === len, avg(col("close")).over(f))
+      }
+      val sig = h1.withColumn("_s20", sma(20)).withColumn("_s50", sma(50))
+        .withColumn("bull_sig",
+          when(col("_s20").isNotNull && col("_s50").isNotNull &&
+            col("_s20") > col("_s50"), 1).otherwise(0))
+        .withColumn("bear_sig",
+          when(col("_s20").isNotNull && col("_s50").isNotNull &&
+            col("_s20") < col("_s50"), 1).otherwise(0))
+        .select("symbol", "bar_ts_ms", "bull_sig", "bear_sig")
+      StickyState(sig, enterN = 2, exitN = 3)
+        .select(col("symbol"), col("bar_ts_ms"), col("dir_state"),
+          col("dir_regime_id"), col("dir_state_age"))
+        .orderBy("symbol", "bar_ts_ms")
     }),
 
     // §2 #23 — event-driven SHORT backtest: ichimoku SHORT label arms an
@@ -1187,6 +1223,61 @@ object SparkEntry {
         |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
         |                      0), 6) AS pf
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "param_sweep_2d" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |         lead(open, 1) OVER wk AS entry,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN max(high) OVER fwd END AS fwd_max_high,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN min(low) OVER fwd END AS fwd_min_low,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN nth_value(close, 16) OVER fwd END AS fwd_close
+        |  FROM a
+        |  WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms),
+        |         fwd AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING)),
+        |g AS (
+        |  SELECT f.*, CAST(t2.sl_k AS DOUBLE) AS sl_k,
+        |         CAST(t2.tp_r AS DOUBLE) AS tp_r
+        |  FROM f CROSS JOIN (VALUES (0.5, 1.0), (0.5, 2.0), (1.5, 1.0),
+        |                            (1.5, 2.0)) t2(sl_k, tp_r)
+        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |    AND fwd_max_high IS NOT NULL),
+        |o AS (
+        |  SELECT sl_k, tp_r,
+        |         CASE WHEN fwd_max_high >= entry + sl_k * atr THEN -1.0
+        |              WHEN fwd_min_low <= entry - tp_r * (sl_k * atr)
+        |                THEN tp_r
+        |              ELSE (entry - fwd_close) / (sl_k * atr) END AS r_mult
+        |  FROM g)
+        |SELECT sl_k, tp_r, CAST(count(*) AS BIGINT) AS n_trades,
+        |       round(avg(r_mult), 6) AS mean_r,
+        |       round(avg(CASE WHEN r_mult > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN r_mult > 0 THEN r_mult ELSE 0 END)
+        |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
+        |                      0), 6) AS pf
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "asof_join" ->
       s"""$H1Cte,

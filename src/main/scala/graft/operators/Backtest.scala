@@ -88,6 +88,45 @@ object Backtest {
       .drop("_pos", "_neg")
   }
 
+  /** 2-D sweep over (slK, tpR) pairs (trade_sweep_short_atr_tpR.py): same
+    * machinery as [[sweepTpR]] with the risk unit also varying per grid
+    * point. Grid is a broadcast literal relation; one shuffle total. */
+  def sweepGrid(bars: DataFrame, slKs: Seq[Double], tpRs: Seq[Double],
+                horizon: Int = 16, symbolCol: String = "symbol",
+                tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val fwd = w.rowsBetween(1, horizon)
+    val full = count(col("high")).over(fwd) === horizon
+    val staged = bars
+      .withColumn("entry", lead(col("open"), 1).over(w))
+      .withColumn("fwd_max_high", when(full, max(col("high")).over(fwd)))
+      .withColumn("fwd_min_low", when(full, min(col("low")).over(fwd)))
+      .withColumn("fwd_close", when(full, nth_value(col("close"), horizon).over(fwd)))
+      .where(col("entry").isNotNull && col("atr").isNotNull &&
+        col("atr") > 0.0 && col("fwd_max_high").isNotNull)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val grid = broadcast(
+      (for (s <- slKs; t <- tpRs) yield (s, t)).toDF("sl_k", "tp_r"))
+    val risk = col("sl_k") * col("atr")
+    val slTouched = col("fwd_max_high") >= col("entry") + risk
+    val tpTouched = col("fwd_min_low") <= col("entry") - col("tp_r") * risk
+    staged.crossJoin(grid)
+      .withColumn("r_mult",
+        when(slTouched, lit(-1.0))
+          .when(tpTouched, col("tp_r"))
+          .otherwise((col("entry") - col("fwd_close")) / risk))
+      .groupBy(col("sl_k"), col("tp_r"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        avg(col("r_mult")).as("mean_r"),
+        avg(when(col("r_mult") > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(col("r_mult") > 0.0, col("r_mult")).otherwise(0.0)).as("_pos"),
+        sum(when(col("r_mult") < 0.0, -col("r_mult")).otherwise(0.0)).as("_neg"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+
   private val tradeFields = Seq(
     StructField("entry_ts", LongType, nullable = true),
     StructField("entry_price", DoubleType, nullable = true),
