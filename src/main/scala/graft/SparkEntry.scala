@@ -499,6 +499,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2 #32b — IVF-bucketed approximate top-k (k-means coarse quantizer,
+    // nProbe cell search). Model training — no SQL oracle; LlmSpec asserts
+    // recall vs brute.
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKIvf(e, e.where(col("vec_id") < 30), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #30 — embedding cosine near-dup via hyperplane-LSH buckets on the
     // seeded corpus.
     "embed_neardup" -> ((s, dir) => {

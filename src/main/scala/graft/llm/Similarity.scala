@@ -112,6 +112,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
+    * distributed training, fixed seed) assigns every candidate to its
+    * nearest cell; each query probes its `nProbe` nearest centroids and
+    * exact-reranks only those cells. The inverted-file layout is the other
+    * canonical ANN scale path next to hyperplane LSH: cell assignment is one
+    * narrow pass, and the search join is an equi-join on cell id — candidate
+    * volume ~ nProbe/nCells of the corpus. */
+  def annTopKIvf(candidates: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nProbe: Int = 4, seed: Long = 7L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val assembled = cv.withColumn("features", array_to_vector(col("_cv")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .fit(assembled)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // candidate → its cell (one narrow pass through the model)
+    val assigned = model.transform(assembled)
+      .select(col("neighbor_id"), col("_cv"), col("prediction").as("cell"))
+
+    // query → its nProbe nearest cells, via literal centroid columns
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(coalesce(cos(col("_qv"), lit(c)), lit(-2.0)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = qv
+      .withColumn("_cells",
+        slice(reverse(array_sort(cellDists)), 1, nProbe))
+      .select(col("query_id"), col("_qv"),
+        explode(col("_cells.cell")).as("cell"))
+
+    val cand = broadcast(probed).join(assigned, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding near-dup pairs: LSH candidates (id1 < id2) verified at
     * cosine >= threshold. */
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int,

@@ -122,6 +122,17 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall vs brute: $recall")
   }
 
+  test("IVF ANN recall vs brute-force top-k") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.annTopKBrute(e, q, k = 3).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annTopKIvf(e, q, k = 3, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall vs brute: $recall")
+  }
+
   test("embedding near-dup finds seeded jittered copies") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
