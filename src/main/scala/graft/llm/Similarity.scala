@@ -129,7 +129,10 @@ object Similarity {
     val cv = candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
     val assembled = cv.withColumn("features", array_to_vector(col("_cv")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+    // coarse quantizer: a loosely-converged clustering partitions the space
+    // just as well for probing; tight convergence only costs training passes
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).setTol(1e-2)
+      .setInitMode("random") // k-means|| init costs more passes than training here
       .fit(assembled)
     val centers = model.clusterCenters.map(_.toArray)
 
