@@ -303,6 +303,27 @@ object SparkEntry {
         .orderBy("tp_r")
     }),
 
+    // §2 #24b — volatility-bucketed MAE excursion report
+    // (trade_diagnostics_mae_mfe_short.py:47-82): rp buckets over the
+    // range percentile, perf-series stats of mae_r per bucket.
+    "trade_report" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+        .withColumn("range_pct",
+          (col("high") - col("low")) / when(col("close") =!= 0.0, col("close")))
+      val withPctl = Features.withRollingPercentile(h1, "range_pct", "range_pctl", 48)
+      val exc = Backtest.maeMfeShort(withPctl, horizon = 16, slK = 1.0)
+      Backtest.bucketReport(exc, "mae_r", "range_pctl")
+        .select(col("rp_bucket"), col("n"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("std_r"), 6).as("std_r"),
+          round(col("p05"), 6).as("p05"),
+          round(col("p95"), 6).as("p95"),
+          round(col("min_r"), 6).as("min_r"),
+          round(col("max_r"), 6).as("max_r"))
+        .orderBy("rp_bucket")
+    }),
+
     // §2 #25+ — 2-D (slK × tpR) parameter sweep
     // (trade_sweep_short_atr_tpR.py).
     "param_sweep_2d" -> ((s, dir) => {
@@ -1232,6 +1253,72 @@ object SparkEntry {
         |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
         |                      0), 6) AS pf
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "trade_report" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |rp AS (
+        |  SELECT *, (high - low) / nullif(close, 0) AS range_pct FROM a),
+        |pc AS (
+        |  SELECT * EXCLUDE (arr, nn),
+        |         CASE WHEN nn = 48
+        |           THEN len(list_filter(arr, y -> y <= range_pct)) * 100.0 / 48
+        |         END AS range_pctl
+        |  FROM (SELECT *,
+        |          list(range_pct) OVER w48 AS arr,
+        |          count(range_pct) OVER w48 AS nn
+        |        FROM rp
+        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))),
+        |f AS (
+        |  SELECT *,
+        |         lead(open, 1) OVER wk AS entry,
+        |         CASE WHEN count(high) OVER fwd = 16
+        |           THEN max(high) OVER fwd END AS fwd_max_high
+        |  FROM pc
+        |  WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms),
+        |         fwd AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING)),
+        |e AS (
+        |  SELECT (fwd_max_high - entry) / (1.0 * atr) AS mae_r,
+        |         range_pctl / 100.0 AS p
+        |  FROM f
+        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |    AND fwd_max_high IS NOT NULL)
+        |SELECT CASE WHEN p IS NULL THEN 'NA'
+        |            WHEN p < 0.02 THEN '[0.00,0.02)'
+        |            WHEN p < 0.04 THEN '[0.02,0.04)'
+        |            WHEN p < 0.06 THEN '[0.04,0.06)'
+        |            WHEN p < 0.08 THEN '[0.06,0.08)'
+        |            WHEN p < 0.10 THEN '[0.08,0.10)'
+        |            WHEN p < 0.12 THEN '[0.10,0.12)'
+        |            ELSE '>=0.12' END AS rp_bucket,
+        |       CAST(count(mae_r) AS BIGINT) AS n,
+        |       round(avg(mae_r), 6) AS mean_r,
+        |       round(avg(CASE WHEN mae_r > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(stddev_samp(mae_r), 6) AS std_r,
+        |       round(quantile_cont(mae_r, 0.05), 6) AS p05,
+        |       round(quantile_cont(mae_r, 0.95), 6) AS p95,
+        |       round(min(mae_r), 6) AS min_r,
+        |       round(max(mae_r), 6) AS max_r
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "param_sweep_2d" ->
       s"""$H1Cte,

@@ -229,6 +229,33 @@ object Backtest {
         col("r_mult"), col("bars_held"))
   }
 
+  /** Volatility-bucketed excursion report
+    * (trade_diagnostics_mae_mfe_short.py:47-82): bucket each entry by its
+    * range percentile (the reference's `_rp_bucket` edges) and aggregate the
+    * `_perf_series` stats — n, mean, win rate, sample std, p05/p95 exact
+    * percentiles, min/max — over the chosen R column. One shuffle. */
+  def bucketReport(rows: DataFrame, rCol: String, pctlCol: String): DataFrame = {
+    val p = col(pctlCol) / 100.0
+    val bucket = when(p.isNull, "NA")
+      .when(p < 0.02, "[0.00,0.02)")
+      .when(p < 0.04, "[0.02,0.04)")
+      .when(p < 0.06, "[0.04,0.06)")
+      .when(p < 0.08, "[0.06,0.08)")
+      .when(p < 0.10, "[0.08,0.10)")
+      .when(p < 0.12, "[0.10,0.12)")
+      .otherwise(">=0.12")
+    rows.groupBy(bucket.as("rp_bucket"))
+      .agg(
+        count(col(rCol)).as("n"),
+        avg(col(rCol)).as("mean_r"),
+        avg(when(col(rCol) > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        stddev_samp(col(rCol)).as("std_r"),
+        expr(s"percentile($rCol, 0.05)").as("p05"),
+        expr(s"percentile($rCol, 0.95)").as("p95"),
+        min(col(rCol)).as("min_r"),
+        max(col(rCol)).as("max_r"))
+  }
+
   /** Per-symbol performance rollup of a trades frame: n, mean R, win rate,
     * profit factor, max drawdown of the cumulative R curve
     * (trade_diagnostics_mae_mfe_short.py:85-90, backtest_router_event_v1_1
