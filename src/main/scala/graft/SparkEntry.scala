@@ -537,6 +537,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2 #26b — composed corpus-cleaning pipeline: exact-dedup survivors
+    // (lowest id per canonical form) that pass quality and language gates —
+    // the LLM training-data filter chain as one declarative plan.
+    "corpus_clean" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val survivors = graft.llm.Dedup.exactSurvivors(d.unionByName(dup))
+      val scored = TextAnalysis.withLangId(
+        TextAnalysis.withQuality(survivors.select(col("doc_id"), col("text"))))
+      scored
+        .where(col("lang_pred") === "en" && col("quality_score") >= 0.5 &&
+          col("n_tokens") >= 10)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #33 — stopword-profile language ID.
     "lang_id" -> ((s, dir) => {
       TextAnalysis.withLangId(Tables.documents(s, dir))
@@ -1084,6 +1102,61 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, rank, neighbor_id, sim
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT doc_id, text,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fingerprint,
+        |         row_number() OVER (PARTITION BY
+        |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM all_docs),
+        |surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |           AS punct
+        |  FROM surv),
+        |u AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |           AS INTEGER) AS sw_en,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['le','la','les','et','de','un','une','est','que','pour'], x)))
+        |           AS INTEGER) AS sw_fr,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+        |           AS INTEGER) AS sw_de,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['el','la','los','y','de','un','una','es','que','por'], x)))
+        |           AS INTEGER) AS sw_es
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |         least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
+        |           * least(1.0, stop_ratio * 4.0) AS quality_score,
+        |         CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
+        |              WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
+        |              WHEN sw_de >= sw_es THEN 'de'
+        |              ELSE 'es' END AS lang_pred
+        |  FROM u)
+        |SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
+        |FROM q
+        |WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10
+        |ORDER BY 1""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (
