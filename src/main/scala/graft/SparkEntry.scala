@@ -161,6 +161,17 @@ object SparkEntry {
         .orderBy("symbol", "day_ms")
     }),
 
+    // §2 #18b — weekly calendar resample (plot_weekly_candles_v1.py's
+    // aggregation; exercises cross-engine week-start alignment).
+    "resample_week" -> ((s, dir) => {
+      val m1 = Bars.fromTicks(events(s, dir), "minute")
+      Resample.ohlc(m1, "week")
+        .select(col("symbol"), col("bar_ts_ms").as("week_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 6).as("volume"), col("n_trades"))
+        .orderBy("symbol", "week_ms")
+    }),
+
     // §2 #11 — derived-table completeness audit (audit_derived.py:98-180).
     "audit_derived" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
@@ -1674,6 +1685,27 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT symbol,
         |       epoch_ms(date_trunc('day', bar_ts)) AS day_ms,
+        |       arg_min(open, bar_ts) AS open,
+        |       max(high) AS high,
+        |       min(low) AS low,
+        |       arg_max(close, bar_ts) AS close,
+        |       round(sum(volume), 6) AS volume,
+        |       CAST(sum(n_trades) AS BIGINT) AS n_trades
+        |FROM m1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "resample_week" ->
+      """WITH m1 AS (
+        |  SELECT event_type AS symbol,
+        |         date_trunc('minute', ts) AS bar_ts,
+        |         arg_min(value, event_id) AS open,
+        |         max(value) AS high,
+        |         min(value) AS low,
+        |         arg_max(value, event_id) AS close,
+        |         sum(value) AS volume,
+        |         count(*) AS n_trades
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol,
+        |       epoch_ms(date_trunc('week', bar_ts)) AS week_ms,
         |       arg_min(open, bar_ts) AS open,
         |       max(high) AS high,
         |       min(low) AS low,
