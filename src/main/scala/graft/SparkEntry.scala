@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -273,6 +273,17 @@ object SparkEntry {
       Ichimoku(h1, IchimokuParams())
         .select(col("symbol"), col("bar_ts_ms"), col("bull_score"),
           col("bear_score"), col("label"), col("score_display"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #19d — multi-timeframe ichimoku consensus: h1 + lagged 4h verdicts
+    // combined 1:2 (compute_ichimoku_mtf_trend_v1.py end-to-end).
+    // Composition of proven operators — no SQL oracle; IchimokuRegimeSpec.
+    "ichimoku_mtf" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      IchimokuMtf(h1, stepMs = 3600000L, coarseMult = 4)
+        .select(col("symbol"), col("bar_ts_ms"), col("label_base"),
+          col("label_coarse"), col("mtf_score"), col("mtf_label"))
         .orderBy("symbol", "bar_ts_ms")
     }),
 

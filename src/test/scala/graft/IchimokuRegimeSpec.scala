@@ -35,6 +35,25 @@ class IchimokuRegimeSpec extends SparkTestBase {
     assert(out.drop(p.warmupBars + 2).forall(_.getAs[String]("label") == "SHORT"))
   }
 
+  test("MTF ichimoku consensus goes LONG when both timeframes agree") {
+    val p = IchimokuParams(tenkanLen = 3, kijunLen = 5, senkouBLen = 8, disp = 4)
+    val out = graft.operators.IchimokuMtf(
+        trendBars(200, 1.0).withColumn("volume", lit(1.0))
+          .withColumn("n_trades", lit(1L)),
+        stepMs = 3600000L, coarseMult = 4, p)
+      .orderBy("bar_ts_ms").collect()
+    // late bars: base fully bullish (4-0) and lagged coarse fully bullish
+    // -> mtf = 4*1 + 4*2 = 12, consensus LONG
+    val late = out.drop(150)
+    assert(late.nonEmpty)
+    late.foreach { r =>
+      assert(r.getAs[String]("mtf_label") == "LONG", r.toString)
+      assert(r.getAs[Int]("mtf_score") == 12)
+    }
+    // warmup bars stay NEUTRE (scores forced to zero)
+    assert(out.take(10).forall(_.getAs[String]("mtf_label") == "NEUTRE"))
+  }
+
   test("regime router labels a clean trend as TREND once warm") {
     val out = Regime.router(trendBars(260, 1.0), RegimeParams())
       .orderBy("bar_ts_ms").collect()
