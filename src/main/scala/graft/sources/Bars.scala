@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Canonical OHLCV bar construction from a raw tick/event stream.
   *
@@ -43,4 +44,39 @@ object Bars {
         count(lit(1)).as("n_trades"))
       .withColumn("bar_ts_ms", unix_millis(col("bar_ts")))
   }
+
+  /** Binance-style kline CSV schema (open_time_ms, OHLCV, close_time_ms,
+    * quote/taker volumes, n_trades) — the layout the reference's CSV reader
+    * consumes (/root/reference/scripts/research/build_m15_direction_regime
+    * .py:152-229, _read_m1_csv_binance). */
+  val KlineCsvSchema: StructType = StructType(Seq(
+    StructField("open_time_ms", LongType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume_base", DoubleType),
+    StructField("close_time_ms", LongType),
+    StructField("volume_quote", DoubleType),
+    StructField("n_trades", LongType),
+    StructField("taker_buy_base", DoubleType),
+    StructField("taker_buy_quote", DoubleType)))
+
+  /** Read Binance-style kline CSVs into the canonical bar frame: explicit
+    * schema (no inference pass over the data — an inference scan at 100 TB
+    * is a full extra read), `symbol` from the caller (the reference derives
+    * it from the path), malformed rows dropped. */
+  def fromKlineCsv(spark: SparkSession, path: String, symbol: String): DataFrame =
+    spark.read
+      .schema(KlineCsvSchema)
+      .option("header", "false")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+      // DROPMALFORMED only rejects structurally broken lines; rows whose
+      // required fields failed the type conversion surface as nulls
+      .where(col("open_time_ms").isNotNull && col("open").isNotNull &&
+        col("close").isNotNull)
+      .withColumn("symbol", lit(symbol))
+      .withColumn("bar_ts_ms", col("open_time_ms"))
+      .withColumn("volume", col("volume_base"))
 }

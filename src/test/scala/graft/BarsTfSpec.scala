@@ -87,6 +87,22 @@ class BarsTfSpec extends SparkTestBase {
     assert(viaWindow.exceptAll(viaAgg.select(viaWindow.columns.map(col): _*)).count() == 0)
   }
 
+  test("binance kline CSV ingestion feeds the tf pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "csv").toString
+    val rows = (0 until 4).map { i =>
+      s"${i * 60000L},10.0,12.0,9.0,11.0,100.0,${i * 60000L + 59999},1000.0,5,50.0,500.0"
+    } :+ "garbage,row,should,be,dropped"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      rows.mkString("\n").getBytes)
+    val bars = graft.sources.Bars.fromKlineCsv(spark, dir, "TESTUSDT")
+    assert(bars.count() == 4) // malformed row dropped
+    val m2 = TfAggregate(bars, 60000L, 2)
+    assert(m2.count() == 2)
+    assert(m2.orderBy("bucket_ms").collect()(0).getAs[Double]("volume") == 200.0)
+  }
+
   test("testdata smoke: entry returns rows and tf pipeline runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     val h1 = Bars.fromTicks(Tables.events(spark, sfDir), "hour")
