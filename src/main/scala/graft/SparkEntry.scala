@@ -172,6 +172,17 @@ object SparkEntry {
         .orderBy("symbol", "week_ms")
     }),
 
+    // §2 #18c — monthly calendar resample (the reference's month-partition
+    // unit, exercising month-boundary alignment cross-engine).
+    "resample_month" -> ((s, dir) => {
+      val m1 = Bars.fromTicks(events(s, dir), "minute")
+      Resample.ohlc(m1, "month")
+        .select(col("symbol"), col("bar_ts_ms").as("month_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 6).as("volume"), col("n_trades"))
+        .orderBy("symbol", "month_ms")
+    }),
+
     // §2 #11 — derived-table completeness audit (audit_derived.py:98-180).
     "audit_derived" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
@@ -1696,6 +1707,27 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT symbol,
         |       epoch_ms(date_trunc('day', bar_ts)) AS day_ms,
+        |       arg_min(open, bar_ts) AS open,
+        |       max(high) AS high,
+        |       min(low) AS low,
+        |       arg_max(close, bar_ts) AS close,
+        |       round(sum(volume), 6) AS volume,
+        |       CAST(sum(n_trades) AS BIGINT) AS n_trades
+        |FROM m1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "resample_month" ->
+      """WITH m1 AS (
+        |  SELECT event_type AS symbol,
+        |         date_trunc('minute', ts) AS bar_ts,
+        |         arg_min(value, event_id) AS open,
+        |         max(value) AS high,
+        |         min(value) AS low,
+        |         arg_max(value, event_id) AS close,
+        |         sum(value) AS volume,
+        |         count(*) AS n_trades
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol,
+        |       epoch_ms(date_trunc('month', bar_ts)) AS month_ms,
         |       arg_min(open, bar_ts) AS open,
         |       max(high) AS high,
         |       min(low) AS low,
