@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +33,8 @@ object SparkEntry {
     val toks = split(col("text"), "\\s+")
     val aug = d.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text"))
+        concat_ws(" ",
+          slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
     d.unionByName(aug)
   }
 
@@ -634,13 +635,16 @@ object SparkEntry {
     }),
 
     // §2 #37b — batched decode/feature-extract stage over the binary
-    // payload (deterministic stub codec; plumbing is real). No SQL oracle —
-    // rows-only + LlmSpec hand values.
+    // payload (deterministic stub codec; plumbing is real). The histogram
+    // is surfaced as scalar columns: the driver's compare engine (and any
+    // SQL consumer) can't sort/hash array cells.
     "multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeFeatures(
           Multimodal.withPayload(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
         .select(col("doc_id"), round(col("mean_byte"), 6).as("mean_byte"),
-          col("max_byte"), col("byte_hist"))
+          col("max_byte"),
+          col("byte_hist")(0).as("hist_0"), col("byte_hist")(1).as("hist_1"),
+          col("byte_hist")(2).as("hist_2"), col("byte_hist")(3).as("hist_3"))
         .orderBy("doc_id")
     }),
 
@@ -660,6 +664,75 @@ object SparkEntry {
           round(col("trend_score"), 6).as("trend_score"))
         .orderBy("symbol", "bar_ts_ms")
     }),
+
+    // §2 #38 — gap-based sessionization of the raw event stream per user
+    // (session_window; 30-minute inactivity gap).
+    "sessionize" -> ((s, dir) => {
+      Sessions.sessionize(events(s, dir), "user_id", "ts", "value",
+          gapMs = 1800000L)
+        .select(col("user_id"), col("session_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // §2 #39 — train/test contamination check: seeded test set = every 10th
+    // doc verbatim (contaminated) ∪ every (10k+5)th doc reversed (clean).
+    "contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val test = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.contamination(d, test).orderBy("test_id")
+    }),
+
+    // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
+    // quantiles (the sketch path percentile_approx is pinned to these in
+    // StatsSessionSpec).
+    "daily_quantiles" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type").as("symbol"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"), col("value"))
+      Stats.groupQuantiles(e, Seq("symbol", "day_ms"), "value",
+          Seq(0.5, 0.9, 0.99))
+        .select(col("symbol"), col("day_ms"),
+          round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"),
+          round(col("p99"), 6).as("p99"), col("n"))
+        .orderBy("symbol", "day_ms")
+    }),
+
+    // §2 #41 — corpus-wide bigram frequency table (vocabulary/LM stats
+    // pass; explode + one hash-shuffle count).
+    "ngram_freq" -> ((s, dir) => {
+      TextAnalysis.ngramFreq(Tables.documents(s, dir), n = 2)
+        .orderBy("ngram")
+    }),
+
+    // §2 #42 — distinct-cardinality profile per symbol (exact; the HLL
+    // approx_count_distinct column is the at-scale path, pinned in tests).
+    "distinct_users" -> ((s, dir) => {
+      Stats.distinctProfile(
+          events(s, dir).select(col("event_type").as("symbol"), col("user_id")),
+          Seq("symbol"), "user_id")
+        .select(col("symbol"), col("n_distinct"), col("n_rows"))
+        .orderBy("symbol")
+    }),
+
+    // §2 #43 — top-k per group (best-quality docs per language): window
+    // row_number with Spark's WindowGroupLimit pushdown.
+    "topk_docs" -> ((s, dir) => {
+      val q = TextAnalysis.withQuality(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      q.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("doc_id"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("lang", "rank")
+    }),
   )
 
   /** Shared DuckDB CTE: hour bars from the tick stream (mirrors
@@ -676,9 +749,200 @@ object SparkEntry {
       |         count(*) AS n_trades
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** The Ichimoku scoring chain as DuckDB CTE stages over a bars relation
+    * `src` (needs symbol, bar_ts_ms, high, low, close). Emits CTEs prefixed
+    * with `p`; the final stage `${p}out` has (symbol, bar_ts_ms, close,
+    * bull_score, bear_score, label). Mirrors the `ichimoku` oracle so the
+    * MTF composition can run it per timeframe. */
+  private def ichChainSql(src: String, p: String): String =
+    s"""${p}f AS (
+       |  SELECT symbol, bar_ts_ms, close,
+       |         CASE WHEN count(high) OVER w9 = 9
+       |           THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0 END AS tenkan,
+       |         CASE WHEN count(high) OVER w26 = 26
+       |           THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS kijun,
+       |         CASE WHEN count(high) OVER w52 = 52
+       |           THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0 END AS ssb,
+       |         row_number() OVER wk AS rn
+       |  FROM $src
+       |  WINDOW w9 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+       |         w26 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+       |         w52 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
+       |         wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+       |${p}g AS (SELECT *, (tenkan + kijun) / 2.0 AS ssa FROM ${p}f),
+       |${p}h AS (
+       |  SELECT *,
+       |         lag(ssa, 25) OVER wk AS ssa_vis,
+       |         lag(ssb, 25) OVER wk AS ssb_vis,
+       |         lag(close, 25) OVER wk AS close_lag
+       |  FROM ${p}g WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+       |${p}sc AS (
+       |  SELECT *,
+       |         CASE WHEN ssa > ssb THEN 1 ELSE 0 END
+       |         + CASE WHEN close > greatest(ssa_vis, ssb_vis) THEN 1 ELSE 0 END
+       |         + CASE WHEN close > close_lag THEN 1 ELSE 0 END
+       |         + CASE WHEN tenkan > kijun THEN 1 ELSE 0 END AS bull_raw,
+       |         CASE WHEN ssa < ssb THEN 1 ELSE 0 END
+       |         + CASE WHEN close < least(ssa_vis, ssb_vis) THEN 1 ELSE 0 END
+       |         + CASE WHEN close < close_lag THEN 1 ELSE 0 END
+       |         + CASE WHEN tenkan < kijun THEN 1 ELSE 0 END AS bear_raw,
+       |         (tenkan IS NOT NULL AND kijun IS NOT NULL AND ssa IS NOT NULL
+       |          AND ssb IS NOT NULL AND ssa_vis IS NOT NULL
+       |          AND ssb_vis IS NOT NULL AND close_lag IS NOT NULL
+       |          AND rn >= 78) AS ready
+       |  FROM ${p}h),
+       |${p}out AS (
+       |  SELECT symbol, bar_ts_ms, close,
+       |         CAST(CASE WHEN ready THEN bull_raw ELSE 0 END AS INTEGER)
+       |           AS bull_score,
+       |         CAST(CASE WHEN ready THEN bear_raw ELSE 0 END AS INTEGER)
+       |           AS bear_score,
+       |         CASE WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+       |                   AND bull_raw >= 3 AND bull_raw > bear_raw THEN 'LONG'
+       |              WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+       |                   AND bear_raw >= 3 AND bear_raw > bull_raw THEN 'SHORT'
+       |              ELSE 'NEUTRE' END AS label
+       |  FROM ${p}sc)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "ichimoku_mtf" ->
+      s"""$H1Cte,
+        |${ichChainSql("h1", "b")},
+        |h4 AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 14400000) * 14400000 AS bar_ts_ms,
+        |         max(high) AS high, min(low) AS low,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2),
+        |${ichChainSql("h4", "c")},
+        |cl AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         lag(bull_score) OVER wk AS bull_coarse,
+        |         lag(bear_score) OVER wk AS bear_coarse,
+        |         lag(label) OVER wk AS label_coarse
+        |  FROM cout WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |m AS (
+        |  SELECT b.symbol, b.bar_ts_ms, b.label AS label_base,
+        |         cl.label_coarse,
+        |         coalesce(b.bull_score - b.bear_score, 0) * 1
+        |           + coalesce(cl.bull_coarse - cl.bear_coarse, 0) * 2 AS ms
+        |  FROM bout b ASOF LEFT JOIN cl
+        |    ON b.symbol = cl.symbol AND b.bar_ts_ms >= cl.bar_ts_ms)
+        |SELECT symbol, bar_ts_ms, label_base, label_coarse,
+        |       CAST(ms AS INTEGER) AS mtf_score,
+        |       CASE WHEN ms >= 3 THEN 'LONG'
+        |            WHEN ms <= -3 THEN 'SHORT'
+        |            ELSE 'NEUTRE' END AS mtf_label
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "multimodal_decode" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unicode(unnest(str_split(text, ''))) AS code
+        |  FROM documents)
+        |SELECT doc_id,
+        |       round(avg(code), 6) AS mean_byte,
+        |       CAST(max(code) AS INTEGER) AS max_byte,
+        |       CAST(count(*) FILTER (WHERE code < 64) AS BIGINT) AS hist_0,
+        |       CAST(count(*) FILTER (WHERE code >= 64 AND code < 128)
+        |            AS BIGINT) AS hist_1,
+        |       CAST(count(*) FILTER (WHERE code >= 128 AND code < 192)
+        |            AS BIGINT) AS hist_2,
+        |       CAST(count(*) FILTER (WHERE code >= 192) AS BIGINT) AS hist_3
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                  OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |            THEN 1 ELSE 0 END AS newsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |s AS (
+        |  SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) AS session_end_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "contamination" ->
+      """WITH train AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         min(doc_id) AS train_id,
+        |         CAST(count(*) AS BIGINT) AS n_train_copies
+        |  FROM documents GROUP BY 1),
+        |test AS (
+        |  SELECT doc_id + 2000000 AS test_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS test_id,
+        |         md5(trim(regexp_replace(lower(reverse(text)), '\s+', ' ', 'g')))
+        |           AS fp
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT test.test_id, train.train_id, train.n_train_copies
+        |FROM test JOIN train USING (fp)
+        |ORDER BY 1""".stripMargin,
+
+    "daily_quantiles" ->
+      """SELECT event_type AS symbol,
+        |       epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       CAST(count(value) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ngram_freq" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |         i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "distinct_users" ->
+      """SELECT event_type AS symbol,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "topk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |           AS punct
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |         least(1.0, len(toks) / 20.0)
+        |           * (1.0 - CAST(punct AS DOUBLE) / nullif(n_chars, 0))
+        |           * least(1.0, (CAST(len(list_filter(toks, x -> list_contains(
+        |               ['the','a','an','and','of','to','in','is','it','that'],
+        |               x))) AS DOUBLE) / nullif(len(toks), 0)) * 4.0)
+        |           AS quality_score
+        |  FROM t),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM u)
+        |SELECT lang, rank, doc_id, round(quality_score, 6) AS quality_score
+        |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
     "atr" ->
       s"""$H1Cte,
         |t AS (

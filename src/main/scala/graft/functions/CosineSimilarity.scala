@@ -50,21 +50,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local via freshName: multiple instances of this expression can
+      // land un-braced in one codegen scope (e.g. the 16 plane projections of
+      // withLshBuckets), where fixed names would collide and force an
+      // interpreted fallback
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $x.getDouble(i);
-         |  double yi = $y.getDouble(i);
-         |  dot += xi * yi;
-         |  nx += xi * xi;
-         |  ny += yi * yi;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
          |}
-         |double den = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |if (den == 0.0) {
+         |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |if ($den == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / den;
+         |  ${ev.value} = $dot / $den;
          |}
        """.stripMargin
     })

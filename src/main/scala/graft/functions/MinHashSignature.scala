@@ -58,11 +58,12 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
+      val numShingles = ctx.freshName("numShingles")
       s"""
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, ${Prime}L);
-         |int numShingles = $arr.numElements();
-         |for (int $j = 0; $j < numShingles; $j++) {
+         |int $numShingles = $arr.numElements();
+         |for (int $j = 0; $j < $numShingles; $j++) {
          |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
          |    .hashUTF8String($arr.getUTF8String($j), 42L) & 0x7fffffffL;
          |  for (int $i = 0; $i < $k; $i++) {

@@ -50,10 +50,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val fp = ctx.freshName("fp")
+      val numToks = ctx.freshName("numToks")
       s"""
          |int[] $sums = new int[64];
-         |int numToks = $arr.numElements();
-         |for (int $j = 0; $j < numToks; $j++) {
+         |int $numToks = $arr.numElements();
+         |for (int $j = 0; $j < $numToks; $j++) {
          |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
          |    .hashUTF8String($arr.getUTF8String($j), 42L);
          |  for (int $b = 0; $b < 64; $b++) {

@@ -34,6 +34,23 @@ object Dedup {
     fp.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Train/test contamination check: which test documents appear verbatim
+    * (canonical form) in the training corpus. One hash-shuffle equi-join on
+    * the fingerprint — the standard eval-set decontamination pass at corpus
+    * scale (never a text-text comparison; the train side collapses to one
+    * row per distinct content before the join). */
+  def contamination(train: DataFrame, test: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainFp = train
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("train_id"), count(lit(1)).as("n_train_copies"))
+    val testFp = test.select(col(idCol).as("test_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    testFp.join(trainFp, Seq("fingerprint"))
+      .select(col("test_id"), col("train_id"), col("n_train_copies"))
+  }
+
   /** Word n-gram shingles of the case-folded text, distinct — the native
     * single-pass expression ([[graft.functions.WordShingles]]); sits twice
     * on the near-dup hot path (signature input + Jaccard verification). */

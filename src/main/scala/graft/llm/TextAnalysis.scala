@@ -74,4 +74,23 @@ object TextAnalysis {
     * [[MinHashLsh]]. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** All word n-grams of the case-folded text (non-distinct — frequency
+    * counting wants multiplicity; [[Dedup.shingles]] is the distinct set). */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-wide n-gram frequency table: explode per-doc n-grams, one
+    * hash-shuffle count. Map-side partial aggregation makes this the
+    * scalable vocabulary/frequency pass (the input to BPE training and
+    * n-gram LM stats) — no driver-side state at any corpus size. */
+  def ngramFreq(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
 }

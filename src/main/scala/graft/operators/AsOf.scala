@@ -35,8 +35,9 @@ object AsOf {
       rightTsCol: String,
       matchedTsCol: String = "matched_ts"): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == keyCol || c == rightTsCol).toSeq
-    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
-    require(collisions.isEmpty, s"rename right payload columns colliding with left: $collisions")
+    val collisions = (payloadCols.toSet + matchedTsCol).intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rename right payload / matchedTs columns colliding with left: $collisions")
 
     val leftType = StructType(left.schema.fields)
     val rightStructFields = StructField(matchedTsCol, LongType) +:

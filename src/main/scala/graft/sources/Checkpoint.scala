@@ -1,8 +1,9 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation checkpoints: persist `next_bucket_open_time_ms` per
@@ -15,28 +16,45 @@ import org.apache.spark.sql.functions._
   *
   * The checkpoint is driver-side metadata (a few bytes per symbol/tf) — the
   * data path stays fully distributed; the predicate it produces pushes down
-  * to the scan.
+  * to the scan. All I/O goes through the Hadoop FileSystem API so lake
+  * roots on HDFS/S3 work, not only the local filesystem.
   */
 object Checkpoint {
 
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   private def path(root: String, tf: String) =
-    Paths.get(root, s"_checkpoint_$tf.json")
+    new Path(root, s"_checkpoint_$tf.json")
 
   def read(root: String, tf: String): Map[String, Long] = {
     val p = path(root, tf)
-    if (!Files.exists(p)) Map.empty
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) Map.empty
     else {
-      val txt = new String(Files.readAllBytes(p))
+      val in = fs.open(p)
+      val txt =
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          bytes.toString("UTF-8")
+        } finally in.close()
       """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toLong).toMap
     }
   }
 
   def write(root: String, tf: String, next: Map[String, Long]): Unit = {
-    Files.createDirectories(Paths.get(root))
+    val p = path(root, tf)
+    val fs = p.getFileSystem(hadoopConf())
     val json = next.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    Files.write(path(root, tf), json.getBytes)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Next checkpoint from a derived frame: one past the max complete bucket

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,11 +31,16 @@ object Lake {
 
   /** Upsert semantics of aggregate_tf.py:164-179: rows from `incoming`
     * replace rows from `existing` on key collision; both sides otherwise
-    * kept. One shuffle on the keys. */
+    * kept. One shuffle on the keys. The secondary sort on a content hash
+    * makes the survivor deterministic across runs/partitionings even when a
+    * side holds several rows for one key (equal-content ties are
+    * indistinguishable, so any survivor is the same row). */
   def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
     val u = existing.withColumn("_pri", lit(0))
       .unionByName(incoming.withColumn("_pri", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_pri").desc)
+    val payload = existing.columns.filterNot(keys.contains).map(col).toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_pri").desc, xxhash64(payload: _*).asc)
     u.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn", "_pri")
@@ -80,13 +83,35 @@ object Lake {
       .saveAsTable(table)
 
   /** Minimal `_meta.json`: schema fingerprint + row count, the contract
-    * verify_all.py checks. Driver-side write of a few hundred bytes. */
+    * verify_all.py checks. Driver-side write of a few hundred bytes, routed
+    * through the Hadoop FileSystem API so HDFS/S3 lake roots work, not only
+    * local paths. */
   def writeMeta(df: DataFrame, root: String): Unit = {
     val fields = df.schema.filterNot(f => Seq("year", "month").contains(f.name))
       .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
       .mkString("[", ",", "]")
     val json = s"""{"schema":$fields,"n_rows":${df.count()}}"""
-    Files.writeString(Paths.get(root, "_meta.json"), json)
+    val path = new org.apache.hadoop.fs.Path(root, "_meta.json")
+    val fs = path.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read `_meta.json` back (Hadoop FS — works on any supported scheme). */
+  def readMeta(spark: SparkSession, root: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(root, "_meta.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8"))
+      } finally in.close()
+    }
   }
 
   /** Schema validation against an expected contract (verify_all.py:38-54):
