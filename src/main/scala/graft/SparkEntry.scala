@@ -290,7 +290,7 @@ object SparkEntry {
 
     // §2 #19d — multi-timeframe ichimoku consensus: h1 + lagged 4h verdicts
     // combined 1:2 (compute_ichimoku_mtf_trend_v1.py end-to-end).
-    // Composition of proven operators — no SQL oracle; IchimokuRegimeSpec.
+    // Composed ichimoku chains + ASOF in DuckDB; also IchimokuRegimeSpec.
     "ichimoku_mtf" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
       IchimokuMtf(h1, stepMs = 3600000L, coarseMult = 4)
@@ -372,7 +372,8 @@ object SparkEntry {
 
     // §2 #22+ — sticky direction regime with hysteresis + ML-ready
     // regime_id/state_age (build_m15_direction_regime.py:274-340).
-    // Sequential state machine — no SQL oracle; StickyStateSpec covers it.
+    // Sequential state machine with a trigger-window oracle (transitions
+    // depend only on current run lengths); StickyStateSpec covers edges.
     "direction_regime" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
       val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
@@ -396,8 +397,9 @@ object SparkEntry {
 
     // §2 #23 — event-driven SHORT backtest: ichimoku SHORT label arms an
     // entry at next open; SL/TP/time exits, one position per symbol
-    // (backtest_router_event_v1_1.py:255-475). Stateful scan — no SQL
-    // oracle; BacktestSpec covers it against hand-computed trades.
+    // (backtest_router_event_v1_1.py:255-475). Stateful scan with a
+    // renewal-structure recursive-CTE oracle; BacktestSpec covers it
+    // against hand-computed trades.
     "backtest_trades" -> ((s, dir) => {
       val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
       val sig = Ichimoku(h1, IchimokuParams())
@@ -650,7 +652,8 @@ object SparkEntry {
 
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
     // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
-    // Recursive smoothing — not ANSI-SQL-expressible; covered by FeatureSpec.
+    // Recursive smoothing, verified via a DuckDB list_reduce prefix-fold
+    // oracle (same IEEE fold order); also covered by FeatureSpec.
     "ema_trend" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
       EmaTrend(h1)
@@ -757,28 +760,28 @@ object SparkEntry {
   private def ichChainSql(src: String, p: String): String =
     s"""${p}f AS (
        |  SELECT symbol, bar_ts_ms, close,
-       |         CASE WHEN count(high) OVER w9 = 9
-       |           THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0 END AS tenkan,
-       |         CASE WHEN count(high) OVER w26 = 26
-       |           THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS kijun,
-       |         CASE WHEN count(high) OVER w52 = 52
-       |           THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0 END AS ssb,
-       |         row_number() OVER wk AS rn
+       |         CASE WHEN count(high) OVER ${p}w9 = 9
+       |           THEN (max(high) OVER ${p}w9 + min(low) OVER ${p}w9) / 2.0 END AS tenkan,
+       |         CASE WHEN count(high) OVER ${p}w26 = 26
+       |           THEN (max(high) OVER ${p}w26 + min(low) OVER ${p}w26) / 2.0 END AS kijun,
+       |         CASE WHEN count(high) OVER ${p}w52 = 52
+       |           THEN (max(high) OVER ${p}w52 + min(low) OVER ${p}w52) / 2.0 END AS ssb,
+       |         row_number() OVER ${p}wk1 AS rn
        |  FROM $src
-       |  WINDOW w9 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |  WINDOW ${p}w9 AS (PARTITION BY symbol ORDER BY bar_ts_ms
        |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
-       |         w26 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |         ${p}w26 AS (PARTITION BY symbol ORDER BY bar_ts_ms
        |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
-       |         w52 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+       |         ${p}w52 AS (PARTITION BY symbol ORDER BY bar_ts_ms
        |                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
-       |         wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+       |         ${p}wk1 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
        |${p}g AS (SELECT *, (tenkan + kijun) / 2.0 AS ssa FROM ${p}f),
        |${p}h AS (
        |  SELECT *,
-       |         lag(ssa, 25) OVER wk AS ssa_vis,
-       |         lag(ssb, 25) OVER wk AS ssb_vis,
-       |         lag(close, 25) OVER wk AS close_lag
-       |  FROM ${p}g WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+       |         lag(ssa, 25) OVER ${p}wk2 AS ssa_vis,
+       |         lag(ssb, 25) OVER ${p}wk2 AS ssb_vis,
+       |         lag(close, 25) OVER ${p}wk2 AS close_lag
+       |  FROM ${p}g WINDOW ${p}wk2 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
        |${p}sc AS (
        |  SELECT *,
        |         CASE WHEN ssa > ssb THEN 1 ELSE 0 END
@@ -840,6 +843,258 @@ object SparkEntry {
         |            ELSE 'NEUTRE' END AS mtf_label
         |FROM m ORDER BY 1, 2""".stripMargin,
 
+    // The sticky state machine looks sequential, but its transitions depend
+    // only on CURRENT run lengths, so the state at t is the most recent
+    // "trigger" row's verdict — last_value(... IGNORE NULLS) over run-length
+    // windows. Fully vectorizable; the oracle proves the SeqScan machine
+    // equals the declarative form row-for-row.
+    "direction_regime" ->
+      s"""$H1Cte,
+        |s AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN count(close) OVER w20 = 20
+        |           THEN avg(close) OVER w20 END AS s20,
+        |         CASE WHEN count(close) OVER w50 = 50
+        |           THEN avg(close) OVER w50 END AS s50
+        |  FROM h1
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w50 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+        |sig AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         CASE WHEN s20 IS NOT NULL AND s50 IS NOT NULL AND s20 > s50
+        |              THEN 1 ELSE 0 END AS b,
+        |         CASE WHEN s20 IS NOT NULL AND s50 IS NOT NULL AND s20 < s50
+        |              THEN 1 ELSE 0 END AS r,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS rn
+        |  FROM s),
+        |runs AS (
+        |  SELECT *,
+        |         rn - coalesce(max(CASE WHEN b = 0 THEN rn END) OVER cum, 0)
+        |           AS bull_run,
+        |         rn - coalesce(max(CASE WHEN r = 0 THEN rn END) OVER cum, 0)
+        |           AS bear_run,
+        |         rn - coalesce(max(CASE WHEN b = 1 OR r = 1 THEN rn END)
+        |                       OVER cum, 0) AS quiet_run
+        |  FROM sig
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |trig AS (
+        |  SELECT *,
+        |         CASE WHEN bull_run >= 2 THEN 'BULL'
+        |              WHEN bear_run >= 2 THEN 'BEAR'
+        |              WHEN quiet_run >= 3 THEN 'NEUTRAL' END AS trigger
+        |  FROM runs),
+        |st AS (
+        |  SELECT *,
+        |         coalesce(last_value(trigger IGNORE NULLS) OVER cum, 'NEUTRAL')
+        |           AS dir_state
+        |  FROM trig
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |chg AS (
+        |  SELECT *,
+        |         CASE WHEN dir_state <> coalesce(lag(dir_state) OVER wk,
+        |                                         'NEUTRAL')
+        |              THEN 1 ELSE 0 END AS changed
+        |  FROM st WINDOW wk AS (PARTITION BY symbol ORDER BY rn)),
+        |fin AS (
+        |  SELECT *,
+        |         sum(changed) OVER cum AS dir_regime_id,
+        |         rn - coalesce(max(CASE WHEN changed = 1 THEN rn END)
+        |                       OVER cum, 0) + 1 AS age0
+        |  FROM chg
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, bar_ts_ms, dir_state,
+        |       CAST(dir_regime_id AS BIGINT) AS dir_regime_id,
+        |       CAST(CASE WHEN dir_regime_id = 0 THEN rn ELSE age0 END
+        |            AS INTEGER) AS dir_state_age
+        |FROM fin ORDER BY 1, 2""".stripMargin,
+
+    // The position lifecycle is sequential, but it has RENEWAL structure:
+    // each trade's exit depends only on its entry bar, and the next entry is
+    // the first armed signal after that exit. Per-entry exits precompute
+    // vectorized (16-bar range join); the chain is a recursive CTE over the
+    // small trades relation. Note: under WITH RECURSIVE DuckDB resolves
+    // named windows in one global namespace, hence the prefixed names.
+    "backtest_trades" ->
+      s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trt AS (
+        |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trt
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |${ichChainSql("h1", "b")},
+        |sg AS (
+        |  SELECT a.symbol, a.bar_ts_ms, a.open, a.high, a.low, a.close, a.atr,
+        |         CASE WHEN bout.label = 'SHORT' THEN 1 ELSE 0 END AS sig
+        |  FROM a JOIN bout
+        |    ON a.symbol = bout.symbol AND a.bar_ts_ms = bout.bar_ts_ms),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS rn
+        |  FROM sg),
+        |ecand AS (
+        |  SELECT rr.*,
+        |         lag(sig) OVER (PARTITION BY symbol ORDER BY rn) AS prev_sig
+        |  FROM rr),
+        |entries AS (
+        |  SELECT symbol, rn, bar_ts_ms, open, atr
+        |  FROM ecand WHERE prev_sig = 1 AND atr IS NOT NULL),
+        |hits AS (
+        |  SELECT e.symbol, e.rn,
+        |         min(CASE WHEN j.high >= e.open + 1.0 * e.atr
+        |                    OR j.low <= e.open - 2.0 * (1.0 * e.atr)
+        |              THEN j.rn END) AS hit_rn,
+        |         max(j.rn) AS last_rn
+        |  FROM entries e JOIN rr j
+        |    ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + 15
+        |  WHERE e.atr > 0
+        |  GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT e.symbol, e.rn, e.bar_ts_ms AS ets, e.open AS ep,
+        |         1.0 * e.atr AS risk,
+        |         coalesce(h.hit_rn,
+        |                  CASE WHEN h.last_rn = e.rn + 15 THEN e.rn + 15 END)
+        |           AS exit_rn
+        |  FROM entries e
+        |  LEFT JOIN hits h ON h.symbol = e.symbol AND h.rn = e.rn),
+        |ne AS (
+        |  SELECT symbol, rn,
+        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
+        |           OVER (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_entry_rn
+        |  FROM ecand),
+        |chain(symbol, rn, exit_rn) AS (
+        |  SELECT p.symbol, p.rn, p.exit_rn
+        |  FROM pre p
+        |  JOIN (SELECT symbol, min(rn) AS rn FROM entries GROUP BY 1) f
+        |    ON f.symbol = p.symbol AND f.rn = p.rn
+        |  UNION ALL
+        |  SELECT p2.symbol, p2.rn, p2.exit_rn
+        |  FROM chain c
+        |  JOIN ne n ON n.symbol = c.symbol AND n.rn = c.exit_rn
+        |  JOIN pre p2 ON p2.symbol = c.symbol AND p2.rn = n.next_entry_rn
+        |  WHERE c.exit_rn IS NOT NULL AND n.next_entry_rn IS NOT NULL),
+        |tr0 AS (
+        |  SELECT c.symbol, p.ets, p.ep, p.risk,
+        |         x.bar_ts_ms AS xts, x.high AS xhigh, x.low AS xlow,
+        |         x.close AS xclose,
+        |         CAST(c.exit_rn - c.rn + 1 AS INTEGER) AS bars_held
+        |  FROM chain c
+        |  JOIN pre p ON p.symbol = c.symbol AND p.rn = c.rn
+        |  JOIN rr x ON x.symbol = c.symbol AND x.rn = c.exit_rn
+        |  WHERE c.exit_rn IS NOT NULL),
+        |tr1 AS (
+        |  SELECT symbol, ets, ep, xts, bars_held,
+        |         CASE WHEN xhigh >= ep + risk THEN ep + risk
+        |              WHEN xlow <= ep - 2.0 * risk THEN ep - 2.0 * risk
+        |              ELSE xclose END AS xpx,
+        |         CASE WHEN xhigh >= ep + risk THEN 'SL'
+        |              WHEN xlow <= ep - 2.0 * risk THEN 'TP'
+        |              ELSE 'TIME' END AS xreason,
+        |         CASE WHEN xhigh >= ep + risk THEN -1.0
+        |              WHEN xlow <= ep - 2.0 * risk THEN 2.0
+        |              ELSE (ep - xclose) / risk END AS xr
+        |  FROM tr0)
+        |SELECT symbol, ets AS entry_ts, round(ep, 6) AS entry_price,
+        |       xts AS exit_ts, round(xpx, 6) AS exit_price,
+        |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
+        |FROM tr1 ORDER BY 1, 2""".stripMargin,
+
+    // EMA is a seeded recursion (y₀=x₀, yₜ=αx+(1−α)y); ANSI window SQL can't
+    // fold, but DuckDB list_reduce over the prefix list IS the same fold in
+    // the same IEEE order — so even the "recursive, not SQL-expressible"
+    // operator gets an exact engine-independent oracle. O(n²) list memory
+    // per symbol caps this to oracle scale; the Spark side stays O(n).
+    "ema_trend" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         lag(close) OVER wk AS prev_c
+        |  FROM h1 WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |trt AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS tr
+        |  FROM t),
+        |p AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         list(close) OVER cum AS closes,
+        |         count(close) OVER cum AS n_close,
+        |         list_filter(list(tr) OVER cum, y -> y IS NOT NULL) AS trs,
+        |         count(tr) OVER cum AS n_tr
+        |  FROM trt
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         CASE WHEN n_close >= 20 THEN list_reduce(closes,
+        |           (acc, x) -> (2.0/21.0)*x + (1.0 - 2.0/21.0)*acc) END AS ema20,
+        |         CASE WHEN n_close >= 50 THEN list_reduce(closes,
+        |           (acc, x) -> (2.0/51.0)*x + (1.0 - 2.0/51.0)*acc) END AS ema50,
+        |         CASE WHEN n_close >= 200 THEN list_reduce(closes,
+        |           (acc, x) -> (2.0/201.0)*x + (1.0 - 2.0/201.0)*acc) END AS ema200,
+        |         CASE WHEN n_tr >= 20 THEN list_reduce(trs,
+        |           (acc, x) -> (1.0/20.0)*x + (1.0 - 1.0/20.0)*acc) END AS kc_atr
+        |  FROM p),
+        |b AS (
+        |  SELECT *,
+        |         CASE WHEN count(close) OVER w20 = 20
+        |           THEN avg(close) OVER w20 END AS m,
+        |         CASE WHEN count(close) OVER w20 = 20
+        |           THEN stddev_pop(close) OVER w20 END AS sdev,
+        |         lag(ema20) OVER wk AS ema20_prev
+        |  FROM e
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |f AS (
+        |  SELECT *,
+        |         ema20 - ema50 AS spread2050,
+        |         ema50 - ema200 AS spread50200,
+        |         ema20 / ema20_prev - 1.0 AS slope20,
+        |         (3.0 * kc_atr) / nullif(ema20, 0) AS kc_width,
+        |         ((m + 2.0 * sdev) - (m - 2.0 * sdev)) / nullif(m, 0) AS bb_width
+        |  FROM b),
+        |g AS (
+        |  SELECT *,
+        |         bb_width / nullif(kc_width, 0) AS squeeze_ratio,
+        |         8.0 * (coalesce(spread2050 / nullif(close, 0), 0.0)
+        |                + coalesce(spread50200 / nullif(close, 0), 0.0))
+        |           + 4.0 * coalesce(slope20, 0.0) AS targ
+        |  FROM f)
+        |-- DuckDB 1.0 has no tanh(); (e²ˣ−1)/(e²ˣ+1) with saturation guard
+        |SELECT symbol, bar_ts_ms,
+        |       round(ema20, 6) AS ema20,
+        |       round(ema50, 6) AS ema50,
+        |       round(ema200, 6) AS ema200,
+        |       round(spread2050, 6) AS ema20_50_spread,
+        |       round(kc_width, 6) AS kc_width,
+        |       round(squeeze_ratio, 6) AS squeeze_ratio,
+        |       round(CASE WHEN targ > 20.0 THEN 1.0
+        |                  WHEN targ < -20.0 THEN -1.0
+        |                  ELSE (exp(2.0 * targ) - 1.0) / (exp(2.0 * targ) + 1.0)
+        |             END, 6) AS trend_score
+        |FROM g ORDER BY 1, 2""".stripMargin,
+
     "multimodal_decode" ->
       """WITH ch AS (
         |  SELECT doc_id, unicode(unnest(str_split(text, ''))) AS code
@@ -859,8 +1114,10 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |g AS (
+        |  -- session_window semantics: an event at exactly prev+gap still
+        |  -- merges (windows [t, t+gap] touch); break strictly AFTER gap
         |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
-        |                  OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |                  OR ts_ms - lag(ts_ms) OVER w > 1800000
         |            THEN 1 ELSE 0 END AS newsess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
         |s AS (

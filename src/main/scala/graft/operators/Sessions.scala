@@ -28,8 +28,9 @@ object Sessions {
 
   /** Per-session summary: (key, session_id, session_start_ms,
     * session_end_ms, n_events, sum_value). Break rule: a new session starts
-    * when an event is >= `gapMs` after the previous one (session_window
-    * half-open `[ts, ts+gap)` semantics). */
+    * when an event is STRICTLY more than `gapMs` after the previous one —
+    * `session_window` merges touching windows, so an event at exactly
+    * prev+gap still extends the session. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String, gapMs: Long): DataFrame = {
     val tsMs = timestamp_millis(unix_millis(col(tsCol)))

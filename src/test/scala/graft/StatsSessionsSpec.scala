@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextAnalysis}
+import graft.operators.{Sessions, Stats}
+import graft.sources.Lake
+
+/** Sessionization, grouped stats, contamination, n-gram frequency, top-k —
+  * the round-3 operator additions — plus the determinism/robustness fixes
+  * from the round-2 advisory. */
+class StatsSessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("sessionize: breaks strictly after gap, merges touching windows") {
+    val gap = 1000L
+    val events = Seq(
+      // user 1: [0, 500, 999] one session, 1999 touches (diff == gap →
+      // merges), then 3000 starts a new one (diff 1001 > gap)
+      (1L, ts(0L), 1.0), (1L, ts(500L), 2.0), (1L, ts(999L), 3.0),
+      (1L, ts(1999L), 4.0), (1L, ts(3000L), 5.0),
+      // user 2: single event
+      (2L, ts(42L), 6.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Sessions.sessionize(events, "user_id", "ts", "value", gap)
+      .orderBy("user_id", "session_id")
+    assert(rowsOf(out) === Seq(
+      Seq(1L, 1L, 0L, 1999L, 4L, 10.0),
+      Seq(1L, 2L, 3000L, 3000L, 1L, 5.0),
+      Seq(2L, 1L, 42L, 42L, 1L, 6.0)))
+  }
+
+  test("sessionize: at-gap events chain transitively into one session") {
+    val events = Seq(
+      (1L, ts(0L), 1.0), (1L, ts(1000L), 1.0), (1L, ts(2000L), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Sessions.sessionize(events, "user_id", "ts", "value", 1000L)
+    assert(out.count() === 1L)
+    assert(rowsOf(out.select("n_events")) === Seq(Seq(3L)))
+  }
+
+  test("quantile sketch pins to exact within tolerance; HLL within 5%") {
+    val e = sources.Tables.events(spark, sfDir)
+      .select(col("event_type").as("symbol"), col("value"), col("user_id"))
+    val exact = Stats.groupQuantiles(e, Seq("symbol"), "value", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Stats.groupQuantilesApprox(e, Seq("symbol"), "value", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      val scale = math.max(math.abs(p90), 1e-9)
+      assert(math.abs(a50 - p50) / scale < 0.05, s"$k p50 $p50 vs $a50")
+      assert(math.abs(a90 - p90) / scale < 0.05, s"$k p90 $p90 vs $a90")
+    }
+    Stats.distinctProfile(e, Seq("symbol"), "user_id").collect().foreach { r =>
+      val exactN = r.getAs[Long]("n_distinct")
+      val hll = r.getAs[Long]("n_distinct_approx")
+      assert(math.abs(hll - exactN).toDouble / exactN < 0.05,
+        s"${r.getString(0)}: exact $exactN hll $hll")
+    }
+  }
+
+  test("contamination flags verbatim test docs and passes clean ones") {
+    val train = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "Alpha  Beta GAMMA")).toDF("doc_id", "text")
+    val testSet = Seq((100L, "alpha beta gamma"), (101L, "totally novel text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, testSet).collect()
+    assert(out.length === 1)
+    // canonical form folds case+whitespace: docs 1 and 3 are the same content
+    assert(out.head.getLong(0) === 100L)
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.getLong(2) === 2L)
+  }
+
+  test("ngramFreq counts multiplicity (not distinct) and skips short docs") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramFreq(docs, 2).orderBy("ngram").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // doc1: "a b","b a","a b"; doc2: "a b"; doc3: too short → nothing
+    assert(out === Seq("a b" -> 3L, "b a" -> 1L))
+  }
+
+  test("top-k per group plan carries WindowGroupLimit (partial top-k pushdown)") {
+    val q = SparkEntry.queries("topk_docs")(spark, sfDir)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(q.count() > 0)
+  }
+
+  test("mergeUpsert survivor is deterministic across partitionings") {
+    // two incoming rows for the same key: survivor must not depend on
+    // partitioning/order
+    val existing = Seq(("A", 1L, 10.0)).toDF("symbol", "ts", "v")
+    val incoming = Seq(("A", 1L, 20.0), ("A", 1L, 30.0), ("B", 2L, 1.0))
+      .toDF("symbol", "ts", "v")
+    def run(parts: Int) =
+      Lake.mergeUpsert(existing, incoming.repartition(parts), Seq("symbol", "ts"))
+        .orderBy("symbol").collect().map(_.toSeq).toSeq
+    assert(run(1) === run(7))
+    assert(run(1).map(_.head) === Seq("A", "B"))
+  }
+
+  test("as-of join rejects a left frame already holding matchedTsCol") {
+    val l = Seq(("A", 1L, 9L)).toDF("symbol", "ts", "matched_ts")
+    val r = Seq(("A", 0L, 1.0)).toDF("symbol", "rts", "ctx")
+    val e = intercept[IllegalArgumentException] {
+      operators.AsOf.joinBackward(l, r, "symbol", "ts", "rts")
+    }
+    assert(e.getMessage.contains("matched_ts"))
+  }
+
+  test("multimodal decode hist columns sum to byte count") {
+    val out = SparkEntry.queries("multimodal_decode")(spark, sfDir)
+      .withColumn("hist_sum",
+        col("hist_0") + col("hist_1") + col("hist_2") + col("hist_3"))
+    val meta = SparkEntry.queries("multimodal_meta")(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"))
+    val joined = out.join(meta, "doc_id")
+      .where(col("hist_sum") =!= col("n_bytes"))
+    assert(joined.count() === 0L)
+  }
+}
