@@ -112,46 +112,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
-    * distributed training, fixed seed) assigns every candidate to its
-    * nearest cell; each query probes its `nProbe` nearest centroids and
-    * exact-reranks only those cells. The inverted-file layout is the other
-    * canonical ANN scale path next to hyperplane LSH: cell assignment is one
-    * narrow pass, and the search join is an equi-join on cell id — candidate
-    * volume ~ nProbe/nCells of the corpus. */
+  /** IVF-style approximate top-k: a spherical k-means coarse quantizer
+    * assigns every candidate to its nearest cell; each query probes its
+    * `nProbe` nearest centroids and exact-reranks only those cells. The
+    * inverted-file layout is the other canonical ANN scale path next to
+    * hyperplane LSH; candidate volume ~ nProbe/nCells of the corpus.
+    *
+    * The quantizer trains on a BOUNDED deterministic sample collected to the
+    * driver (the standard IVF recipe — FAISS trains its coarse quantizer on
+    * a sample regardless of corpus size; a 16-centroid codebook needs a few
+    * thousand points, not a distributed iteration over 100 TB). Everything
+    * per-row stays distributed and codegen'd: cell assignment and probing
+    * are argmax over `nCells` literal-centroid [[CosineSimilarity]]
+    * expressions — one narrow pass, no ML pipeline on the hot path. */
   def annTopKIvf(candidates: DataFrame, queries: DataFrame, k: Int,
                  nCells: Int = 16, nProbe: Int = 4, seed: Long = 7L,
+                 sampleN: Int = 2048,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     val cv = candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-    val assembled = cv.withColumn("features", array_to_vector(col("_cv")))
-    // coarse quantizer: a loosely-converged clustering partitions the space
-    // just as well for probing; tight convergence only costs training passes
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).setTol(1e-2)
-      .setInitMode("random") // k-means|| init costs more passes than training here
-      .fit(assembled)
-    val centers = model.clusterCenters.map(_.toArray)
+    // deterministic bounded sample (lowest ids) for codebook training
+    val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    val centers = sphericalKMeans(sample, nCells, seed)
 
-    // candidate → its cell (one narrow pass through the model)
-    val assigned = model.transform(assembled)
-      .select(col("neighbor_id"), col("_cv"), col("prediction").as("cell"))
+    def cellSims(v: Column) = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(coalesce(cos(v, lit(c)), lit(-2.0)).as("sim"), lit(i).as("cell"))
+    }: _*)
 
-    // query → its nProbe nearest cells, via literal centroid columns
+    // candidate → nearest cell: argmax cosine over the literal codebook
+    val assigned = cv.withColumn("cell",
+      element_at(slice(reverse(array_sort(cellSims(col("_cv")))), 1, 1), 1)("cell"))
+
+    // query → its nProbe nearest cells
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
-    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
-      struct(coalesce(cos(col("_qv"), lit(c)), lit(-2.0)).as("sim"),
-        lit(i).as("cell"))
-    }: _*)
     val probed = qv
-      .withColumn("_cells",
-        slice(reverse(array_sort(cellDists)), 1, nProbe))
-      .select(col("query_id"), col("_qv"),
-        explode(col("_cells.cell")).as("cell"))
+      .withColumn("_cells", slice(reverse(array_sort(cellSims(col("_qv")))), 1, nProbe))
+      .select(col("query_id"), col("_qv"), explode(col("_cells.cell")).as("cell"))
 
     val cand = broadcast(probed).join(assigned, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -160,6 +158,45 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Driver-local spherical k-means (cosine Lloyd's) over a sample:
+    * deterministic seeding, assignment by max cosine, centroids re-normalized
+    * each round. Microseconds at codebook scale; the distributed work stays
+    * in the per-row assignment pass. */
+  private[llm] def sphericalKMeans(points: Array[Array[Double]], k: Int,
+                                   seed: Long, iters: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val dim = points.head.length
+    val rnd = new Random(seed)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centers = Array.tabulate(k)(i => normalize(points(
+      if (points.length >= k) rnd.nextInt(points.length) else i % points.length).clone()))
+    val normPts = points.map(normalize)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      normPts.foreach { p =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < k) {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += p(j) * centers(i)(j); j += 1 }
+          if (s > bestSim) { bestSim = s; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k)(i =>
+        if (counts(i) == 0) centers(i)   // keep empty cells stable
+        else normalize(sums(i)))
+    }
+    centers
   }
 
   /** Embedding near-dup pairs: LSH candidates (id1 < id2) verified at

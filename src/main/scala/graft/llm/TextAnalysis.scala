@@ -76,8 +76,16 @@ object TextAnalysis {
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** All word n-grams of the case-folded text (non-distinct — frequency
-    * counting wants multiplicity; [[Dedup.shingles]] is the distinct set). */
+    * counting wants multiplicity; [[Dedup.shingles]] is the distinct set).
+    * Single-pass native expression ([[graft.functions.WordNgrams]]). */
   def ngrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.functions.WordNgrams(GraftBridge.expression(text), n))
+  }
+
+  /** HOF reference formulation (kept for the equivalence test). */
+  def ngramsHof(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -30,13 +30,18 @@ object MlFilter {
 
   /** Train on the feature columns and score every row; returns the input
     * plus `probability_up` and `prediction`. Deterministic for a fixed
-    * dataset (LBFGS, no sampling). */
+    * dataset (LBFGS, no sampling). 15 iterations converge this 3-feature
+    * filter; each extra LBFGS pass is one more treeAggregate over the
+    * corpus, so the cap is a direct throughput lever at scale. */
   def trainScore(labeled: DataFrame, featureCols: Seq[String],
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 15): DataFrame = {
     val clean = labeled.na.drop(featureCols :+ "label")
+    // cached: the feature lineage (several window passes) would otherwise
+    // re-evaluate for every LBFGS pass AND again for scoring
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(clean)
+      .cache()
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01)
       .fit(assembled)

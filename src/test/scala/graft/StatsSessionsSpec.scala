@@ -116,6 +116,15 @@ class StatsSessionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("matched_ts"))
   }
 
+  test("native WordNgrams equals the HOF formulation") {
+    val docs = Seq((1L, "A b  c d"), (2L, "one"), (3L, "x y"), (4L, " pad "))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+      TextAnalysis.ngrams(col("text"), 2).as("native"),
+      TextAnalysis.ngramsHof(col("text"), 2).as("hof"))
+    assert(both.where(not(col("native") === col("hof"))).count() === 0L)
+  }
+
   test("multimodal decode hist columns sum to byte count") {
     val out = SparkEntry.queries("multimodal_decode")(spark, sfDir)
       .withColumn("hist_sum",
