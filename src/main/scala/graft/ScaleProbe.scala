@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Features
-import graft.operators.{Canonical, Gaps, TfAggregate, AsOf}
+import graft.llm.TextAnalysis
+import graft.operators.{AsOf, Canonical, Gaps, Sessions, Stats, TfAggregate}
 
 /** Engineering scale probe (not part of the driver contract): synthesizes an
   * n-row minute-bar lake in memory (64 symbols, 10% gaps, hash-derived
@@ -60,6 +61,25 @@ object ScaleProbe {
         AsOf.joinBackward(bars.select("symbol", "bar_ts_ms", "close"), ctx,
           "symbol", "bar_ts_ms", "bucket_ms")
           .agg(count(col("ctx_close"))).as[Long].collect()(0)
+      },
+      time("sessionize") {
+        // user key with ~n/4096 sessions-worth of density; ts as timestamp
+        Sessions.sessionize(
+          bars.select(pmod(col("event_id"), lit(4096L)).as("user_id"),
+            timestamp_millis(col("bar_ts_ms")).as("ts"), col("close").as("value")),
+          "user_id", "ts", "value", gapMs = 300000L).count()
+      },
+      time("grouped_quantiles_sketch") {
+        Stats.groupQuantilesApprox(
+          bars.select(col("symbol"),
+            (col("bar_ts_ms") / 86400000L).cast("long").as("day"), col("close")),
+          Seq("symbol", "day"), "close", Seq(0.5, 0.9, 0.99)).count()
+      },
+      time("ngram_freq") {
+        // synthesize short texts from hash words: ~8 tokens/row
+        val txt = concat_ws(" ", (0 until 8).map(i =>
+          pmod(xxhash64(col("event_id"), lit(i)), lit(500L)).cast("string")): _*)
+        TextAnalysis.ngramFreq(bars.select(txt.as("text")), n = 2).count()
       })
 
     val qs = results.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")

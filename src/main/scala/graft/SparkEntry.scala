@@ -668,6 +668,51 @@ object SparkEntry {
         .orderBy("symbol", "bar_ts_ms")
     }),
 
+    // §2 #16b — m1-structure feature block: daily-anchored VWAP (resets per
+    // calendar day), HH/LL swing-break state, all features shifted 1 bar
+    // anti-lookahead (feature_builder_m1_structure_v1.py).
+    "structure_features" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val feats = Features.withSwingBreaks(Features.withDailyVwap(h1), swing = 12)
+      Features.shiftFeatures(feats,
+          Seq("vwap_d", "vwap_d_dist", "is_hh", "is_ll", "hh_hl_state"), n = 1)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("vwap_d"), 6).as("vwap_d"),
+          round(col("vwap_d_dist"), 6).as("vwap_d_dist"),
+          col("is_hh"), col("is_ll"), col("hh_hl_state"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #16c — forward returns at multiple horizons (anti-lookahead
+    // evaluation targets; analyze_low_plus_policy.py _synth_signed_returns).
+    "fwd_returns" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      def ret(h: Int) =
+        round(lead(col("close"), h).over(w) /
+          when(col("close") =!= 0.0, col("close")) - 1.0, 6)
+      h1.select(col("symbol"), col("bar_ts_ms"),
+          ret(1).as("ret_1"), ret(4).as("ret_4"), ret(16).as("ret_16"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #16d — hour-of-day seasonality profile: event count, mean forward
+    // return and hit rate per (symbol, UTC hour)
+    // (analyze_low_plus_policy.py by-hour report).
+    "hourly_profile" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      val ret1 = lead(col("close"), 1).over(w) /
+        when(col("close") =!= 0.0, col("close")) - 1.0
+      h1.withColumn("_r", ret1)
+        .withColumn("hour_utc", pmod(col("bar_ts_ms") / 3600000L, lit(24)).cast("int"))
+        .groupBy("symbol", "hour_utc")
+        .agg(count(col("_r")).as("n"),
+          round(avg(col("_r")), 6).as("mean_ret"),
+          round(avg(when(col("_r") > 0.0, 1.0).otherwise(0.0)), 6).as("up_share"))
+        .orderBy("symbol", "hour_utc")
+    }),
+
     // §2 #38 — gap-based sessionization of the raw event stream per user
     // (session_window; 30-minute inactivity gap).
     "sessionize" -> ((s, dir) => {
@@ -1109,6 +1154,71 @@ object SparkEntry {
         |            AS BIGINT) AS hist_2,
         |       CAST(count(*) FILTER (WHERE code >= 192) AS BIGINT) AS hist_3
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "structure_features" ->
+      s"""$H1Cte,
+        |v AS (
+        |  SELECT symbol, bar_ts_ms, high, low, close,
+        |         sum((high + low + close) / 3.0 * coalesce(volume, 0))
+        |           OVER dw AS cum_pv,
+        |         sum(coalesce(volume, 0)) OVER dw AS cum_v,
+        |         CASE WHEN count(high) OVER sw = 12
+        |           THEN max(high) OVER sw END AS prev_max,
+        |         CASE WHEN count(low) OVER sw = 12
+        |           THEN min(low) OVER sw END AS prev_min
+        |  FROM h1
+        |  WINDOW dw AS (PARTITION BY symbol, bar_ts_ms // 86400000
+        |                ORDER BY bar_ts_ms
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         sw AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+        |d AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         cum_pv / nullif(cum_v, 0) AS vwap_d,
+        |         (close - cum_pv / nullif(cum_v, 0))
+        |           / nullif(cum_pv / nullif(cum_v, 0), 0) AS vwap_d_dist,
+        |         CASE WHEN high > prev_max THEN 1 ELSE 0 END AS is_hh,
+        |         CASE WHEN low < prev_min THEN 1 ELSE 0 END AS is_ll,
+        |         CASE WHEN high > prev_max THEN 1
+        |              WHEN low < prev_min THEN -1 ELSE 0 END AS hh_hl_state
+        |  FROM v)
+        |SELECT symbol, bar_ts_ms,
+        |       round(lag(vwap_d) OVER wk, 6) AS vwap_d,
+        |       round(lag(vwap_d_dist) OVER wk, 6) AS vwap_d_dist,
+        |       lag(is_hh) OVER wk AS is_hh,
+        |       lag(is_ll) OVER wk AS is_ll,
+        |       lag(hh_hl_state) OVER wk AS hh_hl_state
+        |FROM d
+        |WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fwd_returns" ->
+      s"""$H1Cte
+        |SELECT symbol, bar_ts_ms,
+        |       round(lead(close, 1) OVER wk / nullif(close, 0) - 1.0, 6)
+        |         AS ret_1,
+        |       round(lead(close, 4) OVER wk / nullif(close, 0) - 1.0, 6)
+        |         AS ret_4,
+        |       round(lead(close, 16) OVER wk / nullif(close, 0) - 1.0, 6)
+        |         AS ret_16
+        |FROM h1
+        |WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "hourly_profile" ->
+      s"""$H1Cte,
+        |r AS (
+        |  SELECT symbol,
+        |         CAST((bar_ts_ms // 3600000) % 24 AS INTEGER) AS hour_utc,
+        |         lead(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           / nullif(close, 0) - 1.0 AS ret1
+        |  FROM h1)
+        |SELECT symbol, hour_utc,
+        |       CAST(count(ret1) AS BIGINT) AS n,
+        |       round(avg(ret1), 6) AS mean_ret,
+        |       round(avg(CASE WHEN ret1 > 0.0 THEN 1.0 ELSE 0.0 END), 6)
+        |         AS up_share
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (

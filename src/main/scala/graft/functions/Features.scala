@@ -147,4 +147,52 @@ object Features {
     bars.withColumn(outCol,
       (col(valueCol) - lag(col(valueCol), n).over(w)) / n.toDouble)
   }
+
+  /** Daily-anchored VWAP: typical price (h+l+c)/3 volume-weighted,
+    * cumulative WITHIN each (symbol, calendar day) — resets at midnight,
+    * unlike the full-history anchored [[withVwapZ]]
+    * (feature_builder_m1_structure_v1.py:56-67 add_daily_vwap). The window
+    * partitions by (symbol, day) so the reset costs nothing extra: same
+    * single exchange, day just joins the partition key. */
+  def withDailyVwap(bars: DataFrame, symbolCol: String = "symbol",
+                    tsCol: String = "bar_ts_ms"): DataFrame = {
+    val day = (col(tsCol).cast("long") / lit(86400000L)).cast("long")
+    val w = Window.partitionBy(col(symbolCol), day).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val px = (col("high") + col("low") + col("close")) / 3.0
+    val vol = coalesce(col("volume"), lit(0.0))
+    val cumV = sum(vol).over(w)
+    bars
+      .withColumn("vwap_d",
+        sum(px * vol).over(w) / when(cumV =!= 0.0, cumV))
+      .withColumn("vwap_d_dist",
+        (col("close") - col("vwap_d")) / when(col("vwap_d") =!= 0.0, col("vwap_d")))
+  }
+
+  /** HH/LL market-structure breaks: bar makes a higher-high (high above the
+    * max of the previous `swing` highs) or lower-low; `hh_hl_state` is
+    * +1 / -1 / 0 (feature_builder_m1_structure_v1.py:69-80). Gated on a full
+    * swing lookback like pandas min_periods. */
+  def withSwingBreaks(bars: DataFrame, swing: Int,
+                      symbolCol: String = "symbol",
+                      tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = byKey(symbolCol, tsCol).rowsBetween(-swing, -1)
+    val prevMax = when(count(col("high")).over(w) === swing, max(col("high")).over(w))
+    val prevMin = when(count(col("low")).over(w) === swing, min(col("low")).over(w))
+    bars
+      .withColumn("is_hh", when(col("high") > prevMax, 1).otherwise(0))
+      .withColumn("is_ll", when(col("low") < prevMin, 1).otherwise(0))
+      .withColumn("hh_hl_state",
+        when(col("is_hh") === 1, 1).when(col("is_ll") === 1, -1).otherwise(0))
+  }
+
+  /** Anti-lookahead shift: lag the feature columns `cols` by `n` bars so a
+    * model at t only sees features through t-n
+    * (feature_builder_m1_structure_v1.py:130-137 shift_feature_cols). */
+  def shiftFeatures(bars: DataFrame, cols: Seq[String], n: Int,
+                    symbolCol: String = "symbol",
+                    tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = byKey(symbolCol, tsCol)
+    cols.foldLeft(bars)((df, c) => df.withColumn(c, lag(col(c), n).over(w)))
+  }
 }
