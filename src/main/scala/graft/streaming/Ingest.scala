@@ -49,6 +49,27 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .partitionBy("symbol", "year", "month")
 
+  /** Streaming sessionization: the SAME session_window expression as the
+    * batch [[graft.operators.Sessions]] operator, under a watermark — a
+    * session emits (append mode) once the watermark passes its close. This
+    * is the batch/stream portability the operator was designed for: one
+    * definition of "session", two execution modes. */
+  def sessionSummaries(events: DataFrame, gapMs: Long,
+                       watermark: String = "10 minutes",
+                       keyCol: String = "user_id", tsCol: String = "ts",
+                       valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        session_window(col(tsCol), s"$gapMs milliseconds").as("_sw"))
+      .agg(
+        unix_millis(min(col(tsCol))).as("session_start_ms"),
+        unix_millis(max(col(tsCol))).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), col("sum_value"))
+
   final case class Tick(symbol: String, tsMs: Long, value: Double)
   final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)
 

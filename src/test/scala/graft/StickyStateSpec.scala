@@ -35,4 +35,24 @@ class StickyStateSpec extends SparkTestBase {
     val out = run(Seq((1, 0), (0, 1), (1, 0), (0, 0)))
     assert(out.map(_._1).forall(_ == "NEUTRAL"))
   }
+
+  test("declarative window form equals the imperative SeqScan port on random streams") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      sym <- Seq("A", "B", "C")
+      i <- 0 until 400
+    } yield {
+      val roll = rnd.nextInt(4) // 0=bull, 1=bear, 2/3=quiet
+      (sym, i.toLong, if (roll == 0) 1 else 0, if (roll == 1) 1 else 0)
+    }
+    val df = rows.toDF("symbol", "bar_ts_ms", "bull_sig", "bear_sig")
+    for ((enterN, exitN) <- Seq((2, 3), (1, 1), (3, 5))) {
+      val a = StickyState(df, enterN, exitN)
+        .select("symbol", "bar_ts_ms", "dir_state", "dir_regime_id", "dir_state_age")
+      val b = StickyState.seqScan(df, enterN, exitN)
+        .select("symbol", "bar_ts_ms", "dir_state", "dir_regime_id", "dir_state_age")
+      assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L,
+        s"divergence at enterN=$enterN exitN=$exitN")
+    }
+  }
 }

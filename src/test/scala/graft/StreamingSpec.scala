@@ -62,4 +62,46 @@ class StreamingSpec extends SparkTestBase {
     assert(gaps(0).gapMinutes == 3L)
     assert(gaps(0).prevMs == 60000L && gaps(0).tsMs == 300000L)
   }
+
+  test("streaming session windows close after the watermark and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+
+    val q = Ingest.sessionSummaries(events, gapMs = 60000L, watermark = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),  // same session
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 3.0))  // new session
+    q.processAllAvailable()
+    // push the watermark far past both sessions so both emit
+    input.addData((2L, Timestamp.valueOf("2024-01-01 01:00:00"), 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_out")
+      .orderBy("user_id", "session_start_ms").collect()
+    assert(sessions.length == 2) // user 2's session still open at stop
+    assert(sessions(0).getAs[Long]("n_events") == 2L)
+    assert(sessions(0).getAs[Double]("sum_value") == 3.0)
+    assert(sessions(1).getAs[Long]("n_events") == 1L)
+
+    // same expression, batch mode: identical sessions (plus the open one)
+    val batch = graft.operators.Sessions.sessionize(
+      spark.table("sessions_out").sparkSession.createDataFrame(Seq(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 3.0),
+        (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 9.0)))
+        .toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapMs = 60000L)
+    assert(batch.count() == 3)
+    val b1 = batch.where($"user_id" === 1L).orderBy("session_id").collect()
+    assert(b1(0).getAs[Long]("n_events") == 2L &&
+      b1(0).getAs[Double]("sum_value") == 3.0)
+  }
 }
