@@ -768,6 +768,90 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // §2 #44 — per-doc repetition profile (Gopher-style repetitive-content
+    // quality filter) over word bigrams.
+    "repetition_score" -> ((s, dir) => {
+      TextAnalysis.repetitionProfile(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // §2 #45 — PII detection/redaction stats: seeded emails/phones appended
+    // deterministically, counted and redacted; the fingerprint proves the
+    // redacted text is byte-identical cross-engine.
+    "pii_redact" -> ((s, dir) => {
+      val emailPat = "[a-z0-9]+@[a-z.]+"
+      val phonePat = "\\d{3}-\\d{4}"
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.com tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@backup.org")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("_aug", aug)
+        .select(col("doc_id"),
+          regexp_count(col("_aug"), lit(emailPat)).cast("int").as("n_emails"),
+          regexp_count(col("_aug"), lit(phonePat)).cast("int").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("_aug"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #46 — TPC-H Q1-shape pricing summary over lineitem (the largest
+    // testdata table). Big-group money sums go through DECIMAL so the
+    // aggregation is exact and order-independent — the same trick a 100 TB
+    // revenue rollup needs for reproducibility. (double→decimal casts are
+    // tie-free — a binary double never sits exactly on a decimal midpoint —
+    // so the per-row quantization is engine-independent, unlike round().)
+    "pricing_summary" -> ((s, dir) => {
+      val ep = col("l_extendedprice").cast("decimal(24,4)")
+      // fold the unit-scale factors in double (deterministic IEEE per-row),
+      // quantize once to decimal — keeps the decimal multiply inside both
+      // engines' 38-digit budget
+      val disc = (lit(1.0) - col("l_discount")).cast("decimal(12,10)")
+      val dt = ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+        .cast("decimal(12,10)")
+      def dsum(c: org.apache.spark.sql.Column, alias: String) =
+        round(sum(c).cast("double"), 4).as(alias)
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity").cast("decimal(18,4)"), "sum_qty"),
+          dsum(ep, "sum_base_price"),
+          dsum(ep * disc, "sum_disc_price"),
+          dsum(ep * dt, "sum_charge"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2 #47 — revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation
+    // with the small dimensions broadcast (plan-audited in tests).
+    "revenue_by_nation" -> ((s, dir) => {
+      def dsum(c: org.apache.spark.sql.Column, alias: String) =
+        round(sum(c).cast("double"), 4).as(alias)
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.read(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice").cast("decimal(24,4)")
+            * (lit(1.0) - col("l_discount")).cast("decimal(12,10)"), "revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
     // §2 #43 — top-k per group (best-quality docs per language): window
     // row_number with Spark's WindowGroupLimit pushdown.
     "topk_docs" -> ((s, dir) => {
@@ -1286,6 +1370,76 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |         i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (
+        |  SELECT doc_id, ngram, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |       CAST(count(*) AS BIGINT) AS n_unique,
+        |       round(1.0 - count(*) * 1.0 / sum(c), 6) AS repetition_ratio,
+        |       round(max(c) * 1.0 / sum(c), 6) AS top_share
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.com tel 555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           || CASE WHEN doc_id % 3 = 0
+        |              THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+        |                   || '@backup.org'
+        |              ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z.]+'))
+        |            AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(aug, '\d{3}-\d{4}'))
+        |            AS INTEGER) AS n_phones,
+        |       md5(regexp_replace(
+        |             regexp_replace(aug, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+        |             '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |             AS DOUBLE), 4) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |             AS DOUBLE), 4) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))
+        |             * CAST(1.0 - l_discount AS DECIMAL(12,10)))
+        |             AS DOUBLE), 4) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))
+        |             * CAST((1.0 - l_discount) * (1.0 + l_tax)
+        |                    AS DECIMAL(12,10)))
+        |             AS DOUBLE), 4) AS sum_charge,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT n.n_name,
+        |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(24,4))
+        |             * CAST(1.0 - l.l_discount AS DECIMAL(12,10)))
+        |             AS DOUBLE), 4) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "topk_docs" ->
       """WITH t AS (

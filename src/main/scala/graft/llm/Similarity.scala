@@ -136,8 +136,9 @@ object Similarity {
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
     val centers = sphericalKMeans(sample, nCells, seed)
 
-    def cellSims(v: Column) = array(centers.zipWithIndex.map { case (c, i) =>
-      struct(coalesce(cos(v, lit(c)), lit(-2.0)).as("sim"), lit(i).as("cell"))
+    def cellSims(v: Column) = array(centers.zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        struct(coalesce(cos(v, lit(c)), lit(-2.0)).as("sim"), lit(i).as("cell"))
     }: _*)
 
     // candidate → nearest cell: argmax cosine over the literal codebook

@@ -101,4 +101,25 @@ object TextAnalysis {
     docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Per-document repetition profile over word n-grams (the Gopher-style
+    * repetitive-content quality filter): total vs distinct n-grams,
+    * repetition ratio 1 − distinct/total, and the share of the single most
+    * frequent n-gram. Two hash aggregations keyed on (doc, ngram) then doc —
+    * no per-doc state, scales with the corpus. Docs with fewer than `n`
+    * tokens produce no n-grams and drop out. */
+  def repetitionProfile(docs: DataFrame, n: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perNgram = docs
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("c"))
+    perNgram.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_unique"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6)
+          .as("repetition_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_share"))
+  }
 }

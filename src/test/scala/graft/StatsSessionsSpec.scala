@@ -125,6 +125,13 @@ class StatsSessionsSpec extends SparkTestBase {
     assert(both.where(not(col("native") === col("hof"))).count() === 0L)
   }
 
+  test("revenue_by_nation broadcasts the dimension sides") {
+    val q = SparkEntry.queries("revenue_by_nation")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(q.count() > 0)
+  }
+
   test("multimodal decode hist columns sum to byte count") {
     val out = SparkEntry.queries("multimodal_decode")(spark, sfDir)
       .withColumn("hist_sum",
