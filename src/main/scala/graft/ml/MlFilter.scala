@@ -34,13 +34,19 @@ object MlFilter {
     * filter; each extra LBFGS pass is one more treeAggregate over the
     * corpus, so the cap is a direct throughput lever at scale. */
   def trainScore(labeled: DataFrame, featureCols: Seq[String],
-                 maxIter: Int = 15): DataFrame = {
+                 maxIter: Int = 10): DataFrame = {
     val clean = labeled.na.drop(featureCols :+ "label")
     // cached: the feature lineage (several window passes) would otherwise
-    // re-evaluate for every LBFGS pass AND again for scoring
+    // re-evaluate for every LBFGS pass AND again for scoring. repartition —
+    // NOT coalesce — right-sizes the task count for the iterative phase:
+    // every LBFGS pass is one job over these partitions, so tiny partitions
+    // are pure scheduler overhead, but coalesce would fold the upstream
+    // window lineage down to the same low parallelism; the shuffle boundary
+    // keeps feature computation wide and only the cached iterate narrow.
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .transform(clean)
+      .repartition(8)
       .cache()
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01)
