@@ -81,4 +81,44 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Backtest.runShort(bars, "signal").count() == 0)
     assert(Backtest.maeMfeShort(bars, horizon = 2).count() == 0)
   }
+
+  test("sessions/stats/text operators survive empty and degenerate input") {
+    import java.sql.Timestamp
+    val emptyEvents = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(operators.Sessions.sessionize(
+      emptyEvents, "user_id", "ts", "value", 1000L).count() == 0)
+
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(llm.TextAnalysis.ngramFreq(emptyDocs, 2).count() == 0)
+    assert(llm.TextAnalysis.repetitionProfile(emptyDocs, 2).count() == 0)
+    assert(llm.Dedup.contamination(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), emptyDocs).count() == 0)
+
+    // single-token docs produce no bigrams and drop out of the profile
+    val short = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(llm.TextAnalysis.repetitionProfile(short, 2).count() == 0)
+
+    // quantiles of an all-null group: percentile null, n = 0
+    val nulls = Seq(("A", Option.empty[Double]), ("A", None))
+      .toDF("symbol", "value")
+    val q = operators.Stats.groupQuantiles(nulls, Seq("symbol"), "value", Seq(0.5))
+      .collect()(0)
+    assert(q.isNullAt(q.fieldIndex("p50")) && q.getAs[Long]("n") == 0L)
+  }
+
+  test("structure features: first day and short history gate to nulls/zeros") {
+    val bars = Seq(
+      ("A", 0L, 1.0, 2.0, 0.5, 1.5, 10.0),
+      ("A", 3600000L, 1.5, 2.5, 1.0, 2.0, 0.0))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "volume")
+    val out = graft.functions.Features.withSwingBreaks(
+      graft.functions.Features.withDailyVwap(bars), swing = 12)
+      .orderBy("bar_ts_ms").collect()
+    // swing lookback incomplete -> no HH/LL flags
+    assert(out.forall(r => r.getAs[Int]("is_hh") == 0 && r.getAs[Int]("is_ll") == 0))
+    // zero-volume second bar keeps the prior cumulative VWAP
+    assert(math.abs(out(1).getAs[Double]("vwap_d") -
+      out(0).getAs[Double]("vwap_d")) < 1e-12)
+  }
 }
