@@ -114,6 +114,46 @@ object Lake {
     }
   }
 
+  /** Composite lake health report — the end-to-end shape of the reference's
+    * `verify_all.py` (its biggest transform): one row per (check, symbol)
+    * with ok + detail. Covers `_meta.json` presence, schema conformance
+    * against the expected contract, checkpoint sanity (present, not in the
+    * future), and full per-symbol integrity (dupes / monotonicity / grid
+    * completeness). The per-row work is the distributed
+    * [[graft.operators.Gaps.integrityCheck]] pass; the metadata checks are
+    * driver-side byte reads via the Hadoop FS. API/import checks of the
+    * reference are environment probes with no lake analogue and are out of
+    * scope. */
+  def verifyAll(spark: SparkSession, root: String,
+                expected: StructType, stepMs: Long, tf: String,
+                nowMs: Long,
+                symbolCol: String = "symbol",
+                tsMsCol: String = "bar_ts_ms"): DataFrame = {
+    import spark.implicits._
+    val metaOk = readMeta(spark, root).isDefined
+    val df = read(spark, root)
+    val violations = validateSchema(
+      StructType(df.schema.filterNot(f => Seq("year", "month").contains(f.name))),
+      expected)
+    val ckpt = Checkpoint.read(root, tf)
+    val ckptOk = ckpt.nonEmpty && ckpt.values.forall(_ <= nowMs)
+    val driverChecks = Seq(
+      ("meta_present", "*", metaOk, if (metaOk) "" else "_meta.json absent"),
+      ("schema_match", "*", violations.isEmpty, violations.mkString("; ")),
+      ("checkpoint_sane", "*", ckptOk,
+        if (ckpt.isEmpty) s"_checkpoint_$tf.json absent"
+        else if (!ckptOk) "checkpoint in the future" else ""))
+      .toDF("check", symbolCol, "ok", "detail")
+    val integ = graft.operators.Gaps.integrityCheck(
+        df.select(col(symbolCol), col(tsMsCol).as("ts_ms"),
+          col(tsMsCol).as("event_id")), stepMs)
+      .select(lit("integrity").as("check"), col(symbolCol),
+        (col("n_dups") === 0 && col("n_non_monotonic") === 0).as("ok"),
+        concat(lit("dups="), col("n_dups"),
+          lit(" missing="), col("n_missing")).as("detail"))
+    driverChecks.unionByName(integ)
+  }
+
   /** Schema validation against an expected contract (verify_all.py:38-54):
     * returns the list of violations, empty = valid. */
   def validateSchema(actual: StructType, expected: StructType): Seq[String] = {

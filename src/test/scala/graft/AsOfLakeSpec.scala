@@ -118,4 +118,45 @@ class AsOfLakeSpec extends SparkTestBase {
     val wrong = Seq((1, "x")).toDF("symbol", "extra")
     assert(Lake.validateSchema(wrong.schema, df.schema).nonEmpty)
   }
+
+  test("verifyAll: healthy lake all-ok; corruption flips the right checks") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "verify-lake").toString
+    val bars = Seq(
+      ("A", 1704067200000L, 1.0), ("A", 1704067260000L, 2.0),
+      ("B", 1704067200000L, 3.0))
+      .toDF("symbol", "bar_ts_ms", "close")
+    Lake.writePartitioned(bars, root)
+    Lake.writeMeta(bars, root)
+    sources.Checkpoint.write(root, "m1", Map("A" -> 1704067320000L))
+    val expected = org.apache.spark.sql.types.StructType(bars.schema.fields)
+
+    val now = 1704070000000L
+    val healthy = Lake.verifyAll(spark, root, expected, 60000L, "m1", now)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(healthy("meta_present") && healthy("schema_match")
+      && healthy("checkpoint_sane"))
+    assert(Lake.verifyAll(spark, root, expected, 60000L, "m1", now)
+      .where($"check" === "integrity" && !$"ok").count() == 0)
+
+    // checkpoint in the future -> flagged
+    sources.Checkpoint.write(root, "m1", Map("A" -> (now + 86400000L)))
+    val future = Lake.verifyAll(spark, root, expected, 60000L, "m1", now)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(!future("checkpoint_sane"))
+
+    // schema drift -> flagged with detail
+    val drifted = org.apache.spark.sql.types.StructType(
+      expected.fields.filterNot(_.name == "close"))
+    val rep = Lake.verifyAll(spark, root, drifted, 60000L, "m1", now)
+      .where($"check" === "schema_match").collect()(0)
+    assert(!rep.getBoolean(2) && rep.getString(3).contains("close"))
+
+    // duplicate row -> integrity KO for that symbol only
+    Lake.writePartitioned(bars.unionAll(bars.limit(1)), root)
+    val integ = Lake.verifyAll(spark, root, expected, 60000L, "m1", now)
+      .where($"check" === "integrity").collect()
+      .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(!integ("A") && integ("B"))
+  }
 }
