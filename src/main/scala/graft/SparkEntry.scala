@@ -650,6 +650,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37c — multimodal frame sampling: fixed-size frames from the
+    // binary payload, every 2nd kept, per-frame decode stats (the explode
+    // plumbing of real video frame extraction; codec stubbed).
+    "frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(
+          Multimodal.withPayload(
+            Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+          frameBytes = 256, everyN = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"), col("max_byte"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // §2 #17 — EMA trend block: ema20/50/200 spreads+slopes, Keltner width,
     // squeeze ratio, composite trend score (build_mtf_context_h4_v1.py:90-120).
     // Recursive smoothing, verified via a DuckDB list_reduce prefix-fold
@@ -1303,6 +1317,26 @@ object SparkEntry {
         |       round(avg(CASE WHEN ret1 > 0.0 THEN 1.0 ELSE 0.0 END), 6)
         |         AS up_share
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(unnest(range(CAST(ceil(length(text) / 256.0) AS INTEGER)))
+        |              AS INTEGER) AS frame_idx
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |         substr(text, frame_idx * 256 + 1, 256) AS frame
+        |  FROM f WHERE frame_idx % 2 = 0),
+        |ch AS (
+        |  SELECT doc_id, frame_idx, length(frame) AS frame_bytes,
+        |         unicode(unnest(str_split(frame, ''))) AS code
+        |  FROM s)
+        |SELECT doc_id, frame_idx,
+        |       CAST(min(frame_bytes) AS INTEGER) AS frame_bytes,
+        |       round(avg(code), 6) AS mean_byte,
+        |       CAST(max(code) AS INTEGER) AS max_byte
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (

@@ -45,6 +45,40 @@ object Multimodal {
     (mean, mx, hist)
   }
 
+  /** Frame sampling over a "video" payload: treat the binary as fixed-size
+    * frames, keep every `everyN`-th, one output row per sampled frame —
+    * the distributed explode pattern real frame extraction uses (slicing is
+    * pure SQL; per-frame decode goes through the same batched stub). A
+    * short trailing frame is kept, like a real container's last frame. */
+  def frameSample(withPayloads: DataFrame, frameBytes: Int = 256, everyN: Int = 2,
+                  payloadCol: String = "payload"): DataFrame = {
+    val nFrames = ceil(octet_length(col(payloadCol)).cast("double") / frameBytes)
+      .cast("int")
+    val frames = withPayloads
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
+      .where(pmod(col("frame_idx"), lit(everyN)) === 0)
+      .withColumn("frame",
+        substring(col(payloadCol), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+    decodeFeatures(frames.drop(payloadCol), "frame")
+  }
+
+  /** STUB resize: deterministic fake that truncates/pads the payload to the
+    * target pixel budget and rewrites the metadata struct — the schema and
+    * per-row shape of a real resize; only this function changes with a real
+    * codec. */
+  def resizeStub(withPayloads: DataFrame, w: Int, h: Int,
+                 payloadCol: String = "payload"): DataFrame = {
+    val target = w * h / 64
+    withPayloads
+      .withColumn(payloadCol,
+        rpad(substring(col(payloadCol), 1, target), target, Array[Byte](0)))
+      .withColumn("meta", struct(
+        lit(target).as("n_bytes"),
+        col("meta.content_id").as("content_id"),
+        lit(w).as("width"), lit(h).as("height")))
+  }
+
   /** Batched per-partition "decode" over the binary payload — the real
     * plumbing (schema, batching, partition-parallel, no shuffle) with the
     * codec stubbed. */

@@ -170,4 +170,30 @@ class LlmSpec extends SparkTestBase {
     assert(out.getAs[Int]("max_byte") == 99)
     assert(out.getAs[Seq[Long]]("byte_hist")(1) == 3L) // all in [64,128)
   }
+
+  test("frame sampling keeps every Nth frame including a short tail") {
+    import spark.implicits._
+    // 10-byte payload, 4-byte frames -> frames 0,1,2 (tail len 2); every 2nd
+    val docs = Seq((1L, "aaaabbbbcc")).toDF("doc_id", "text")
+    val frames = llm.Multimodal.frameSample(
+        llm.Multimodal.withPayload(docs), frameBytes = 4, everyN = 2)
+      .orderBy("frame_idx")
+      .select("frame_idx", "frame", "mean_byte").collect()
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 2))
+    assert(new String(frames(0).getAs[Array[Byte]]("frame")) == "aaaa")
+    assert(new String(frames(1).getAs[Array[Byte]]("frame")) == "cc")
+    assert(frames(1).getAs[Double]("mean_byte") == 'c'.toInt.toDouble)
+  }
+
+  test("resize stub rewrites payload size and metadata dims") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val out = llm.Multimodal.resizeStub(
+      llm.Multimodal.withPayload(docs), w = 32, h = 16).collect()(0)
+    val target = 32 * 16 / 64
+    assert(out.getAs[Array[Byte]]("payload").length == target)
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("n_bytes") == target &&
+      meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 16)
+  }
 }
