@@ -697,6 +697,37 @@ object SparkEntry {
         .orderBy("symbol", "bar_ts_ms")
     }),
 
+    // §2 #16e — rolling volume z-score (build_mtf_context_h4_v1.py:156).
+    "volume_z" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Features.withZScore(h1, "volume", "volume_z", win = 24, minPeriods = 12)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("volume"), 6).as("volume"),
+          round(col("volume_z"), 6).as("volume_z"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #16f — impulse-bar features: body in ATRs, close position in
+    // range, range in ATRs + long/short impulse flags
+    // (run_sweep_router_v3_breakout.py delta_norm/close_pos/range_rel gates).
+    "impulse_features" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val atrOk = when(col("atr") > 0.0, col("atr"))
+      val span = col("high") - col("low")
+      val deltaNorm = (col("close") - col("open")) / atrOk
+      val closePos = (col("close") - col("low")) / when(span =!= 0.0, span)
+      val rangeRel = span / atrOk
+      h1.select(col("symbol"), col("bar_ts_ms"),
+          round(deltaNorm, 6).as("delta_norm"),
+          round(closePos, 6).as("close_pos"),
+          round(rangeRel, 6).as("range_rel"),
+          when(deltaNorm > 0.5 && closePos > 0.7 && rangeRel > 1.2, 1)
+            .otherwise(0).as("impulse_long"),
+          when(deltaNorm < -0.5 && closePos < 0.3 && rangeRel > 1.2, 1)
+            .otherwise(0).as("impulse_short"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
     // §2 #16c — forward returns at multiple horizons (anti-lookahead
     // evaluation targets; analyze_low_plus_policy.py _synth_signed_returns).
     "fwd_returns" -> ((s, dir) => {
@@ -1289,6 +1320,59 @@ object SparkEntry {
         |FROM d
         |WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)
         |ORDER BY 1, 2""".stripMargin,
+
+    "volume_z" ->
+      s"""$H1Cte
+        |SELECT symbol, bar_ts_ms,
+        |       round(volume, 6) AS volume,
+        |       round((volume -
+        |              CASE WHEN count(volume) OVER w24 >= 12
+        |                   THEN avg(volume) OVER w24 END)
+        |             / (CASE WHEN count(volume) OVER w24 >= 12
+        |                THEN stddev_pop(volume) OVER w24 END + 1e-12),
+        |             6) AS volume_z
+        |FROM h1
+        |WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "impulse_features" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         (close - open) / (CASE WHEN atr > 0.0 THEN atr END)
+        |           AS delta_norm,
+        |         (close - low) / nullif(high - low, 0) AS close_pos,
+        |         (high - low) / (CASE WHEN atr > 0.0 THEN atr END)
+        |           AS range_rel
+        |  FROM a)
+        |SELECT symbol, bar_ts_ms,
+        |       round(delta_norm, 6) AS delta_norm,
+        |       round(close_pos, 6) AS close_pos,
+        |       round(range_rel, 6) AS range_rel,
+        |       CASE WHEN delta_norm > 0.5 AND close_pos > 0.7
+        |                 AND range_rel > 1.2 THEN 1 ELSE 0 END AS impulse_long,
+        |       CASE WHEN delta_norm < -0.5 AND close_pos < 0.3
+        |                 AND range_rel > 1.2 THEN 1 ELSE 0 END AS impulse_short
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     "fwd_returns" ->
       s"""$H1Cte

@@ -149,19 +149,21 @@ object Backtest {
                slK: Double = 1.0, horizon: Int = 16,
                symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame =
     run(bars, signalCol, short = true, tpR, slK, horizon, feeBps = 0.0,
-      symbolCol, tsCol)
+      symbolCol = symbolCol, tsCol = tsCol)
 
   /** Event-driven LONG backtest — mirrored exits. */
   def runLong(bars: DataFrame, signalCol: String, tpR: Double = 2.0,
               slK: Double = 1.0, horizon: Int = 16, feeBps: Double = 0.0,
               symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame =
     run(bars, signalCol, short = false, tpR, slK, horizon, feeBps,
-      symbolCol, tsCol)
+      symbolCol = symbolCol, tsCol = tsCol)
 
   /** Event-driven backtest (backtest_router_event_v1_1.py:255-475):
     * one open position per symbol; `signalCol`==1 arms an entry executed at
     * the NEXT bar's open; exits on SL (conservative first on both-touch),
-    * TP (tpR·risk in the trade direction) or time-out after `horizon` bars
+    * TP (tpR·risk in the trade direction), an optional regime-flip exit at
+    * close when `flipCol`==1 (run_sweep_router_v3_breakout.py FLIP_ROUTER —
+    * leave when the router leaves TREND), or time-out after `horizon` bars
     * at close. `feeBps` deducts round-trip costs (entry+exit, in basis
     * points of the entry price) from the R multiple, like the reference's
     * apply_costs_on_entry. Emits one row per closed trade. Runs as a
@@ -170,7 +172,7 @@ object Backtest {
     * processor. */
   def run(bars: DataFrame, signalCol: String, short: Boolean,
           tpR: Double = 2.0, slK: Double = 1.0, horizon: Int = 16,
-          feeBps: Double = 0.0,
+          feeBps: Double = 0.0, flipCol: Option[String] = None,
           symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
     val sch = bars.schema
     val iTs = sch.fieldIndex(tsCol)
@@ -180,6 +182,7 @@ object Backtest {
     val iClose = sch.fieldIndex("close")
     val iAtr = sch.fieldIndex("atr")
     val iSig = sch.fieldIndex(signalCol)
+    val iFlip = flipCol.map(sch.fieldIndex)
 
     val perBar = SeqScan.mapOrdered(bars, symbolCol, tsCol, tradeFields)(
       () => new PosState) { (st, row) =>
@@ -205,9 +208,11 @@ object Backtest {
         val tpHit = if (short) low <= tp else high >= tp
         val timeR =
           if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
+        val flip = iFlip.exists(i => !row.isNullAt(i) && row.getInt(i) == 1)
         val exited: Option[(Double, String, Double)] =
           if (slHit) Some((sl, "SL", -1.0))
           else if (tpHit) Some((tp, "TP", tpR))
+          else if (flip) Some((close, "FLIP", timeR))
           else if (st.barsHeld >= horizon) Some((close, "TIME", timeR))
           else None
         exited.foreach { case (px, reason, r) =>

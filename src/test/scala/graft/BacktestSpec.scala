@@ -88,4 +88,23 @@ class BacktestSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("mean_r") == 1.0)
     assert(out(1).getAs[Double]("mean_r") == 0.4)
   }
+
+  test("router-flip exit closes at the flip bar's close before any time stop") {
+    val bars = Seq(
+      ("A", 0L, 100.0, 101.0, 99.0, 100.0, 10.0, 1, 0),  // signal, in regime
+      ("A", 1L, 100.0, 101.0, 99.0, 100.0, 10.0, 0, 0),  // entry at 100
+      ("A", 2L, 100.0, 101.0, 99.0, 98.0, 10.0, 0, 0),   // no exit yet
+      ("A", 3L, 98.0, 99.0, 97.0, 97.0, 10.0, 0, 1),     // regime flips -> exit
+      ("A", 4L, 97.0, 98.0, 96.0, 96.0, 10.0, 0, 1))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr",
+        "signal", "flip")
+    val t = Backtest.run(bars, "signal", short = true, tpR = 5.0, slK = 1.0,
+      horizon = 16, flipCol = Some("flip")).collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("exit_reason") == "FLIP")
+    assert(t(0).getAs[Long]("exit_ts") == 3L)
+    assert(t(0).getAs[Double]("exit_price") == 97.0)
+    // r = (entry - close)/risk = (100-97)/10
+    assert(math.abs(t(0).getAs[Double]("r_mult") - 0.3) < 1e-12)
+  }
 }
