@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, Sessions, Stats, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -296,6 +296,15 @@ object SparkEntry {
       IchimokuMtf(h1, stepMs = 3600000L, coarseMult = 4)
         .select(col("symbol"), col("bar_ts_ms"), col("label_base"),
           col("label_coarse"), col("mtf_score"), col("mtf_label"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #22c — strict multi-TF router gate: h1+h4 verdict consensus with
+    // d1 veto, anti-lookahead coarse projection, both-direction
+    // neutralization (build_router_gate_from_audit_v1.py gate algebra).
+    "router_gate" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      RouterGate(h1, stepMs = 3600000L)
         .orderBy("symbol", "bar_ts_ms")
     }),
 
@@ -1191,6 +1200,51 @@ object SparkEntry {
         |       xts AS exit_ts, round(xpx, 6) AS exit_price,
         |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
         |FROM tr1 ORDER BY 1, 2""".stripMargin,
+
+    "router_gate" ->
+      s"""$H1Cte,
+        |${ichChainSql("h1", "b")},
+        |h4 AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 14400000) * 14400000 AS bar_ts_ms,
+        |         max(high) AS high, min(low) AS low,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2),
+        |${ichChainSql("h4", "c")},
+        |cl AS (
+        |  SELECT symbol, bar_ts_ms, lag(label) OVER cwk3 AS label_h4
+        |  FROM cout WINDOW cwk3 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |d1 AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 86400000) * 86400000 AS bar_ts_ms,
+        |         max(high) AS high, min(low) AS low,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2),
+        |${ichChainSql("d1", "d")},
+        |dl AS (
+        |  SELECT symbol, bar_ts_ms, lag(label) OVER dwk3 AS label_d1
+        |  FROM dout WINDOW dwk3 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |j1 AS (
+        |  SELECT b.symbol, b.bar_ts_ms, b.label AS label_h1, cl.label_h4
+        |  FROM bout b ASOF LEFT JOIN cl
+        |    ON b.symbol = cl.symbol AND b.bar_ts_ms >= cl.bar_ts_ms),
+        |j2 AS (
+        |  SELECT j1.*, dl.label_d1
+        |  FROM j1 ASOF LEFT JOIN dl
+        |    ON j1.symbol = dl.symbol AND j1.bar_ts_ms >= dl.bar_ts_ms),
+        |g AS (
+        |  SELECT *,
+        |         (label_h1 = 'LONG' AND label_h4 = 'LONG'
+        |          AND (label_d1 IS NULL OR label_d1 <> 'SHORT')) AS rl,
+        |         (label_h1 = 'SHORT' AND label_h4 = 'SHORT'
+        |          AND (label_d1 IS NULL OR label_d1 <> 'LONG')) AS rs
+        |  FROM j2)
+        |SELECT symbol, bar_ts_ms, label_h1, label_h4, label_d1,
+        |       CAST(CASE WHEN rl AND NOT rs THEN 1 ELSE 0 END AS INTEGER)
+        |         AS allow_long,
+        |       CAST(CASE WHEN rs AND NOT rl THEN 1 ELSE 0 END AS INTEGER)
+        |         AS allow_short
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     // EMA is a seeded recursion (y₀=x₀, yₜ=αx+(1−α)y); ANSI window SQL can't
     // fold, but DuckDB list_reduce over the prefix list IS the same fold in
