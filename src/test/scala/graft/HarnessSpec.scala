@@ -28,4 +28,16 @@ class HarnessSpec extends SparkTestBase {
   test("flagship entry returns rows on the smoke dataset") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query output carries array/map/binary columns (driver compare chokes on them)") {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType == BinaryType => f.name
+      }
+      assert(bad.isEmpty, s"$name outputs non-scalar columns: ${bad.mkString(",")}")
+    }
+  }
 }
