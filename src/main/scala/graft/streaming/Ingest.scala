@@ -49,6 +49,38 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .partitionBy("symbol", "year", "month")
 
+  /** Streaming completeness-gated timeframe aggregation — the streaming
+    * analogue of [[graft.operators.TfAggregate]] (aggregate_tf.py): n-step
+    * buckets over a BAR stream, a bucket emitted (append mode, after the
+    * watermark passes) only when all `n` constituent bars arrived. The
+    * incremental-checkpoint machinery of the batch path is free here:
+    * structured streaming's state store IS the checkpoint.
+    *
+    * Precondition: bars are unique per (symbol, bar_ts) — in a stream that
+    * is the upstream `dropDuplicatesWithinWatermark` (see [[minuteBars]]);
+    * streaming aggregation cannot countDistinct, so with dedup guaranteed
+    * the count+span pair is an equivalent completeness gate. */
+  def tfAggregate(bars: DataFrame, stepMs: Long, n: Int,
+                  watermark: String = "10 minutes"): DataFrame =
+    bars
+      .withWatermark("bar_ts", watermark)
+      .groupBy(col("symbol"),
+        window(col("bar_ts"), s"${stepMs * n} milliseconds"))
+      .agg(
+        min_by(col("open"), col("bar_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("bar_ts")).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("n_trades")).as("n_trades"),
+        count(lit(1)).as("_cnt"),
+        (max(unix_millis(col("bar_ts"))) - min(unix_millis(col("bar_ts"))))
+          .as("_span"))
+      .where(col("_cnt") === n && col("_span") === (n - 1) * stepMs)
+      .select(col("symbol"), unix_millis(col("window.start")).as("bucket_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+
   /** Streaming sessionization: the SAME session_window expression as the
     * batch [[graft.operators.Sessions]] operator, under a watermark — a
     * session emits (append mode) once the watermark passes its close. This

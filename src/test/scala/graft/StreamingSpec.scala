@@ -63,6 +63,36 @@ class StreamingSpec extends SparkTestBase {
     assert(gaps(0).prevMs == 60000L && gaps(0).tsMs == 300000L)
   }
 
+  test("streaming gated tf aggregation emits only complete buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (symbol, bar_ts, open, high, low, close, volume, n_trades)
+    val input = MemoryStream[(String, Timestamp, Double, Double, Double, Double, Double, Long)]
+    val bars = input.toDF()
+      .toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume", "n_trades")
+    val q = Ingest.tfAggregate(bars, stepMs = 60000L, n = 2, watermark = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tf_out").start()
+
+    input.addData(
+      // complete 2-minute bucket [00:00, 00:02)
+      ("X", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 3.0, 0.5, 2.0, 10.0, 5L),
+      ("X", Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, 4.0, 1.5, 3.0, 20.0, 7L),
+      // incomplete bucket [00:04, 00:06): only one bar
+      ("X", Timestamp.valueOf("2024-01-01 00:04:00"), 9.0, 9.0, 9.0, 9.0, 1.0, 1L))
+    q.processAllAvailable()
+    input.addData(("X", Timestamp.valueOf("2024-01-01 01:00:00"), 1.0, 1.0, 1.0, 1.0, 1.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tf_out").orderBy("bucket_ms").collect()
+    assert(out.length == 1) // only the complete bucket emitted
+    assert(out(0).getAs[Long]("bucket_ms") == 1704067200000L)
+    assert(out(0).getAs[Double]("open") == 1.0 && out(0).getAs[Double]("close") == 3.0)
+    assert(out(0).getAs[Double]("high") == 4.0 && out(0).getAs[Double]("low") == 0.5)
+    assert(out(0).getAs[Long]("n_trades") == 12L)
+  }
+
   test("streaming session windows close after the watermark and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
