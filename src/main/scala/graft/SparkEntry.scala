@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -305,6 +305,15 @@ object SparkEntry {
     "router_gate" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
       RouterGate(h1, stepMs = 3600000L)
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #22d — multi-TF regime-case taxonomy with confluence-scored
+    // sizing (audit_regime_cases_v1.py cascade; breakout/fake-breakout
+    // resolved with two window lags — no stateful scan).
+    "regime_cases" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      RegimeCases(h1, stepMs = 3600000L)
         .orderBy("symbol", "bar_ts_ms")
     }),
 
@@ -990,7 +999,16 @@ object SparkEntry {
        |                   AND bull_raw >= 3 AND bull_raw > bear_raw THEN 'LONG'
        |              WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
        |                   AND bear_raw >= 3 AND bear_raw > bull_raw THEN 'SHORT'
-       |              ELSE 'NEUTRE' END AS label
+       |              ELSE 'NEUTRE' END AS label,
+       |         CAST(CASE WHEN NOT ready THEN 0
+       |              WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+       |                   AND bull_raw >= 3 AND bull_raw > bear_raw
+       |                THEN bull_raw
+       |              WHEN ready AND NOT (abs(bull_raw - bear_raw) < 1.0)
+       |                   AND bear_raw >= 3 AND bear_raw > bull_raw
+       |                THEN bear_raw
+       |              ELSE greatest(bull_raw, bear_raw) END AS INTEGER)
+       |           AS score_display
        |  FROM ${p}sc)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1200,6 +1218,106 @@ object SparkEntry {
         |       xts AS exit_ts, round(xpx, 6) AS exit_price,
         |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
         |FROM tr1 ORDER BY 1, 2""".stripMargin,
+
+    "regime_cases" ->
+      s"""$H1Cte,
+        |${ichChainSql("h1", "b")},
+        |h4 AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 14400000) * 14400000 AS bar_ts_ms,
+        |         max(high) AS high, min(low) AS low,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2),
+        |${ichChainSql("h4", "c")},
+        |cl AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         lag(CASE WHEN label = 'LONG' THEN 1
+        |                  WHEN label = 'SHORT' THEN -1 ELSE 0 END)
+        |           OVER cwk4 AS d_h4
+        |  FROM cout WINDOW cwk4 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |d1 AS (
+        |  SELECT symbol,
+        |         (bar_ts_ms // 86400000) * 86400000 AS bar_ts_ms,
+        |         max(high) AS high, min(low) AS low,
+        |         arg_max(close, bar_ts_ms) AS close
+        |  FROM h1 GROUP BY 1, 2),
+        |${ichChainSql("d1", "d")},
+        |dl AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         lag(CASE WHEN label = 'LONG' THEN 1
+        |                  WHEN label = 'SHORT' THEN -1 ELSE 0 END)
+        |           OVER dwk4 AS d_d1
+        |  FROM dout WINDOW dwk4 AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |j1 AS (
+        |  SELECT b.symbol, b.bar_ts_ms, b.label AS label_h1,
+        |         b.score_display AS score_h1, cl.d_h4
+        |  FROM bout b ASOF LEFT JOIN cl
+        |    ON b.symbol = cl.symbol AND b.bar_ts_ms >= cl.bar_ts_ms),
+        |j2 AS (
+        |  SELECT j1.*, dl.d_d1
+        |  FROM j1 ASOF LEFT JOIN dl
+        |    ON j1.symbol = dl.symbol AND j1.bar_ts_ms >= dl.bar_ts_ms),
+        |dirs AS (
+        |  SELECT *,
+        |         CASE WHEN label_h1 = 'LONG' THEN 1
+        |              WHEN label_h1 = 'SHORT' THEN -1 ELSE 0 END AS d_h1
+        |  FROM j2),
+        |scd AS (
+        |  SELECT *, 3 * d_d1 + 2 * d_h4 + 2 * d_h1 AS sc FROM dirs),
+        |bc AS (
+        |  SELECT *,
+        |    CASE WHEN score_h1 = 0 AND label_h1 = 'NEUTRE'
+        |           THEN 'WARMUP_UNDEFINED'
+        |         WHEN d_h4 IS NULL OR d_d1 IS NULL THEN 'DATA_GAP_OR_INVALID'
+        |         WHEN d_d1 * d_h4 = -1 THEN 'CHAOS_CONFLICT_TF'
+        |         WHEN d_d1 = 1 AND d_h1 = -1 THEN 'MACRO_BULL_MICRO_BEAR'
+        |         WHEN d_d1 = -1 AND d_h1 = 1 THEN 'MACRO_BEAR_MICRO_BULL'
+        |         WHEN d_d1 = 1 AND d_h1 = 1 AND d_h4 >= 0
+        |           THEN 'TREND_CONTINUATION_LONG'
+        |         WHEN d_d1 = -1 AND d_h1 = -1 AND d_h4 <= 0
+        |           THEN 'TREND_CONTINUATION_SHORT'
+        |         WHEN d_d1 = 1 AND d_h1 < 0 THEN 'PULLBACK_LONG_IN_BULL_TREND'
+        |         WHEN d_d1 = -1 AND d_h1 > 0 THEN 'PULLBACK_SHORT_IN_BEAR_TREND'
+        |         WHEN abs(sc) < 3 AND d_d1 > 0 THEN 'RANGE_BIASED_LONG'
+        |         WHEN abs(sc) < 3 AND d_d1 < 0 THEN 'RANGE_BIASED_SHORT'
+        |         WHEN abs(sc) < 3 THEN 'RANGE_NEUTRAL'
+        |         WHEN d_d1 = 1 AND d_h1 < 0 AND sc > 0 THEN 'EXHAUSTION_TOP'
+        |         WHEN d_d1 = -1 AND d_h1 > 0 AND sc < 0
+        |           THEN 'EXHAUSTION_BOTTOM'
+        |         ELSE 'LOW_CONFIDENCE_NEUTRAL' END AS basec
+        |  FROM scd),
+        |lg AS (
+        |  SELECT *, lag(basec, 1) OVER lwk AS lag1,
+        |         lag(basec, 2) OVER lwk AS lag2
+        |  FROM bc WINDOW lwk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |fc AS (
+        |  SELECT *,
+        |    CASE WHEN basec = 'TREND_CONTINUATION_LONG'
+        |              AND lag1 = 'RANGE_NEUTRAL' THEN 'BREAKOUT_UP_FROM_RANGE'
+        |         WHEN basec = 'TREND_CONTINUATION_SHORT'
+        |              AND lag1 = 'RANGE_NEUTRAL'
+        |           THEN 'BREAKOUT_DOWN_FROM_RANGE'
+        |         WHEN basec IN ('EXHAUSTION_TOP', 'EXHAUSTION_BOTTOM',
+        |                        'LOW_CONFIDENCE_NEUTRAL')
+        |              AND lag1 = 'TREND_CONTINUATION_LONG'
+        |              AND lag2 = 'RANGE_NEUTRAL' AND d_h1 <= 0
+        |           THEN 'FAKE_BREAKOUT_UP'
+        |         WHEN basec IN ('EXHAUSTION_TOP', 'EXHAUSTION_BOTTOM',
+        |                        'LOW_CONFIDENCE_NEUTRAL')
+        |              AND lag1 = 'TREND_CONTINUATION_SHORT'
+        |              AND lag2 = 'RANGE_NEUTRAL' AND d_h1 >= 0
+        |           THEN 'FAKE_BREAKOUT_DOWN'
+        |         ELSE basec END AS regime_case
+        |  FROM lg)
+        |SELECT symbol, bar_ts_ms, regime_case,
+        |       CAST(sc AS INTEGER) AS confluence_score,
+        |       CASE WHEN regime_case IN ('WARMUP_UNDEFINED',
+        |              'DATA_GAP_OR_INVALID', 'CHAOS_CONFLICT_TF') THEN 0.0
+        |            WHEN abs(sc) >= 10 THEN 1.0
+        |            WHEN abs(sc) >= 7 THEN 0.75
+        |            WHEN abs(sc) >= 4 THEN 0.5
+        |            ELSE 0.25 END AS size_mult
+        |FROM fc ORDER BY 1, 2""".stripMargin,
 
     "router_gate" ->
       s"""$H1Cte,
