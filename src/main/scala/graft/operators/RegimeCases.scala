@@ -51,8 +51,16 @@ object RegimeCases {
       symbolCol, tsCol, tsCol, matchedTsCol = "h4_ts_ms")
     val j2 = AsOf.joinBackward(j1, laggedDir(24, "d_d1"),
       symbolCol, tsCol, tsCol, matchedTsCol = "d1_ts_ms")
+    classify(j2, neutralThresh, symbolCol, tsCol)
+  }
 
-    val withDirs = j2.withColumn("d_h1",
+  /** The classification cascade over a frame carrying (label_h1, score_h1,
+    * d_h4, d_d1) — separated so every branch (including the breakout →
+    * fake-breakout chains, which need specific verdict sequences) is
+    * unit-testable with injected direction votes. */
+  def classify(dirsIn: DataFrame, neutralThresh: Int = 3,
+               symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
+    val withDirs = dirsIn.withColumn("d_h1",
       when(col("label_h1") === "LONG", 1)
         .when(col("label_h1") === "SHORT", -1).otherwise(0))
     val score = lit(3) * col("d_d1") + lit(2) * col("d_h4") + lit(2) * col("d_h1")
