@@ -134,6 +134,8 @@ object Similarity {
     // deterministic bounded sample (lowest ids) for codebook training
     val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) // empty corpus: no codebook to train, brute is exact
+      return annTopKBrute(candidates, queries, k, idCol, vecCol)
     val centers = sphericalKMeans(sample, nCells, seed)
 
     def cellSims(v: Column) = array(centers.zipWithIndex.toIndexedSeq.map {

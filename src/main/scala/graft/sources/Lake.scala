@@ -39,8 +39,9 @@ object Lake {
     val u = existing.withColumn("_pri", lit(0))
       .unionByName(incoming.withColumn("_pri", lit(1)))
     val payload = existing.columns.filterNot(keys.contains).map(col).toSeq
+    val tiebreak = if (payload.isEmpty) lit(0L) else xxhash64(payload: _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_pri").desc, xxhash64(payload: _*).asc)
+      .orderBy(col("_pri").desc, tiebreak.asc)
     u.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn", "_pri")
