@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Canonical, Gaps, TfAggregate}
+import graft.operators.{AsOf, Canonical, Gaps, Sessions, TfAggregate}
 
 /** Randomized properties: each operator vs an in-memory brute-force
   * reference over seeded random inputs (deterministic across runs). */
@@ -56,6 +56,34 @@ class PropertySpec extends SparkTestBase {
       val got = Canonical.dedupKeepLast(df, Seq("k"), col("ord"))
         .select("k", "ord").as[(String, Long)].collect().toMap
       val expected = rows.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+      assert(got == expected)
+    }
+  }
+
+  test("property: sessionize matches a sequential fold reference") {
+    import java.sql.Timestamp
+    for (_ <- 1 to 5) {
+      val gap = 1000L
+      val events = Seq.fill(60)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(20000).toLong * 1L, rnd.nextDouble()))
+        .distinctBy(e => (e._1, e._2))
+      val df = events.map { case (u, t, v) => (u, new Timestamp(t), v) }
+        .toDF("user_id", "ts", "value")
+      val got = Sessions.sessionize(df, "user_id", "ts", "value", gap)
+        .select("user_id", "session_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // reference: sort per user, break when diff > gap
+      val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val sessions = ts.foldLeft(List.empty[List[Long]]) {
+          case (acc, t) if acc.nonEmpty && t - acc.head.head <= gap =>
+            (t :: acc.head) :: acc.tail
+          case (acc, t) => List(t) :: acc
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.head, s.last, s.size.toLong)
+        }
+      }.toSet
       assert(got == expected)
     }
   }
