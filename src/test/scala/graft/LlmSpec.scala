@@ -171,6 +171,19 @@ class LlmSpec extends SparkTestBase {
     assert(out.getAs[Seq[Long]]("byte_hist")(1) == 3L) // all in [64,128)
   }
 
+  test("native expressions are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 2) AS sh,
+        |       word_ngrams('a b a b', 2) AS ng,
+        |       simhash64(array('x', 'y')) AS fp,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](r.fieldIndex("sh")).toList == List("a b", "b c", "c d"))
+    assert(r.getSeq[String](r.fieldIndex("ng")).toList == List("a b", "b a", "a b"))
+    assert(r.getAs[Double]("cs") == 1.0)
+    assert(r.get(r.fieldIndex("fp")) != null)
+  }
+
   test("frame sampling keeps every Nth frame including a short tail") {
     import spark.implicits._
     // 10-byte payload, 4-byte frames -> frames 0,1,2 (tail len 2); every 2nd
