@@ -1484,8 +1484,8 @@ object SparkEntry {
         |              WHEN low < prev_min THEN -1 ELSE 0 END AS hh_hl_state
         |  FROM v)
         |SELECT symbol, bar_ts_ms,
-        |       round(lag(vwap_d) OVER wk, 6) AS vwap_d,
-        |       round(lag(vwap_d_dist) OVER wk, 6) AS vwap_d_dist,
+        |       round(lag(vwap_d) OVER wk, 6) + 0.0 AS vwap_d,
+        |       round(lag(vwap_d_dist) OVER wk, 6) + 0.0 AS vwap_d_dist,
         |       lag(is_hh) OVER wk AS is_hh,
         |       lag(is_ll) OVER wk AS is_ll,
         |       lag(hh_hl_state) OVER wk AS hh_hl_state
@@ -1814,13 +1814,13 @@ object SparkEntry {
         |         (close - vwap) / nullif(vwap, 0) AS vwap_dist
         |  FROM v)
         |SELECT symbol, bar_ts_ms, round(vwap, 6) AS vwap,
-        |       round(vwap_dist, 6) AS vwap_dist,
+        |       round(vwap_dist, 6) + 0.0 AS vwap_dist,
         |       round((vwap_dist -
         |              CASE WHEN count(vwap_dist) OVER w24 >= 12
         |                   THEN avg(vwap_dist) OVER w24 END)
         |             / (CASE WHEN count(vwap_dist) OVER w24 >= 12
         |                THEN stddev_pop(vwap_dist) OVER w24 END + 1e-12),
-        |             6) AS vwap_dist_z
+        |             6) + 0.0 AS vwap_dist_z
         |FROM d
         |WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
