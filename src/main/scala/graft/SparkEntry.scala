@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -429,6 +429,96 @@ object SparkEntry {
           col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
           col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
         .orderBy("symbol", "entry_ts")
+    }),
+
+    // §2 #23b — per-symbol equity/performance rollup of the event backtest:
+    // n, mean R, win rate, profit factor, max drawdown of the cumulative R
+    // curve (trade_backtest_router_short.py:23-96 max_drawdown + summary).
+    "equity_curve" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val sig = Ichimoku(h1, IchimokuParams())
+        .withColumn("signal", when(col("label") === "SHORT", 1).otherwise(0))
+        .select(col("symbol"), col("bar_ts_ms"), col("open"), col("high"),
+          col("low"), col("close"), col("atr"), col("signal"))
+      val trades = Backtest.runShort(sig, "signal", tpR = 2.0, slK = 1.0,
+        horizon = 16)
+      Backtest.perf(trades)
+        .select(col("symbol"), col("n_trades"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"),
+          round(col("max_drawdown_r"), 6).as("max_dd_r"))
+        .orderBy("symbol")
+    }),
+
+    // §2 #17h — order-flow / CVD feature block over hour bars with buy/sell
+    // aggression split (run_ml_m15_v2_flow.py:171-215). The tick stream has
+    // no taker-side flag, so even/odd user_id stands in for taker-buy/sell —
+    // deterministic on both engines.
+    "flow_features" -> ((s, dir) => {
+      val bars = Bars.fromTicksWithAggression(events(s, dir), "hour",
+        buySide = col("user_id") % 2 === 0)
+      Flow.withFlowFeatures(bars)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("delta_aggr_norm"), 6).as("delta_aggr_norm"),
+          round(col("cvd_proxy"), 6).as("cvd_proxy"),
+          round(col("cvd_ret1"), 6).as("cvd_ret1"),
+          round(col("cvd_slope_3"), 6).as("cvd_slope_3"),
+          round(col("cvd_slope_8"), 6).as("cvd_slope_8"),
+          round(col("cvd_ret1_z"), 6).as("cvd_ret1_z"),
+          round(col("price_slope_3"), 6).as("price_slope_3"),
+          col("div_cvd_price_3"), col("div_cvd_price_8"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #22c — LOW+ tradability enrichment: low-vol override gating with
+    // reason codes (enrich_joined_low_plus.py:22-60).
+    "low_plus_gate" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      LowPlus.enrich(h1)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("dir_score"), 6).as("dir_score"),
+          col("dir_state"), coalesce(col("vol_state"), lit("NA")).as("vol_state"),
+          col("low_plus").cast("int").as("low_plus"),
+          col("market_ready_base").cast("int").as("market_ready_base"),
+          col("dir_ready").cast("int").as("dir_ready"),
+          col("tradable_base").cast("int").as("tradable_base"),
+          col("tradable_override").cast("int").as("tradable_override"),
+          col("tradable_final").cast("int").as("tradable_final"),
+          col("is_add").cast("int").as("is_add"),
+          col("override_reason"), col("block_reason_base"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #25s — confidence keep-fraction sweep: keep the top-f fraction of
+    // bars by impulse score, report the kept cohort's forward-return stats
+    // (run_ml_m15_v2_flow.py:238-263 choose_keep_frac_val).
+    "keep_frac_sweep" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      val scored = h1
+        .withColumn("score",
+          (col("close") - col("open")) / when(col("atr") > 0.0, col("atr")))
+        .withColumn("r_fwd",
+          lead(col("close"), 4).over(w) /
+            when(col("close") =!= 0.0, col("close")) - 1.0)
+      Backtest.keepFracSweep(scored, "score", "r_fwd",
+          Seq(0.2, 0.4, 0.6, 0.8, 1.0), Seq("symbol", "bar_ts_ms"))
+        .select(col("keep_frac"), col("n_kept"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"))
+        .orderBy("keep_frac")
+    }),
+
+    // §2 #48 — one-pass table/column profile: row, null, distinct counts and
+    // string min/max per column (inspect_router_columns_and_counts_v1_1.py).
+    // ts excluded: timestamp→string rendering is engine-specific.
+    "column_profile" -> ((s, dir) => {
+      val e = events(s, dir)
+      Profile.columnProfile(e,
+          Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy("column_name")
     }),
 
     // §2 #22b — LOW/MID/HIGH volatility regime from the range percentile
@@ -1011,6 +1101,102 @@ object SparkEntry {
        |           AS score_display
        |  FROM ${p}sc)""".stripMargin
 
+  /** Backtest CTE chain shared by the `backtest_trades` and
+    * `equity_curve` oracles: h1 bars -> ATR -> ichimoku SHORT signal ->
+    * renewal-structure recursive trade chain -> closed trades in `tr1`. */
+  private def backtestTr1Cte: String =
+    s"""t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trt AS (
+        |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trt
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |${ichChainSql("h1", "b")},
+        |sg AS (
+        |  SELECT a.symbol, a.bar_ts_ms, a.open, a.high, a.low, a.close, a.atr,
+        |         CASE WHEN bout.label = 'SHORT' THEN 1 ELSE 0 END AS sig
+        |  FROM a JOIN bout
+        |    ON a.symbol = bout.symbol AND a.bar_ts_ms = bout.bar_ts_ms),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS rn
+        |  FROM sg),
+        |ecand AS (
+        |  SELECT rr.*,
+        |         lag(sig) OVER (PARTITION BY symbol ORDER BY rn) AS prev_sig
+        |  FROM rr),
+        |entries AS (
+        |  SELECT symbol, rn, bar_ts_ms, open, atr
+        |  FROM ecand WHERE prev_sig = 1 AND atr IS NOT NULL),
+        |hits AS (
+        |  SELECT e.symbol, e.rn,
+        |         min(CASE WHEN j.high >= e.open + 1.0 * e.atr
+        |                    OR j.low <= e.open - 2.0 * (1.0 * e.atr)
+        |              THEN j.rn END) AS hit_rn,
+        |         max(j.rn) AS last_rn
+        |  FROM entries e JOIN rr j
+        |    ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + 15
+        |  WHERE e.atr > 0
+        |  GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT e.symbol, e.rn, e.bar_ts_ms AS ets, e.open AS ep,
+        |         1.0 * e.atr AS risk,
+        |         coalesce(h.hit_rn,
+        |                  CASE WHEN h.last_rn = e.rn + 15 THEN e.rn + 15 END)
+        |           AS exit_rn
+        |  FROM entries e
+        |  LEFT JOIN hits h ON h.symbol = e.symbol AND h.rn = e.rn),
+        |ne AS (
+        |  SELECT symbol, rn,
+        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
+        |           OVER (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_entry_rn
+        |  FROM ecand),
+        |chain(symbol, rn, exit_rn) AS (
+        |  SELECT p.symbol, p.rn, p.exit_rn
+        |  FROM pre p
+        |  JOIN (SELECT symbol, min(rn) AS rn FROM entries GROUP BY 1) f
+        |    ON f.symbol = p.symbol AND f.rn = p.rn
+        |  UNION ALL
+        |  SELECT p2.symbol, p2.rn, p2.exit_rn
+        |  FROM chain c
+        |  JOIN ne n ON n.symbol = c.symbol AND n.rn = c.exit_rn
+        |  JOIN pre p2 ON p2.symbol = c.symbol AND p2.rn = n.next_entry_rn
+        |  WHERE c.exit_rn IS NOT NULL AND n.next_entry_rn IS NOT NULL),
+        |tr0 AS (
+        |  SELECT c.symbol, p.ets, p.ep, p.risk,
+        |         x.bar_ts_ms AS xts, x.high AS xhigh, x.low AS xlow,
+        |         x.close AS xclose,
+        |         CAST(c.exit_rn - c.rn + 1 AS INTEGER) AS bars_held
+        |  FROM chain c
+        |  JOIN pre p ON p.symbol = c.symbol AND p.rn = c.rn
+        |  JOIN rr x ON x.symbol = c.symbol AND x.rn = c.exit_rn
+        |  WHERE c.exit_rn IS NOT NULL),
+        |tr1 AS (
+        |  SELECT symbol, ets, ep, xts, bars_held,
+        |         CASE WHEN xhigh >= ep + risk THEN ep + risk
+        |              WHEN xlow <= ep - 2.0 * risk THEN ep - 2.0 * risk
+        |              ELSE xclose END AS xpx,
+        |         CASE WHEN xhigh >= ep + risk THEN 'SL'
+        |              WHEN xlow <= ep - 2.0 * risk THEN 'TP'
+        |              ELSE 'TIME' END AS xreason,
+        |         CASE WHEN xhigh >= ep + risk THEN -1.0
+        |              WHEN xlow <= ep - 2.0 * risk THEN 2.0
+        |              ELSE (ep - xclose) / risk END AS xr
+        |  FROM tr0)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1123,10 +1309,183 @@ object SparkEntry {
     // named windows in one global namespace, hence the prefixed names.
     "backtest_trades" ->
       s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$backtestTr1Cte
+        |SELECT symbol, ets AS entry_ts, round(ep, 6) AS entry_price,
+        |       xts AS exit_ts, round(xpx, 6) AS exit_price,
+        |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
+        |FROM tr1 ORDER BY 1, 2""".stripMargin,
+
+    "equity_curve" ->
+      s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$backtestTr1Cte,
+        |eq AS (
+        |  SELECT symbol, xts, xr, sum(xr) OVER eqw AS equity
+        |  FROM tr1
+        |  WINDOW eqw AS (PARTITION BY symbol ORDER BY xts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dd AS (
+        |  SELECT symbol, xr, max(equity) OVER pkw - equity AS ddv
+        |  FROM eq
+        |  WINDOW pkw AS (PARTITION BY symbol ORDER BY xts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades,
+        |       round(avg(xr), 6) + 0.0 AS mean_r,
+        |       round(avg(CASE WHEN xr > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN xr > 0 THEN xr ELSE 0 END)
+        |             / nullif(sum(CASE WHEN xr < 0 THEN -xr ELSE 0 END), 0), 6)
+        |         AS pf,
+        |       round(max(ddv), 6) AS max_dd_r
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "flow_features" ->
+      """WITH hf AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_ms(date_trunc('hour', ts)) AS bar_ts_ms,
+        |         arg_max(value, event_id) AS close,
+        |         sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END)
+        |           AS aggr_buy,
+        |         sum(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0 END)
+        |           AS aggr_sell
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         coalesce((aggr_buy - aggr_sell)
+        |                  / nullif(aggr_buy + aggr_sell, 0), 0.0)
+        |           AS delta_aggr_norm,
+        |         sum(aggr_buy - aggr_sell) OVER cum AS cvd_proxy
+        |  FROM hf
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT *,
+        |         cvd_proxy - lag(cvd_proxy, 1) OVER wk AS cvd_ret1_raw,
+        |         cvd_proxy - lag(cvd_proxy, 3) OVER wk AS cvd_slope_3_raw,
+        |         cvd_proxy - lag(cvd_proxy, 8) OVER wk AS cvd_slope_8_raw,
+        |         close - lag(close, 3) OVER wk AS price_slope_3_raw,
+        |         close - lag(close, 8) OVER wk AS price_slope_8_raw
+        |  FROM f WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |z AS (
+        |  SELECT *,
+        |         CASE WHEN count(cvd_ret1_raw) OVER zw >= 20
+        |           THEN avg(cvd_ret1_raw) OVER zw END AS zm,
+        |         CASE WHEN count(cvd_ret1_raw) OVER zw >= 20
+        |           THEN stddev_pop(cvd_ret1_raw) OVER zw END AS zs
+        |  FROM g
+        |  WINDOW zw AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, bar_ts_ms,
+        |       round(delta_aggr_norm, 6) + 0.0 AS delta_aggr_norm,
+        |       round(cvd_proxy, 6) + 0.0 AS cvd_proxy,
+        |       round(coalesce(cvd_ret1_raw, 0.0), 6) + 0.0 AS cvd_ret1,
+        |       round(coalesce(cvd_slope_3_raw, 0.0), 6) + 0.0 AS cvd_slope_3,
+        |       round(coalesce(cvd_slope_8_raw, 0.0), 6) + 0.0 AS cvd_slope_8,
+        |       round(coalesce((cvd_ret1_raw - zm) / nullif(zs, 0), 0.0), 6)
+        |         + 0.0 AS cvd_ret1_z,
+        |       round(coalesce(price_slope_3_raw, 0.0), 6) + 0.0
+        |         AS price_slope_3,
+        |       CAST(coalesce(sign(cvd_slope_3_raw * price_slope_3_raw), 0)
+        |            AS INTEGER) AS div_cvd_price_3,
+        |       CAST(coalesce(sign(cvd_slope_8_raw * price_slope_8_raw), 0)
+        |            AS INTEGER) AS div_cvd_price_8
+        |FROM z ORDER BY 1, 2""".stripMargin,
+
+    "low_plus_gate" ->
+      s"""$H1Cte,
+        |rp AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         (high - low) / nullif(close, 0) AS range_pct
+        |  FROM h1),
+        |pc AS (
+        |  SELECT * EXCLUDE (arr, nn),
+        |         CASE WHEN nn = 48
+        |           THEN len(list_filter(arr, y -> y <= range_pct)) * 100.0 / 48
+        |         END AS range_pctl
+        |  FROM (SELECT *,
+        |          list(range_pct) OVER w48 AS arr,
+        |          count(range_pct) OVER w48 AS nn
+        |        FROM rp
+        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))),
+        |er24 AS (
+        |  SELECT *,
+        |         abs(close - lag(close) OVER wk) AS adiff,
+        |         lag(close, 24) OVER wk AS close_24,
+        |         ln(close / lag(close) OVER wk) AS ret1
+        |  FROM pc WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |er2 AS (
+        |  SELECT *,
+        |         abs(close - close_24)
+        |           / nullif(CASE WHEN count(adiff) OVER w24 = 24
+        |                      THEN sum(adiff) OVER w24 END, 0) AS er,
+        |         CASE WHEN count(ret1) OVER w24 = 24
+        |           THEN stddev_pop(ret1) OVER w24 END AS vol1
+        |  FROM er24
+        |  WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |sc AS (
+        |  SELECT symbol, bar_ts_ms, range_pctl,
+        |         CASE WHEN range_pctl IS NULL THEN NULL
+        |              WHEN range_pctl < 25.0 THEN 'LOW'
+        |              WHEN range_pctl > 70.0 THEN 'HIGH'
+        |              ELSE 'MID' END AS vol_state,
+        |         ln(close / close_24)
+        |           / (vol1 * sqrt(24.0) + 1e-9)
+        |           * (0.5 + 0.5 * er) AS raw
+        |  FROM er2),
+        |ds AS (
+        |  SELECT *,
+        |         CASE WHEN raw IS NULL THEN NULL
+        |              WHEN raw > 20 THEN 1.0
+        |              WHEN raw < -20 THEN -1.0
+        |              ELSE (exp(2.0 * raw) - 1.0) / (exp(2.0 * raw) + 1.0)
+        |         END AS dir_score
+        |  FROM sc),
+        |st AS (
+        |  SELECT *,
+        |         CASE WHEN dir_score IS NULL THEN 'NEUTRAL'
+        |              WHEN dir_score >= 0.15 THEN 'BULL'
+        |              WHEN dir_score <= -0.15 THEN 'BEAR'
+        |              ELSE 'NEUTRAL' END AS dir_state
+        |  FROM ds),
+        |gates AS (
+        |  SELECT *,
+        |         coalesce(range_pctl <= 14.0, false) AS low_plus,
+        |         coalesce(vol_state IN ('MID', 'HIGH'), false)
+        |           AS market_ready_base,
+        |         dir_state <> 'NEUTRAL'
+        |           AND abs(coalesce(dir_score, 0.0)) >= 0.30 AS dir_ready
+        |  FROM st)
+        |SELECT symbol, bar_ts_ms,
+        |       round(dir_score, 6) + 0.0 AS dir_score,
+        |       dir_state, coalesce(vol_state, 'NA') AS vol_state,
+        |       CAST(low_plus AS INTEGER) AS low_plus,
+        |       CAST(market_ready_base AS INTEGER) AS market_ready_base,
+        |       CAST(dir_ready AS INTEGER) AS dir_ready,
+        |       CAST(market_ready_base AND dir_ready AS INTEGER)
+        |         AS tradable_base,
+        |       CAST(low_plus AND dir_ready AS INTEGER) AS tradable_override,
+        |       CAST((market_ready_base AND dir_ready)
+        |            OR (low_plus AND dir_ready) AS INTEGER) AS tradable_final,
+        |       CAST((low_plus AND dir_ready)
+        |            AND NOT (market_ready_base AND dir_ready) AS INTEGER)
+        |         AS is_add,
+        |       CASE WHEN low_plus AND dir_ready THEN 'LOW_PLUS_AND_DIR_READY'
+        |            WHEN low_plus AND NOT dir_ready
+        |              THEN 'LOW_PLUS_BUT_DIR_NOT_READY'
+        |            ELSE '' END AS override_reason,
+        |       CASE WHEN NOT dir_ready THEN 'DIR_NOT_READY'
+        |            WHEN dir_ready AND NOT market_ready_base
+        |              THEN 'VOL_BLOCKED_BASE'
+        |            ELSE '' END AS block_reason_base
+        |FROM gates ORDER BY 1, 2""".stripMargin,
+
+    "keep_frac_sweep" ->
+      s"""$H1Cte,
         |t AS (
-        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |  SELECT symbol, bar_ts_ms, open, close,
         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
-        |           AS prev_c
+        |           AS prev_c,
+        |         high, low
         |  FROM h1),
         |trt AS (
         |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
@@ -1134,90 +1493,67 @@ object SparkEntry {
         |         END AS trv
         |  FROM t),
         |a AS (
-        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |  SELECT symbol, bar_ts_ms, open, close,
         |         CASE WHEN count(trv) OVER w14 = 14
         |           THEN avg(trv) OVER w14 END AS atr
         |  FROM trt
         |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
-        |${ichChainSql("h1", "b")},
-        |sg AS (
-        |  SELECT a.symbol, a.bar_ts_ms, a.open, a.high, a.low, a.close, a.atr,
-        |         CASE WHEN bout.label = 'SHORT' THEN 1 ELSE 0 END AS sig
-        |  FROM a JOIN bout
-        |    ON a.symbol = bout.symbol AND a.bar_ts_ms = bout.bar_ts_ms),
-        |rr AS (
-        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
-        |           AS rn
-        |  FROM sg),
-        |ecand AS (
-        |  SELECT rr.*,
-        |         lag(sig) OVER (PARTITION BY symbol ORDER BY rn) AS prev_sig
-        |  FROM rr),
-        |entries AS (
-        |  SELECT symbol, rn, bar_ts_ms, open, atr
-        |  FROM ecand WHERE prev_sig = 1 AND atr IS NOT NULL),
-        |hits AS (
-        |  SELECT e.symbol, e.rn,
-        |         min(CASE WHEN j.high >= e.open + 1.0 * e.atr
-        |                    OR j.low <= e.open - 2.0 * (1.0 * e.atr)
-        |              THEN j.rn END) AS hit_rn,
-        |         max(j.rn) AS last_rn
-        |  FROM entries e JOIN rr j
-        |    ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + 15
-        |  WHERE e.atr > 0
-        |  GROUP BY 1, 2),
-        |pre AS (
-        |  SELECT e.symbol, e.rn, e.bar_ts_ms AS ets, e.open AS ep,
-        |         1.0 * e.atr AS risk,
-        |         coalesce(h.hit_rn,
-        |                  CASE WHEN h.last_rn = e.rn + 15 THEN e.rn + 15 END)
-        |           AS exit_rn
-        |  FROM entries e
-        |  LEFT JOIN hits h ON h.symbol = e.symbol AND h.rn = e.rn),
-        |ne AS (
-        |  SELECT symbol, rn,
-        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
-        |           OVER (PARTITION BY symbol ORDER BY rn
-        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-        |           AS next_entry_rn
-        |  FROM ecand),
-        |chain(symbol, rn, exit_rn) AS (
-        |  SELECT p.symbol, p.rn, p.exit_rn
-        |  FROM pre p
-        |  JOIN (SELECT symbol, min(rn) AS rn FROM entries GROUP BY 1) f
-        |    ON f.symbol = p.symbol AND f.rn = p.rn
+        |sc AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         (close - open) / CASE WHEN atr > 0 THEN atr END AS score,
+        |         lead(close, 4) OVER wk / nullif(close, 0) - 1.0 AS r_fwd
+        |  FROM a WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |base AS (
+        |  SELECT * FROM sc WHERE score IS NOT NULL AND r_fwd IS NOT NULL),
+        |rk AS (
+        |  SELECT *,
+        |         row_number() OVER (ORDER BY score DESC, symbol, bar_ts_ms)
+        |           AS rkn,
+        |         count(*) OVER () AS n
+        |  FROM base),
+        |fr AS (
+        |  SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8, 1.0]) AS DOUBLE)
+        |           AS keep_frac),
+        |j AS (
+        |  SELECT f.keep_frac, r.r_fwd
+        |  FROM rk r JOIN fr f ON r.rkn <= ceil(f.keep_frac * r.n))
+        |SELECT keep_frac, CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(avg(r_fwd), 6) + 0.0 AS mean_r,
+        |       round(avg(CASE WHEN r_fwd > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN r_fwd > 0 THEN r_fwd ELSE 0 END)
+        |             / nullif(sum(CASE WHEN r_fwd < 0 THEN -r_fwd ELSE 0 END),
+        |                      0), 6) AS pf
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "column_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |         count(*) - count(event_id) AS n_null,
+        |         count(DISTINCT event_id) AS n_distinct,
+        |         CAST(min(event_id) AS VARCHAR) AS min_str,
+        |         CAST(max(event_id) AS VARCHAR) AS max_str
+        |  FROM events
         |  UNION ALL
-        |  SELECT p2.symbol, p2.rn, p2.exit_rn
-        |  FROM chain c
-        |  JOIN ne n ON n.symbol = c.symbol AND n.rn = c.exit_rn
-        |  JOIN pre p2 ON p2.symbol = c.symbol AND p2.rn = n.next_entry_rn
-        |  WHERE c.exit_rn IS NOT NULL AND n.next_entry_rn IS NOT NULL),
-        |tr0 AS (
-        |  SELECT c.symbol, p.ets, p.ep, p.risk,
-        |         x.bar_ts_ms AS xts, x.high AS xhigh, x.low AS xlow,
-        |         x.close AS xclose,
-        |         CAST(c.exit_rn - c.rn + 1 AS INTEGER) AS bars_held
-        |  FROM chain c
-        |  JOIN pre p ON p.symbol = c.symbol AND p.rn = c.rn
-        |  JOIN rr x ON x.symbol = c.symbol AND x.rn = c.exit_rn
-        |  WHERE c.exit_rn IS NOT NULL),
-        |tr1 AS (
-        |  SELECT symbol, ets, ep, xts, bars_held,
-        |         CASE WHEN xhigh >= ep + risk THEN ep + risk
-        |              WHEN xlow <= ep - 2.0 * risk THEN ep - 2.0 * risk
-        |              ELSE xclose END AS xpx,
-        |         CASE WHEN xhigh >= ep + risk THEN 'SL'
-        |              WHEN xlow <= ep - 2.0 * risk THEN 'TP'
-        |              ELSE 'TIME' END AS xreason,
-        |         CASE WHEN xhigh >= ep + risk THEN -1.0
-        |              WHEN xlow <= ep - 2.0 * risk THEN 2.0
-        |              ELSE (ep - xclose) / risk END AS xr
-        |  FROM tr0)
-        |SELECT symbol, ets AS entry_ts, round(ep, 6) AS entry_price,
-        |       xts AS exit_ts, round(xpx, 6) AS exit_price,
-        |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
-        |FROM tr1 ORDER BY 1, 2""".stripMargin,
+        |  SELECT 'user_id', count(*), count(*) - count(user_id),
+        |         count(DISTINCT user_id),
+        |         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), count(*) - count(event_type),
+        |         count(DISTINCT event_type), min(event_type), max(event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value),
+        |         count(DISTINCT value),
+        |         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', count(*), count(*) - count(props),
+        |         count(DISTINCT props), min(props), max(props)
+        |  FROM events)
+        |SELECT column_name, n_rows, n_null, n_distinct, min_str, max_str
+        |FROM p ORDER BY 1""".stripMargin,
 
     "regime_cases" ->
       s"""$H1Cte,

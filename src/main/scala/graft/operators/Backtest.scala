@@ -261,6 +261,42 @@ object Backtest {
         max(col(rCol)).as("max_r"))
   }
 
+  /** Confidence keep-fraction sweep (run_ml_m15_v2_flow.py:238-263,
+    * `choose_keep_frac_val`): for each fraction f, keep the top-f fraction
+    * of rows by `scoreCol` and report the kept cohort's return stats —
+    * n, mean r, win rate, profit factor. Rank-based (row_number over a
+    * deterministic (score, key) order), not interpolated percentiles, so
+    * the kept set is bit-identical across engines and partitionings.
+    *
+    * The global rank is a single-partition window — fine at validation-set
+    * scale (the reference applies this to one fold's rows). For a
+    * lake-scale sweep, replace the rank with `approx_percentile` thresholds
+    * per f and filter — same one-pass shape as [[bucketReport]]. */
+  def keepFracSweep(scored: DataFrame, scoreCol: String, rCol: String,
+                    fracs: Seq[Double], tieCols: Seq[String]): DataFrame = {
+    val clean = scored.where(col(scoreCol).isNotNull && col(rCol).isNotNull)
+    val ord = col(scoreCol).desc +: tieCols.map(col(_).asc)
+    val ranked = clean
+      .withColumn("_rk", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("_n", count(lit(1)).over(
+        Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val r = col(rCol)
+    ranked
+      .select(col("_rk"), col("_n"), r.as("_r"),
+        explode(array(fracs.map(lit(_)): _*)).as("keep_frac"))
+      .where(col("_rk") <= ceil(col("keep_frac") * col("_n")))
+      .groupBy(col("keep_frac"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        avg(col("_r")).as("mean_r"),
+        avg(when(col("_r") > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(col("_r") > 0.0, col("_r")).otherwise(0.0)).as("_pos"),
+        sum(when(col("_r") < 0.0, -col("_r")).otherwise(0.0)).as("_neg"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+
   /** Per-symbol performance rollup of a trades frame: n, mean R, win rate,
     * profit factor, max drawdown of the cumulative R curve
     * (trade_diagnostics_mae_mfe_short.py:85-90, backtest_router_event_v1_1

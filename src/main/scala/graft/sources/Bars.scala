@@ -45,6 +45,35 @@ object Bars {
       .withColumn("bar_ts_ms", unix_millis(col("bar_ts")))
   }
 
+  /** [[fromTicks]] plus per-bar buy/sell aggression volumes — the
+    * taker_buy_base / (volume - taker_buy_base) split a Binance kline carries
+    * natively (klines_m1.py schema; consumed by run_ml_m15_v2_flow.py's flow
+    * features). `buySide` classifies each tick as taker-buy; sells are the
+    * complement. Still one hash aggregation — the split rides as two more
+    * conditional sums on the same shuffle. */
+  def fromTicksWithAggression(
+      ticks: DataFrame,
+      truncUnit: String,
+      buySide: Column,
+      symbolCol: String = "event_type",
+      tsCol: String = "ts",
+      priceCol: String = "value",
+      ordCol: String = "event_id"): DataFrame = {
+    val barTs = date_trunc(truncUnit, col(tsCol))
+    ticks
+      .groupBy(col(symbolCol).as("symbol"), barTs.as("bar_ts"))
+      .agg(
+        min_by(col(priceCol), col(ordCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(ordCol)).as("close"),
+        sum(col(priceCol)).as("volume"),
+        count(lit(1)).as("n_trades"),
+        sum(when(buySide, col(priceCol)).otherwise(0.0)).as("aggr_buy"),
+        sum(when(!buySide, col(priceCol)).otherwise(0.0)).as("aggr_sell"))
+      .withColumn("bar_ts_ms", unix_millis(col("bar_ts")))
+  }
+
   /** Binance-style kline CSV schema (open_time_ms, OHLCV, close_time_ms,
     * quote/taker volumes, n_trades) — the layout the reference's CSV reader
     * consumes (/root/reference/scripts/research/build_m15_direction_regime

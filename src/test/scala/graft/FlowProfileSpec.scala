@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Backtest, Flow, LowPlus, Profile}
+
+/** Round-4 operators: order-flow/CVD features, LOW+ gating, column profile,
+  * keep-fraction sweep, per-symbol equity/perf rollup. */
+class FlowProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def flowBars(rows: (Long, Double, Double, Double)*) =
+    rows.map { case (ts, close, b, s) => ("A", ts, close, b, s) }
+      .toDF("symbol", "bar_ts_ms", "close", "aggr_buy", "aggr_sell")
+
+  test("flow features: CVD cumsum, slopes, fills, divergence signs") {
+    val bars = flowBars(
+      (0L, 100.0, 6.0, 4.0),   // delta +2, cvd 2
+      (1L, 101.0, 3.0, 5.0),   // delta -2, cvd 0
+      (2L, 102.0, 7.0, 1.0),   // delta +6, cvd 6
+      (3L, 103.0, 0.0, 0.0),   // delta 0, norm 0 (guarded), cvd 6
+      (4L, 99.0, 2.0, 8.0))    // delta -6, cvd 0
+    val f = Flow.withFlowFeatures(bars).orderBy("bar_ts_ms").collect()
+
+    assert(f.map(_.getAs[Double]("cvd_proxy")).toSeq == Seq(2.0, 0.0, 6.0, 6.0, 0.0))
+    // first row's diff is null -> filled 0
+    assert(f(0).getAs[Double]("cvd_ret1") == 0.0)
+    assert(f(2).getAs[Double]("cvd_ret1") == 6.0)
+    // zero total aggression -> norm 0, not null/NaN
+    assert(f(3).getAs[Double]("delta_aggr_norm") == 0.0)
+    assert(f(1).getAs[Double]("delta_aggr_norm") == -0.25)
+    // slope_3 at row 3: cvd 6 - cvd 2 = 4; price 103 - 100 = 3 -> sign +1
+    assert(f(3).getAs[Double]("cvd_slope_3") == 4.0)
+    assert(f(3).getAs[Double]("price_slope_3") == 3.0)
+    assert(f(3).getAs[Int]("div_cvd_price_3") == 1)
+    // row 4: cvd 0 - cvd 0 = 0 -> sign 0
+    assert(f(4).getAs[Int]("div_cvd_price_3") == 0)
+  }
+
+  test("flow z-score honors min_periods and zero-std guard") {
+    val bars = flowBars((0L to 30L).map(i => (i, 100.0, 1.0, 0.0)): _*)
+    val f = Flow.withFlowFeatures(bars, zWin = 10, zMinPeriods = 5)
+      .orderBy("bar_ts_ms").collect()
+    // constant delta -> cvd_ret1 constant 1 after row 0 -> std 0 -> filled 0
+    assert(f.forall(_.getAs[Double]("cvd_ret1_z") == 0.0))
+  }
+
+  test("LOW+ gating: boolean algebra and reason codes are consistent") {
+    val n = 120
+    val bars = (0 until n).map { i =>
+      val drift = if (i > 60) i * 0.8 else 0.0 // trend in back half
+      ("A", i.toLong, 100.0 + drift + (i % 7), 101.0 + drift + (i % 5),
+        99.0 + drift - (i % 3), 100.0 + drift + (i % 4) * 0.5)
+    }.toDF("symbol", "bar_ts_ms", "open", "high", "low", "close")
+    val g = LowPlus.enrich(bars).collect()
+    assert(g.length == n)
+    g.foreach { r =>
+      val base = r.getAs[Boolean]("tradable_base")
+      val ovr = r.getAs[Boolean]("tradable_override")
+      assert(r.getAs[Boolean]("tradable_final") == (base || ovr))
+      assert(r.getAs[Boolean]("is_add") == (ovr && !base))
+      if (r.getAs[Boolean]("low_plus") && r.getAs[Boolean]("dir_ready"))
+        assert(r.getAs[String]("override_reason") == "LOW_PLUS_AND_DIR_READY")
+      if (!r.getAs[Boolean]("dir_ready"))
+        assert(r.getAs[String]("block_reason_base") == "DIR_NOT_READY")
+      val ds = r.getAs[String]("dir_state")
+      Option(r.getAs[Double]("dir_score")).foreach { s =>
+        if (s >= 0.15) assert(ds == "BULL")
+        else if (s <= -0.15) assert(ds == "BEAR")
+        else assert(ds == "NEUTRAL")
+      }
+    }
+    // the trending back half must produce at least one dir-ready bar
+    assert(g.exists(_.getAs[Boolean]("dir_ready")))
+  }
+
+  test("column profile: one pass, exact counts and stringified extrema") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, Some("b"), None),
+      (3L, None, Some(0.5)),
+      (4L, Some("b"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val p = Profile.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") == 4)
+    assert(p("id").getAs[Long]("n_null") == 0)
+    assert(p("id").getAs[Long]("n_distinct") == 4)
+    assert(p("s").getAs[Long]("n_null") == 1)
+    assert(p("s").getAs[Long]("n_distinct") == 2)
+    assert(p("s").getAs[String]("min_str") == "a")
+    assert(p("v").getAs[String]("max_str") == "2.5")
+    // approx path returns the same shape
+    val ap = Profile.columnProfile(df, Seq("id"), exact = false).collect()
+    assert(ap.head.getAs[Long]("n_distinct") > 0)
+  }
+
+  test("keep-frac sweep: rank-based top-f cohorts") {
+    // 10 rows, score = 10-i, r alternates +1/-0.5
+    val rows = (0 until 10).map(i =>
+      ("A", i.toLong, (10 - i).toDouble, if (i % 2 == 0) 1.0 else -0.5))
+      .toDF("symbol", "bar_ts_ms", "score", "r")
+    val out = Backtest.keepFracSweep(rows, "score", "r",
+        Seq(0.2, 0.5, 1.0), Seq("symbol", "bar_ts_ms"))
+      .collect().map(r => r.getAs[Double]("keep_frac") -> r).toMap
+    // top 2 by score = rows i=0 (r=+1), i=1 (r=-0.5)
+    assert(out(0.2).getAs[Long]("n_kept") == 2)
+    assert(math.abs(out(0.2).getAs[Double]("mean_r") - 0.25) < 1e-12)
+    assert(out(0.2).getAs[Double]("pf") == 2.0)
+    assert(out(1.0).getAs[Long]("n_kept") == 10)
+    assert(math.abs(out(1.0).getAs[Double]("wr") - 0.5) < 1e-12)
+  }
+
+  test("perf rollup: equity curve max drawdown and profit factor") {
+    val trades = Seq(
+      ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
+      .toDF("symbol", "exit_ts", "r_mult")
+    val p = Backtest.perf(trades).collect().head
+    assert(p.getAs[Long]("n_trades") == 4)
+    // equity 2,1,0,3 -> peaks 2,2,2,3 -> dd 0,1,2,0 -> max 2
+    assert(p.getAs[Double]("max_drawdown_r") == 2.0)
+    assert(p.getAs[Double]("pf") == 2.5) // (2+3)/(1+1)
+    assert(p.getAs[Double]("wr") == 0.5)
+  }
+}
