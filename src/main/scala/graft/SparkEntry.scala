@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -509,6 +509,15 @@ object SparkEntry {
           round(col("wr"), 6).as("wr"),
           round(col("pf"), 6).as("pf"))
         .orderBy("keep_frac")
+    }),
+
+    // §2 #27b — near-dup clustering: rare-shingle blocking edges (DF-bounded
+    // inverted-index join, no all-pairs) → connected components (min-label
+    // propagation) → cluster sizes + canonical survivor per cluster.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Cluster.nearDupClusters(docs, maxDf = 5, minCommon = 2)
+        .orderBy("doc_id")
     }),
 
     // §2 #48 — one-pass table/column profile: row, null, distinct counts and
@@ -1525,6 +1534,47 @@ object SparkEntry {
         |             / nullif(sum(CASE WHEN r_fwd < 0 THEN -r_fwd ELSE 0 END),
         |                      0), 6) AS pf
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |           1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)),
+        |           ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM d0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) >= 3 THEN
+        |             list_distinct(list_transform(range(len(toks) - 2),
+        |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [array_to_string(toks, ' ')] END) AS s
+        |  FROM tk),
+        |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+        |r AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+        |e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM r a JOIN r b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM e
+        |        UNION ALL SELECT id2, id1 FROM e),
+        |reach(id, root) AS (
+        |  SELECT doc_id, doc_id FROM d0
+        |  UNION
+        |  SELECT sym.dst, reach.root
+        |  FROM reach JOIN sym ON sym.src = reach.id),
+        |lab AS (SELECT id AS doc_id, min(root) AS cluster_id
+        |        FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+        |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY 1""".stripMargin,
 
     "column_profile" ->
       """WITH p AS (

@@ -111,6 +111,37 @@ class FlowProfileSpec extends SparkTestBase {
     assert(math.abs(out(1.0).getAs[Double]("wr") - 0.5) < 1e-12)
   }
 
+  test("connected components: chains collapse to min label, singletons kept") {
+    import graft.llm.Cluster
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 3-2, 2-5; pair 1-4; 9 isolated
+    val edges = Seq((2L, 3L), (2L, 5L), (1L, 4L)).toDF("id1", "id2")
+    val cc = Cluster.connectedComponents(vertices, edges)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc == Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 2L, 9L -> 9L))
+  }
+
+  test("near-dup clusters: seeded dups land with their source, no cross join") {
+    import graft.llm.Cluster
+    // docs with distinctive vocabularies; 101/102 are near-dups of 1/2
+    def words(seed: Int) = (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(1)), (2L, words(2)), (3L, words(3)),
+      (101L, words(1).split(" ").dropRight(2).mkString(" ")),
+      (102L, words(2).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Cluster.nearDupClusters(docs, maxDf = 5, minCommon = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val m = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Int]("is_canonical"))).toMap
+    assert(m(1L) == (1L, 2L, 1))
+    assert(m(101L) == (1L, 2L, 0))
+    assert(m(102L) == (2L, 2L, 0))
+    assert(m(3L) == (3L, 1L, 1))
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
