@@ -80,6 +80,33 @@ object ScaleProbe {
         val txt = concat_ws(" ", (0 until 8).map(i =>
           pmod(xxhash64(col("event_id"), lit(i)), lit(500L)).cast("string")): _*)
         TextAnalysis.ngramFreq(bars.select(txt.as("text")), n = 2).count()
+      },
+      time("flow_features") {
+        val fb = bars.withColumn("aggr_buy",
+            pmod(xxhash64(col("event_id"), lit(11)), lit(100L)) / 10.0)
+          .withColumn("aggr_sell",
+            pmod(xxhash64(col("event_id"), lit(12)), lit(100L)) / 10.0)
+        graft.operators.Flow.withFlowFeatures(fb)
+          .agg(count(col("cvd_ret1_z"))).as[Long].collect()(0)
+      },
+      time("column_profile_exact") {
+        graft.operators.Profile.columnProfile(
+          bars.select("symbol", "bar_ts_ms", "close", "event_id"),
+          Seq("symbol", "bar_ts_ms", "close", "event_id")).count()
+      },
+      time("neardup_clusters") {
+        // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
+        // exercises the DF-bounded blocking join + the propagation loop at
+        // corpus scale (vocab sized so rare shingles stay rare)
+        val nd = math.max(n / 16, 1000L)
+        val base = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        val dups = base.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Cluster.nearDupClusters(base.unionByName(dups)).count()
       })
 
     val qs = results.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")

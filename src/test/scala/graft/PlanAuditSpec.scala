@@ -61,6 +61,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("flow/CVD feature block shares one window exchange over the bar agg") {
+    val bars = Bars.fromTicksWithAggression(Tables.events(spark, sfDir),
+      "hour", buySide = col("user_id") % 2 === 0)
+    val p = plan(graft.operators.Flow.withFlowFeatures(bars))
+    // one exchange for the bar aggregation + one for the shared (symbol, ts)
+    // window partitioning — cumsum, lags and rolling z add NO further ones
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("column profile reads the table once (single scan, no join)") {
+    val e = Tables.events(spark, sfDir)
+    val p = plan(graft.operators.Profile.columnProfile(
+      e, Seq("event_id", "event_type", "value")))
+    assert(countOccurrences(p, "Scan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
