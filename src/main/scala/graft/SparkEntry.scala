@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, SimHash, Similarity, TextAnalysis}
 import graft.ml.MlFilter
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -518,6 +518,18 @@ object SparkEntry {
       val docs = docsWithNearDups(s, dir)
       Cluster.nearDupClusters(docs, maxDf = 5, minCommon = 2)
         .orderBy("doc_id")
+    }),
+
+    // §2 #49 — deterministic stratified sampling / dataset mixing: md5-hash
+    // bucket membership (reproducible across engines, runs, partitionings;
+    // map-only), per-stratum mix weights.
+    "stratified_sample" -> ((s, dir) => {
+      val fr = Map("click" -> 0.30, "view" -> 0.10, "purchase" -> 1.0,
+        "signup" -> 0.55)
+      Sampling.stratified(events(s, dir), "event_id", "event_type", fr)
+        .select(col("event_type").as("stratum"), col("event_id"),
+          col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy("stratum", "event_id")
     }),
 
     // §2 #48 — one-pass table/column profile: row, null, distinct counts and
@@ -1575,6 +1587,21 @@ object SparkEntry {
         |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH f AS (
+        |  SELECT *,
+        |         CASE event_type WHEN 'click' THEN 0.30 WHEN 'view' THEN 0.10
+        |              WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.55
+        |         END AS frac,
+        |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |              AS UBIGINT) % 10000 AS bkt
+        |  FROM events)
+        |SELECT event_type AS stratum, event_id, user_id,
+        |       round(value, 6) AS value
+        |FROM f
+        |WHERE frac IS NOT NULL AND bkt < frac * 10000
+        |ORDER BY 1, 2""".stripMargin,
 
     "column_profile" ->
       """WITH p AS (

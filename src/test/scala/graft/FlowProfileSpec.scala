@@ -142,6 +142,30 @@ class FlowProfileSpec extends SparkTestBase {
     assert(m(3L) == (3L, 1L, 1))
   }
 
+  test("stratified sample: deterministic, proportional, shuffle-free") {
+    import graft.llm.Sampling
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    val fr = Map("a" -> 0.25, "b" -> 0.75)
+    val s1 = Sampling.stratified(rows, "id", "stratum", fr)
+    // map-only: no exchange in the sampling operator itself
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"),
+      s1.queryExecution.executedPlan.toString)
+    val c1 = s1.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash buckets are uniform-ish: within 15% of the target per stratum
+    assert(math.abs(c1("a") - 500.0) / 500.0 < 0.15, c1)
+    assert(math.abs(c1("b") - 1500.0) / 1500.0 < 0.15, c1)
+    // bit-for-bit reproducible across runs and partitionings
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.stratified(rows.repartition(7), "id", "stratum", fr)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // strata without a weight are dropped
+    val s3 = Sampling.stratified(rows, "id", "stratum", Map("a" -> 1.0))
+    assert(s3.select("stratum").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
