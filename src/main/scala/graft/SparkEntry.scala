@@ -520,6 +520,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #50 — token-window document chunking with overlap (training-
+    // sequence construction; map-side explode, no shuffle).
+    "doc_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.chunk(d, chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // §2 #51 — per-doc top-k terms by smoothed TF-IDF (keyword extraction).
+    "tfidf_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.tfidfTopK(d, k = 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // §2 #49 — deterministic stratified sampling / dataset mixing: md5-hash
     // bucket membership (reproducible across engines, runs, partitionings;
     // map-only), per-stratum mix weights.
@@ -1587,6 +1604,44 @@ object SparkEntry {
         |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1
+        |         END AS nc
+        |  FROM tk),
+        |x AS (SELECT doc_id, toks, n, unnest(range(nc)) AS idx FROM c)
+        |SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+        |       array_to_string(
+        |         list_slice(toks, idx * 24 + 1, least(idx * 24 + 32, n)), ' ')
+        |         AS chunk_text,
+        |       CAST(least(32, n - idx * 24) AS INTEGER) AS n_tokens
+        |FROM x ORDER BY 1, 2""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+        |         tf.tf * ln((nn.n + 1.0) / (dfq.df + 1.0)) AS tfidf
+        |  FROM tf JOIN dfq USING (term), nn),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, tf, df, round(tfidf, 6) AS tfidf
+        |FROM rk WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "stratified_sample" ->
       """WITH f AS (

@@ -122,4 +122,58 @@ object TextAnalysis {
           .as("repetition_ratio"),
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_share"))
   }
+
+  /** Token-window document chunking: split each doc into fixed-size token
+    * windows with overlap — the pass that turns cleaned documents into
+    * training sequences. One row per (doc, chunk_idx) with the chunk text
+    * and its token count; the last chunk is short rather than padded.
+    *
+    * Scale: explode of a per-row computed sequence — map-side only, no
+    * shuffle, no per-doc state; chunk count is derived arithmetic, so a
+    * 100 TB corpus chunks in a single scan-and-generate pass. */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    val nTok = size(col("_toks"))
+    val nChunks = when(nTok <= chunkSize, lit(1)).otherwise(
+      ceil((nTok - chunkSize).cast("double") / stride).cast("int") + 1)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), nTok.as("_n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_toks"), col("chunk_idx") * stride + lit(1),
+            lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("_n") - col("chunk_idx") * stride)
+          .as("n_tokens"))
+  }
+
+  /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
+    * keyword extraction / LM-corpus vocabulary weighting. Two hash
+    * aggregations (term frequency, document frequency), the corpus size as
+    * a broadcast scalar, and a WindowGroupLimit-prunable top-k window with
+    * a deterministic (tfidf desc, term asc) tiebreak. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("_n") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
 }

@@ -166,6 +166,52 @@ class FlowProfileSpec extends SparkTestBase {
     assert(s3.select("stratum").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("doc chunking: window arithmetic, overlap, short-tail chunk") {
+    import graft.llm.TextAnalysis
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(10)), (2L, doc(56)), (3L, doc(57)))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(docs, chunkSize = 32, overlap = 8)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(ch(1L).length == 1 && ch(1L).head.getAs[Int]("n_tokens") == 10)
+    // 56 tokens, stride 24: [1..32], [25..56]
+    assert(ch(2L).length == 2)
+    val c2 = ch(2L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(c2(0).getAs[String]("chunk_text").startsWith("t1 ") &&
+      c2(0).getAs[String]("chunk_text").endsWith(" t32"))
+    assert(c2(1).getAs[String]("chunk_text").startsWith("t25 ") &&
+      c2(1).getAs[String]("chunk_text").endsWith(" t56"))
+    assert(c2(1).getAs[Int]("n_tokens") == 32)
+    // 57 tokens: third chunk is the 9-token tail [49..57]
+    assert(ch(3L).length == 3)
+    val last3 = ch(3L).maxBy(_.getAs[Int]("chunk_idx"))
+    assert(last3.getAs[Int]("n_tokens") == 9)
+    assert(last3.getAs[String]("chunk_text") ==
+      (49 to 57).map(i => s"t$i").mkString(" "))
+  }
+
+  test("tf-idf top-k: hand-computed scores and deterministic tiebreak") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "apple banana apple"), // tf(apple)=2, tf(banana)=1
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: apple df=1 -> 2*ln(4/2)=1.386; banana df=2 -> ln(4/3)=0.288
+    val d1 = out(1L).sortBy(_.getAs[Int]("rank"))
+    assert(d1.head.getAs[String]("term") == "apple")
+    assert(math.abs(d1.head.getAs[Double]("tfidf") - 2 * math.log(2.0)) < 1e-12)
+    assert(d1(1).getAs[String]("term") == "banana")
+    // doc 3: cherry 2*ln(4/3)=0.575 beats durian ln(4/2)=0.693? no:
+    // durian df=1 -> 1*ln(2)=0.693 > cherry 0.575 -> durian first
+    val d3 = out(3L).sortBy(_.getAs[Int]("rank"))
+    assert(d3.head.getAs[String]("term") == "durian")
+    assert(d3(1).getAs[String]("term") == "cherry")
+    assert(out.values.forall(_.length <= 2))
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
