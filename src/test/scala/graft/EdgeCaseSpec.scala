@@ -121,4 +121,53 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(math.abs(out(1).getAs[Double]("vwap_d") -
       out(0).getAs[Double]("vwap_d")) < 1e-12)
   }
+
+  test("round-4 operators survive empty and degenerate input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    // clustering on an empty / edgeless corpus: every doc its own cluster
+    assert(llm.Cluster.nearDupClusters(emptyDocs).count() == 0)
+    val loner = Seq((7L, "only one doc here at all")).toDF("doc_id", "text")
+    val solo = llm.Cluster.nearDupClusters(loner).collect()
+    assert(solo.length == 1 && solo.head.getAs[Long]("cluster_size") == 1L &&
+      solo.head.getAs[Int]("is_canonical") == 1)
+
+    // chunking: empty corpus, and a doc shorter than one chunk
+    assert(llm.TextAnalysis.chunk(emptyDocs).count() == 0)
+    val tiny = llm.TextAnalysis.chunk(Seq((1L, "a b")).toDF("doc_id", "text"))
+      .collect()
+    assert(tiny.length == 1 && tiny.head.getAs[Int]("n_tokens") == 2)
+
+    // tf-idf: single doc — idf = ln(2/2) = 0 for every term, ranks by term
+    val one = llm.TextAnalysis.tfidfTopK(
+      Seq((1L, "b a")).toDF("doc_id", "text"), k = 5).collect()
+    assert(one.length == 2 && one.forall(_.getAs[Double]("tfidf") == 0.0))
+    assert(one.sortBy(_.getAs[Int]("rank")).head.getAs[String]("term") == "a")
+
+    // sampling: empty weights drop everything; frac 1.0 keeps everything
+    val rows = (0 until 50).map(i => (i.toLong, "x")).toDF("id", "stratum")
+    assert(llm.Sampling.stratified(rows, "id", "stratum", Map.empty).count() == 0)
+    assert(llm.Sampling.stratified(rows, "id", "stratum", Map("x" -> 1.0)).count() == 50)
+
+    // flow features on a single bar: diffs fill to 0, norm guarded
+    val oneBar = Seq(("A", 0L, 1.0, 0.0, 0.0))
+      .toDF("symbol", "bar_ts_ms", "close", "aggr_buy", "aggr_sell")
+    val f = operators.Flow.withFlowFeatures(oneBar).collect().head
+    assert(f.getAs[Double]("delta_aggr_norm") == 0.0 &&
+      f.getAs[Double]("cvd_ret1") == 0.0 &&
+      f.getAs[Int]("div_cvd_price_3") == 0)
+
+    // keep-frac sweep with all-null scores: empty result, no crash
+    val nullScores = Seq(("A", 0L, Option.empty[Double], Some(1.0)))
+      .toDF("symbol", "bar_ts_ms", "score", "r")
+    assert(operators.Backtest.keepFracSweep(
+      nullScores, "score", "r", Seq(0.5, 1.0), Seq("symbol", "bar_ts_ms"))
+      .count() == 0)
+
+    // column profile of an empty frame: zero rows/nulls/distinct per column
+    val p = operators.Profile.columnProfile(
+      emptyDocs, Seq("doc_id", "text")).collect()
+    assert(p.length == 2 && p.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_null") == 0L && r.getAs[Long]("n_distinct") == 0L))
+  }
 }
