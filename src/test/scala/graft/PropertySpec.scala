@@ -101,4 +101,34 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: connected components match a sequential union-find") {
+    for (trial <- 1 to 3) {
+      val nV = 20 + rnd.nextInt(30)
+      val vertexIds = (0 until nV).map(_.toLong)
+      val nE = rnd.nextInt(nV)
+      val edgeList = Seq.fill(nE) {
+        val a = rnd.nextInt(nV).toLong; val b = rnd.nextInt(nV).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+
+      // brute-force union-find with path compression
+      val parent = scala.collection.mutable.Map(vertexIds.map(v => v -> v): _*)
+      def find(x: Long): Long = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = vertexIds.map(v => v -> find(v)).toMap
+
+      val got = graft.llm.Cluster.connectedComponents(
+          vertexIds.toDF("id"),
+          edgeList.toDF("id1", "id2"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got == expected, s"trial=$trial edges=$edgeList")
+    }
+  }
 }
