@@ -130,4 +130,34 @@ object Ingest {
           out.iterator
       }
   }
+
+  final case class FlowBar(symbol: String, tsMs: Long,
+                           aggrBuy: Double, aggrSell: Double)
+  final case class CvdPoint(symbol: String, tsMs: Long, deltaAggr: Double,
+                            cvdProxy: Double)
+
+  /** Streaming CVD: the cumulative-volume-delta proxy of
+    * [[graft.operators.Flow.withFlowFeatures]] as online keyed state — the
+    * running sum lives in a per-symbol GroupState, so the stream emits the
+    * same cvd_proxy the batch window computes. Bars are processed in ts
+    * order within each micro-batch; upstream dedup/watermarking (see
+    * [[minuteBars]]) owns late-data hygiene, matching the batch operator's
+    * assume-canonical-input contract. */
+  def cvdStream(bars: Dataset[FlowBar]): Dataset[CvdPoint] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[Double, CvdPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, it: Iterator[FlowBar], state: GroupState[Double]) =>
+          var cvd = state.getOption.getOrElse(0.0)
+          val out = it.toSeq.sortBy(_.tsMs).map { b =>
+            val delta = b.aggrBuy - b.aggrSell
+            cvd += delta
+            CvdPoint(symbol, b.tsMs, delta, cvd)
+          }
+          state.update(cvd)
+          out.iterator
+      }
+  }
 }

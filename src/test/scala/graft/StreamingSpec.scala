@@ -134,4 +134,41 @@ class StreamingSpec extends SparkTestBase {
     assert(b1(0).getAs[Long]("n_events") == 2L &&
       b1(0).getAs[Double]("sum_value") == 3.0)
   }
+
+  test("streaming CVD state equals the batch cumulative window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ingest.FlowBar]
+    val q = Ingest.cvdStream(input.toDS())
+      .writeStream.format("memory").queryName("cvd_out")
+      .outputMode("append").start()
+
+    // out-of-order within a batch; state carries across batches
+    input.addData(
+      Ingest.FlowBar("A", 60000L, 3.0, 5.0),
+      Ingest.FlowBar("A", 0L, 6.0, 4.0))
+    q.processAllAvailable()
+    input.addData(
+      Ingest.FlowBar("A", 120000L, 7.0, 1.0),
+      Ingest.FlowBar("B", 0L, 1.0, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("cvd_out").as[Ingest.CvdPoint].collect()
+      .map(p => (p.symbol, p.tsMs) -> p.cvdProxy).toMap
+    // A: deltas +2 (ts 0), -2 (ts 60k), +6 (ts 120k) -> cvd 2, 0, 6
+    assert(got(("A", 0L)) == 2.0 && got(("A", 60000L)) == 0.0 &&
+      got(("A", 120000L)) == 6.0)
+    assert(got(("B", 0L)) == 1.0)
+
+    // identical numbers from the batch window operator
+    val bars = Seq(
+      ("A", 0L, 0.0, 6.0, 4.0), ("A", 60000L, 0.0, 3.0, 5.0),
+      ("A", 120000L, 0.0, 7.0, 1.0), ("B", 0L, 0.0, 1.0, 0.0))
+      .toDF("symbol", "bar_ts_ms", "close", "aggr_buy", "aggr_sell")
+    val batchCvd = graft.operators.Flow.withFlowFeatures(bars)
+      .select($"symbol", $"bar_ts_ms", $"cvd_proxy")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.forall { case (k, v) => batchCvd(k) == v })
+  }
 }
