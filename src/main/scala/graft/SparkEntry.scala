@@ -520,6 +520,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #52 — robust per-symbol scaling of bar volume: median/MAD z-score
+    // + MAD-band winsorization (heavy-tail-safe normalization).
+    "robust_scale" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Stats.robustScale(h1, Seq("symbol"), "volume", clipK = 3.0)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("volume"), 6).as("volume"),
+          round(col("robust_z"), 6).as("robust_z"),
+          round(col("volume_clipped"), 6).as("volume_clipped"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
     // §2 #50 — token-window document chunking with overlap (training-
     // sequence construction; map-side explode, no shuffle).
     "doc_chunks" -> ((s, dir) => {
@@ -1604,6 +1616,25 @@ object SparkEntry {
         |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+
+    "robust_scale" ->
+      s"""$H1Cte,
+        |m AS (
+        |  SELECT symbol, quantile_cont(volume, 0.5) AS med
+        |  FROM h1 GROUP BY 1),
+        |w AS (SELECT h1.*, m.med FROM h1 JOIN m USING (symbol)),
+        |d AS (
+        |  SELECT symbol, quantile_cont(abs(volume - med), 0.5) AS mad
+        |  FROM w GROUP BY 1)
+        |SELECT w.symbol, w.bar_ts_ms, round(w.volume, 6) AS volume,
+        |       round((w.volume - w.med) / nullif(1.4826 * d.mad, 0), 6) + 0.0
+        |         AS robust_z,
+        |       round(CASE WHEN d.mad = 0 THEN w.volume
+        |             ELSE least(greatest(w.volume,
+        |                                 w.med - 3.0 * 1.4826 * d.mad),
+        |                        w.med + 3.0 * 1.4826 * d.mad) END, 6)
+        |         AS volume_clipped
+        |FROM w JOIN d USING (symbol) ORDER BY 1, 2""".stripMargin,
 
     "doc_chunks" ->
       """WITH tk AS (

@@ -57,4 +57,37 @@ object Stats {
         countDistinct(col(idCol)).as("n_distinct"),
         approx_count_distinct(col(idCol), approxRsd).as("n_distinct_approx"),
         count(lit(1)).as("n_rows"))
+
+  /** Robust per-group scaling: median/MAD z-score plus MAD-band outlier
+    * clipping (winsorization) — the mean/std-free normalization a
+    * heavy-tailed feature (volume, doc length, token counts) needs before
+    * training. robust_z = (x − median) / (1.4826·MAD) (the Gaussian
+    * consistency constant); `<valueCol>_clipped` clamps x to
+    * median ± clipK·1.4826·MAD, passing x through unchanged when MAD = 0
+    * (constant group — nothing is an outlier).
+    *
+    * Two grouped aggregations + two joins against per-group scalars (tiny
+    * sides, broadcast at scale). Exact `percentile` keeps the operator
+    * oracle-checkable; at lake scale swap in `approx_percentile` — same
+    * shape, one t-digest pass. */
+  def robustScale(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  clipK: Double = 3.0): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val withMed = df.join(med, keyCols)
+    val mad = withMed.groupBy(keys: _*)
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    val full = withMed.join(mad, keyCols)
+    val denom = lit(1.4826) * col("_mad")
+    val band = lit(clipK) * denom
+    full
+      .withColumn("robust_z",
+        (col(valueCol) - col("_med")) / when(denom =!= 0.0, denom))
+      .withColumn(s"${valueCol}_clipped",
+        when(col("_mad") === 0.0, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("_med") - band),
+            col("_med") + band)))
+      .drop("_med", "_mad")
+  }
 }

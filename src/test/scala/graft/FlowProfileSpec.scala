@@ -212,6 +212,29 @@ class FlowProfileSpec extends SparkTestBase {
     assert(out.values.forall(_.length <= 2))
   }
 
+  test("robust scale: median/MAD z and MAD-band clipping, hand-computed") {
+    import graft.operators.Stats
+    // values 1..5 plus outlier 100: median 3.5, |x-med| = 2.5,1.5,.5,.5,1.5,96.5
+    // -> MAD = 1.5
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("symbol", "bar_ts_ms", "v")
+    val out = Stats.robustScale(df, Seq("symbol"), "v", clipK = 3.0)
+      .collect().map(r => r.getAs[Double]("v") ->
+        (r.getAs[Double]("robust_z"), r.getAs[Double]("v_clipped"))).toMap
+    val denom = 1.4826 * 1.5
+    assert(math.abs(out(100.0)._1 - (100.0 - 3.5) / denom) < 1e-12)
+    // outlier clips to med + 3*denom; inliers pass through
+    assert(math.abs(out(100.0)._2 - (3.5 + 3.0 * denom)) < 1e-12)
+    assert(out(3.0)._2 == 3.0 && out(5.0)._2 == 5.0)
+
+    // constant group: MAD 0 -> z null, values unchanged
+    val const = Seq(("B", 0L, 7.0), ("B", 1L, 7.0)).toDF("symbol", "bar_ts_ms", "v")
+    val c = Stats.robustScale(const, Seq("symbol"), "v").collect()
+    assert(c.forall(r => r.isNullAt(r.fieldIndex("robust_z")) &&
+      r.getAs[Double]("v_clipped") == 7.0))
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
