@@ -39,7 +39,10 @@ object Cluster {
       .agg(count(lit(1)).as("_df"))
       .where(col("_df") >= 2 && col("_df") <= maxDf)
       .select("_sh")
-    val r = sh.join(rare, "_sh")
+    // materialize before the self-join: both join sides would otherwise
+    // re-run the shingle explode (native-expression work, and no
+    // subexpression sharing across join branches)
+    val r = sh.join(rare, "_sh").localCheckpoint(true)
     r.select(col("_sh"), col("_id").as("_ida"))
       .join(r.select(col("_sh"), col("_id").as("_idb")), "_sh")
       .where(col("_ida") < col("_idb"))
