@@ -520,6 +520,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #53 — rolling cross-asset correlation/beta: 'click' vs 'view'
+    // hour closes joined on the time grid, 24-bar Pearson from primitive
+    // window aggregates (pairs/hedge co-movement feature).
+    "rolling_corr" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val a = h1.where(col("symbol") === "click")
+        .select(col("bar_ts_ms"), col("close").as("x"))
+      val b = h1.where(col("symbol") === "view")
+        .select(col("bar_ts_ms"), col("close").as("y"))
+      val joined = a.join(b, "bar_ts_ms").withColumn("pair", lit("click/view"))
+      Features.withRollingCorr(joined, "x", "y", n = 24, keyCols = Seq("pair"))
+        .select(col("pair"), col("bar_ts_ms"),
+          round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
+          round(col("roll_corr"), 6).as("roll_corr"),
+          round(col("roll_beta"), 6).as("roll_beta"))
+        .orderBy("bar_ts_ms")
+    }),
+
     // §2 #52 — robust per-symbol scaling of bar volume: median/MAD z-score
     // + MAD-band winsorization (heavy-tail-safe normalization).
     "robust_scale" -> ((s, dir) => {
@@ -1616,6 +1634,31 @@ object SparkEntry {
         |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+
+    "rolling_corr" ->
+      s"""$H1Cte,
+        |j AS (
+        |  SELECT a.bar_ts_ms, a.close AS x, b.close AS y
+        |  FROM (SELECT bar_ts_ms, close FROM h1 WHERE symbol = 'click') a
+        |  JOIN (SELECT bar_ts_ms, close FROM h1 WHERE symbol = 'view') b
+        |    USING (bar_ts_ms)),
+        |g AS (
+        |  SELECT bar_ts_ms, x, y,
+        |         CASE WHEN count(x * y) OVER wn = 24 THEN
+        |           avg(x * y) OVER wn - avg(x) OVER wn * avg(y) OVER wn
+        |         END AS cov,
+        |         CASE WHEN count(x * y) OVER wn = 24
+        |           THEN stddev_pop(x) OVER wn END AS sx,
+        |         CASE WHEN count(x * y) OVER wn = 24
+        |           THEN stddev_pop(y) OVER wn END AS sy
+        |  FROM j
+        |  WINDOW wn AS (ORDER BY bar_ts_ms
+        |                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT 'click/view' AS pair, bar_ts_ms,
+        |       round(x, 6) AS x, round(y, 6) AS y,
+        |       round(cov / nullif(sx * sy, 0), 6) + 0.0 AS roll_corr,
+        |       round(cov / nullif(sx * sx, 0), 6) + 0.0 AS roll_beta
+        |FROM g ORDER BY 2""".stripMargin,
 
     "robust_scale" ->
       s"""$H1Cte,

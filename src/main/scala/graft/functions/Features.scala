@@ -195,4 +195,27 @@ object Features {
     val w = byKey(symbolCol, tsCol)
     cols.foldLeft(bars)((df, c) => df.withColumn(c, lag(col(c), n).over(w)))
   }
+
+  /** Rolling Pearson correlation and beta of `yCol` against `xCol` over an
+    * n-row trailing window per key — the cross-asset co-movement feature of
+    * a pairs/hedge workflow. Built from primitive window aggregates
+    * (avg, avg of product, population stddev) with an explicit count gate
+    * rather than a black-box corr aggregate, so the arithmetic is the SAME
+    * expression on any engine — corr = (E[xy] − E[x]E[y]) / (σx·σy),
+    * beta = (E[xy] − E[x]E[y]) / σx². All frames share one (key, ts) sort. */
+  def withRollingCorr(df: DataFrame, xCol: String, yCol: String, n: Int,
+                      keyCols: Seq[String],
+                      tsCol: String = "bar_ts_ms"): DataFrame = {
+    val base = Window.partitionBy(keyCols.map(col): _*).orderBy(tsCol)
+    val wN = base.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol)
+    val y = col(yCol)
+    def gated(c: Column): Column = when(count(x * y).over(wN) === n, c)
+    val cov = gated(avg(x * y).over(wN) - avg(x).over(wN) * avg(y).over(wN))
+    val sx = gated(stddev_pop(x).over(wN))
+    val sy = gated(stddev_pop(y).over(wN))
+    df.withColumn("roll_corr",
+        cov / when(sx * sy =!= 0.0, sx * sy))
+      .withColumn("roll_beta", cov / when(sx * sx =!= 0.0, sx * sx))
+  }
 }

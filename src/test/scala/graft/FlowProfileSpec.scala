@@ -235,6 +235,34 @@ class FlowProfileSpec extends SparkTestBase {
       r.getAs[Double]("v_clipped") == 7.0))
   }
 
+  test("rolling correlation/beta match a sequential Pearson reference") {
+    import graft.functions.Features
+    val rnd = new scala.util.Random(7L)
+    val xs = Array.fill(40)(rnd.nextDouble() * 10)
+    val ys = xs.zipWithIndex.map { case (x, i) => 0.7 * x + rnd.nextDouble() * 3 }
+    val df = (0 until 40).map(i => ("p", i.toLong, xs(i), ys(i)))
+      .toDF("pair", "bar_ts_ms", "x", "y")
+    val got = Features.withRollingCorr(df, "x", "y", n = 10, keyCols = Seq("pair"))
+      .orderBy("bar_ts_ms").collect()
+    // warmup rows gate to null
+    assert((0 until 9).forall(i => got(i).isNullAt(got(i).fieldIndex("roll_corr"))))
+    def pearson(i: Int): (Double, Double) = {
+      val wx = xs.slice(i - 9, i + 1); val wy = ys.slice(i - 9, i + 1)
+      val mx = wx.sum / 10; val my = wy.sum / 10
+      val cov = wx.zip(wy).map { case (a, b) => a * b }.sum / 10 - mx * my
+      val sx = math.sqrt(wx.map(a => a * a).sum / 10 - mx * mx)
+      val sy = math.sqrt(wy.map(a => a * a).sum / 10 - my * my)
+      (cov / (sx * sy), cov / (sx * sx))
+    }
+    Seq(9, 20, 39).foreach { i =>
+      val (c, b) = pearson(i)
+      assert(math.abs(got(i).getAs[Double]("roll_corr") - c) < 1e-9, s"row $i")
+      assert(math.abs(got(i).getAs[Double]("roll_beta") - b) < 1e-9, s"row $i")
+    }
+    // positive relationship should show up
+    assert(got(39).getAs[Double]("roll_corr") > 0.3)
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
