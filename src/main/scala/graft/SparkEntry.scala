@@ -538,6 +538,24 @@ object SparkEntry {
         .orderBy("bar_ts_ms")
     }),
 
+    // §2 #29b — asymmetric n-gram containment (quote/subset detection):
+    // each doc vs its seeded truncation; containment(trunc in orig) ≈ 1
+    // while Jaccard already dips — the case symmetric scores miss.
+    "ngram_containment" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val pairs = d.where(col("doc_id") < 1000000)
+        .select(col("doc_id").as("id1"), col("text").as("_t1"))
+        .join(d.where(col("doc_id") >= 1000000)
+          .select((col("doc_id") - 1000000).as("id1"),
+            col("doc_id").as("id2"), col("text").as("_t2")), "id1")
+      Dedup.withContainment(pairs, "_t1", "_t2", n = 3)
+        .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment_a_in_b"), 6).as("cont_orig_in_trunc"),
+          round(col("containment_b_in_a"), 6).as("cont_trunc_in_orig"))
+        .orderBy("id1")
+    }),
+
     // §2 #52 — robust per-symbol scaling of bar volume: median/MAD z-score
     // + MAD-band winsorization (heavy-tail-safe normalization).
     "robust_scale" -> ((s, dir) => {
@@ -1634,6 +1652,41 @@ object SparkEntry {
         |       CAST(lab.doc_id = lab.cluster_id AS INTEGER) AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+
+    "ngram_containment" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |           1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)),
+        |           ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM d0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           list_distinct(list_transform(range(len(toks) - 2),
+        |             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |         ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sa, b.sh AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000)
+        |SELECT id1, id2,
+        |       CAST(len(list_intersect(sa, sb)) AS INTEGER) AS n_inter,
+        |       CAST(len(list_distinct(list_concat(sa, sb))) AS INTEGER)
+        |         AS n_union,
+        |       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |             / nullif(len(list_distinct(list_concat(sa, sb))), 0), 6)
+        |         AS jaccard,
+        |       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |             / nullif(len(sa), 0), 6) AS cont_orig_in_trunc,
+        |       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |             / nullif(len(sb), 0), 6) AS cont_trunc_in_orig
+        |FROM p ORDER BY 1""".stripMargin,
 
     "rolling_corr" ->
       s"""$H1Cte,

@@ -91,4 +91,21 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           when(col("n_union") =!= 0, col("n_union")).cast("double"))
+
+  /** Asymmetric containment on top of the Jaccard pair columns:
+    * containment(A in B) = |A∩B| / |A| — the quote/subset detector Jaccard
+    * misses (a paragraph fully quoted inside a much longer doc has low
+    * Jaccard but containment 1.0; training-data dedup drops such quotes). */
+  def withContainment(pairs: DataFrame, textCol1: String, textCol2: String,
+                      n: Int = 3): DataFrame =
+    jaccardOnShingles(pairs
+      .withColumn("_a", shingles(col(textCol1), n))
+      .withColumn("_b", shingles(col(textCol2), n)))
+      .withColumn("containment_a_in_b",
+        col("n_inter").cast("double") /
+          when(size(col("_a")) =!= 0, size(col("_a"))).cast("double"))
+      .withColumn("containment_b_in_a",
+        col("n_inter").cast("double") /
+          when(size(col("_b")) =!= 0, size(col("_b"))).cast("double"))
+      .drop("_a", "_b")
 }

@@ -263,6 +263,20 @@ class FlowProfileSpec extends SparkTestBase {
     assert(got(39).getAs[Double]("roll_corr") > 0.3)
   }
 
+  test("containment: subset doc scores 1.0 where jaccard dips") {
+    import graft.llm.Dedup
+    val full = (1 to 20).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ") // strict prefix
+    val pairs = Seq((1L, 2L, full, quote)).toDF("id1", "id2", "_t1", "_t2")
+    val r = Dedup.withContainment(pairs, "_t1", "_t2", n = 3).collect().head
+    // quote's 6 shingles all appear among full's 18
+    assert(r.getAs[Double]("containment_b_in_a") == 1.0)
+    assert(r.getAs[Double]("containment_a_in_b") > 1.0 - 1e-9 ||
+      r.getAs[Double]("containment_a_in_b") < 0.5) // asymmetric: 6/18
+    assert(math.abs(r.getAs[Double]("containment_a_in_b") - 6.0 / 18.0) < 1e-12)
+    assert(r.getAs[Double]("jaccard") < 0.5) // symmetric score misses the quote
+  }
+
   test("perf rollup: equity curve max drawdown and profit factor") {
     val trades = Seq(
       ("A", 0L, 2.0), ("A", 1L, -1.0), ("A", 2L, -1.0), ("A", 3L, 3.0))
