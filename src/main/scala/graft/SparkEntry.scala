@@ -1624,19 +1624,29 @@ object SparkEntry {
         |tk AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM d0),
-        |sh AS (
+        |sha AS (
         |  SELECT doc_id,
-        |         unnest(CASE WHEN len(toks) >= 3 THEN
-        |             list_distinct(list_transform(range(len(toks) - 2),
-        |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [array_to_string(toks, ' ')] END) AS s
+        |         CASE WHEN len(toks) >= 5 THEN
+        |             list_distinct(list_transform(range(len(toks) - 4),
+        |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                    || ' ' || toks[i+4] || ' ' || toks[i+5]))
+        |           ELSE [array_to_string(toks, ' ')] END AS sharr
         |  FROM tk),
+        |sh AS (SELECT doc_id, unnest(sharr) AS s FROM sha),
         |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
         |r AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
-        |e AS (
+        |cand AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2
         |  FROM r a JOIN r b USING (s) WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (
+        |  SELECT c.id1, c.id2
+        |  FROM cand c
+        |  JOIN sha x ON x.doc_id = c.id1
+        |  JOIN sha y ON y.doc_id = c.id2
+        |  WHERE CAST(len(list_intersect(x.sharr, y.sharr)) AS DOUBLE)
+        |        / nullif(len(list_distinct(list_concat(x.sharr, y.sharr))), 0)
+        |        >= 0.5),
         |sym AS (SELECT id1 AS src, id2 AS dst FROM e
         |        UNION ALL SELECT id2, id1 FROM e),
         |reach(id, root) AS (

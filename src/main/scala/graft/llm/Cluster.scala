@@ -27,28 +27,49 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** Candidate near-dup edges (id1 < id2) between documents sharing at
-    * least `minCommon` rare shingles (document frequency in [2, maxDf]). */
+  /** Candidate near-dup edges (id1 < id2): documents sharing at least
+    * `minCommon` rare shingles (document frequency in [2, maxDf]) whose
+    * exact shingle Jaccard then clears `minJaccard`.
+    *
+    * The verify stage is what makes the edge set trustworthy: blocking
+    * alone admits coincidental rare-shingle collisions (and on a
+    * small-vocabulary corpus those chain clusters into one giant
+    * component); verifying candidates with the exact similarity — a join
+    * bounded by the candidate count, never all-pairs — is the standard
+    * LSH-candidate → verify contract. Longer shingles (default n=5)
+    * keep the blocking discriminative even when individual tokens repeat
+    * across the corpus. */
   def rareShingleEdges(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text", n: Int = 3,
-                       maxDf: Int = 5, minCommon: Int = 2): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("_id"),
-        explode(Dedup.shingles(col(textCol), n)).as("_sh"))
+                       textCol: String = "text", n: Int = 5,
+                       maxDf: Int = 5, minCommon: Int = 2,
+                       minJaccard: Double = 0.5): DataFrame = {
+    // materialized once: per-doc shingle arrays feed the explode AND both
+    // verify-join branches (native-expression work, no subexpression
+    // sharing across join branches)
+    val shArr = docs
+      .select(col(idCol).as("_id"), Dedup.shingles(col(textCol), n).as("_sharr"))
+      .localCheckpoint(true)
+    val sh = shArr.select(col("_id"), explode(col("_sharr")).as("_sh"))
     val rare = sh.groupBy("_sh")
       .agg(count(lit(1)).as("_df"))
       .where(col("_df") >= 2 && col("_df") <= maxDf)
       .select("_sh")
-    // materialize before the self-join: both join sides would otherwise
-    // re-run the shingle explode (native-expression work, and no
-    // subexpression sharing across join branches)
-    val r = sh.join(rare, "_sh").localCheckpoint(true)
-    r.select(col("_sh"), col("_id").as("_ida"))
+    val r = sh.join(rare, "_sh")
+    val cand = r.select(col("_sh"), col("_id").as("_ida"))
       .join(r.select(col("_sh"), col("_id").as("_idb")), "_sh")
       .where(col("_ida") < col("_idb"))
       .groupBy(col("_ida").as("id1"), col("_idb").as("id2"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)
+    cand
+      .join(shArr.select(col("_id").as("id1"), col("_sharr").as("_a")), "id1")
+      .join(shArr.select(col("_id").as("id2"), col("_sharr").as("_b")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("_a"), col("_b"))).cast("double") /
+          when(size(array_distinct(concat(col("_a"), col("_b")))) =!= 0,
+            size(array_distinct(concat(col("_a"), col("_b"))))).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_common", "jaccard")
   }
 
   /** Connected components over undirected edges: returns (id, cluster_id)
@@ -88,9 +109,11 @@ object Cluster {
   /** Full near-dup clustering pass: blocking edges → components → cluster
     * sizes and canonical flag (survivor = min doc_id per cluster). */
   def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", n: Int = 3,
-                      maxDf: Int = 5, minCommon: Int = 2): DataFrame = {
-    val edges = rareShingleEdges(docs, idCol, textCol, n, maxDf, minCommon)
+                      textCol: String = "text", n: Int = 5,
+                      maxDf: Int = 5, minCommon: Int = 2,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val edges =
+      rareShingleEdges(docs, idCol, textCol, n, maxDf, minCommon, minJaccard)
     val cc = connectedComponents(
       docs.select(col(idCol).as("id")), edges.select("id1", "id2"))
     val sizes = cc.groupBy(col("cluster_id").as("_cid"))
