@@ -25,6 +25,17 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
+  /** Release every cached table and persisted/localCheckpointed RDD block.
+    * Long-lived sessions (the bench harness runs 81 queries in one JVM)
+    * call this between queries so one query's materializations can't build
+    * memory pressure for the next — cached blocks are an optimization, and
+    * every operator here re-derives from lineage if they vanish. */
+  def releaseCache(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {
     val s = configure(SparkSession.builder().appName(appName).master(s"local[$cores]"), cores)
       .getOrCreate()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Features
 import graft.llm.TextAnalysis
-import graft.operators.{AsOf, Canonical, Gaps, Sessions, Stats, TfAggregate}
+import graft.operators.{AsOf, Backtest, Canonical, Gaps, Sessions, Stats, TfAggregate}
 
 /** Engineering scale probe (not part of the driver contract): synthesizes an
   * n-row minute-bar lake in memory (64 symbols, 10% gaps, hash-derived
@@ -93,6 +93,32 @@ object ScaleProbe {
         graft.operators.Profile.columnProfile(
           bars.select("symbol", "bar_ts_ms", "close", "event_id"),
           Seq("symbol", "bar_ts_ms", "close", "event_id")).count()
+      },
+      time("keep_frac_sweep_sketch") {
+        // one t-digest pass + broadcast threshold join + one hash agg — the
+        // shape that replaced the global row_number single-partition sort
+        val scored = bars.select(col("symbol"), col("bar_ts_ms"),
+          (pmod(xxhash64(col("event_id"), lit(21)), lit(100000L)) / 100000.0)
+            .as("score"),
+          (pmod(xxhash64(col("event_id"), lit(22)), lit(200L)) / 100.0 - 1.0)
+            .as("r"))
+        Backtest.keepFracSweepApprox(scored, "score", "r",
+          Seq(0.05, 0.1, 0.25, 0.5)).count()
+      },
+      time("robust_scale_sketch") {
+        Stats.robustScale(
+          bars.select(col("symbol"), col("bar_ts_ms"), col("close")),
+          Seq("symbol"), "close", useApprox = true)
+          .agg(count(col("robust_z"))).as[Long].collect()(0)
+      },
+      time("robust_scale_exact") {
+        // comparison row: exact percentile buffers each symbol's full value
+        // set in one aggregation buffer — works here, dies at a hot symbol's
+        // lake-scale history
+        Stats.robustScale(
+          bars.select(col("symbol"), col("bar_ts_ms"), col("close")),
+          Seq("symbol"), "close")
+          .agg(count(col("robust_z"))).as[Long].collect()(0)
       },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:

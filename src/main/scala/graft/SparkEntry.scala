@@ -775,13 +775,10 @@ object SparkEntry {
       val dup = d.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       val survivors = graft.llm.Dedup.exactSurvivors(d.unionByName(dup))
-      val scored = TextAnalysis.withLangId(
-        TextAnalysis.withQuality(survivors.select(col("doc_id"), col("text"))))
-      scored
-        .where(col("lang_pred") === "en" && col("quality_score") >= 0.5 &&
-          col("n_tokens") >= 10)
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("quality_score"), 6).as("quality_score"))
+      // the gating stage is the SAME stateless map stage the streaming
+      // path runs (Ingest.cleanDocs); StreamingSpec pins batch equality
+      graft.streaming.Ingest
+        .cleanDocs(survivors.select(col("doc_id"), col("text")))
         .orderBy("doc_id")
     }),
 

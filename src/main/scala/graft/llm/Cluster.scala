@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * one-shuffle aggregate and hot (stop-word-like) shingles are dropped by
   * the DF cap rather than salted.
   *
-  * Components run as iterative min-label propagation ("hash-to-min"): each
-  * round every vertex adopts the smallest label among itself and its
-  * neighbors — two shuffles per round, rounds bounded by component
-  * diameter (near-dup clusters are shallow; GraphFrames' connected
-  * components uses the same large-star/small-star family). The driver sees
-  * only a per-round changed-row COUNT, never data.
+  * Components run as iterative min-label propagation ("hash-to-min") with a
+  * POINTER-JUMPING step each round: every vertex first adopts the smallest
+  * label among itself and its neighbors, then re-adopts its label's own
+  * label (label ← label(label)). The jump keeps halving the remaining
+  * label-chain depth, so rounds are O(log diameter) instead of O(diameter)
+  * — a million-long chain converges in ~20 rounds, which is what makes a
+  * fixed `maxIter` safe for real graphs (the same convergence class as
+  * large-star/small-star). The driver sees only a per-round changed-row
+  * COUNT, never data, and superseded rounds' checkpoint blocks are released
+  * as the loop advances.
   */
 object Cluster {
 
@@ -43,12 +47,19 @@ object Cluster {
                        textCol: String = "text", n: Int = 5,
                        maxDf: Int = 5, minCommon: Int = 2,
                        minJaccard: Double = 0.5): DataFrame = {
-    // materialized once: per-doc shingle arrays feed the explode AND both
-    // verify-join branches (native-expression work, no subexpression
-    // sharing across join branches)
+    // per-doc shingle arrays feed the explode AND both verify-join
+    // branches. No materialization needed: the explicit repartition pins a
+    // shuffle exchange that is canonically identical under all three
+    // consumers, so exchange/stage reuse computes the shingles ONCE and
+    // serves every reader from shuffle files. This replaces an eager
+    // `localCheckpoint` — no job at construction time, no block-manager
+    // residue, and fault-tolerant: an executor loss re-derives from the
+    // parquet scan instead of killing the run (localCheckpoint's
+    // non-replicated executor-local blocks could not promise that at
+    // 1000-executor scale).
     val shArr = docs
       .select(col(idCol).as("_id"), Dedup.shingles(col(textCol), n).as("_sharr"))
-      .localCheckpoint(true)
+      .repartition(col("_id"))
     val sh = shArr.select(col("_id"), explode(col("_sharr")).as("_sh"))
     val rare = sh.groupBy("_sh")
       .agg(count(lit(1)).as("_df"))
@@ -73,36 +84,77 @@ object Cluster {
   }
 
   /** Connected components over undirected edges: returns (id, cluster_id)
-    * with cluster_id = the component's minimum vertex id. `maxIter` bounds
-    * the propagation rounds (diameter of the largest component). */
+    * with cluster_id = the component's minimum vertex id.
+    *
+    * Each round: (1) min-label propagation — adopt the smallest label among
+    * self and neighbors; (2) pointer jumping — adopt the adopted label's own
+    * label (labels are always vertex ids, so the lookup is a self-join).
+    * Jumping halves the remaining label-chain depth, giving O(log diameter)
+    * rounds; `maxIter = 20` therefore covers components up to ~2^20 in
+    * effective chain depth. If the loop still exits unconverged, this THROWS
+    * rather than silently returning partial labels — wrong cluster_ids
+    * poison every downstream dedup decision.
+    *
+    * Checkpointing (eager) truncates lineage each round: the naive
+    * labels-referenced-twice recurrence doubles the logical plan per
+    * iteration (2^k nodes by round k — an OOM on the DRIVER long before
+    * executors see load). Pinning each round's result as a new leaf keeps
+    * plan size O(1) per round — mandatory for iterative DataFrame
+    * algorithms. `reliable = false` (default) uses `localCheckpoint`:
+    * fastest, but blocks are non-replicated executor-local, so an executor
+    * loss mid-propagation fails the job and it must be retried from the
+    * start — acceptable for minutes-long runs. Set `reliable = true` (with
+    * `spark.sparkContext.setCheckpointDir(...)`) to write rounds to
+    * checkpoint-dir storage and survive executor loss — the right trade on
+    * a long 1000-executor run. Superseded rounds are released eagerly
+    * either way (blocks unpersisted / files left to the checkpoint dir's
+    * lifecycle). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager) truncates lineage each round: the naive
-    // labels-referenced-twice recurrence doubles the logical plan per
-    // iteration (2^k nodes by round k — an OOM on the DRIVER long before
-    // executors see load). Checkpointing pins each round's result as a new
-    // leaf, so plan size stays O(1) per round — mandatory for any iterative
-    // DataFrame algorithm at scale.
+                          maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    val spark = vertices.sparkSession
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      if (!reliable) org.apache.spark.sql.GraftBridge.releasePinned(df)
+
+    // the symmetrized edge list is re-read every round — cache() (lineage
+    // retained, so losing a block means recompute, not job failure)
     val sym = edges.select(col("id1").as("_src"), col("id2").as("_dst"))
       .unionByName(edges.select(col("id2").as("_src"), col("id1").as("_dst")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .cache()
+    var labels = pin(vertices.select(col("id"), col("id").as("cluster_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, col("_src") === col("id"))
         .groupBy(col("_dst"))
         .agg(min(col("cluster_id")).as("_nbr"))
-      val next = labels.join(nbrMin, col("id") === col("_dst"), "left")
+      // (1) min-label propagation over neighbors
+      val prop = pin(labels.join(nbrMin, col("id") === col("_dst"), "left")
         .select(col("id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("_mid")))
+      // (2) pointer jumping: label ← label(label); every label is a vertex
+      // id present in prop, so the left lookup always matches (coalesce is
+      // belt-and-braces)
+      val lut = prop.select(col("id").as("_lid"), col("_mid").as("_lmid"))
+      val next = pin(prop.join(lut, col("_mid") === col("_lid"), "left")
+        .select(col("id"), col("_old"),
+          coalesce(col("_lmid"), col("_mid")).as("cluster_id")))
       changed = next.where(col("cluster_id") =!= col("_old")).count()
+      release(labels)
+      release(prop)
       labels = next.select("id", "cluster_id")
       iter += 1
     }
+    sym.unpersist(blocking = false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels
   }
 

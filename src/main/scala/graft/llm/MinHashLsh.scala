@@ -70,14 +70,21 @@ object MinHashLsh {
   /** Distinct candidate pairs (id1 < id2) from shared band buckets — an
     * equi-join on (band, bucket), never a cross join.
     *
-    * The bucket frame is cached before the self-join: signature evaluation is
-    * a higher-order-function aggregate (codegen fallback, no subexpression
-    * elimination), so without materialization both join sides would recompute
-    * every signature. At cluster scale the signatures/buckets table is
-    * persisted to storage once and reused the same way. */
+    * Signatures are computed ONCE even though the bucket frame feeds both
+    * join sides: the explicit `repartition` on the join keys pins a shuffle
+    * exchange whose subtree is canonically identical under both sides, so
+    * exchange/stage reuse runs the signature map stage a single time and
+    * serves both readers from shuffle files (under AQE even a runtime
+    * broadcast reads the materialized stage instead of recomputing). That
+    * replaces the explicit `.cache()` this pipeline once carried — same
+    * compute-once guarantee, but fault-tolerant (shuffle files re-derive
+    * from lineage) and with zero block-manager residue in a long-lived
+    * session. ScaleHygieneSpec pins the single-evaluation behavior with an
+    * accumulator. */
   def candidatePairs(signed: DataFrame, idCol: String = "doc_id", k: Int = 32,
                      bands: Int = 8): DataFrame = {
-    val bb = bandBuckets(signed, idCol, k, bands).cache()
+    val bb = bandBuckets(signed, idCol, k, bands)
+      .repartition(col("band"), col("bucket"))
     val l = bb.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val rgt = bb.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(rgt, Seq("band", "bucket"))

@@ -59,16 +59,18 @@ object SimHash {
     * within `maxHamming` bits (bit_count of the XOR). */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // cache the FINGERPRINTS (not the banded view): the fingerprint is a
-    // codegen-fallback higher-order aggregate, and the four band-chunk
-    // expressions would otherwise each recompute it after projection
-    // collapse; chunks from a cached column are cheap bit ops
-    val fps = withFingerprint(docs, textCol).select(col(idCol), col("simhash")).cache()
+    // compute-once without caching: the explicit repartition on the join
+    // keys pins a shuffle exchange that is canonically identical under both
+    // self-join sides, so exchange/stage reuse runs the fingerprint map
+    // stage once and serves both readers from shuffle files — no
+    // block-manager residue, fault-tolerant via lineage
+    val fps = withFingerprint(docs, textCol).select(col(idCol), col("simhash"))
     val banded = fps.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), bandChunk(col("simhash"), b).as("chunk"))
       }: _*)).as("_b"))
       .select(col(idCol), col("simhash"), col("_b.band").as("band"), col("_b.chunk").as("chunk"))
+      .repartition(col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col(idCol).as("id1"), col("simhash").as("fp1"))
     val r = banded.select(col("band"), col("chunk"), col(idCol).as("id2"), col("simhash").as("fp2"))
     l.join(r, Seq("band", "chunk"))

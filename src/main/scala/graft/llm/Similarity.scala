@@ -207,11 +207,15 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int,
                    nPlanes: Int = 16, bands: Int = 2, seed: Int = 7,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // cached before the self-join so plane projections evaluate once per
-    // row; the pair distinct carries ids only, vectors re-join afterwards
+    // plane projections evaluate once per row without caching: the explicit
+    // repartition on the join keys pins a shuffle exchange that is
+    // canonically identical under both self-join sides, so exchange/stage
+    // reuse runs the bucket map stage once and serves both readers from
+    // shuffle files; the pair distinct carries ids only, vectors re-join
+    // afterwards
     val b = withLshBuckets(df, dim, nPlanes, bands, seed, vecCol)
       .select(col("band"), col("bucket"), col(idCol).as("_id"))
-      .cache()
+      .repartition(col("band"), col("bucket"))
     val ids = b.select(col("band"), col("bucket"), col("_id").as("id1"))
       .join(b.select(col("band"), col("bucket"), col("_id").as("id2")),
         Seq("band", "bucket"))

@@ -237,9 +237,22 @@ object Backtest {
   /** Volatility-bucketed excursion report
     * (trade_diagnostics_mae_mfe_short.py:47-82): bucket each entry by its
     * range percentile (the reference's `_rp_bucket` edges) and aggregate the
-    * `_perf_series` stats — n, mean, win rate, sample std, p05/p95 exact
-    * percentiles, min/max — over the chosen R column. One shuffle. */
-  def bucketReport(rows: DataFrame, rCol: String, pctlCol: String): DataFrame = {
+    * `_perf_series` stats — n, mean, win rate, sample std, p05/p95
+    * percentiles, min/max — over the chosen R column. One shuffle.
+    *
+    * The bucket keys are SEVEN FIXED bands, so each aggregation group is a
+    * constant fraction of ALL trades — group size grows linearly with the
+    * lake, never with cardinality. `useApprox = true` is therefore the
+    * 100 TB path: `percentile_approx` (t-digest-style sketch) holds fixed
+    * memory per group and merges map-side partials, where exact
+    * `percentile` would buffer ~1/7 of every trade in one task. Exact stays
+    * the default for oracle parity at test scale. */
+  def bucketReport(rows: DataFrame, rCol: String, pctlCol: String,
+                   useApprox: Boolean = false,
+                   accuracy: Int = 10000): DataFrame = {
+    def pctl(prob: Double): Column =
+      if (useApprox) percentile_approx(col(rCol), lit(prob), lit(accuracy))
+      else percentile(col(rCol), lit(prob))
     val p = col(pctlCol) / 100.0
     val bucket = when(p.isNull, "NA")
       .when(p < 0.02, "[0.00,0.02)")
@@ -255,8 +268,8 @@ object Backtest {
         avg(col(rCol)).as("mean_r"),
         avg(when(col(rCol) > 0.0, 1.0).otherwise(0.0)).as("wr"),
         stddev_samp(col(rCol)).as("std_r"),
-        expr(s"percentile($rCol, 0.05)").as("p05"),
-        expr(s"percentile($rCol, 0.95)").as("p95"),
+        pctl(0.05).as("p05"),
+        pctl(0.95).as("p95"),
         min(col(rCol)).as("min_r"),
         max(col(rCol)).as("max_r"))
   }
@@ -269,9 +282,9 @@ object Backtest {
     * the kept set is bit-identical across engines and partitionings.
     *
     * The global rank is a single-partition window — fine at validation-set
-    * scale (the reference applies this to one fold's rows). For a
-    * lake-scale sweep, replace the rank with `approx_percentile` thresholds
-    * per f and filter — same one-pass shape as [[bucketReport]]. */
+    * scale (the reference applies this to one fold's rows), and kept as the
+    * oracle-checkable small-data variant. [[keepFracSweepApprox]] is the
+    * lake-scale path: no global sort anywhere. */
   def keepFracSweep(scored: DataFrame, scoreCol: String, rCol: String,
                     fracs: Seq[Double], tieCols: Seq[String]): DataFrame = {
     val clean = scored.where(col(scoreCol).isNotNull && col(rCol).isNotNull)
@@ -293,6 +306,44 @@ object Backtest {
         avg(when(col("_r") > 0.0, 1.0).otherwise(0.0)).as("wr"),
         sum(when(col("_r") > 0.0, col("_r")).otherwise(0.0)).as("_pos"),
         sum(when(col("_r") < 0.0, -col("_r")).otherwise(0.0)).as("_neg"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+
+  /** Sketch-path keep-fraction sweep — the 100 TB variant of
+    * [[keepFracSweep]]. One `percentile_approx` pass computes the score
+    * threshold at probability (1 − f) for EVERY fraction at once (a single
+    * mergeable sketch, fixed memory, map-side partials); the resulting
+    * |fracs|-row threshold table broadcast-joins back (`score >= thr`) and
+    * one hash aggregation rolls up the kept cohorts. No window, no global
+    * sort, no single-partition funnel — every stage is either map-side or
+    * a standard hash shuffle.
+    *
+    * Semantics vs the rank form: the sketch keeps `score >= threshold`, so
+    * cohort membership can differ from exact top-⌈f·n⌉ by sketch error and
+    * score ties (the rank form tie-breaks deterministically). Tests pin the
+    * two within tolerance; use the rank form when bit-identical cohorts
+    * matter and this form when the data doesn't fit one task. */
+  def keepFracSweepApprox(scored: DataFrame, scoreCol: String, rCol: String,
+                          fracs: Seq[Double],
+                          accuracy: Int = 10000): DataFrame = {
+    val clean = scored.where(col(scoreCol).isNotNull && col(rCol).isNotNull)
+    val probs = array(fracs.map(f => lit(1.0 - f)): _*)
+    val thresholds = clean
+      .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("_thrs"))
+      .select(posexplode(col("_thrs")).as(Seq("_i", "_thr")))
+      .select(element_at(array(fracs.map(lit(_)): _*), col("_i") + 1)
+        .as("keep_frac"), col("_thr"))
+    val r = col(rCol)
+    clean
+      .join(broadcast(thresholds), col(scoreCol) >= col("_thr"))
+      .groupBy(col("keep_frac"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        avg(r).as("mean_r"),
+        avg(when(r > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(r > 0.0, r).otherwise(0.0)).as("_pos"),
+        sum(when(r < 0.0, -r).otherwise(0.0)).as("_neg"))
       .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
       .drop("_pos", "_neg")
   }

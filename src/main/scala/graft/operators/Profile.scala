@@ -24,25 +24,34 @@ object Profile {
 
   def columnProfile(df: DataFrame, cols: Seq[String],
                     exact: Boolean = true): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      val v = col(c)
+    // internal aliases are INDEX-based and input refs are backtick-escaped,
+    // so arbitrary column names (spaces, dots, quotes, backticks) never
+    // enter an identifier or a SQL string — everything below is Column API
+    def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(quoted(c))
       Seq(
-        count(v).as(s"_n_$c"),
+        count(v).as(s"_n_$i"),
         (if (exact) countDistinct(v) else approx_count_distinct(v))
-          .as(s"_d_$c"),
-        min(v).cast("string").as(s"_min_$c"),
-        max(v).cast("string").as(s"_max_$c"))
+          .as(s"_d_$i"),
+        min(v).cast("string").as(s"_min_$i"),
+        max(v).cast("string").as(s"_max_$i"))
     }
     val wide = df.agg(count(lit(1)).as("_rows"), aggs: _*)
-    // pivot the single wide row to one output row per column: the stack is
-    // driver-free (no collect) and tiny — |cols| rows
-    val stacked = cols.map { c =>
-      s"'$c', _rows - _n_$c, _d_$c, _min_$c, _max_$c"
-    }.mkString(", ")
-    wide.select(col("_rows").as("n_rows"),
-        expr(s"stack(${cols.size}, $stacked) AS " +
-          "(column_name, n_null, n_distinct, min_str, max_str)"))
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_str"), col("max_str"))
+    // pivot the single wide row to one output row per column: the
+    // struct-array explode is driver-free (no collect) and tiny — |cols|
+    // rows from one row
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        (col("_rows") - col(s"_n_$i")).as("n_null"),
+        col(s"_d_$i").as("n_distinct"),
+        col(s"_min_$i").as("min_str"),
+        col(s"_max_$i").as("max_str"))
+    }: _*)
+    wide.select(col("_rows").as("n_rows"), explode(entries).as("_e"))
+      .select(col("_e.column_name").as("column_name"), col("n_rows"),
+        col("_e.n_null").as("n_null"), col("_e.n_distinct").as("n_distinct"),
+        col("_e.min_str").as("min_str"), col("_e.max_str").as("max_str"))
   }
 }

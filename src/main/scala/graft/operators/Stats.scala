@@ -67,17 +67,25 @@ object Stats {
     * (constant group — nothing is an outlier).
     *
     * Two grouped aggregations + two joins against per-group scalars (tiny
-    * sides, broadcast at scale). Exact `percentile` keeps the operator
-    * oracle-checkable; at lake scale swap in `approx_percentile` — same
-    * shape, one t-digest pass. */
+    * sides, broadcast at scale). Exact `percentile` (the default) keeps the
+    * operator oracle-checkable, but buffers every group's values in one
+    * aggregation buffer — groups here are whole symbols, so a hot symbol's
+    * full history lands in one task. `useApprox = true` is the 100 TB path:
+    * `percentile_approx` sketches hold fixed memory per group and merge
+    * map-side partials; tests pin sketch-vs-exact within tolerance. */
   def robustScale(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                  clipK: Double = 3.0): DataFrame = {
+                  clipK: Double = 3.0, useApprox: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    def median(c: Column): Column =
+      if (useApprox) percentile_approx(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
     val keys = keyCols.map(col)
+    val v = col(valueCol)
     val med = df.groupBy(keys: _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+      .agg(median(v).as("_med"))
     val withMed = df.join(med, keyCols)
     val mad = withMed.groupBy(keys: _*)
-      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+      .agg(median(abs(v - col("_med"))).as("_mad"))
     val full = withMed.join(mad, keyCols)
     val denom = lit(1.4826) * col("_mad")
     val band = lit(clipK) * denom

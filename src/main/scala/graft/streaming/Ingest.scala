@@ -102,6 +102,23 @@ object Ingest {
       .select(col(keyCol), col("session_start_ms"), col("session_end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Corpus-clean gating (quality score + language ID + token floor) as a
+    * STATELESS map stage: pure per-row column algebra + filter, so the same
+    * call runs on a batch frame and on a readStream frame unchanged (append
+    * mode, no watermark, no state store) — the LLM pipeline's filter stages
+    * are streaming-safe end-to-end. The batch contract query
+    * (`corpus_clean`) and StreamingSpec's batch-equality test share this
+    * exact code path. */
+  def cleanDocs(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+                minTokens: Int = 10): DataFrame = {
+    import graft.llm.TextAnalysis
+    TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+      .where(col("lang_pred") === lang && col("quality_score") >= minQuality &&
+        col("n_tokens") >= minTokens)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality_score"), 6).as("quality_score"))
+  }
+
   final case class Tick(symbol: String, tsMs: Long, value: Double)
   final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)
 

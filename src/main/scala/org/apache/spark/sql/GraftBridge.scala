@@ -9,4 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Unpersist the block-manager blocks behind a `localCheckpoint`ed frame
+    * (its plan leaves are LogicalRDDs over persisted RDDs). Lets iterative
+    * algorithms release superseded rounds instead of accumulating every
+    * round's blocks for the life of the session. No-op on plans without
+    * checkpointed leaves. */
+  def releasePinned(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

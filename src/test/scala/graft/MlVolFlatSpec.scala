@@ -49,4 +49,24 @@ class MlVolFlatSpec extends SparkTestBase {
     assert(conf.getAs[Long]("tp") + conf.getAs[Long]("tn") +
       conf.getAs[Long]("fp") + conf.getAs[Long]("fn") == conf.getAs[Long]("n"))
   }
+
+  test("gbt filter learns the same separable rule behind the same interface") {
+    // the reference's run_ml_m5/m15 family uses tree models; same contract
+    val rows = (0 until 400).map { i =>
+      val up = i % 2 == 0
+      val close = if (up) 10.0 else 20.0
+      ("A", i.toLong, close, if (up) 1.0 else -1.0)
+    }
+    val df = rows.toDF("symbol", "bar_ts_ms", "close", "f")
+    val scored = MlFilter.trainScore(MlFilter.withLabel(df), Seq("f"),
+      classifier = "gbt")
+    assert(scored.columns.contains("probability_up") &&
+      scored.columns.contains("prediction"))
+    val conf = MlFilter.confusion(scored).collect()(0)
+    assert(conf.getAs[Double]("accuracy") > 0.95, conf.toString)
+    // unknown classifier names fail loudly
+    intercept[IllegalArgumentException] {
+      MlFilter.trainScore(MlFilter.withLabel(df), Seq("f"), classifier = "svm")
+    }
+  }
 }

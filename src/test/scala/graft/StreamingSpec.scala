@@ -171,4 +171,38 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got.forall { case (k, v) => batchCvd(k) == v })
   }
+
+  test("corpus-clean gating runs as a streaming map stage and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it runs " +
+        "away into the woods before anyone can see where it went"),
+      (2L, "le renard brun rapide saute par dessus le chien paresseux et " +
+        "il court dans les bois avant que quiconque puisse le voir"),
+      (3L, "too short"),
+      (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ### $$$ %%% ^^^"),
+      (5L, "this is a good long english document with many common words " +
+        "that should pass the quality gate easily because it is plain text"),
+      (6L, "here is another plain english sentence that is long enough and " +
+        "contains the usual stopwords so the gate keeps it as well"))
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Ingest.cleanDocs(stream).writeStream.format("memory")
+      .queryName("clean_out").outputMode("append").start()
+    input.addData(docs.take(4): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(4): _*)  // stateless: batch boundaries irrelevant
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("clean_out").orderBy("doc_id").collect().toSeq
+    val batch = Ingest.cleanDocs(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    val kept = batch.map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(1L) && kept.contains(5L) && kept.contains(6L))
+    assert(!kept.contains(2L) && !kept.contains(3L)) // french / too short
+  }
 }
