@@ -14,7 +14,9 @@ object PlanDump {
     "asof_join" -> "Union of tagged sides + ONE running-frame window — no range join, no pair explosion; this plan shape is invariant in data size.",
     "rolling_stats" -> "All window frames share a single (symbol, ts) sort/exchange.",
     "ann_topk" -> "Query side broadcast (BroadcastNestedLoopJoin is the intended brute-force shape); cosine_sim is the codegen'd native expression, no UDF nodes.",
-    "minhash_lsh" -> "Candidates from equi-joins on (band, bucket) over the cached signature table; no CartesianProduct anywhere.",
+    "minhash_lsh" -> "Candidates from equi-joins on (band, bucket); the signature map stage is computed once and shared by both self-join sides via exchange reuse (no cache); no CartesianProduct anywhere.",
+    "robust_scale" -> "Two grouped aggregations (median, then MAD) with per-group scalars joined back — tiny sides, broadcast-eligible; the useApprox flag swaps exact percentile buffers for fixed-memory percentile_approx sketches at lake scale.",
+    "equity_curve" -> "Per-symbol SeqScan state machine for the inherently sequential position lifecycle (parallel across symbols, like a keyed stream processor), then one window + one hash aggregate for the drawdown/perf rollup.",
     "merge_upsert" -> "Tagged union + one keep-last window on the merge keys — upsert without read-modify-write.",
     "sessionize" -> "session_window aggregation: one hash-shuffle on the key, sessions merged inside the aggregate (UpdatingSessions), tiny post-pass for ids — the identical expression runs under Structured Streaming.",
     "topk_docs" -> "WindowGroupLimit above AND below the exchange: per-partition top-k pruned map-side before the shuffle, so the exchange carries at most k rows per group.",
@@ -24,6 +26,45 @@ object PlanDump {
     "column_profile" -> "All columns profiled in one scan; exact multi-distinct plans as a single Expand (one row per distinct aggregate) feeding one aggregation — the honest exactness cost, with the HLL path one-shuffle.",
     "stratified_sample" -> "Map-only: the md5-bucket membership filter sits directly above the scan — no exchange, no RNG state; sampling composes with partition pruning.",
     "rolling_corr" -> "Pair join on the time grid, then every Pearson co-moment (avg, avg-of-product, stddev_pop) rides ONE window sort per pair key.")
+
+  /** Non-contract plans worth auditing: the scale variants and internal
+    * stages that the contract queries don't expose directly. */
+  private def extras(spark: org.apache.spark.sql.SparkSession, dir: String) = Seq(
+    ("keep_frac_sweep_sketch",
+      "The lake-scale sweep: one percentile_approx sketch pass for ALL " +
+        "fraction thresholds, a broadcast threshold join, one hash " +
+        "aggregation — NO window, no global sort, nothing single-partition " +
+        "(the rank-based contract variant keeps the oracle-checkable exact " +
+        "cohort).", {
+      import graft.sources.{Bars, Tables}
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val h1 = graft.functions.Features.withAtrSma(
+        Bars.fromTicks(Tables.events(spark, dir), "hour"), 14)
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      val scored = h1
+        .withColumn("score",
+          (col("close") - col("open")) / when(col("atr") > 0.0, col("atr")))
+        .withColumn("r_fwd",
+          lead(col("close"), 4).over(w) /
+            when(col("close") =!= 0.0, col("close")) - 1.0)
+      graft.operators.Backtest.keepFracSweepApprox(scored, "score", "r_fwd",
+        Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    }),
+    ("dedup_clusters_edges",
+      "The edge-verify stage of near-dup clustering: rare-shingle inverted-" +
+        "index self-join bounded by document frequency (df in [2, maxDf] — " +
+        "at most C(maxDf,2) pairs per shingle, all-pairs structurally " +
+        "impossible), then exact-Jaccard verification joins bounded by the " +
+        "candidate count. The shingle arrays are computed once and shared " +
+        "by all three consumers through one reused exchange (no " +
+        "localCheckpoint, no blocks).", {
+      import graft.sources.Tables
+      graft.llm.Cluster.rareShingleEdges(
+        Tables.documents(spark, dir).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    }))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("plan-dump", "8")
@@ -36,6 +77,11 @@ object PlanDump {
     Commentary.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n${Commentary(name)}\n\n```\n")
+      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    extras(spark, dir).foreach { case (name, commentary, df) =>
+      sb.append(s"\n## $name (non-contract scale variant)\n\n$commentary\n\n```\n")
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }

@@ -90,9 +90,15 @@ object ScaleProbe {
           .agg(count(col("cvd_ret1_z"))).as[Long].collect()(0)
       },
       time("column_profile_exact") {
+        // count() would let Catalyst PRUNE the distinct/extrema aggregates
+        // (the output row count is |cols| regardless) — hash every output
+        // value so the full profile is actually computed
         graft.operators.Profile.columnProfile(
           bars.select("symbol", "bar_ts_ms", "close", "event_id"),
-          Seq("symbol", "bar_ts_ms", "close", "event_id")).count()
+          Seq("symbol", "bar_ts_ms", "close", "event_id"))
+          .agg(sum(bit_count(xxhash64(col("column_name"), col("n_rows"),
+            col("n_null"), col("n_distinct"), col("min_str"), col("max_str")))))
+          .as[Long].collect()(0)
       },
       time("keep_frac_sweep_sketch") {
         // one t-digest pass + broadcast threshold join + one hash agg — the

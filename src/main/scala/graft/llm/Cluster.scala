@@ -87,13 +87,17 @@ object Cluster {
     * with cluster_id = the component's minimum vertex id.
     *
     * Each round: (1) min-label propagation — adopt the smallest label among
-    * self and neighbors; (2) pointer jumping — adopt the adopted label's own
-    * label (labels are always vertex ids, so the lookup is a self-join).
-    * Jumping halves the remaining label-chain depth, giving O(log diameter)
-    * rounds; `maxIter = 20` therefore covers components up to ~2^20 in
-    * effective chain depth. If the loop still exits unconverged, this THROWS
-    * rather than silently returning partial labels — wrong cluster_ids
-    * poison every downstream dedup decision.
+    * self and neighbors; (2) from the third round on, pointer jumping —
+    * adopt the adopted label's own label (labels are always vertex ids, so
+    * the lookup is a self-join). Jumping halves the remaining label-chain
+    * depth, giving O(log diameter) rounds; `maxIter = 20` therefore covers
+    * components up to ~2^17 in effective chain depth. The first two rounds
+    * skip the jump: real near-dup graphs are shallow (clusters of 2-5
+    * docs converge in two plain rounds), so the extra self-join would be
+    * pure overhead on the common path — the jump engages exactly when
+    * depth is demonstrated (the loop is still running). If the loop exits
+    * unconverged, this THROWS rather than silently returning partial
+    * labels — wrong cluster_ids poison every downstream dedup decision.
     *
     * Checkpointing (eager) truncates lineage each round: the naive
     * labels-referenced-twice recurrence doubles the logical plan per
@@ -137,17 +141,22 @@ object Cluster {
         .select(col("id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
             .as("_mid")))
-      // (2) pointer jumping: label ← label(label); every label is a vertex
-      // id present in prop, so the left lookup always matches (coalesce is
-      // belt-and-braces)
-      val lut = prop.select(col("id").as("_lid"), col("_mid").as("_lmid"))
-      val next = pin(prop.join(lut, col("_mid") === col("_lid"), "left")
-        .select(col("id"), col("_old"),
-          coalesce(col("_lmid"), col("_mid")).as("cluster_id")))
-      changed = next.where(col("cluster_id") =!= col("_old")).count()
+      // (2) pointer jumping from round 3 on: label ← label(label); every
+      // label is a vertex id present in prop, so the left lookup always
+      // matches (coalesce is belt-and-braces)
+      val next =
+        if (iter < 2) prop
+        else {
+          val lut = prop.select(col("id").as("_lid"), col("_mid").as("_lmid"))
+          val jumped = pin(prop.join(lut, col("_mid") === col("_lid"), "left")
+            .select(col("id"), col("_old"),
+              coalesce(col("_lmid"), col("_mid")).as("_mid")))
+          release(prop)
+          jumped
+        }
+      changed = next.where(col("_mid") =!= col("_old")).count()
       release(labels)
-      release(prop)
-      labels = next.select("id", "cluster_id")
+      labels = next.select(col("id"), col("_mid").as("cluster_id"))
       iter += 1
     }
     sym.unpersist(blocking = false)

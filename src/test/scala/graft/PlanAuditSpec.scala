@@ -78,6 +78,49 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("keep-frac sweep sketch: percentile sketch + broadcast thresholds, no window") {
+    import spark.implicits._
+    val scored = (0 until 100).map(i => ("A", i.toLong, i / 100.0, 1.0))
+      .toDF("symbol", "bar_ts_ms", "score", "r")
+    val p = plan(graft.operators.Backtest.keepFracSweepApprox(
+      scored, "score", "r", Seq(0.25, 0.5)))
+    assert(p.contains("percentile_approx"), p)
+    assert(!p.contains("Window"), p)
+    // the |fracs|-row threshold table joins broadcast (theta join on >=)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("robust scale: per-group scalars join back broadcast at runtime") {
+    val h1 = Bars.fromTicks(Tables.events(spark, sfDir), "hour")
+    val df = graft.operators.Stats.robustScale(h1, Seq("symbol"), "volume")
+    df.collect() // let AQE finalize join strategies from runtime sizes
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("clustering edge-verify: bounded inverted-index join, no cartesian") {
+    import spark.implicits._
+    def words(seed: Int) = (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+    val docs = (1 to 30).map(i => (i.toLong, words(i % 8))).toDF("doc_id", "text")
+    val edges = graft.llm.Cluster.rareShingleEdges(docs)
+    val p = plan(edges)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // DF-bound filter sits on the inverted index before the self-join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("perf rollup: window and aggregate share one symbol exchange") {
+    import spark.implicits._
+    val trades = Seq(("A", 1L, 1.0), ("A", 2L, -0.5), ("B", 1L, 2.0))
+      .toDF("symbol", "exit_ts", "r_mult")
+    val p = plan(graft.operators.Backtest.perf(trades))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
