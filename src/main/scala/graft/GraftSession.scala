@@ -26,10 +26,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Release every cached table and persisted/localCheckpointed RDD block.
-    * Long-lived sessions (the bench harness runs 81 queries in one JVM)
+    * Long-lived sessions (the bench harness runs 81+ queries in one JVM)
     * call this between queries so one query's materializations can't build
-    * memory pressure for the next — cached blocks are an optimization, and
-    * every operator here re-derives from lineage if they vanish. */
+    * memory pressure for the next. Cached blocks re-derive from lineage if
+    * they vanish — EXCEPT localCheckpointed results (e.g. the frames
+    * returned by Cluster.connectedComponents / nearDupClusters), whose
+    * lineage is truncated: after releaseCache those frames are spent and
+    * must not be re-used. Call this only once a query's results are fully
+    * consumed (as Bench does, after count()). */
   def releaseCache(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values

@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.annotation.tailrec
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The collector loop: the reference's REST poll-and-stage ingestion
@@ -70,7 +70,12 @@ object Collector {
                                  nextStartTimeMs: Option[Long],
                                  stopReason: String)
 
-  private val CheckpointTf = "collector_m1"
+  /** Per-symbol checkpoint namespace — one `_checkpoint_collector_m1_<SYM>
+    * .json` per symbol, matching the reference's per-symbol `_checkpoint
+    * .json` (klines_m1.py:38). Concurrent collectors for different symbols
+    * never read-modify-write a shared file, so no resume point can be lost
+    * to a race. */
+  private def checkpointTf(symbol: String) = s"collector_m1_$symbol"
 
   /** Run the collector loop for one symbol until a stop condition.
     * Returns what happened; the staged rows live under
@@ -80,10 +85,11 @@ object Collector {
   def collect(spark: SparkSession, fetch: Fetch, symbol: String, root: String,
               nowMs: Long, startMs: Option[Long] = None,
               endMs: Option[Long] = None, safeLagMinutes: Int = 2,
-              limit: Int = 1500, maxPages: Int = 10000): CollectReport = {
+              limit: Int = 1500, maxPages: Int = 10000,
+              intervalMs: Long = 60000L): CollectReport = {
     val safeEndMs = nowMs - safeLagMinutes * 60000L
     var startTime: Option[Long] =
-      Checkpoint.read(root, CheckpointTf).get(symbol).orElse(startMs)
+      Checkpoint.read(root, checkpointTf(symbol)).get(symbol).orElse(startMs)
     var pages = 0
     var rows = 0L
     var stop: Option[String] = None
@@ -96,13 +102,12 @@ object Collector {
         if (page.isEmpty) stop = Some("no_new_data")
         else if (kept.isEmpty) stop = Some("end_reached")
         else {
-          writeStaging(spark, kept, symbol, root)
+          writeStaging(spark, kept, symbol, root, intervalMs)
           pages += 1
           rows += kept.size
           val next = kept.map(_.openTimeMs).max + 1
           startTime = Some(next)
-          Checkpoint.write(root, CheckpointTf,
-            Checkpoint.read(root, CheckpointTf) + (symbol -> next))
+          Checkpoint.write(root, checkpointTf(symbol), Map(symbol -> next))
           if (kept.size < page.size) stop = Some("end_reached")
         }
       }
@@ -116,10 +121,92 @@ object Collector {
     * `limit` rows (a REST response), so the local-relation parallelize is
     * the honest shape — the DISTRIBUTED side is the lake it appends into
     * and every operator that reads it back. */
+  /** Repair an explicit [startMs, endMs] range: page through it in
+    * limit-sized chunks, then merge-write the fetched rows into the lake —
+    * incoming wins on (symbol, open_time_ms) collision, untouched months
+    * untouched on disk (dynamic partition overwrite rewrites only the
+    * months the repair landed in, the distributed equivalent of the
+    * reference's per-month merged part-000 rewrite).
+    *
+    * Matches backfill_range.py:104-160: chunk advance is by time
+    * (`chunkEnd + 1`), never by fetched max, so empty source segments —
+    * exchange outages — are paged past instead of stalling the loop; the
+    * resume checkpoint is NOT consulted or advanced (a repair must reach
+    * ranges the checkpoint has already moved beyond). */
+  def backfillRange(spark: SparkSession, fetch: Fetch, symbol: String,
+                    root: String, startMs: Long, endMs: Long,
+                    limit: Int = 1500, intervalMs: Long = 60000L,
+                    maxPages: Int = 10000): CollectReport = {
+    val stepMs = limit.toLong * intervalMs
+    var cur = startMs
+    var pages = 0
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[Kline]
+    while (cur <= endMs && pages < maxPages) {
+      val chunkEnd = math.min(cur + stepMs - 1, endMs)
+      val page = fetch(symbol, Some(cur), limit)
+        .filter(k => k.openTimeMs >= cur && k.openTimeMs <= chunkEnd)
+      pages += 1
+      fetched ++= page
+      cur = chunkEnd + 1
+    }
+    if (fetched.nonEmpty) {
+      val incoming = pageToDf(spark, fetched.toSeq, symbol, intervalMs)
+      // Merge against ONLY the months the repair landed in — the month set
+      // is tiny (driver-side), the predicate partition-prunes the lake
+      // read, and dynamic overwrite below rewrites just those partitions.
+      // Untouched months are never read or written.
+      val affected = fetched.map { k =>
+        val c = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        c.setTimeInMillis(k.openTimeMs)
+        (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
+      }.toSet
+      val merged =
+        if (lakeExists(spark, root)) {
+          val monthPred = affected.toSeq.map { case (y, m) =>
+            col("year") === y && col("month") === m
+          }.reduce(_ || _)
+          val existing = Lake.read(spark, root)
+            .where(col("symbol") === symbol && monthPred)
+            .drop("year", "month")
+          Lake.mergeUpsert(existing, incoming, Seq("symbol", "open_time_ms"))
+        } else incoming
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try Lake.writePartitioned(merged, root, tsMsCol = "open_time_ms")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    CollectReport(symbol, pages, fetched.size.toLong,
+      Some(endMs + 1), "end_reached")
+  }
+
+  private def lakeExists(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.getPath.getName.startsWith("symbol="))
+  }
+
   private def writeStaging(spark: SparkSession, page: Seq[Kline],
-                           symbol: String, root: String): Unit = {
+                           symbol: String, root: String,
+                           intervalMs: Long): Unit = {
+    val df = pageToDf(spark, page, symbol, intervalMs)
+    // Append, never overwrite: staging accumulates pages exactly like the
+    // reference's per-month append files (klines_m1.py:136-146); an
+    // Overwrite here would wipe every previously staged page.
+    Lake.writePartitioned(df, root, tsMsCol = "open_time_ms",
+      mode = SaveMode.Append)
+  }
+
+  /** A fetched page in the lake's staged-kline schema (klines_m1.py:109-129
+    * column names). */
+  private def pageToDf(spark: SparkSession, page: Seq[Kline],
+                       symbol: String, intervalMs: Long): DataFrame = {
     import spark.implicits._
-    val df = page.toDF()
+    page.toDF()
       .select(
         timestamp_millis(col("openTimeMs")).as("ts"),
         col("open"), col("high"), col("low"), col("close"),
@@ -129,10 +216,9 @@ object Collector {
         col("takerBuyBase").as("taker_buy_base"),
         col("takerBuyQuote").as("taker_buy_quote"),
         col("openTimeMs").as("open_time_ms"),
-        (col("openTimeMs") + 59999L).as("close_time_ms"),
+        (col("openTimeMs") + (intervalMs - 1L)).as("close_time_ms"),
         lit("binance").as("exchange"),
         lit("um_futures").as("market"),
         lit(symbol).as("symbol"))
-    Lake.writePartitioned(df, root, tsMsCol = "open_time_ms")
   }
 }

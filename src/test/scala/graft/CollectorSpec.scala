@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Checkpoint, Collector, Lake}
+import graft.sources.Collector.Kline
+
+/** The REST poll-and-stage loop against a deterministic fake Fetch
+  * (klines_m1.py:31-210 semantics): pagination, checkpoint resume, safe-lag
+  * and end-clip stops, retry/backoff, and the staged lake's readability. */
+class CollectorSpec extends SparkTestBase {
+
+  private def mkKline(t: Long): Kline =
+    Kline(t, 1.0 + (t / 60000L % 5), 2.0, 0.5, 1.5, 10.0, 20.0, 3L, 4.0, 8.0)
+
+  /** A fake REST source over a fixed minute grid; records each requested
+    * startTime so tests can assert the pagination trace. */
+  private class FakeSource(openTimes: Seq[Long]) {
+    val calls = ArrayBuffer.empty[Option[Long]]
+    val fetch: Collector.Fetch = (_, start, limit) => {
+      calls += start
+      val s = start.getOrElse(Long.MinValue)
+      openTimes.filter(_ >= s).take(limit).map(mkKline)
+    }
+  }
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), tag).toString
+
+  // 120 minutes of data starting 2024-01-01T00:00Z
+  private val t0 = 1704067200000L
+  private val grid: Seq[Long] = (0 until 120).map(i => t0 + i * 60000L)
+  private val nowMs = t0 + 10 * 86400000L // far future: safe-lag never binds
+
+  test("multi-page collect accumulates ALL pages (append, not overwrite)") {
+    val root = tmpRoot("coll-pages")
+    val src = new FakeSource(grid)
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 50)
+    assert(rep.pages == 3 && rep.rows == 120L)        // 50 + 50 + 20
+    assert(rep.stopReason == "no_new_data")           // 4th fetch: empty
+    assert(rep.nextStartTimeMs.contains(grid.last + 1))
+    // pagination trace: each page starts 1ms past the previous page's max
+    assert(src.calls.toSeq == Seq(Some(t0), Some(grid(49) + 1),
+      Some(grid(99) + 1), Some(grid.last + 1)))
+    // every page survived on disk — the SaveMode.Append regression guard
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 120L)
+    assert(staged.select(countDistinct(col("open_time_ms"))).head.getLong(0) == 120L)
+    // checkpoint file survived alongside the staged parquet
+    assert(Checkpoint.read(root, "collector_m1_BTCUSDT")
+      .get("BTCUSDT").contains(grid.last + 1))
+  }
+
+  test("resume from checkpoint: first fetch starts at the stored resume point") {
+    val root = tmpRoot("coll-resume")
+    val src1 = new FakeSource(grid.take(60))
+    Collector.collect(spark, src1.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    val resumeAt = grid(59) + 1
+    // second run: explicit startMs is IGNORED in favor of the checkpoint
+    val src2 = new FakeSource(grid)
+    val rep2 = Collector.collect(spark, src2.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    assert(src2.calls.head.contains(resumeAt))
+    assert(rep2.rows == 60L) // only the 60 new minutes, no refetch
+    assert(Lake.read(spark, root).count() == 120L)
+  }
+
+  test("per-symbol checkpoints are independent files (no cross-symbol clobber)") {
+    val root = tmpRoot("coll-sym")
+    val srcA = new FakeSource(grid.take(10))
+    val srcB = new FakeSource(grid.take(20))
+    Collector.collect(spark, srcA.fetch, "AAA", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    Collector.collect(spark, srcB.fetch, "BBB", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    assert(Checkpoint.read(root, "collector_m1_AAA")
+      .get("AAA").contains(grid(9) + 1))
+    assert(Checkpoint.read(root, "collector_m1_BBB")
+      .get("BBB").contains(grid(19) + 1))
+    val bySym = Lake.read(spark, root).groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySym == Map("AAA" -> 10L, "BBB" -> 20L))
+  }
+
+  test("safe-lag stop: within safeLagMinutes of now -> up_to_date, no fetch") {
+    val root = tmpRoot("coll-lag")
+    val src = new FakeSource(grid)
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root,
+      nowMs = t0 + 60000L, startMs = Some(t0), safeLagMinutes = 2)
+    assert(rep.stopReason == "up_to_date" && rep.pages == 0)
+    assert(src.calls.isEmpty)
+  }
+
+  test("endMs clips the page and stops with end_reached") {
+    val root = tmpRoot("coll-end")
+    val src = new FakeSource(grid)
+    val endMs = grid(29) // keep only the first 30 minutes
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), endMs = Some(endMs), limit = 50)
+    assert(rep.stopReason == "end_reached")
+    assert(rep.rows == 30L)
+    assert(Lake.read(spark, root).agg(max(col("open_time_ms"))).head.getLong(0)
+      == endMs)
+  }
+
+  test("empty first page stops with no_new_data and stages nothing") {
+    val root = tmpRoot("coll-empty")
+    val src = new FakeSource(Seq.empty)
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0))
+    assert(rep.stopReason == "no_new_data" && rep.rows == 0L && rep.pages == 0)
+    assert(!new java.io.File(root, "symbol=BTCUSDT").exists())
+  }
+
+  test("withRetry: transient failures back off exponentially then succeed") {
+    var failures = 2
+    val sleeps = ArrayBuffer.empty[Long]
+    val flaky: Collector.Fetch = (_, start, limit) => {
+      if (failures > 0) { failures -= 1; throw new RuntimeException("boom") }
+      Seq(mkKline(t0))
+    }
+    val out = Collector.withRetry(flaky, maxRetries = 3,
+      baseBackoffMs = 100L, sleep = sleeps += _)("S", Some(t0), 10)
+    assert(out.map(_.openTimeMs) == Seq(t0))
+    assert(sleeps.toSeq == Seq(100L, 200L)) // 1x, 2x
+  }
+
+  test("withRetry: persistent failure throws after maxRetries+1 attempts") {
+    var attempts = 0
+    val dead: Collector.Fetch = (_, _, _) => {
+      attempts += 1; throw new RuntimeException("down")
+    }
+    val e = intercept[RuntimeException] {
+      Collector.withRetry(dead, maxRetries = 2, baseBackoffMs = 1L,
+        sleep = _ => ())("S", None, 10)
+    }
+    assert(attempts == 3 && e.getMessage.contains("after 3 attempts"))
+  }
+
+  test("composed lake repair: outage gap -> plan -> backfillRange -> verified healthy") {
+    import graft.operators.Gaps
+    val root = tmpRoot("coll-repair")
+    val stepMs = 3600000L // hour grid so three months stay small
+    // Jan(744) + Feb(696) + Mar(744) 2024 hour opens; the source had a
+    // full-February outage during initial collection
+    val jan = (0 until 744).map(i => t0 + i * stepMs)
+    val feb = (0 until 696).map(i => jan.last + stepMs + i * stepMs)
+    val mar = (0 until 744).map(i => feb.last + stepMs + i * stepMs)
+    val outage = new FakeSource(jan ++ mar)
+    Collector.collect(spark, outage.fetch, "BTCUSDT", root,
+      nowMs = mar.last + 86400000L, startMs = Some(t0), limit = 500,
+      intervalMs = stepMs)
+    // 1) detect: one gap spanning exactly February
+    val staged = Lake.read(spark, root)
+    val gaps = Gaps.gapsReport(staged, stepMs, tsMsCol = "open_time_ms")
+    val g = gaps.collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("gap_start_ms") == feb.head &&
+      g(0).getAs[Long]("gap_end_ms") == feb.last &&
+      g(0).getAs[Long]("n_missing") == 696L)
+    // 2) plan: explode to the concrete missing grid, take its bounds
+    val plan = Gaps.backfillPlan(gaps, stepMs)
+    assert(plan.count() == 696L)
+    val b = plan.agg(min(col("missing_ms")), max(col("missing_ms"))).head
+    // 3) repair: explicit-range fetch over a healthy source, month merge-write
+    val healthy = new FakeSource(jan ++ feb ++ mar)
+    val rep = Collector.backfillRange(spark, healthy.fetch, "BTCUSDT", root,
+      startMs = b.getLong(0), endMs = b.getLong(1), limit = 500,
+      intervalMs = stepMs)
+    assert(rep.rows == 696L)
+    // 4) verify: grid complete, no dups, verifyAll all-green
+    val after = Lake.read(spark, root)
+    assert(after.count() == 2184L)
+    assert(Gaps.gapsReport(after, stepMs, tsMsCol = "open_time_ms").count() == 0)
+    Lake.writeMeta(after.drop("year", "month"), root)
+    val expected = org.apache.spark.sql.types.StructType(
+      after.schema.filterNot(f => Seq("year", "month").contains(f.name)))
+    val report = Lake.verifyAll(spark, root, expected, stepMs,
+      tf = "collector_m1_BTCUSDT", nowMs = mar.last + 86400000L,
+      tsMsCol = "open_time_ms")
+    val notOk = report.where(!col("ok")).collect()
+    assert(notOk.isEmpty, s"verifyAll failures: ${notOk.mkString("; ")}")
+  }
+
+  test("backfillRange pages past empty source segments instead of stalling") {
+    val root = tmpRoot("coll-void")
+    // source has data only in the SECOND chunk of the requested range
+    val late = (0 until 20).map(i => t0 + (10 + i) * 60000L)
+    val src = new FakeSource(late)
+    val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+      startMs = t0, endMs = late.last, limit = 10)
+    assert(rep.rows == 20L)
+    assert(Lake.read(spark, root).count() == 20L)
+  }
+
+  test("staged schema: close_time_ms follows intervalMs; compact preserves rows") {
+    val root = tmpRoot("coll-schema")
+    val src = new FakeSource(grid.take(40))
+    Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 10, intervalMs = 300000L) // 4 small pages, m5
+    val staged = Lake.read(spark, root)
+    assert(staged.where(col("close_time_ms") =!= col("open_time_ms") + 299999L)
+      .count() == 0)
+    // many page-files -> compact to one part per (symbol, year, month)
+    val compacted = root + "-compact"
+    Lake.compact(spark, root, compacted)
+    val parts = new java.io.File(compacted + "/symbol=BTCUSDT/year=2024/month=1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 1)
+    assert(Lake.read(spark, compacted).count() == 40L)
+  }
+}
