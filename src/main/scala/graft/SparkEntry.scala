@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
 import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, SimHash, Similarity, TextAnalysis}
-import graft.ml.MlFilter
+import graft.ml.{MlFilter, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
@@ -667,6 +667,28 @@ object SparkEntry {
       val scored = MlFilter.trainScore(
         MlFilter.withLabel(h1), Seq("atr_pct", "er", "vwap_dist_z"))
       MlFilter.confusion(scored).orderBy("symbol")
+    }),
+
+    // §2 #25e2 — period-grain 3-class regime evaluation: coarse-period
+    // OHLC + last-feature frame, forward-return quantile labels, multinomial
+    // logistic fit on the TRAIN slice, per-slice accuracy / macro-F1 /
+    // class distribution (run_ml_regime_month_v1.py:99-113,155-199; the
+    // weekly variant is the same at another truncUnit). The period rule is
+    // parameterized; the testdata spans one calendar month, so the driver
+    // query runs the day grain — at lake scale the same call takes
+    // "month"/"week". Model training — rows-only; RegimeEval learnability
+    // and frame semantics covered in MlVolFlatSpec.
+    "ml_regime_month" -> ((s, dir) => {
+      val feats = Seq("atr_pct", "er", "vwap_dist_z")
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      val frame = RegimeEval.periodFrame(h1, "day", feats)
+      RegimeEval.evaluate(frame, feats, horizon = 3, trendQuantile = 0.6,
+          trainEndMs = 1705622400000L, // 2024-01-19T00Z
+          valEndMs = 1706140800000L)   // 2024-01-25T00Z
+        .orderBy("set_name")
     }),
 
     // §2 #14b — funding pipeline: settlement-window premium → 8h funding

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ml.MlFilter
+import graft.ml.{MlFilter, RegimeEval}
 import graft.operators.{FlatLevels, VolRegime}
 
 class MlVolFlatSpec extends SparkTestBase {
@@ -68,5 +68,66 @@ class MlVolFlatSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       MlFilter.trainScore(MlFilter.withLabel(df), Seq("f"), classifier = "svm")
     }
+  }
+
+  test("regime eval: period frame takes OHLC + last feature per period") {
+    val hour = 3600000L
+    // two days of hour bars; feature value = hour index so "last" is obvious
+    val bars = (0 until 48).map { i =>
+      ("A", new java.sql.Timestamp(i * hour), 10.0 + i, 20.0 + i, 5.0 + i,
+        15.0 + i, 1.0, 1L, i.toDouble)
+    }.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume",
+      "n_trades", "feat")
+    val f = RegimeEval.periodFrame(bars, "day", Seq("feat"))
+      .orderBy("period_ms").collect()
+    assert(f.length == 2)
+    assert(f(0).getAs[Double]("open") == 10.0)   // first hour's open
+    assert(f(0).getAs[Double]("high") == 43.0)   // max over hours 0..23
+    assert(f(0).getAs[Double]("low") == 5.0)
+    assert(f(0).getAs[Double]("close") == 38.0)  // last hour's close
+    assert(f(0).getAs[Double]("feat") == 23.0)   // LAST feature, not max/avg
+    assert(f(1).getAs[Double]("feat") == 47.0)
+  }
+
+  test("regime eval learns a separable 3-class regime and reports macro-F1") {
+    val day = 86400000L
+    // deterministic regime cycle (period i%4): up / range / down / range —
+    // feature x at t fixes the next period's return. Exactly HALF the
+    // periods are range with |ret| <= 0.004 and half are trends with
+    // |ret| >= 0.3, so the q=0.5 train threshold interpolates strictly
+    // BETWEEN the two blocks: labels are perfectly consistent with x.
+    val rets = (0 until 90).map { i =>
+      i % 4 match {
+        case 0 => 0.3 + 0.01 * (i % 5)    // up-trend periods
+        case 2 => -(0.3 + 0.01 * (i % 7)) // down-trend periods
+        case _ => 0.002 * (i % 3)         // range periods
+      }
+    }
+    var close = 100.0
+    val rows = (0 until 90).map { i =>
+      val r = (i.toLong * day, close, (i % 4) match {
+        case 0 => 1.0
+        case 2 => -1.0
+        case _ => 0.0
+      })
+      close *= (1.0 + rets(i))
+      ("A", r._1, r._2, r._3)
+    }
+    val frame = rows.toDF("symbol", "period_ms", "close", "x")
+    val out = RegimeEval.evaluate(frame, Seq("x"), horizon = 1,
+      trendQuantile = 0.5, trainEndMs = 60 * day, valEndMs = 75 * day)
+      .orderBy("set_name").collect()
+    assert(out.map(_.getAs[String]("set_name")).toSeq ==
+      Seq("TEST", "TRAIN", "VAL"))
+    val train = out(1)
+    assert(train.getAs[Long]("n_samples") == 60L)
+    // all three classes present and the separable rule is learned
+    assert(train.getAs[Long]("n_range") > 0 &&
+      train.getAs[Long]("n_trend_up") > 0 &&
+      train.getAs[Long]("n_trend_down") > 0)
+    assert(train.getAs[Double]("accuracy") > 0.9, train.toString)
+    assert(train.getAs[Double]("macro_f1") > 0.9, train.toString)
+    val test_ = out(0)
+    assert(test_.getAs[Double]("macro_f1") > 0.9, test_.toString)
   }
 }
