@@ -490,6 +490,27 @@ object SparkEntry {
         .orderBy("symbol", "bar_ts_ms")
     }),
 
+    // §2 #22c2 — LOW+ policy sweep: interval-union allow/block config
+    // algebra over the enriched frame, ≥3 configs evaluated in ONE pass via
+    // broadcast config explode (router_low_plus_sweep.py:20-107
+    // LowPlusConfig + apply_low_plus_override_filter over a config grid).
+    "low_plus_sweep" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val cfgs = Seq(
+        LowPlus.LowPlusConfig("c1_strict"),
+        LowPlus.LowPlusConfig("c2_wide_hours",
+          allowHoursUtc = 0 until 24, dirScoreMin = 0.15,
+          allowRangePctl = Seq(LowPlus.Interval(0.0, 20.0)),
+          blockRangePctl = Seq(LowPlus.Interval(-2.0, -1.0))),
+        LowPlus.LowPlusConfig("c3_both_sides",
+          allowHoursUtc = 0 until 24, dirScoreMin = -1.0,
+          bullOnly = false, forbidNeutral = false,
+          allowRangePctl = Seq(LowPlus.Interval(0.0, 10.0),
+            LowPlus.Interval(12.0, 14.5)),
+          blockRangePctl = Seq(LowPlus.Interval(5.0, 6.0))))
+      LowPlus.sweep(LowPlus.enrich(h1), cfgs).orderBy("config_id")
+    }),
+
     // §2 #25s — confidence keep-fraction sweep: keep the top-f fraction of
     // bars by impulse score, report the kept cohort's forward-return stats
     // (run_ml_m15_v2_flow.py:238-263 choose_keep_frac_val).
@@ -1139,6 +1160,77 @@ object SparkEntry {
       |         count(*) AS n_trades
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB chain mirroring [[graft.operators.LowPlus.enrich]]:
+    * hour bars through the `gates` CTE (range_pctl, vol_state, dir_score,
+    * dir_state, low_plus, market_ready_base, dir_ready). Used by both the
+    * low_plus_gate and low_plus_sweep oracles. */
+  private val LowPlusGatesCte: String =
+      s"""$H1Cte,
+        |rp AS (
+        |  SELECT symbol, bar_ts_ms, close,
+        |         (high - low) / nullif(close, 0) AS range_pct
+        |  FROM h1),
+        |pc AS (
+        |  SELECT * EXCLUDE (arr, nn),
+        |         CASE WHEN nn = 48
+        |           THEN len(list_filter(arr, y -> y <= range_pct)) * 100.0 / 48
+        |         END AS range_pctl
+        |  FROM (SELECT *,
+        |          list(range_pct) OVER w48 AS arr,
+        |          count(range_pct) OVER w48 AS nn
+        |        FROM rp
+        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))),
+        |er24 AS (
+        |  SELECT *,
+        |         abs(close - lag(close) OVER wk) AS adiff,
+        |         lag(close, 24) OVER wk AS close_24,
+        |         ln(close / lag(close) OVER wk) AS ret1
+        |  FROM pc WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |er2 AS (
+        |  SELECT *,
+        |         abs(close - close_24)
+        |           / nullif(CASE WHEN count(adiff) OVER w24 = 24
+        |                      THEN sum(adiff) OVER w24 END, 0) AS er,
+        |         CASE WHEN count(ret1) OVER w24 = 24
+        |           THEN stddev_pop(ret1) OVER w24 END AS vol1
+        |  FROM er24
+        |  WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |sc AS (
+        |  SELECT symbol, bar_ts_ms, range_pctl,
+        |         CASE WHEN range_pctl IS NULL THEN NULL
+        |              WHEN range_pctl < 25.0 THEN 'LOW'
+        |              WHEN range_pctl > 70.0 THEN 'HIGH'
+        |              ELSE 'MID' END AS vol_state,
+        |         ln(close / close_24)
+        |           / (vol1 * sqrt(24.0) + 1e-9)
+        |           * (0.5 + 0.5 * er) AS raw
+        |  FROM er2),
+        |ds AS (
+        |  SELECT *,
+        |         CASE WHEN raw IS NULL THEN NULL
+        |              WHEN raw > 20 THEN 1.0
+        |              WHEN raw < -20 THEN -1.0
+        |              ELSE (exp(2.0 * raw) - 1.0) / (exp(2.0 * raw) + 1.0)
+        |         END AS dir_score
+        |  FROM sc),
+        |st AS (
+        |  SELECT *,
+        |         CASE WHEN dir_score IS NULL THEN 'NEUTRAL'
+        |              WHEN dir_score >= 0.15 THEN 'BULL'
+        |              WHEN dir_score <= -0.15 THEN 'BEAR'
+        |              ELSE 'NEUTRAL' END AS dir_state
+        |  FROM ds),
+        |gates AS (
+        |  SELECT *,
+        |         coalesce(range_pctl <= 14.0, false) AS low_plus,
+        |         coalesce(vol_state IN ('MID', 'HIGH'), false)
+        |           AS market_ready_base,
+        |         dir_state <> 'NEUTRAL'
+        |           AND abs(coalesce(dir_score, 0.0)) >= 0.30 AS dir_ready
+        |  FROM st)""".stripMargin
+
   /** The Ichimoku scoring chain as DuckDB CTE stages over a bars relation
     * `src` (needs symbol, bar_ts_ms, high, low, close). Emits CTEs prefixed
     * with `p`; the final stage `${p}out` has (symbol, bar_ts_ms, close,
@@ -1495,71 +1587,7 @@ object SparkEntry {
         |FROM z ORDER BY 1, 2""".stripMargin,
 
     "low_plus_gate" ->
-      s"""$H1Cte,
-        |rp AS (
-        |  SELECT symbol, bar_ts_ms, close,
-        |         (high - low) / nullif(close, 0) AS range_pct
-        |  FROM h1),
-        |pc AS (
-        |  SELECT * EXCLUDE (arr, nn),
-        |         CASE WHEN nn = 48
-        |           THEN len(list_filter(arr, y -> y <= range_pct)) * 100.0 / 48
-        |         END AS range_pctl
-        |  FROM (SELECT *,
-        |          list(range_pct) OVER w48 AS arr,
-        |          count(range_pct) OVER w48 AS nn
-        |        FROM rp
-        |        WINDOW w48 AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                       ROWS BETWEEN 47 PRECEDING AND CURRENT ROW))),
-        |er24 AS (
-        |  SELECT *,
-        |         abs(close - lag(close) OVER wk) AS adiff,
-        |         lag(close, 24) OVER wk AS close_24,
-        |         ln(close / lag(close) OVER wk) AS ret1
-        |  FROM pc WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
-        |er2 AS (
-        |  SELECT *,
-        |         abs(close - close_24)
-        |           / nullif(CASE WHEN count(adiff) OVER w24 = 24
-        |                      THEN sum(adiff) OVER w24 END, 0) AS er,
-        |         CASE WHEN count(ret1) OVER w24 = 24
-        |           THEN stddev_pop(ret1) OVER w24 END AS vol1
-        |  FROM er24
-        |  WINDOW w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
-        |sc AS (
-        |  SELECT symbol, bar_ts_ms, range_pctl,
-        |         CASE WHEN range_pctl IS NULL THEN NULL
-        |              WHEN range_pctl < 25.0 THEN 'LOW'
-        |              WHEN range_pctl > 70.0 THEN 'HIGH'
-        |              ELSE 'MID' END AS vol_state,
-        |         ln(close / close_24)
-        |           / (vol1 * sqrt(24.0) + 1e-9)
-        |           * (0.5 + 0.5 * er) AS raw
-        |  FROM er2),
-        |ds AS (
-        |  SELECT *,
-        |         CASE WHEN raw IS NULL THEN NULL
-        |              WHEN raw > 20 THEN 1.0
-        |              WHEN raw < -20 THEN -1.0
-        |              ELSE (exp(2.0 * raw) - 1.0) / (exp(2.0 * raw) + 1.0)
-        |         END AS dir_score
-        |  FROM sc),
-        |st AS (
-        |  SELECT *,
-        |         CASE WHEN dir_score IS NULL THEN 'NEUTRAL'
-        |              WHEN dir_score >= 0.15 THEN 'BULL'
-        |              WHEN dir_score <= -0.15 THEN 'BEAR'
-        |              ELSE 'NEUTRAL' END AS dir_state
-        |  FROM ds),
-        |gates AS (
-        |  SELECT *,
-        |         coalesce(range_pctl <= 14.0, false) AS low_plus,
-        |         coalesce(vol_state IN ('MID', 'HIGH'), false)
-        |           AS market_ready_base,
-        |         dir_state <> 'NEUTRAL'
-        |           AND abs(coalesce(dir_score, 0.0)) >= 0.30 AS dir_ready
-        |  FROM st)
+      s"""$LowPlusGatesCte
         |SELECT symbol, bar_ts_ms,
         |       round(dir_score, 6) + 0.0 AS dir_score,
         |       dir_state, coalesce(vol_state, 'NA') AS vol_state,
@@ -1583,6 +1611,68 @@ object SparkEntry {
         |              THEN 'VOL_BLOCKED_BASE'
         |            ELSE '' END AS block_reason_base
         |FROM gates ORDER BY 1, 2""".stripMargin,
+
+    "low_plus_sweep" ->
+      s"""$LowPlusGatesCte,
+        |hh AS (
+        |  SELECT *, CAST((bar_ts_ms // 3600000) % 24 AS INTEGER) AS hour_utc
+        |  FROM gates),
+        |cfg AS (
+        |  SELECT * FROM (VALUES
+        |    ('c1_strict', [2, 4, 11, 13, 17], 0.299, true, true,
+        |       [{'lo': 14.0, 'hi': 20.0}], [{'lo': 20.0, 'hi': 22.0}]),
+        |    ('c2_wide_hours',
+        |       [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23],
+        |       0.15, true, true,
+        |       [{'lo': 0.0, 'hi': 20.0}], [{'lo': -2.0, 'hi': -1.0}]),
+        |    ('c3_both_sides',
+        |       [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23],
+        |       -1.0, false, false,
+        |       [{'lo': 0.0, 'hi': 10.0}, {'lo': 12.0, 'hi': 14.5}],
+        |       [{'lo': 5.0, 'hi': 6.0}]))
+        |    t(config_id, allow_hours, dir_score_min, bull_only,
+        |      forbid_neutral, allow_iv, block_iv)),
+        |g AS (
+        |  SELECT config_id, low_plus, market_ready_base,
+        |         CASE WHEN NOT low_plus THEN ''
+        |              WHEN NOT list_contains(allow_hours, hour_utc)
+        |                THEN 'hour'
+        |              WHEN forbid_neutral AND dir_state = 'NEUTRAL'
+        |                THEN 'neutral'
+        |              WHEN NOT (CASE WHEN bull_only THEN dir_state = 'BULL'
+        |                        ELSE dir_state IN ('BULL', 'BEAR') END)
+        |                THEN 'side'
+        |              WHEN NOT coalesce(dir_score >= dir_score_min, false)
+        |                THEN 'dir_score'
+        |              WHEN NOT coalesce(len(list_filter(allow_iv,
+        |                  x -> range_pctl >= x.lo AND range_pctl < x.hi))
+        |                  > 0, false)
+        |                THEN 'range_not_allowed'
+        |              WHEN coalesce(len(list_filter(block_iv,
+        |                  x -> range_pctl >= x.lo AND range_pctl < x.hi))
+        |                  > 0, false)
+        |                THEN 'range_blocked'
+        |              ELSE '' END AS reason
+        |  FROM hh CROSS JOIN cfg),
+        |a AS (SELECT *, low_plus AND reason = '' AS allow_f FROM g)
+        |SELECT config_id,
+        |       CAST(count(*) AS BIGINT) AS n_bars,
+        |       CAST(sum(CASE WHEN low_plus THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_low_plus,
+        |       CAST(sum(CASE WHEN allow_f THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_allow,
+        |       CAST(sum(CASE WHEN allow_f AND NOT market_ready_base
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_add,
+        |       CAST(sum(CASE WHEN market_ready_base OR allow_f
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_ready_final,
+        |       CAST(sum(CASE WHEN reason = 'hour' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_blocked_hour,
+        |       CAST(sum(CASE WHEN reason IN ('neutral', 'side', 'dir_score')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_dir,
+        |       CAST(sum(CASE WHEN reason IN ('range_not_allowed',
+        |                'range_blocked') THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_blocked_range
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "keep_frac_sweep" ->
       s"""$H1Cte,

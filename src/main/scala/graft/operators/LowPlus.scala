@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,5 +80,101 @@ object LowPlus {
           .when(col("dir_ready") && !col("market_ready_base"), "VOL_BLOCKED_BASE")
           .otherwise(""))
       .drop("_ret1", "_vol1", "_impulse", "_raw")
+  }
+
+  /** A half-open range-percentile interval [lo, hi) on the enrich percent
+    * scale (0-100; the reference's 0-1 values × 100). */
+  final case class Interval(lo: Double, hi: Double)
+
+  /** One LOW+ override policy (router_low_plus_sweep.py:20-33
+    * `LowPlusConfig`): UTC-hour allow-set, signed direction-score floor
+    * (the reference gates on `dir_score >= min`, bull-biased — NOT the
+    * |score| readiness of [[enrich]]), side restriction, and allow/block
+    * interval UNIONS over the range percentile. */
+  final case class LowPlusConfig(
+      configId: String,
+      allowHoursUtc: Seq[Int] = Seq(2, 4, 11, 13, 17),
+      dirScoreMin: Double = 0.299,
+      bullOnly: Boolean = true,
+      forbidNeutral: Boolean = true,
+      allowRangePctl: Seq[Interval] = Seq(Interval(14.0, 20.0)),
+      blockRangePctl: Seq[Interval] = Seq(Interval(20.0, 22.0)))
+
+  private case class CfgRow(config_id: String, allow_hours: Seq[Int],
+                            dir_score_min: Double, bull_only: Boolean,
+                            forbid_neutral: Boolean,
+                            allow_iv: Seq[Interval], block_iv: Seq[Interval])
+
+  /** Apply every config to every enriched bar in ONE pass
+    * (router_low_plus_sweep.py:57-107 `apply_low_plus_override_filter`,
+    * swept like the reference's config grid): the tiny config table is
+    * broadcast-crossed against the bars (the [[Backtest.sweepTpR]] explode
+    * pattern), interval membership is a codegen'd `exists` over the
+    * config's interval array, and the first-failing-gate reason cascade
+    * matches the reference's debug column. Adds `hour_utc`,
+    * `low_plus_allow`, `market_ready_override`, `low_plus_block_reason`
+    * per (bar, config). The hour is epoch arithmetic, not calendar
+    * functions, so it is timezone-stable on any engine. */
+  def applyConfigs(enriched: DataFrame, cfgs: Seq[LowPlusConfig],
+                   tsMsCol: String = "bar_ts_ms"): DataFrame = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    val cfgDf = cfgs.map(c => CfgRow(c.configId, c.allowHoursUtc,
+      c.dirScoreMin, c.bullOnly, c.forbidNeutral, c.allowRangePctl,
+      c.blockRangePctl)).toDF()
+
+    def inAny(ivCol: Column, x: Column): Column =
+      coalesce(exists(ivCol, iv =>
+        x >= iv.getField("lo") && x < iv.getField("hi")), lit(false))
+
+    val j = enriched
+      .withColumn("hour_utc",
+        ((col(tsMsCol) / 3600000L).cast("long") % 24).cast("int"))
+      .crossJoin(broadcast(cfgDf))
+    val gHour = array_contains(col("allow_hours"), col("hour_utc"))
+    val gNeutral = !col("forbid_neutral") || (col("dir_state") =!= "NEUTRAL")
+    val gSide = when(col("bull_only"), col("dir_state") === "BULL")
+      .otherwise(col("dir_state").isin("BULL", "BEAR"))
+    val gDir = coalesce(col("dir_score") >= col("dir_score_min"), lit(false))
+    val gAllow = inAny(col("allow_iv"), col("range_pctl"))
+    val gBlock = inAny(col("block_iv"), col("range_pctl"))
+    j.withColumn("low_plus_allow",
+        col("low_plus") && gHour && gNeutral && gSide && gDir &&
+          gAllow && !gBlock)
+      .withColumn("market_ready_override",
+        col("market_ready_base") || col("low_plus_allow"))
+      .withColumn("low_plus_block_reason",
+        when(!col("low_plus"), "")
+          .when(!gHour, "hour")
+          .when(!gNeutral, "neutral")
+          .when(!gSide, "side")
+          .when(!gDir, "dir_score")
+          .when(!gAllow, "range_not_allowed")
+          .when(gBlock, "range_blocked")
+          .otherwise(""))
+      .drop("allow_hours", "dir_score_min", "bull_only", "forbid_neutral",
+        "allow_iv", "block_iv")
+  }
+
+  /** Per-config rollup of [[applyConfigs]]: candidate / allowed / net-new
+    * tradability counts plus the major block-reason split — the summary
+    * frame the reference sweep writes per config. One hash aggregation
+    * after the broadcast explode; scales with bars × configs. */
+  def sweep(enriched: DataFrame, cfgs: Seq[LowPlusConfig],
+            tsMsCol: String = "bar_ts_ms"): DataFrame = {
+    def cnt(c: Column): Column = sum(c.cast("long"))
+    applyConfigs(enriched, cfgs, tsMsCol)
+      .groupBy(col("config_id"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        cnt(col("low_plus")).as("n_low_plus"),
+        cnt(col("low_plus_allow")).as("n_allow"),
+        cnt(col("low_plus_allow") && !col("market_ready_base")).as("n_add"),
+        cnt(col("market_ready_override")).as("n_ready_final"),
+        cnt(col("low_plus_block_reason") === "hour").as("n_blocked_hour"),
+        cnt(col("low_plus_block_reason")
+          .isin("neutral", "side", "dir_score")).as("n_blocked_dir"),
+        cnt(col("low_plus_block_reason")
+          .isin("range_not_allowed", "range_blocked")).as("n_blocked_range"))
   }
 }

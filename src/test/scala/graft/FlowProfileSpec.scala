@@ -288,4 +288,38 @@ class FlowProfileSpec extends SparkTestBase {
     assert(p.getAs[Double]("pf") == 2.5) // (2+3)/(1+1)
     assert(p.getAs[Double]("wr") == 0.5)
   }
+
+  test("LOW+ config gate: first-failing reason cascade and interval algebra") {
+    val hourMs = 3600000L
+    // (id, hour, dir_state, dir_score, range_pctl, low_plus, ready_base)
+    val rows = Seq(
+      (1L, 2, "BULL", 0.50, Some(15.0), true, false),  // all gates pass
+      (2L, 3, "BULL", 0.50, Some(15.0), true, false),  // hour not allowed
+      (3L, 2, "NEUTRAL", 0.00, Some(15.0), true, false), // neutral
+      (4L, 2, "BEAR", 0.50, Some(15.0), true, false),  // side (bull only)
+      (5L, 2, "BULL", 0.10, Some(15.0), true, false),  // below score floor
+      (6L, 2, "BULL", 0.50, Some(25.0), true, false),  // outside allow union
+      (7L, 2, "BULL", 0.50, Some(21.0), true, false),  // inside block union
+      (8L, 2, "BULL", 0.50, Some(15.0), false, true),  // not a candidate
+      (9L, 2, "BULL", 0.50, None, true, false))        // warmup NULL pctl
+    val df = rows.map { case (id, h, st, sc, rp, lp, mr) =>
+      (id, h * hourMs, st, sc, rp.map(Double.box).orNull, lp, mr)
+    }.toDF("id", "bar_ts_ms", "dir_state", "dir_score", "range_pctl",
+      "low_plus", "market_ready_base")
+    // widened allow union so pctl=21 reaches the BLOCK interval check
+    val cfg = LowPlus.LowPlusConfig("t",
+      allowRangePctl = Seq(LowPlus.Interval(14.0, 22.0)),
+      blockRangePctl = Seq(LowPlus.Interval(20.0, 22.0)))
+    val out = LowPlus.applyConfigs(df, Seq(cfg)).orderBy("id").collect()
+    val reasons = out.map(_.getAs[String]("low_plus_block_reason")).toSeq
+    assert(reasons == Seq("", "hour", "neutral", "side", "dir_score",
+      "range_not_allowed", "range_blocked", "", "range_not_allowed"))
+    val allowed = out.map(_.getAs[Boolean]("low_plus_allow")).toSeq
+    assert(allowed == Seq(true, false, false, false, false, false, false,
+      false, false))
+    // override = base readiness OR the LOW+ allow
+    assert(out(0).getAs[Boolean]("market_ready_override"))
+    assert(out(7).getAs[Boolean]("market_ready_override")) // base carries
+    assert(!out(1).getAs[Boolean]("market_ready_override"))
+  }
 }
