@@ -532,6 +532,30 @@ object SparkEntry {
         .orderBy("keep_frac")
     }),
 
+    // §2 #25s (sketch path) — the 100 TB keep-fraction plan, executed under
+    // the driver contract: one mergeable percentile_approx sketch for every
+    // fraction, broadcast threshold join, one hash agg — no window, no
+    // global sort. Rows-only by design: cohort membership differs from the
+    // rank form by sketch error and score ties; ScaleHygieneSpec pins
+    // sketch-vs-exact tolerance and PlanAuditSpec pins the no-Window plan.
+    "keep_frac_sweep_sketch" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
+      val scored = h1
+        .withColumn("score",
+          (col("close") - col("open")) / when(col("atr") > 0.0, col("atr")))
+        .withColumn("r_fwd",
+          lead(col("close"), 4).over(w) /
+            when(col("close") =!= 0.0, col("close")) - 1.0)
+      Backtest.keepFracSweepApprox(scored, "score", "r_fwd",
+          Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+        .select(col("keep_frac"), col("n_kept"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"))
+        .orderBy("keep_frac")
+    }),
+
     // §2 #27b — near-dup clustering: rare-shingle blocking edges (DF-bounded
     // inverted-index join, no all-pairs) → connected components (min-label
     // propagation) → cluster sizes + canonical survivor per cluster.
@@ -582,6 +606,22 @@ object SparkEntry {
     "robust_scale" -> ((s, dir) => {
       val h1 = Bars.fromTicks(events(s, dir), "hour")
       Stats.robustScale(h1, Seq("symbol"), "volume", clipK = 3.0)
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("volume"), 6).as("volume"),
+          round(col("robust_z"), 6).as("robust_z"),
+          round(col("volume_clipped"), 6).as("volume_clipped"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #52 (sketch path) — robust scaling on percentile_approx sketches:
+    // fixed memory per group, map-side-mergeable partials — the 100 TB
+    // variant of robust_scale run under the driver contract. Rows-only
+    // (sketch medians aren't bit-identical to exact percentiles);
+    // ScaleHygieneSpec pins sketch-vs-exact tolerance.
+    "robust_scale_approx" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      Stats.robustScale(h1, Seq("symbol"), "volume", clipK = 3.0,
+          useApprox = true)
         .select(col("symbol"), col("bar_ts_ms"),
           round(col("volume"), 6).as("volume"),
           round(col("robust_z"), 6).as("robust_z"),
