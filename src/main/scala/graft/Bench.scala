@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // reps > 1 => run each query `reps` times and report the MEDIAN, so a
+    // contended measurement window can't fabricate per-query regressions
+    // (driver-side bench noise produced 10-40x outliers on unmodified
+    // trivial queries in past rounds)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
@@ -13,19 +18,23 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/events.parquet").limit(10).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // block-manager hygiene between queries: one query's cached /
       // checkpointed blocks must not build memory pressure for the next
       try { GraftSession.releaseCache(spark) } catch { case _: Throwable => }
-      name -> dt
+      dt
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = Seq.fill(reps)(timeOnce(fn)).sorted
+      name -> ts(ts.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Features
 
+/** A half-open range-percentile interval [lo, hi) on the enrich percent
+  * scale (0-100; the reference's 0-1 values × 100). Top-level (not nested
+  * in the object) so the Spark encoder's generated code compiles — Janino
+  * cannot instantiate private object-nested case classes. */
+final case class Interval(lo: Double, hi: Double)
+
+/** Encoder row for the broadcast LOW+ config table (top-level for codegen;
+  * see [[Interval]]). */
+final case class LowPlusCfgRow(config_id: String, allow_hours: Seq[Int],
+                               dir_score_min: Double, bull_only: Boolean,
+                               forbid_neutral: Boolean,
+                               allow_iv: Seq[Interval],
+                               block_iv: Seq[Interval])
+
 /** LOW+ tradability enrichment: the reference's router override that allows
   * trading in LOW-volatility regimes when the range percentile is compressed
   * enough AND direction is ready.
@@ -82,9 +96,9 @@ object LowPlus {
       .drop("_ret1", "_vol1", "_impulse", "_raw")
   }
 
-  /** A half-open range-percentile interval [lo, hi) on the enrich percent
-    * scale (0-100; the reference's 0-1 values × 100). */
-  final case class Interval(lo: Double, hi: Double)
+  /** Call-site alias so `LowPlus.Interval(lo, hi)` keeps working with the
+    * top-level [[graft.operators.Interval]]. */
+  val Interval = graft.operators.Interval
 
   /** One LOW+ override policy (router_low_plus_sweep.py:20-33
     * `LowPlusConfig`): UTC-hour allow-set, signed direction-score floor
@@ -100,11 +114,6 @@ object LowPlus {
       allowRangePctl: Seq[Interval] = Seq(Interval(14.0, 20.0)),
       blockRangePctl: Seq[Interval] = Seq(Interval(20.0, 22.0)))
 
-  private case class CfgRow(config_id: String, allow_hours: Seq[Int],
-                            dir_score_min: Double, bull_only: Boolean,
-                            forbid_neutral: Boolean,
-                            allow_iv: Seq[Interval], block_iv: Seq[Interval])
-
   /** Apply every config to every enriched bar in ONE pass
     * (router_low_plus_sweep.py:57-107 `apply_low_plus_override_filter`,
     * swept like the reference's config grid): the tiny config table is
@@ -119,7 +128,7 @@ object LowPlus {
                    tsMsCol: String = "bar_ts_ms"): DataFrame = {
     val spark = enriched.sparkSession
     import spark.implicits._
-    val cfgDf = cfgs.map(c => CfgRow(c.configId, c.allowHoursUtc,
+    val cfgDf = cfgs.map(c => LowPlusCfgRow(c.configId, c.allowHoursUtc,
       c.dirScoreMin, c.bullOnly, c.forbidNeutral, c.allowRangePctl,
       c.blockRangePctl)).toDF()
 
