@@ -126,6 +126,64 @@ object ScaleProbe {
           Seq("symbol"), "close")
           .agg(count(col("robust_z"))).as[Long].collect()(0)
       },
+      {
+        // Streaming keyed-state probes: the SAME aggregation expressions as
+        // the batch path, run through the real streaming engine (file
+        // source → micro-batches → state store → noop sink, AvailableNow).
+        // Emitted-row counts are watermark-dependent; the measured quantity
+        // is input rows/s through the stateful operator.
+        val sn = math.min(n, 5000000L)
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), "probe-stream").toString
+        bars.where(col("event_id") < sn)
+          .select(col("symbol"), timestamp_millis(col("bar_ts_ms")).as("bar_ts"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("volume"), col("n_trades"))
+          .write.mode("overwrite").parquet(dir)
+        val sch = spark.read.parquet(dir).schema
+        def runStream(name: String)(mk: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): (String, Double) = {
+          val t0 = System.nanoTime()
+          val src = spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "8").parquet(dir)
+          val q = mk(src).writeStream.format("noop")
+            .option("checkpointLocation", s"$dir-ckpt-$name")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] $name: $sec%.1f s, $sn input rows, ${sn / sec / 1e6}%.1f M input rows/s")
+          name -> (sn / sec)
+        }
+        runStream("streaming_tf_gate") { src =>
+          graft.streaming.Ingest.tfAggregate(src, 60000L, 5,
+            watermark = "0 seconds")
+        }
+      },
+      {
+        val sn = math.min(n, 5000000L)
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), "probe-sess").toString
+        bars.where(col("event_id") < sn)
+          .select(pmod(col("event_id"), lit(4096L)).as("user_id"),
+            timestamp_millis(col("bar_ts_ms")).as("ts"),
+            col("close").as("value"))
+          .write.mode("overwrite").parquet(dir)
+        val sch = spark.read.parquet(dir).schema
+        val t0 = System.nanoTime()
+        val src = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "8").parquet(dir)
+        val q = graft.streaming.Ingest.sessionSummaries(src, gapMs = 300000L,
+            watermark = "0 seconds")
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$dir-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] streaming_sessionize: $sec%.1f s, $sn input rows, ${sn / sec / 1e6}%.1f M input rows/s")
+        "streaming_sessionize" -> (sn / sec)
+      },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
         // exercises the DF-bounded blocking join + the propagation loop at

@@ -102,7 +102,12 @@ object RegimeEval {
 
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
-    val assembled = assembler.transform(scaled)
+    // The period frame is tiny (periods × symbols) but its lineage is the
+    // full bar aggregation: repartition narrow + cache the training iterate
+    // so each LBFGS pass is a few-task job over materialized rows, not a
+    // re-aggregation (same pattern as MlFilter.trainScore); released
+    // before returning.
+    val assembled = assembler.transform(scaled).repartition(4).cache()
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(1e-3).setFamily("multinomial")
       .fit(assembled.where(col("set_name") === "TRAIN"))
@@ -123,7 +128,7 @@ object RegimeEval {
         cnt(col("label") === c && col("prediction") =!= c).as(s"fn_$c"),
         cnt(col("label") === c).as(s"n_$c"))
     }
-    pred.groupBy("set_name")
+    val summary = pred.groupBy("set_name")
       .agg(count(lit(1)).as("n_samples"),
         (cnt(col("label") === col("prediction")) /
           count(lit(1)).cast("double")).as("accuracy") +: perClass: _*)
@@ -132,5 +137,9 @@ object RegimeEval {
         col("n_0").as("n_range"), col("n_1").as("n_trend_up"),
         col("n_2").as("n_trend_down"),
         round(col("accuracy"), 6).as("accuracy"), col("macro_f1"))
+    // block-manager hygiene: the returned summary re-derives from lineage
+    // once when consumed; no persisted blocks outlive the call
+    assembled.unpersist(false)
+    summary
   }
 }

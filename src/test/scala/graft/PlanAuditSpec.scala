@@ -121,6 +121,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("LOW+ config sweep: broadcast config explode + one hash aggregation") {
+    import spark.implicits._
+    val enriched = Seq(
+      ("A", 7200000L, "BULL", 0.5, 15.0, true, false),
+      ("A", 10800000L, "BEAR", -0.4, 30.0, false, true))
+      .toDF("symbol", "bar_ts_ms", "dir_state", "dir_score", "range_pctl",
+        "low_plus", "market_ready_base")
+    val cfgs = Seq(
+      graft.operators.LowPlus.LowPlusConfig("a"),
+      graft.operators.LowPlus.LowPlusConfig("b", bullOnly = false))
+    val p = plan(graft.operators.LowPlus.sweep(enriched, cfgs))
+    // the config side is explicitly broadcast (BroadcastNestedLoopJoin over
+    // a |configs|-row local relation is the deliberate explode shape — the
+    // big side never shuffles for the join)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one aggregation pair (partial + final) on config_id, nothing more
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
