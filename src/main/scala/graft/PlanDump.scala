@@ -25,32 +25,13 @@ object PlanDump {
     "flow_features" -> "Entire CVD block (cumulative sum, slope lags, rolling z) rides ONE (symbol, ts) sort after the bar hash-aggregate — adding features does not add exchanges.",
     "column_profile" -> "All columns profiled in one scan; exact multi-distinct plans as a single Expand (one row per distinct aggregate) feeding one aggregation — the honest exactness cost, with the HLL path one-shuffle.",
     "stratified_sample" -> "Map-only: the md5-bucket membership filter sits directly above the scan — no exchange, no RNG state; sampling composes with partition pruning.",
-    "rolling_corr" -> "Pair join on the time grid, then every Pearson co-moment (avg, avg-of-product, stddev_pop) rides ONE window sort per pair key.")
+    "rolling_corr" -> "Pair join on the time grid, then every Pearson co-moment (avg, avg-of-product, stddev_pop) rides ONE window sort per pair key.",
+    "low_plus_sweep" -> "Config grid explode: the |configs|-row table broadcasts (BroadcastNestedLoopJoin over a local relation — the big side never shuffles for the join), interval-union membership is a codegen'd exists over each config's interval array, and ONE hash aggregation on config_id rolls up every policy at once.",
+    "keep_frac_sweep_sketch" -> "The lake-scale sweep (contract key since round 6, rows-only): one percentile_approx sketch pass for ALL fraction thresholds, a broadcast threshold join, one hash aggregation — NO window, no global sort, nothing single-partition (the rank-based keep_frac_sweep keeps the oracle-checkable exact cohort).")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */
   private def extras(spark: org.apache.spark.sql.SparkSession, dir: String) = Seq(
-    ("keep_frac_sweep_sketch",
-      "The lake-scale sweep: one percentile_approx sketch pass for ALL " +
-        "fraction thresholds, a broadcast threshold join, one hash " +
-        "aggregation — NO window, no global sort, nothing single-partition " +
-        "(the rank-based contract variant keeps the oracle-checkable exact " +
-        "cohort).", {
-      import graft.sources.{Bars, Tables}
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      val h1 = graft.functions.Features.withAtrSma(
-        Bars.fromTicks(Tables.events(spark, dir), "hour"), 14)
-      val w = Window.partitionBy("symbol").orderBy("bar_ts_ms")
-      val scored = h1
-        .withColumn("score",
-          (col("close") - col("open")) / when(col("atr") > 0.0, col("atr")))
-        .withColumn("r_fwd",
-          lead(col("close"), 4).over(w) /
-            when(col("close") =!= 0.0, col("close")) - 1.0)
-      graft.operators.Backtest.keepFracSweepApprox(scored, "score", "r_fwd",
-        Seq(0.2, 0.4, 0.6, 0.8, 1.0))
-    }),
     ("dedup_clusters_edges",
       "The edge-verify stage of near-dup clustering: rare-shingle inverted-" +
         "index self-join bounded by document frequency (df in [2, maxDf] — " +

@@ -78,6 +78,12 @@ object RegimeEval {
       expr(s"percentile(abs(ret_fwd), $trendQuantile)").as("thr"),
       featureCols.map(f => expr(s"percentile(`$f`, 0.5)").as(s"_med_$f")): _*
     ).head()
+    // the reference raises on insufficient slice sizes
+    // (run_ml_regime_month_v1.py:160-164); an empty TRAIN slice here would
+    // silently produce a null threshold and all-RANGE labels instead
+    require(!statRow.isNullAt(statRow.fieldIndex("thr")),
+      s"RegimeEval: TRAIN slice empty or without usable forward returns " +
+        s"(trainEndMs=$trainEndMs, horizon=$horizon)")
     val thr = statRow.getAs[Double]("thr")
     val med = featureCols.map(f => f -> statRow.getAs[Double](s"_med_$f")).toMap
 

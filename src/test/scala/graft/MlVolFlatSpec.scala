@@ -129,5 +129,13 @@ class MlVolFlatSpec extends SparkTestBase {
     assert(train.getAs[Double]("macro_f1") > 0.9, train.toString)
     val test_ = out(0)
     assert(test_.getAs[Double]("macro_f1") > 0.9, test_.toString)
+
+    // an empty TRAIN slice fails loudly (the reference raises too) instead
+    // of silently labeling everything RANGE off a null threshold
+    val e = intercept[IllegalArgumentException] {
+      RegimeEval.evaluate(frame, Seq("x"), horizon = 1,
+        trendQuantile = 0.5, trainEndMs = 0L, valEndMs = 75 * day)
+    }
+    assert(e.getMessage.contains("TRAIN slice empty"))
   }
 }
