@@ -61,6 +61,10 @@ object RegimeEval {
                trendQuantile: Double, trainEndMs: Long, valEndMs: Long,
                maxIter: Int = 50, symbolCol: String = "symbol"): DataFrame = {
     val w = Window.partitionBy(symbolCol).orderBy("period_ms")
+    // The frame is bounded by symbols × periods (tiny) but its lineage is
+    // the full bar aggregation + feature windows: materialize it ONCE so
+    // the threshold/impute/moment collects, the LBFGS fit and the final
+    // scoring don't each replay the heavy lineage. Released before return.
     val labeledRet = frame
       .withColumn("ret_fwd",
         lead(col("close"), horizon).over(w) /
@@ -70,6 +74,8 @@ object RegimeEval {
         when(col("period_ms") < trainEndMs, "TRAIN")
           .when(col("period_ms") < valEndMs, "VAL")
           .otherwise("TEST"))
+      .repartition(4)
+      .cache()
 
     val train = labeledRet.where(col("set_name") === "TRAIN")
     // Label threshold + per-feature impute medians: small train-slice aggs
@@ -108,12 +114,7 @@ object RegimeEval {
 
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
-    // The period frame is tiny (periods × symbols) but its lineage is the
-    // full bar aggregation: repartition narrow + cache the training iterate
-    // so each LBFGS pass is a few-task job over materialized rows, not a
-    // re-aggregation (same pattern as MlFilter.trainScore); released
-    // before returning.
-    val assembled = assembler.transform(scaled).repartition(4).cache()
+    val assembled = assembler.transform(scaled)
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(1e-3).setFamily("multinomial")
       .fit(assembled.where(col("set_name") === "TRAIN"))
@@ -145,7 +146,7 @@ object RegimeEval {
         round(col("accuracy"), 6).as("accuracy"), col("macro_f1"))
     // block-manager hygiene: the returned summary re-derives from lineage
     // once when consumed; no persisted blocks outlive the call
-    assembled.unpersist(false)
+    labeledRet.unpersist(false)
     summary
   }
 }

@@ -116,11 +116,6 @@ object Collector {
       stop.getOrElse("max_pages"))
   }
 
-  /** One page → month-partitioned staging parts in the reference's raw
-    * kline schema (plus the lake's partition columns). A page is at most
-    * `limit` rows (a REST response), so the local-relation parallelize is
-    * the honest shape — the DISTRIBUTED side is the lake it appends into
-    * and every operator that reads it back. */
   /** Repair an explicit [startMs, endMs] range: page through it in
     * limit-sized chunks, then merge-write the fetched rows into the lake —
     * incoming wins on (symbol, open_time_ms) collision, untouched months
@@ -190,6 +185,11 @@ object Collector {
       s.getPath.getName.startsWith("symbol="))
   }
 
+  /** One page → month-partitioned staging parts in the reference's raw
+    * kline schema (plus the lake's partition columns). A page is at most
+    * `limit` rows (a REST response), so the local-relation parallelize is
+    * the honest shape — the DISTRIBUTED side is the lake it appends into
+    * and every operator that reads it back. */
   private def writeStaging(spark: SparkSession, page: Seq[Kline],
                            symbol: String, root: String,
                            intervalMs: Long): Unit = {
