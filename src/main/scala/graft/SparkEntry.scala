@@ -637,6 +637,15 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // §2 #50b — token-budget shard packing: stable hash shards, per-shard
+    // running token sum → fixed-budget training packs (the shard-assembly
+    // step after cleaning/chunking; per-shard windows, no global sort).
+    "pack_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.packShards(d, tokensPerPack = 256L, nShards = 8)
+        .orderBy("shard", "doc_id")
+    }),
+
     // §2 #51 — per-doc top-k terms by smoothed TF-IDF (keyword extraction).
     "tfidf_topk" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1908,6 +1917,21 @@ object SparkEntry {
         |         AS chunk_text,
         |       CAST(least(32, n - idx * 24) AS INTEGER) AS n_tokens
         |FROM x ORDER BY 1, 2""".stripMargin,
+
+    "pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |         len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |           AS cum_tokens
+        |  FROM t)
+        |SELECT shard, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT)
+        |         AS pack_id
+        |FROM c ORDER BY 1, 2""".stripMargin,
 
     "tfidf_topk" ->
       """WITH t AS (

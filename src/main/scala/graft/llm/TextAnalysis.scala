@@ -151,6 +151,35 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Token-budget shard packing: the step after cleaning/chunking that
+    * assembles documents into fixed-token-budget training packs. Each doc
+    * goes to a stable shard (`doc_id mod nShards` — deterministic across
+    * engines, runs and partitionings), then consecutive docs within the
+    * shard (stable id order) pack greedily by a running token sum:
+    * `pack_id = floor(tokens_before_this_doc / tokensPerPack)`. A doc can
+    * straddle a pack boundary — the deterministic greedy rule (samples
+    * crossing sequence boundaries is standard causal-LM packing).
+    *
+    * Scale: the running sum is a per-shard window — nShards-way parallel,
+    * no global sort or single-partition funnel; raise nShards so each
+    * shard's window state stays executor-sized at 100 TB. */
+  def packShards(docs: DataFrame, tokensPerPack: Long, nShards: Int = 64,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerPack > 0 && nShards > 0,
+      "tokensPerPack and nShards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(textCol))
+      .withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col("n_tokens")) / tokensPerPack).cast("long"))
+      .select(col("shard"), col(idCol), col("n_tokens"), col("cum_tokens"),
+        col("pack_id"))
+  }
+
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * keyword extraction / LM-corpus vocabulary weighting. Two hash
     * aggregations (term frequency, document frequency), the corpus size as

@@ -209,4 +209,25 @@ class LlmSpec extends SparkTestBase {
     assert(meta.getAs[Int]("n_bytes") == target &&
       meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 16)
   }
+
+  test("shard packing: greedy token-budget packs, stable shards, straddle rule") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // one shard (nShards=1): token counts 5, 4, 3 against budget 8
+    val docs = Seq((10L, words(5)), (11L, words(4)), (12L, words(3)))
+      .toDF("doc_id", "text")
+    val out = llm.TextAnalysis.packShards(docs, tokensPerPack = 8L, nShards = 1)
+      .orderBy("doc_id").collect()
+    // doc 10: 0 tokens before -> pack 0; doc 11: 5 before -> pack 0
+    // (straddles the boundary, cum 9); doc 12: 9 before -> pack 1
+    assert(out.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 9L, 12L))
+    assert(out.forall(_.getAs[Int]("shard") == 0))
+    // shards are doc_id mod nShards — stable, engine-independent
+    val sharded = llm.TextAnalysis.packShards(docs, 8L, nShards = 2)
+      .orderBy("doc_id").collect()
+    assert(sharded.map(_.getAs[Int]("shard")).toSeq == Seq(0, 1, 0))
+    // per-shard running sums restart: doc 12 is second in shard 0
+    assert(sharded.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 4L, 8L))
+  }
 }
