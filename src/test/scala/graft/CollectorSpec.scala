@@ -88,6 +88,17 @@ class CollectorSpec extends SparkTestBase {
     assert(bySym == Map("AAA" -> 10L, "BBB" -> 20L))
   }
 
+  test("maxPages bounds a run and reports max_pages with a resumable checkpoint") {
+    val root = tmpRoot("coll-cap")
+    val src = new FakeSource(grid)
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 10, maxPages = 2)
+    assert(rep.stopReason == "max_pages" && rep.pages == 2 && rep.rows == 20L)
+    // the next run resumes exactly where the capped run stopped
+    assert(Checkpoint.read(root, "collector_m1_BTCUSDT")
+      .get("BTCUSDT").contains(grid(19) + 1))
+  }
+
   test("safe-lag stop: within safeLagMinutes of now -> up_to_date, no fetch") {
     val root = tmpRoot("coll-lag")
     val src = new FakeSource(grid)
