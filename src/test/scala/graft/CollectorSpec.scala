@@ -199,6 +199,26 @@ class CollectorSpec extends SparkTestBase {
     assert(notOk.isEmpty, s"verifyAll failures: ${notOk.mkString("; ")}")
   }
 
+  test("backfillRange merges into a partially-present month (incoming wins)") {
+    val root = tmpRoot("coll-overlap")
+    val stepMs = 3600000L
+    val jan = (0 until 744).map(i => t0 + i * stepMs)
+    // initial lake holds only the first half of January
+    val firstHalf = new FakeSource(jan.take(372))
+    Collector.collect(spark, firstHalf.fetch, "BTCUSDT", root,
+      nowMs = jan.last + 86400000L, startMs = Some(t0), limit = 500,
+      intervalMs = stepMs)
+    // repair the WHOLE month: incoming overlaps the existing 372 rows
+    val full = new FakeSource(jan)
+    val rep = Collector.backfillRange(spark, full.fetch, "BTCUSDT", root,
+      startMs = t0, endMs = jan.last, limit = 500, intervalMs = stepMs)
+    assert(rep.rows == 744L)
+    val after = Lake.read(spark, root)
+    assert(after.count() == 744L) // merged, not duplicated
+    assert(after.select(countDistinct(col("open_time_ms"))).head.getLong(0)
+      == 744L)
+  }
+
   test("backfillRange pages past empty source segments instead of stalling") {
     val root = tmpRoot("coll-void")
     // source has data only in the SECOND chunk of the requested range
