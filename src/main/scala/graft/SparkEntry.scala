@@ -511,6 +511,23 @@ object SparkEntry {
       LowPlus.sweep(LowPlus.enrich(h1), cfgs).orderBy("config_id")
     }),
 
+    // §2 #22c3 — ADD-set diagnostics: per-dimension value counts (hour,
+    // side, vol state, dir-score bin, range-pctl bucket) of the cohort the
+    // LOW+ override ADDS beyond base readiness
+    // (analyze_low_plus_debug.py:149-174,263-269) — five groupby passes in
+    // the reference, one explode + one hash agg here.
+    "low_plus_debug" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      val cfg = LowPlus.LowPlusConfig("dbg",
+        allowHoursUtc = 0 until 24, dirScoreMin = -1.0, bullOnly = false,
+        forbidNeutral = false,
+        allowRangePctl = Seq(LowPlus.Interval(0.0, 14.5)),
+        blockRangePctl = Seq(LowPlus.Interval(-2.0, -1.0)))
+      LowPlus.addSetBreakdown(
+          LowPlus.applyConfigs(LowPlus.enrich(h1), Seq(cfg)))
+        .orderBy("config_id", "dim", "bucket")
+    }),
+
     // §2 #25s — confidence keep-fraction sweep: keep the top-f fraction of
     // bars by impulse score, report the kept cohort's forward-return stats
     // (run_ml_m15_v2_flow.py:238-263 choose_keep_frac_val).
@@ -1722,6 +1739,36 @@ object SparkEntry {
         |                'range_blocked') THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_blocked_range
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "low_plus_debug" ->
+      s"""$LowPlusGatesCte,
+        |hh AS (
+        |  SELECT *, CAST((bar_ts_ms // 3600000) % 24 AS INTEGER) AS hour_utc
+        |  FROM gates),
+        |addset AS (
+        |  SELECT * FROM hh
+        |  WHERE low_plus
+        |    AND dir_state IN ('BULL', 'BEAR')
+        |    AND coalesce(dir_score >= -1.0, false)
+        |    AND coalesce(range_pctl >= 0.0 AND range_pctl < 14.5, false)
+        |    AND NOT market_ready_base),
+        |u AS (
+        |  SELECT 'hour' AS dim,
+        |         coalesce(CAST(hour_utc AS VARCHAR), 'NA') AS bucket
+        |  FROM addset
+        |  UNION ALL SELECT 'side', coalesce(dir_state, 'NA') FROM addset
+        |  UNION ALL SELECT 'vol', coalesce(vol_state, 'NA') FROM addset
+        |  UNION ALL SELECT 'dir_score_bin',
+        |    coalesce(CAST(CAST(floor(dir_score * 10) AS INTEGER) AS VARCHAR),
+        |             'NA')
+        |  FROM addset
+        |  UNION ALL SELECT 'rp_bucket',
+        |    coalesce(CAST(CAST(floor(range_pctl / 2.0) AS INTEGER)
+        |             AS VARCHAR), 'NA')
+        |  FROM addset)
+        |SELECT 'dbg' AS config_id, dim, bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "keep_frac_sweep" ->
       s"""$H1Cte,

@@ -165,6 +165,33 @@ object LowPlus {
         "allow_iv", "block_iv")
   }
 
+  /** ADD-set diagnostics (analyze_low_plus_debug.py:149-174,263-269): the
+    * per-dimension value counts of the override-ADDED cohort (allowed by
+    * the LOW+ policy but not base-ready) — by hour, side, vol state,
+    * direction-score bin (0.1-wide) and range-percentile bucket (2-wide).
+    * Bins are INTEGER indices, not formatted floats, so the buckets hash
+    * identically on any engine.
+    *
+    * Spark-first: the reference runs five separate groupby-size passes; one
+    * explode of a 5-element dimension array + ONE hash aggregation computes
+    * all breakdowns in a single shuffle. */
+  def addSetBreakdown(applied: DataFrame): DataFrame = {
+    val add = applied.where(col("low_plus_allow") && !col("market_ready_base"))
+    def b(c: Column): Column = coalesce(c.cast("string"), lit("NA"))
+    val dims = array(
+      struct(lit("hour").as("dim"), b(col("hour_utc")).as("bucket")),
+      struct(lit("side").as("dim"), b(col("dir_state")).as("bucket")),
+      struct(lit("vol").as("dim"), b(col("vol_state")).as("bucket")),
+      struct(lit("dir_score_bin").as("dim"),
+        b(floor(col("dir_score") * 10).cast("int")).as("bucket")),
+      struct(lit("rp_bucket").as("dim"),
+        b(floor(col("range_pctl") / 2.0).cast("int")).as("bucket")))
+    add.select(col("config_id"), explode(dims).as("_d"))
+      .groupBy(col("config_id"), col("_d.dim").as("dim"),
+        col("_d.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-config rollup of [[applyConfigs]]: candidate / allowed / net-new
     * tradability counts plus the major block-reason split — the summary
     * frame the reference sweep writes per config. One hash aggregation
