@@ -131,4 +131,34 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"trial=$trial edges=$edgeList")
     }
   }
+
+  test("property: shard packing matches a sequential per-shard fold") {
+    for (trial <- 1 to 5) {
+      val budget = 8L + rnd.nextInt(40)
+      val nShards = 1 + rnd.nextInt(4)
+      val docs = (0 until 80).map { i =>
+        val n = 1 + rnd.nextInt(20)
+        (i.toLong, (1 to n).map(t => s"w$t").mkString(" "))
+      }
+      val got = graft.llm.TextAnalysis.packShards(
+          docs.toDF("doc_id", "text"), budget, nShards)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("shard"), r.getAs[Long]("cum_tokens"),
+            r.getAs[Long]("pack_id")))
+        .toMap
+      // sequential reference: per-shard prefix sums in doc_id order
+      val expected = docs
+        .map { case (id, text) => (id, text.split("\\s+").length.toLong) }
+        .groupBy { case (id, _) => (id % nShards).toInt }
+        .flatMap { case (shard, ds) =>
+          var cum = 0L
+          ds.sortBy(_._1).map { case (id, n) =>
+            val before = cum; cum += n
+            id -> (shard, cum, before / budget)
+          }
+        }
+      assert(got == expected, s"trial=$trial budget=$budget shards=$nShards")
+    }
+  }
 }

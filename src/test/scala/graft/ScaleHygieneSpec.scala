@@ -123,6 +123,16 @@ class ScaleHygieneSpec extends SparkTestBase {
     Cluster.nearDupClusters(docs, maxDf = 10, minCommon = 2, minJaccard = 0.5).count()
     GraftSession.releaseCache(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // RegimeEval caches the labeled frame only for the duration of the call
+    val day = 86400000L
+    val frame = (0 until 60).map { i =>
+      ("A", i.toLong * day, 100.0 * (1.0 + 0.01 * (i % 7)),
+        (i % 3).toDouble - 1.0)
+    }.toDF("symbol", "period_ms", "close", "x")
+    graft.ml.RegimeEval.evaluate(frame, Seq("x"), horizon = 1,
+      trendQuantile = 0.5, trainEndMs = 40 * day, valEndMs = 50 * day).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "RegimeEval must unpersist its labeled frame")
   }
 
   test("connected components: 200-vertex chain converges within 20 rounds") {
