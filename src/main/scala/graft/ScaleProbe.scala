@@ -81,6 +81,16 @@ object ScaleProbe {
           pmod(xxhash64(col("event_id"), lit(i)), lit(500L)).cast("string")): _*)
         TextAnalysis.ngramFreq(bars.select(txt.as("text")), n = 2).count()
       },
+      time("pack_shards") {
+        // ~8-token docs synthesized from hashes; 1024 shards so per-shard
+        // window state stays small at any n
+        val txt = concat_ws(" ", (0 until 8).map(i =>
+          pmod(xxhash64(col("event_id"), lit(i)), lit(500L)).cast("string")): _*)
+        TextAnalysis.packShards(
+          bars.select(col("event_id").as("doc_id"), txt.as("text")),
+          tokensPerPack = 4096L, nShards = 1024)
+          .agg(count(col("pack_id"))).as[Long].collect()(0)
+      },
       time("flow_features") {
         val fb = bars.withColumn("aggr_buy",
             pmod(xxhash64(col("event_id"), lit(11)), lit(100L)) / 10.0)
