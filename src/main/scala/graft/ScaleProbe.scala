@@ -15,6 +15,35 @@ import graft.operators.{AsOf, Backtest, Canonical, Gaps, Sessions, Stats, TfAggr
   */
 object ScaleProbe {
 
+  private def streamN(n: Long): Long = math.min(n, 5000000L)
+
+  /** Stage `input` to parquet, stream it through `mk` into a noop sink
+    * (micro-batches via maxFilesPerTrigger, Trigger.AvailableNow), and
+    * report input rows/s; one shared harness for every streaming probe so
+    * their measurement conditions can't drift apart. */
+  private def streamProbe(spark: org.apache.spark.sql.SparkSession,
+                          name: String,
+                          input: org.apache.spark.sql.DataFrame,
+                          sn: Long)(
+      mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (String, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), s"probe-$name").toString
+    input.write.mode("overwrite").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val t0 = System.nanoTime()
+    val src = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "8").parquet(dir)
+    val q = mk(src).writeStream.format("noop")
+      .option("checkpointLocation", s"$dir-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $name: $sec%.1f s, $sn input rows, ${sn / sec / 1e6}%.1f M input rows/s")
+    name -> (sn / sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     val spark = GraftSession.local("scale-probe")
@@ -136,63 +165,29 @@ object ScaleProbe {
           Seq("symbol"), "close")
           .agg(count(col("robust_z"))).as[Long].collect()(0)
       },
-      {
-        // Streaming keyed-state probes: the SAME aggregation expressions as
-        // the batch path, run through the real streaming engine (file
-        // source → micro-batches → state store → noop sink, AvailableNow).
-        // Emitted-row counts are watermark-dependent; the measured quantity
-        // is input rows/s through the stateful operator.
-        val sn = math.min(n, 5000000L)
-        val dir = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("target"), "probe-stream").toString
-        bars.where(col("event_id") < sn)
+      // Streaming keyed-state probes: the SAME aggregation expressions as
+      // the batch path, run through the real streaming engine (file source
+      // → micro-batches → state store → noop sink, AvailableNow). Emitted
+      // -row counts are watermark-dependent; the measured quantity is
+      // input rows/s through the stateful operator (staging write is
+      // outside the timing).
+      streamProbe(spark, "streaming_tf_gate",
+        bars.where(col("event_id") < streamN(n))
           .select(col("symbol"), timestamp_millis(col("bar_ts_ms")).as("bar_ts"),
             col("open"), col("high"), col("low"), col("close"),
-            col("volume"), col("n_trades"))
-          .write.mode("overwrite").parquet(dir)
-        val sch = spark.read.parquet(dir).schema
-        def runStream(name: String)(mk: org.apache.spark.sql.DataFrame =>
-            org.apache.spark.sql.DataFrame): (String, Double) = {
-          val t0 = System.nanoTime()
-          val src = spark.readStream.schema(sch)
-            .option("maxFilesPerTrigger", "8").parquet(dir)
-          val q = mk(src).writeStream.format("noop")
-            .option("checkpointLocation", s"$dir-ckpt-$name")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"[probe] $name: $sec%.1f s, $sn input rows, ${sn / sec / 1e6}%.1f M input rows/s")
-          name -> (sn / sec)
-        }
-        runStream("streaming_tf_gate") { src =>
-          graft.streaming.Ingest.tfAggregate(src, 60000L, 5,
-            watermark = "0 seconds")
-        }
+            col("volume"), col("n_trades")),
+        streamN(n)) { src =>
+        graft.streaming.Ingest.tfAggregate(src, 60000L, 5,
+          watermark = "0 seconds")
       },
-      {
-        val sn = math.min(n, 5000000L)
-        val dir = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("target"), "probe-sess").toString
-        bars.where(col("event_id") < sn)
+      streamProbe(spark, "streaming_sessionize",
+        bars.where(col("event_id") < streamN(n))
           .select(pmod(col("event_id"), lit(4096L)).as("user_id"),
             timestamp_millis(col("bar_ts_ms")).as("ts"),
-            col("close").as("value"))
-          .write.mode("overwrite").parquet(dir)
-        val sch = spark.read.parquet(dir).schema
-        val t0 = System.nanoTime()
-        val src = spark.readStream.schema(sch)
-          .option("maxFilesPerTrigger", "8").parquet(dir)
-        val q = graft.streaming.Ingest.sessionSummaries(src, gapMs = 300000L,
-            watermark = "0 seconds")
-          .writeStream.format("noop")
-          .option("checkpointLocation", s"$dir-ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] streaming_sessionize: $sec%.1f s, $sn input rows, ${sn / sec / 1e6}%.1f M input rows/s")
-        "streaming_sessionize" -> (sn / sec)
+            col("close").as("value")),
+        streamN(n)) { src =>
+        graft.streaming.Ingest.sessionSummaries(src, gapMs = 300000L,
+          watermark = "0 seconds")
       },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:

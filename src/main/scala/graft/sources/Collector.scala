@@ -81,7 +81,15 @@ object Collector {
     * Returns what happened; the staged rows live under
     * `root/symbol=…/year=…/month=…` and the resume point under the lake's
     * checkpoint file. `nowMs` is a parameter (not a clock read) so runs are
-    * deterministic and testable. */
+    * deterministic and testable.
+    *
+    * Staging is AT-LEAST-ONCE: a crash between a page's append and its
+    * checkpoint advance replays that page on resume (the reference's
+    * timestamp+nonce staging parts have the same window,
+    * klines_m1.py:136-146). Exactly-once comes from the canonical dedup
+    * downstream — [[Lake.compact]] with
+    * `dedupKeys = Seq("symbol", "open_time_ms")`, mirroring the
+    * reference's drop_duplicates-on-compact (aggregate_tf.py:205). */
   def collect(spark: SparkSession, fetch: Fetch, symbol: String, root: String,
               nowMs: Long, startMs: Option[Long] = None,
               endMs: Option[Long] = None, safeLagMinutes: Int = 2,
@@ -127,55 +135,78 @@ object Collector {
     * (`chunkEnd + 1`), never by fetched max, so empty source segments —
     * exchange outages — are paged past instead of stalling the loop; the
     * resume checkpoint is NOT consulted or advanced (a repair must reach
-    * ranges the checkpoint has already moved beyond). */
+    * ranges the checkpoint has already moved beyond).
+    *
+    * Driver memory is bounded: fetched rows merge-write into the lake
+    * every `flushRows` (each flush rewrites only its own months), so a
+    * multi-year repair never accumulates the whole range in the driver.
+    * A maxPages-capped run reports `max_pages` with `nextStartTimeMs` at
+    * the first unrepaired chunk, so the caller can resume — it is NOT
+    * reported as complete. */
   def backfillRange(spark: SparkSession, fetch: Fetch, symbol: String,
                     root: String, startMs: Long, endMs: Long,
                     limit: Int = 1500, intervalMs: Long = 60000L,
-                    maxPages: Int = 10000): CollectReport = {
+                    maxPages: Int = 10000,
+                    flushRows: Int = 1000000): CollectReport = {
     val stepMs = limit.toLong * intervalMs
     var cur = startMs
     var pages = 0
-    val fetched = scala.collection.mutable.ArrayBuffer.empty[Kline]
+    var rows = 0L
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Kline]
+    def flush(): Unit = if (buf.nonEmpty) {
+      mergeWriteMonths(spark, buf.toSeq, symbol, root, intervalMs)
+      rows += buf.size
+      buf.clear()
+    }
     while (cur <= endMs && pages < maxPages) {
       val chunkEnd = math.min(cur + stepMs - 1, endMs)
       val page = fetch(symbol, Some(cur), limit)
         .filter(k => k.openTimeMs >= cur && k.openTimeMs <= chunkEnd)
       pages += 1
-      fetched ++= page
+      buf ++= page
+      if (buf.size >= flushRows) flush()
       cur = chunkEnd + 1
     }
-    if (fetched.nonEmpty) {
-      val incoming = pageToDf(spark, fetched.toSeq, symbol, intervalMs)
-      // Merge against ONLY the months the repair landed in — the month set
-      // is tiny (driver-side), the predicate partition-prunes the lake
-      // read, and dynamic overwrite below rewrites just those partitions.
-      // Untouched months are never read or written.
-      val affected = fetched.map { k =>
-        val c = java.util.Calendar.getInstance(
-          java.util.TimeZone.getTimeZone("UTC"))
-        c.setTimeInMillis(k.openTimeMs)
-        (c.get(java.util.Calendar.YEAR), c.get(java.util.Calendar.MONTH) + 1)
-      }.toSet
-      val merged =
-        if (lakeExists(spark, root)) {
-          val monthPred = affected.toSeq.map { case (y, m) =>
-            col("year") === y && col("month") === m
-          }.reduce(_ || _)
-          val existing = Lake.read(spark, root)
-            .where(col("symbol") === symbol && monthPred)
-            .drop("year", "month")
-          Lake.mergeUpsert(existing, incoming, Seq("symbol", "open_time_ms"))
-        } else incoming
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try Lake.writePartitioned(merged, root, tsMsCol = "open_time_ms")
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    flush()
+    val done = cur > endMs
+    CollectReport(symbol, pages, rows,
+      Some(if (done) endMs + 1 else cur),
+      if (done) "end_reached" else "max_pages")
+  }
+
+  /** Merge one batch of fetched klines into the lake: incoming wins on
+    * (symbol, open_time_ms); ONLY the months the batch lands in are read
+    * (partition-pruned) and rewritten (dynamic partition overwrite) —
+    * untouched months are never touched on disk, the distributed
+    * equivalent of the reference's per-month merged part-000 rewrite. */
+  private def mergeWriteMonths(spark: SparkSession, klines: Seq[Kline],
+                               symbol: String, root: String,
+                               intervalMs: Long): Unit = {
+    val incoming = pageToDf(spark, klines, symbol, intervalMs)
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    val affected = klines.map { k =>
+      cal.setTimeInMillis(k.openTimeMs)
+      (cal.get(java.util.Calendar.YEAR),
+        cal.get(java.util.Calendar.MONTH) + 1)
+    }.toSet
+    val merged =
+      if (lakeExists(spark, root)) {
+        val monthPred = affected.toSeq.map { case (y, m) =>
+          col("year") === y && col("month") === m
+        }.reduce(_ || _)
+        val existing = Lake.read(spark, root)
+          .where(col("symbol") === symbol && monthPred)
+          .drop("year", "month")
+        Lake.mergeUpsert(existing, incoming, Seq("symbol", "open_time_ms"))
+      } else incoming
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Lake.writePartitioned(merged, root, tsMsCol = "open_time_ms")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    CollectReport(symbol, pages, fetched.size.toLong,
-      Some(endMs + 1), "end_reached")
   }
 
   private def lakeExists(spark: SparkSession, root: String): Boolean = {

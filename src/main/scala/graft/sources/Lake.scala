@@ -58,9 +58,21 @@ object Lake {
       .parquet(root)
 
   /** Compact a staging lake in place of many small parts: one task — hence
-    * one parquet part — per (symbol, year, month). */
-  def compact(spark: SparkSession, root: String, outRoot: String): Unit = {
-    val df = spark.read.parquet(root)
+    * one parquet part — per (symbol, year, month).
+    *
+    * `dedupKeys` (optional) canonical-dedups during the compaction
+    * (keep-last by `ordCol`, defaulting to the last key): collector staging
+    * is at-least-once — a crash between a page append and its checkpoint
+    * advance replays that page on resume — and this is the pass that makes
+    * the compacted lake exactly-once, the same place the reference dedups
+    * (aggregate_tf.py:205 drop_duplicates keep=last over staging parts). */
+  def compact(spark: SparkSession, root: String, outRoot: String,
+              dedupKeys: Seq[String] = Nil, ordCol: String = ""): Unit = {
+    val raw = spark.read.parquet(root)
+    val df =
+      if (dedupKeys.isEmpty) raw
+      else graft.operators.Canonical.dedupKeepLast(raw, dedupKeys,
+        col(if (ordCol.nonEmpty) ordCol else dedupKeys.last))
     df.repartition(col("symbol"), col("year"), col("month"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("symbol", "year", "month")

@@ -219,6 +219,59 @@ class CollectorSpec extends SparkTestBase {
       == 744L)
   }
 
+  test("backfillRange capped by maxPages reports max_pages + resume point") {
+    val root = tmpRoot("coll-bfcap")
+    val src = new FakeSource(grid)
+    val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+      startMs = t0, endMs = grid.last, limit = 10, maxPages = 3)
+    // 3 chunks of 10 minutes repaired; the rest of the range is NOT done
+    assert(rep.stopReason == "max_pages" && rep.rows == 30L)
+    assert(rep.nextStartTimeMs.contains(t0 + 30 * 60000L))
+    assert(Lake.read(spark, root).count() == 30L)
+    // resuming from the reported point completes the repair
+    val rep2 = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+      startMs = rep.nextStartTimeMs.get, endMs = grid.last, limit = 50)
+    assert(rep2.stopReason == "end_reached")
+    assert(Lake.read(spark, root).count() == 120L)
+  }
+
+  test("backfillRange bounded buffering: small flushRows still merges correctly") {
+    val root = tmpRoot("coll-flush")
+    val src = new FakeSource(grid)
+    val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+      startMs = t0, endMs = grid.last, limit = 10, flushRows = 25)
+    assert(rep.rows == 120L)
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 120L)
+    assert(staged.select(countDistinct(col("open_time_ms"))).head.getLong(0)
+      == 120L)
+  }
+
+  test("crash replay duplicates staging; compact with dedup keys restores exactly-once") {
+    val root = tmpRoot("coll-replay")
+    val src1 = new FakeSource(grid.take(20))
+    Collector.collect(spark, src1.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    // simulate a crash BETWEEN the page append and the checkpoint advance:
+    // roll the checkpoint back to before the staged page
+    Checkpoint.write(root, "collector_m1_BTCUSDT", Map("BTCUSDT" -> t0))
+    val src2 = new FakeSource(grid.take(20))
+    Collector.collect(spark, src2.fetch, "BTCUSDT", root, nowMs, limit = 100)
+    // staging is at-least-once: the replayed page appended a second copy
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 40L)
+    assert(staged.select(countDistinct(col("open_time_ms"))).head.getLong(0)
+      == 20L)
+    // the canonical-dedup compaction is the exactly-once pass
+    val compacted = root + "-compact"
+    Lake.compact(spark, root, compacted,
+      dedupKeys = Seq("symbol", "open_time_ms"))
+    val clean = Lake.read(spark, compacted)
+    assert(clean.count() == 20L)
+    assert(clean.select(countDistinct(col("open_time_ms"))).head.getLong(0)
+      == 20L)
+  }
+
   test("backfillRange pages past empty source segments instead of stalling") {
     val root = tmpRoot("coll-void")
     // source has data only in the SECOND chunk of the requested range
