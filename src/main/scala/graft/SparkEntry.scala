@@ -891,6 +891,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #26c — the training-data pipeline CAPSTONE as one declarative
+    // plan: exact-dedup survivors → quality/language gates (the shared
+    // streaming-safe stage) → token-window chunking → token-budget shard
+    // packing. The full clean→dedup→chunk→pack shard-assembly path a
+    // 100 TB corpus takes, composed from the individually-oracled stages
+    // and verified end-to-end by its own DuckDB oracle.
+    "corpus_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val survivors = graft.llm.Dedup.exactSurvivors(d.unionByName(dup))
+      val cleaned = graft.streaming.Ingest.cleanDocs(
+        survivors.select(col("doc_id"), col("text")), keepText = true)
+      val chunks = TextAnalysis.chunk(
+          cleaned.select(col("doc_id"), col("text")), chunkSize = 32,
+          overlap = 8)
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_idx"))
+      TextAnalysis.packByTokens(chunks, tokensPerPack = 128L, nShards = 8,
+          idCol = "cid", nTokensCol = "n_tokens")
+        .select(col("shard"), col("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("cum_tokens"), col("pack_id"))
+        .orderBy("shard", "doc_id", "chunk_idx")
+    }),
+
     // §2 #33 — stopword-profile language ID.
     "lang_id" -> ((s, dir) => {
       TextAnalysis.withLangId(Tables.documents(s, dir))
@@ -3090,6 +3114,83 @@ object SparkEntry {
         |FROM q
         |WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10
         |ORDER BY 1""".stripMargin,
+
+    "corpus_pipeline" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY
+        |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM all_docs),
+        |surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |           AS punct
+        |  FROM surv),
+        |u AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+        |           AS INTEGER) AS sw_en,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['le','la','les','et','de','un','une','est','que','pour'], x)))
+        |           AS INTEGER) AS sw_fr,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+        |           AS INTEGER) AS sw_de,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['el','la','los','y','de','un','una','es','que','por'], x)))
+        |           AS INTEGER) AS sw_es
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
+        |           * least(1.0, stop_ratio * 4.0) AS quality_score,
+        |         CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
+        |              WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
+        |              WHEN sw_de >= sw_es THEN 'de'
+        |              ELSE 'es' END AS lang_pred
+        |  FROM u),
+        |cleaned AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10),
+        |tk2 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ctoks
+        |  FROM cleaned),
+        |cc AS (
+        |  SELECT doc_id, len(ctoks) AS n,
+        |         CASE WHEN len(ctoks) <= 32 THEN 1
+        |              ELSE CAST(ceil((len(ctoks) - 32) / 24.0) AS INTEGER) + 1
+        |         END AS nc
+        |  FROM tk2),
+        |x AS (SELECT doc_id, n, unnest(range(nc)) AS idx FROM cc),
+        |ch AS (
+        |  SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+        |         CAST(least(32, n - idx * 24) AS INTEGER) AS n_tokens,
+        |         doc_id * 1000 + idx AS cid
+        |  FROM x),
+        |pk AS (SELECT *, CAST(cid % 8 AS INTEGER) AS shard FROM ch),
+        |cm AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY cid)
+        |           AS cum_tokens
+        |  FROM pk)
+        |SELECT shard, doc_id, chunk_idx, n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST(floor((cum_tokens - n_tokens) / 128.0) AS BIGINT)
+        |         AS pack_id
+        |FROM cm ORDER BY 1, 2, 3""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (

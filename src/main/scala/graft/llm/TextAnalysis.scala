@@ -164,20 +164,29 @@ object TextAnalysis {
     * no global sort or single-partition funnel; raise nShards so each
     * shard's window state stays executor-sized at 100 TB. */
   def packShards(docs: DataFrame, tokensPerPack: Long, nShards: Int = 64,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packByTokens(
+      docs.select(col(idCol), col(textCol))
+        .withColumn("n_tokens", size(tokens(col(textCol)))),
+      tokensPerPack, nShards, idCol, "n_tokens")
+      .select(col("shard"), col(idCol), col("n_tokens"), col("cum_tokens"),
+        col("pack_id"))
+
+  /** The packing core over rows with a PRECOMPUTED token count (so chunked
+    * or otherwise pre-tokenized units pack without re-tokenizing): stable
+    * `id mod nShards` shard, per-shard running token sum, greedy pack_id.
+    * Adds shard / cum_tokens / pack_id to the input columns. */
+  def packByTokens(rows: DataFrame, tokensPerPack: Long, nShards: Int,
+                   idCol: String, nTokensCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerPack > 0 && nShards > 0,
       "tokensPerPack and nShards must be positive")
     val w = Window.partitionBy("shard").orderBy(col(idCol))
-    docs
-      .select(col(idCol), col(textCol))
-      .withColumn("n_tokens", size(tokens(col(textCol))))
+    rows
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
       .withColumn("pack_id",
-        ((col("cum_tokens") - col("n_tokens")) / tokensPerPack).cast("long"))
-      .select(col("shard"), col(idCol), col("n_tokens"), col("cum_tokens"),
-        col("pack_id"))
+        ((col("cum_tokens") - col(nTokensCol)) / tokensPerPack).cast("long"))
   }
 
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))):

@@ -110,12 +110,18 @@ object Ingest {
     * (`corpus_clean`) and StreamingSpec's batch-equality test share this
     * exact code path. */
   def cleanDocs(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
-                minTokens: Int = 10): DataFrame = {
+                minTokens: Int = 10, keepText: Boolean = false): DataFrame = {
     import graft.llm.TextAnalysis
-    TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+    val gated = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
       .where(col("lang_pred") === lang && col("quality_score") >= minQuality &&
         col("n_tokens") >= minTokens)
-      .select(col("doc_id"), col("n_tokens"),
+    // keepText feeds downstream stages (chunking/packing) without a
+    // re-join; the default keeps the original compact survivors schema
+    if (keepText)
+      gated.select(col("doc_id"), col("text"), col("n_tokens"),
+        round(col("quality_score"), 6).as("quality_score"))
+    else
+      gated.select(col("doc_id"), col("n_tokens"),
         round(col("quality_score"), 6).as("quality_score"))
   }
 
