@@ -170,4 +170,39 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(p.length == 2 && p.forall(r => r.getAs[Long]("n_rows") == 0L &&
       r.getAs[Long]("n_null") == 0L && r.getAs[Long]("n_distinct") == 0L))
   }
+
+  test("round-6 operators survive degenerate configs and inputs") {
+    import spark.implicits._
+    // packShards: budget 1 -> every doc is tokens-before packs (still the
+    // greedy rule); empty corpus -> empty output; invalid params throw
+    val docs = Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text")
+    val tight = llm.TextAnalysis.packShards(docs, tokensPerPack = 1L,
+      nShards = 1).orderBy("doc_id").collect()
+    assert(tight.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 3L))
+    assert(llm.TextAnalysis.packShards(docs.limit(0), 8L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      llm.TextAnalysis.packShards(docs, tokensPerPack = 0L)
+    }
+    // LOW+ config with EMPTY allow-interval union: nothing is allowed and
+    // the reason cascade reports range_not_allowed (not a crash)
+    val enriched = Seq((1L, 7200000L, "BULL", 0.5, 15.0, true, false))
+      .toDF("id", "bar_ts_ms", "dir_state", "dir_score", "range_pctl",
+        "low_plus", "market_ready_base")
+    val noAllow = operators.LowPlus.LowPlusConfig("none",
+      allowHoursUtc = 0 until 24, allowRangePctl = Nil,
+      blockRangePctl = Nil)
+    val out = operators.LowPlus.applyConfigs(enriched, Seq(noAllow)).collect()
+    assert(!out(0).getAs[Boolean]("low_plus_allow"))
+    assert(out(0).getAs[String]("low_plus_block_reason") == "range_not_allowed")
+    // retry with maxRetries = 0: the first failure is terminal
+    var attempts = 0
+    val dead: sources.Collector.Fetch = (_, _, _) => {
+      attempts += 1; throw new RuntimeException("down")
+    }
+    intercept[RuntimeException] {
+      sources.Collector.withRetry(dead, maxRetries = 0,
+        sleep = _ => ())("S", None, 1)
+    }
+    assert(attempts == 1)
+  }
 }
