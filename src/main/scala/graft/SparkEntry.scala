@@ -1250,6 +1250,64 @@ object SparkEntry {
       |         count(*) AS n_trades
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB chain: the corpus-cleaning stage (seeded exact dups →
+    * md5-canonical survivors → quality/language gates), ending in the
+    * `cleaned` CTE (doc_id, text, n_tokens, quality_score). Used by the
+    * corpus_clean and corpus_pipeline oracles so the gate constants can
+    * never diverge between the stage and the capstone that composes it. */
+  private val CorpusCleanCte: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |fp AS (
+      |  SELECT doc_id, text,
+      |         row_number() OVER (PARTITION BY
+      |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |           ORDER BY doc_id) AS rn
+      |  FROM all_docs),
+      |surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+      |t AS (
+      |  SELECT doc_id, text,
+      |         string_split_regex(lower(text), '\s+') AS toks,
+      |         length(text) AS n_chars,
+      |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |           AS punct
+      |  FROM surv),
+      |u AS (
+      |  SELECT doc_id, text,
+      |         CAST(len(toks) AS INTEGER) AS n_tokens,
+      |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+      |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['the','a','an','and','of','to','in','is','it','that'], x)))
+      |           AS INTEGER) AS sw_en,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['le','la','les','et','de','un','une','est','que','pour'], x)))
+      |           AS INTEGER) AS sw_fr,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+      |           AS INTEGER) AS sw_de,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['el','la','los','y','de','un','una','es','que','por'], x)))
+      |           AS INTEGER) AS sw_es
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id, text, n_tokens,
+      |         least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
+      |           * least(1.0, stop_ratio * 4.0) AS quality_score,
+      |         CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
+      |              WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
+      |              WHEN sw_de >= sw_es THEN 'de'
+      |              ELSE 'es' END AS lang_pred
+      |  FROM u),
+      |cleaned AS (
+      |  SELECT doc_id, text, n_tokens, quality_score FROM q
+      |  WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10)"""
+      .stripMargin
+
   /** Shared DuckDB chain mirroring [[graft.operators.LowPlus.enrich]]:
     * hour bars through the `gates` CTE (range_pctl, vol_state, dir_score,
     * dir_state, low_plus, market_ready_base, dir_ready). Used by both the
@@ -3061,113 +3119,14 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "corpus_clean" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
-        |fp AS (
-        |  SELECT doc_id, text,
-        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |           AS fingerprint,
-        |         row_number() OVER (PARTITION BY
-        |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |           ORDER BY doc_id) AS rn
-        |  FROM all_docs),
-        |surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id, text,
-        |         string_split_regex(lower(text), '\s+') AS toks,
-        |         length(text) AS n_chars,
-        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-        |           AS punct
-        |  FROM surv),
-        |u AS (
-        |  SELECT doc_id,
-        |         CAST(len(toks) AS INTEGER) AS n_tokens,
-        |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
-        |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
-        |           AS INTEGER) AS sw_en,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['le','la','les','et','de','un','une','est','que','pour'], x)))
-        |           AS INTEGER) AS sw_fr,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
-        |           AS INTEGER) AS sw_de,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['el','la','los','y','de','un','una','es','que','por'], x)))
-        |           AS INTEGER) AS sw_es
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id, n_tokens,
-        |         least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
-        |           * least(1.0, stop_ratio * 4.0) AS quality_score,
-        |         CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
-        |              WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
-        |              WHEN sw_de >= sw_es THEN 'de'
-        |              ELSE 'es' END AS lang_pred
-        |  FROM u)
+      s"""$CorpusCleanCte
         |SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
-        |FROM q
-        |WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10
-        |ORDER BY 1""".stripMargin,
+        |FROM cleaned ORDER BY 1""".stripMargin,
 
     "corpus_pipeline" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
-        |fp AS (
-        |  SELECT doc_id, text,
-        |         row_number() OVER (PARTITION BY
-        |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |           ORDER BY doc_id) AS rn
-        |  FROM all_docs),
-        |surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id, text,
-        |         string_split_regex(lower(text), '\s+') AS toks,
-        |         length(text) AS n_chars,
-        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-        |           AS punct
-        |  FROM surv),
-        |u AS (
-        |  SELECT doc_id, text,
-        |         CAST(len(toks) AS INTEGER) AS n_tokens,
-        |         CAST(punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
-        |           AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['the','a','an','and','of','to','in','is','it','that'], x)))
-        |           AS INTEGER) AS sw_en,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['le','la','les','et','de','un','une','est','que','pour'], x)))
-        |           AS INTEGER) AS sw_fr,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
-        |           AS INTEGER) AS sw_de,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['el','la','los','y','de','un','una','es','que','por'], x)))
-        |           AS INTEGER) AS sw_es
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id, text, n_tokens,
-        |         least(1.0, n_tokens / 20.0) * (1.0 - punct_ratio)
-        |           * least(1.0, stop_ratio * 4.0) AS quality_score,
-        |         CASE WHEN sw_en >= greatest(sw_fr, sw_de, sw_es) THEN 'en'
-        |              WHEN sw_fr >= greatest(sw_de, sw_es) THEN 'fr'
-        |              WHEN sw_de >= sw_es THEN 'de'
-        |              ELSE 'es' END AS lang_pred
-        |  FROM u),
-        |cleaned AS (
-        |  SELECT doc_id, text FROM q
-        |  WHERE lang_pred = 'en' AND quality_score >= 0.5 AND n_tokens >= 10),
+      s"""$CorpusCleanCte,
         |tk2 AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS ctoks
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ctoks
         |  FROM cleaned),
         |cc AS (
         |  SELECT doc_id, len(ctoks) AS n,

@@ -60,19 +60,35 @@ object Lake {
   /** Compact a staging lake in place of many small parts: one task — hence
     * one parquet part — per (symbol, year, month).
     *
-    * `dedupKeys` (optional) canonical-dedups during the compaction
-    * (keep-last by `ordCol`, defaulting to the last key): collector staging
-    * is at-least-once — a crash between a page append and its checkpoint
-    * advance replays that page on resume — and this is the pass that makes
-    * the compacted lake exactly-once, the same place the reference dedups
-    * (aggregate_tf.py:205 drop_duplicates keep=last over staging parts). */
+    * `dedupKeys` (optional) canonical-dedups during the compaction:
+    * collector staging is at-least-once — a crash between a page append and
+    * its checkpoint advance replays that page on resume — and this is the
+    * pass that makes the compacted lake exactly-once, the same place the
+    * reference dedups (aggregate_tf.py:205 drop_duplicates keep=last over
+    * staging parts). With an explicit `ordCol` the survivor is keep-last by
+    * that column; WITHOUT one (staging parts carry no ingest order), ties
+    * resolve by a deterministic content hash over the non-key columns —
+    * byte-identical replays are idempotent, and conflicting duplicates
+    * pick one stable survivor independent of run or partitioning (the
+    * reference's concat-order keep=last is filesystem-glob-dependent;
+    * this is the reproducible equivalent). */
   def compact(spark: SparkSession, root: String, outRoot: String,
               dedupKeys: Seq[String] = Nil, ordCol: String = ""): Unit = {
     val raw = spark.read.parquet(root)
     val df =
       if (dedupKeys.isEmpty) raw
-      else graft.operators.Canonical.dedupKeepLast(raw, dedupKeys,
-        col(if (ordCol.nonEmpty) ordCol else dedupKeys.last))
+      else {
+        val ord =
+          if (ordCol.nonEmpty) col(ordCol)
+          else {
+            val payload = raw.columns
+              .filterNot(c => dedupKeys.contains(c) ||
+                Seq("year", "month").contains(c))
+              .map(col).toSeq
+            if (payload.isEmpty) lit(0L) else xxhash64(payload: _*)
+          }
+        graft.operators.Canonical.dedupKeepLast(raw, dedupKeys, ord)
+      }
     df.repartition(col("symbol"), col("year"), col("month"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("symbol", "year", "month")

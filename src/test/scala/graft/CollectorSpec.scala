@@ -272,6 +272,30 @@ class CollectorSpec extends SparkTestBase {
       == 20L)
   }
 
+  test("compact dedup resolves CONFLICTING duplicates deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = tmpRoot("coll-conflict")
+    // two staged copies of the same (symbol, open_time_ms) with different
+    // payloads — an exchange-corrected bar replayed after a crash
+    def stage(vol: Double): Unit =
+      Lake.writePartitioned(
+        (0 until 5).map(i => ("BTCUSDT", t0 + i * 60000L, vol))
+          .toDF("symbol", "open_time_ms", "volume_base"),
+        root, tsMsCol = "open_time_ms", mode = SaveMode.Append)
+    stage(1.0); stage(2.0)
+    val outA = root + "-a"
+    val outB = root + "-b"
+    Lake.compact(spark, root, outA, dedupKeys = Seq("symbol", "open_time_ms"))
+    Lake.compact(spark, root, outB, dedupKeys = Seq("symbol", "open_time_ms"))
+    val a = Lake.read(spark, outA).orderBy("open_time_ms")
+      .select("open_time_ms", "volume_base").collect().map(_.toSeq).toSeq
+    val b = Lake.read(spark, outB).orderBy("open_time_ms")
+      .select("open_time_ms", "volume_base").collect().map(_.toSeq).toSeq
+    assert(a.length == 5)           // exactly one survivor per key
+    assert(a == b, "survivor choice must be stable across compaction runs")
+  }
+
   test("backfillRange pages past empty source segments instead of stalling") {
     val root = tmpRoot("coll-void")
     // source has data only in the SECOND chunk of the requested range
