@@ -28,7 +28,8 @@ object PlanDump {
     "rolling_corr" -> "Pair join on the time grid, then every Pearson co-moment (avg, avg-of-product, stddev_pop) rides ONE window sort per pair key.",
     "low_plus_sweep" -> "Config grid explode: the |configs|-row table broadcasts (BroadcastNestedLoopJoin over a local relation — the big side never shuffles for the join), interval-union membership is a codegen'd exists over each config's interval array, and ONE hash aggregation on config_id rolls up every policy at once.",
     "keep_frac_sweep_sketch" -> "The lake-scale sweep (contract key since round 6, rows-only): one percentile_approx sketch pass for ALL fraction thresholds, a broadcast threshold join, one hash aggregation — NO window, no global sort, nothing single-partition (the rank-based keep_frac_sweep keeps the oracle-checkable exact cohort).",
-    "pack_shards" -> "Stable hash sharding is a map-side projection; the running token sum is ONE per-shard window (nShards-way parallel, never a global sort) — the plan holds at any corpus size by raising nShards so per-shard window state stays executor-sized.")
+    "pack_shards" -> "Stable hash sharding is a map-side projection; the running token sum is ONE per-shard window (nShards-way parallel, never a global sort) — the plan holds at any corpus size by raising nShards so per-shard window state stays executor-sized.",
+    "corpus_pipeline" -> "The training-data capstone as ONE plan: exact-dedup keep-min window on the content fingerprint, codegen'd quality/language gates (stateless map), chunk explode (map-side sequence generation), and the per-shard packing window — two keyed exchanges total (fingerprint, shard) for the whole clean→dedup→chunk→pack path; every other stage is narrow.")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */
