@@ -18,18 +18,28 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/events.parquet").limit(10).count()
     } catch { case _: Throwable => }
+    // NaN = the run crashed; a time-to-failure must not pose as a timing
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // block-manager hygiene between queries: one query's cached /
       // checkpointed blocks must not build memory pressure for the next
       try { GraftSession.releaseCache(spark) } catch { case _: Throwable => }
-      dt
+      if (ok) dt else Double.NaN
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = Seq.fill(reps)(timeOnce(fn)).sorted
-      name -> ts(ts.size / 2)
+      val ts = Seq.fill(reps)(timeOnce(fn))
+      // any crashed rep surfaces as -1 (JSON has no NaN); true median for
+      // even reps is the mean of the two middle elements
+      val med =
+        if (ts.exists(_.isNaN)) -1.0
+        else {
+          val s = ts.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,7 +76,9 @@ object RegimeEval {
           .otherwise("TEST"))
       .repartition(4)
       .cache()
-
+    // unpersist in finally: a require/fit failure must not leak the cached
+    // frame for the session lifetime
+    try {
     val train = labeledRet.where(col("set_name") === "TRAIN")
     // Label threshold + per-feature impute medians: small train-slice aggs
     // (exact percentile — the frame is periods × symbols, always tiny).
@@ -90,6 +92,13 @@ object RegimeEval {
     require(!statRow.isNullAt(statRow.fieldIndex("thr")),
       s"RegimeEval: TRAIN slice empty or without usable forward returns " +
         s"(trainEndMs=$trainEndMs, horizon=$horizon)")
+    // an all-null feature would make getAs[Double] unbox the null median to
+    // 0.0 — a silent zero-impute; fail loudly like the threshold check
+    val nullMed = featureCols
+      .filter(f => statRow.isNullAt(statRow.fieldIndex(s"_med_$f")))
+    require(nullMed.isEmpty,
+      s"RegimeEval: feature(s) ${nullMed.mkString(", ")} are all-null in " +
+        "the TRAIN slice — no impute median exists")
     val thr = statRow.getAs[Double]("thr")
     val med = featureCols.map(f => f -> statRow.getAs[Double](s"_med_$f")).toMap
 
@@ -146,7 +155,7 @@ object RegimeEval {
         round(col("accuracy"), 6).as("accuracy"), col("macro_f1"))
     // block-manager hygiene: the returned summary re-derives from lineage
     // once when consumed; no persisted blocks outlive the call
-    labeledRet.unpersist(false)
     summary
+    } finally labeledRet.unpersist(false)
   }
 }

@@ -77,6 +77,19 @@ object Collector {
     * to a race. */
   private def checkpointTf(symbol: String) = s"collector_m1_$symbol"
 
+  /** Concurrent per-symbol collector threads serialize their lake writes
+    * here: Hadoop's FileOutputCommitter stages every job under the SAME
+    * `root/_temporary` dir, and one job's commit-cleanup deletes another
+    * in-flight job's pending task files — concurrent appends to one output
+    * path are not safe with vanilla parquet. The collector is one-driver by
+    * design (the reference runs one poll loop per process,
+    * klines_m1.py:175-210), so a JVM-wide lock is the correct scope; the
+    * REST fetch — the actual bottleneck — stays fully concurrent.
+    * Cross-PROCESS writers need a transactional table format with a commit
+    * protocol (Delta/Iceberg), out of scope here. Also guards the
+    * session-wide partitionOverwriteMode flip in [[mergeWriteMonths]]. */
+  private val writeLock = new Object
+
   /** Run the collector loop for one symbol until a stop condition.
     * Returns what happened; the staged rows live under
     * `root/symbol=…/year=…/month=…` and the resume point under the lake's
@@ -97,7 +110,18 @@ object Collector {
               intervalMs: Long = 60000L): CollectReport = {
     val safeEndMs = nowMs - safeLagMinutes * 60000L
     var startTime: Option[Long] =
-      Checkpoint.read(root, checkpointTf(symbol)).get(symbol).orElse(startMs)
+      Checkpoint.read(root, checkpointTf(symbol)).get(symbol)
+        .orElse {
+          // One-time migration from the pre-per-symbol shared namespace:
+          // a lake written by an older collector holds its resume point in
+          // `_checkpoint_collector_m1.json`; ignoring it would refetch the
+          // full history and duplicate staging until the next compact.
+          val legacy = Checkpoint.read(root, "collector_m1").get(symbol)
+          legacy.foreach(v =>
+            Checkpoint.write(root, checkpointTf(symbol), Map(symbol -> v)))
+          legacy
+        }
+        .orElse(startMs)
     var pages = 0
     var rows = 0L
     var stop: Option[String] = None
@@ -161,11 +185,21 @@ object Collector {
     while (cur <= endMs && pages < maxPages) {
       val chunkEnd = math.min(cur + stepMs - 1, endMs)
       val page = fetch(symbol, Some(cur), limit)
-        .filter(k => k.openTimeMs >= cur && k.openTimeMs <= chunkEnd)
+      val kept = page.filter(k => k.openTimeMs >= cur && k.openTimeMs <= chunkEnd)
       pages += 1
-      buf ++= page
+      buf ++= kept
       if (buf.size >= flushRows) flush()
-      cur = chunkEnd + 1
+      // stepMs assumes at most `limit` rows per chunk. If a FULL page still
+      // hasn't reached chunkEnd, the source is denser than intervalMs (or
+      // the caller passed the wrong interval) — keep paging INSIDE the
+      // chunk from the last fetched row instead of silently skipping its
+      // tail and reporting end_reached. Fetch contract (openTimeMs >= cur)
+      // guarantees maxFetched >= cur, so the loop always advances.
+      val maxFetched =
+        if (page.isEmpty) Long.MinValue else page.map(_.openTimeMs).max
+      cur =
+        if (page.size >= limit && maxFetched < chunkEnd) maxFetched + 1
+        else chunkEnd + 1
     }
     flush()
     val done = cur > endMs
@@ -183,13 +217,18 @@ object Collector {
                                symbol: String, root: String,
                                intervalMs: Long): Unit = {
     val incoming = pageToDf(spark, klines, symbol, intervalMs)
-    val cal = java.util.Calendar.getInstance(
-      java.util.TimeZone.getTimeZone("UTC"))
-    val affected = klines.map { k =>
-      cal.setTimeInMillis(k.openTimeMs)
-      (cal.get(java.util.Calendar.YEAR),
-        cal.get(java.util.Calendar.MONTH) + 1)
-    }.toSet
+    // The affected-month set MUST come from the same year()/month()
+    // expressions (hence the same session timezone) that
+    // [[Lake.writePartitioned]] partitions by. A driver-side Calendar pinned
+    // to UTC disagrees with a non-UTC session near month boundaries, and a
+    // month the write lands in but the merge never read would then be
+    // REPLACED by only the incoming rows — silent data loss. Bounded
+    // collect: one row per distinct month in the batch.
+    val affected = incoming
+      .select(year(timestamp_millis(col("open_time_ms"))).as("y"),
+        month(timestamp_millis(col("open_time_ms"))).as("m"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
     val merged =
       if (lakeExists(spark, root)) {
         val monthPred = affected.toSeq.map { case (y, m) =>
@@ -200,12 +239,14 @@ object Collector {
           .drop("year", "month")
         Lake.mergeUpsert(existing, incoming, Seq("symbol", "open_time_ms"))
       } else incoming
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try Lake.writePartitioned(merged, root, tsMsCol = "open_time_ms")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    writeLock.synchronized {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try Lake.writePartitioned(merged, root, tsMsCol = "open_time_ms")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
 
@@ -228,8 +269,10 @@ object Collector {
     // Append, never overwrite: staging accumulates pages exactly like the
     // reference's per-month append files (klines_m1.py:136-146); an
     // Overwrite here would wipe every previously staged page.
-    Lake.writePartitioned(df, root, tsMsCol = "open_time_ms",
-      mode = SaveMode.Append)
+    writeLock.synchronized {
+      Lake.writePartitioned(df, root, tsMsCol = "open_time_ms",
+        mode = SaveMode.Append)
+    }
   }
 
   /** A fetched page in the lake's staged-kline schema (klines_m1.py:109-129

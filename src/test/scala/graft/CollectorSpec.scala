@@ -224,9 +224,13 @@ class CollectorSpec extends SparkTestBase {
     val src = new FakeSource(grid)
     val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
       startMs = t0, endMs = grid.last, limit = 10, maxPages = 3)
-    // 3 chunks of 10 minutes repaired; the rest of the range is NOT done
+    // 3 chunks of 10 minutes repaired; the rest of the range is NOT done.
+    // The resume point is one past the last FETCHED row (chunk boundaries
+    // may sit earlier than the stepMs grid when full pages end short of
+    // chunkEnd) — what matters is that nothing repaired is refetched and
+    // nothing unrepaired is skipped.
     assert(rep.stopReason == "max_pages" && rep.rows == 30L)
-    assert(rep.nextStartTimeMs.contains(t0 + 30 * 60000L))
+    assert(rep.nextStartTimeMs.contains(grid(29) + 1))
     assert(Lake.read(spark, root).count() == 30L)
     // resuming from the reported point completes the repair
     val rep2 = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
@@ -305,6 +309,97 @@ class CollectorSpec extends SparkTestBase {
       startMs = t0, endMs = late.last, limit = 10)
     assert(rep.rows == 20L)
     assert(Lake.read(spark, root).count() == 20L)
+  }
+
+  test("legacy shared checkpoint migrates to the per-symbol namespace on resume") {
+    val root = tmpRoot("coll-legacy")
+    // a lake written by the pre-per-symbol collector holds its resume point
+    // in the shared `_checkpoint_collector_m1.json`
+    Checkpoint.write(root, "collector_m1", Map("BTCUSDT" -> (grid(29) + 1)))
+    val src = new FakeSource(grid)
+    val rep = Collector.collect(spark, src.fetch, "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 100)
+    // resumed from the legacy point — no full-history refetch
+    assert(src.calls.head.contains(grid(29) + 1))
+    assert(rep.rows == 90L)
+    // and the entry migrated forward into the per-symbol file
+    assert(Checkpoint.read(root, "collector_m1_BTCUSDT")
+      .get("BTCUSDT").contains(grid.last + 1))
+  }
+
+  test("backfillRange keeps paging inside a chunk denser than intervalMs") {
+    val root = tmpRoot("coll-dense")
+    // source rows every 30s while the caller claims intervalMs=60s: each
+    // limit-sized time chunk holds TWICE limit rows
+    val dense = (0 until 40).map(i => t0 + i * 30000L)
+    val src = new FakeSource(dense)
+    val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+      startMs = t0, endMs = dense.last, limit = 10, intervalMs = 60000L)
+    // a stepMs-advance loop would silently keep only the first 10 rows per
+    // chunk (20 total) and still report end_reached
+    assert(rep.rows == 40L && rep.stopReason == "end_reached")
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 40L)
+    assert(staged.select(countDistinct(col("open_time_ms"))).head.getLong(0)
+      == 40L)
+  }
+
+  test("merge-write month derivation follows the SESSION timezone (no cross-TZ loss)") {
+    val root = tmpRoot("coll-tz")
+    val stepMs = 3600000L
+    // existing lake: five mid-January hours (month=1 in any nearby TZ)
+    val jan15 = 1705276800000L // 2024-01-15T00:00Z
+    val feb10 = 1707523200000L // 2024-02-10T00:00Z — safe-lag never binds
+    val src0 = new FakeSource((0 until 5).map(i => jan15 + i * stepMs))
+    Collector.collect(spark, src0.fetch, "BTCUSDT", root, nowMs = feb10,
+      startMs = Some(jan15), limit = 100, intervalMs = stepMs)
+    assert(Lake.read(spark, root).count() == 5L)
+    // repair two hours at 2024-02-01T00:00Z under a non-UTC session: in
+    // America/New_York those instants are still JANUARY 31 evening, so the
+    // write lands in month=1 — the month the merge MUST have read. A UTC
+    // Calendar would compute affected={Feb}, skip reading month=1, and the
+    // dynamic partition overwrite would then replace all of January with
+    // just the two incoming rows.
+    val feb1 = 1706745600000L // 2024-02-01T00:00Z
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val src = new FakeSource(Seq(feb1, feb1 + stepMs))
+      val rep = Collector.backfillRange(spark, src.fetch, "BTCUSDT", root,
+        startMs = feb1, endMs = feb1 + stepMs, limit = 100,
+        intervalMs = stepMs)
+      assert(rep.rows == 2L)
+      val after = Lake.read(spark, root)
+      assert(after.count() == 7L, "existing January rows must survive the merge")
+      val times = after.select("open_time_ms").collect().map(_.getLong(0)).toSet
+      assert((0 until 5).forall(i => times.contains(jan15 + i * stepMs)))
+      assert(times.contains(feb1) && times.contains(feb1 + stepMs))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("concurrent multi-symbol collectors: all rows land, checkpoints stay isolated") {
+    val root = tmpRoot("coll-conc")
+    val sizes = Map("AAA" -> 40, "BBB" -> 60, "CCC" -> 80)
+    val srcs = sizes.map { case (sym, n) => sym -> new FakeSource(grid.take(n)) }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = srcs.map { case (sym, src) =>
+      new Thread(() =>
+        try Collector.collect(spark, src.fetch, sym, root, nowMs,
+          startMs = Some(t0), limit = 15)
+        catch { case t: Throwable => errs.add(t) })
+    }.toSeq
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent collect failed: ${errs.toArray.mkString("; ")}")
+    // every page from every symbol survived the interleaved appends
+    val bySym = Lake.read(spark, root).groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySym == sizes.map { case (s, n) => s -> n.toLong })
+    // each checkpoint is exactly its OWN symbol's max(open_time)+1
+    sizes.foreach { case (sym, n) =>
+      assert(Checkpoint.read(root, s"collector_m1_$sym")
+        .get(sym).contains(grid(n - 1) + 1), s"checkpoint for $sym")
+    }
   }
 
   test("staged schema: close_time_ms follows intervalMs; compact preserves rows") {
