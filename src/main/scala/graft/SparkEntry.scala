@@ -778,6 +778,46 @@ object SparkEntry {
         .orderBy("set_name")
     }),
 
+    // §2 #25e2 — the deterministic half of the regime evaluation as its own
+    // hash-checked key: the coarse-period frame (OHLC via min_by/max_by +
+    // last NON-NULL context feature per period,
+    // run_ml_regime_month_v1.py:99-113) is pure SQL semantics, so it gets a
+    // full DuckDB arg_min/arg_max oracle — leaving only the LBFGS fit
+    // itself rows-only under ml_regime_month/_week.
+    "regime_frame" -> ((s, dir) => {
+      val feats = Seq("atr_pct", "er", "vwap_dist_z")
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      RegimeEval.periodFrame(h1, "day", feats)
+        .select(col("symbol"), col("period_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("atr_pct"), 6).as("atr_pct"),
+          round(col("er"), 6).as("er"),
+          round(col("vwap_dist_z"), 6).as("vwap_dist_z"))
+        .orderBy("symbol", "period_ms")
+    }),
+
+    // §2 #25e3 — the same evaluation at WEEK grain (run_ml_regime_week_v1
+    // .py): identical pipeline, truncUnit="week", horizon 1. The testdata
+    // month holds 5 ISO weeks, so the split leaves TRAIN=3 / VAL=1 weekly
+    // periods per symbol and the final week's forward return is undefined
+    // (dropped) — thin on purpose at test scale; at lake scale the same
+    // call sees years of weeks. Model training — rows-only.
+    "ml_regime_week" -> ((s, dir) => {
+      val feats = Seq("atr_pct", "er", "vwap_dist_z")
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      val frame = RegimeEval.periodFrame(h1, "week", feats)
+      RegimeEval.evaluate(frame, feats, horizon = 1, trendQuantile = 0.6,
+          trainEndMs = 1705881600000L, // 2024-01-22T00Z (Mon)
+          valEndMs = 1706486400000L)   // 2024-01-29T00Z (Mon)
+        .orderBy("set_name")
+    }),
+
     // §2 #14b — funding pipeline: settlement-window premium → 8h funding
     // rates → cumulative accrual projected anti-lookahead onto hour bars
     // (premium_index_m1.py + funding_events.py domain).
@@ -2749,6 +2789,66 @@ object SparkEntry {
         |WINDOW wn AS (PARTITION BY symbol ORDER BY bar_ts_ms
         |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2""".stripMargin,
+
+    // The period frame composes the already-oracled atr / efficiency_ratio /
+    // vwap_zscore feature chains, then folds each day to OHLC + last
+    // non-null feature. DuckDB's arg_max skips NULL args, which is exactly
+    // the pandas-.last() null semantics periodFrame implements; day
+    // truncation on an epoch-ms UTC grid is modular arithmetic.
+    "regime_frame" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close, volume,
+        |         lag(close) OVER w AS prev_c,
+        |         abs(close - lag(close) OVER w) AS adiff,
+        |         lag(close, 10) OVER w AS close_n
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |trt AS (
+        |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS tr
+        |  FROM t),
+        |v AS (
+        |  SELECT *,
+        |         sum((high + low + close) / 3.0 * coalesce(volume, 0)) OVER cum
+        |           / nullif(sum(coalesce(volume, 0)) OVER cum, 0) AS vwap
+        |  FROM trt
+        |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT *, (close - vwap) / nullif(vwap, 0) AS vwap_dist FROM v),
+        |feat AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         (CASE WHEN count(tr) OVER w14 = 14
+        |          THEN avg(tr) OVER w14 END) / nullif(close, 0) AS atr_pct,
+        |         abs(close - close_n)
+        |           / nullif(CASE WHEN count(adiff) OVER w10 = 10
+        |                    THEN sum(adiff) OVER w10 END, 0) AS er,
+        |         (vwap_dist -
+        |          CASE WHEN count(vwap_dist) OVER w24 >= 12
+        |               THEN avg(vwap_dist) OVER w24 END)
+        |           / (CASE WHEN count(vwap_dist) OVER w24 >= 12
+        |              THEN stddev_pop(vwap_dist) OVER w24 END + 1e-12)
+        |           AS vwap_dist_z
+        |  FROM d
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        |         w10 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT symbol,
+        |       (bar_ts_ms // 86400000) * 86400000 AS period_ms,
+        |       arg_min(open, bar_ts_ms) AS open,
+        |       max(high) AS high,
+        |       min(low) AS low,
+        |       arg_max(close, bar_ts_ms) AS close,
+        |       round(arg_max(atr_pct, bar_ts_ms), 6) + 0.0 AS atr_pct,
+        |       round(arg_max(er, bar_ts_ms), 6) + 0.0 AS er,
+        |       round(arg_max(vwap_dist_z, bar_ts_ms), 6) + 0.0 AS vwap_dist_z
+        |FROM feat
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ichimoku" ->
       s"""$H1Cte,

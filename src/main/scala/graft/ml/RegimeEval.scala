@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object RegimeEval {
 
-  /** Coarse-period frame: per (symbol, truncated period) OHLC plus the LAST
-    * value of each context feature in the period (run_ml_regime_month_v1.py
-    * :99-113). One hash aggregation. */
+  /** Coarse-period frame: per (symbol, truncated period) OHLC plus the last
+    * NON-NULL value of each context feature in the period
+    * (run_ml_regime_month_v1.py:99-113 — pandas `.last()` skips NaN, so a
+    * warm-up-null feature at the period's final bar falls back to the last
+    * bar where it was defined; a bare max_by would propagate the null).
+    * One hash aggregation. */
   def periodFrame(bars: DataFrame, truncUnit: String,
                   featureCols: Seq[String], symbolCol: String = "symbol",
                   tsCol: String = "bar_ts"): DataFrame = {
@@ -43,7 +46,8 @@ object RegimeEval {
     val aggs =
       Seq(min_by(col("open"), ord).as("open"), max("high").as("high"),
         min("low").as("low"), max_by(col("close"), ord).as("close")) ++
-        featureCols.map(f => max_by(col(f), ord).as(f))
+        featureCols.map(f =>
+          max_by(col(f), when(col(f).isNotNull, ord)).as(f))
     bars
       .groupBy(col(symbolCol), date_trunc(truncUnit, col(tsCol)).as("period_ts"))
       .agg(aggs.head, aggs.tail: _*)

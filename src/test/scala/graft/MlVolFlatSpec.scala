@@ -89,6 +89,45 @@ class MlVolFlatSpec extends SparkTestBase {
     assert(f(1).getAs[Double]("feat") == 47.0)
   }
 
+  test("regime eval: last feature per period skips nulls (pandas .last semantics)") {
+    val hour = 3600000L
+    // day 0: feature defined only on hours 0..19 (null at the period end —
+    // the warm-up-null shape a rolling feature has on its first day);
+    // day 1: feature null on EVERY bar
+    val bars = (0 until 48).map { i =>
+      val feat: java.lang.Double =
+        if (i < 20) java.lang.Double.valueOf(i.toDouble) else null
+      ("A", new java.sql.Timestamp(i * hour), 10.0, 20.0, 5.0, 15.0, 1.0, 1L,
+        feat)
+    }.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume",
+      "n_trades", "feat")
+    val f = RegimeEval.periodFrame(bars, "day", Seq("feat"))
+      .orderBy("period_ms").collect()
+    assert(f(0).getAs[Double]("feat") == 19.0)   // last NON-NULL, not null
+    assert(f(1).isNullAt(f(1).fieldIndex("feat"))) // all-null stays null
+  }
+
+  test("regime eval: week grain truncates to Mondays and keeps frame semantics") {
+    val hour = 3600000L
+    val jan1 = 1704067200000L // 2024-01-01T00:00Z, a Monday
+    // two ISO weeks of hour bars
+    val bars = (0 until 336).map { i =>
+      ("A", new java.sql.Timestamp(jan1 + i * hour), 10.0 + i, 20.0 + i,
+        5.0 + i, 15.0 + i, 1.0, 1L, i.toDouble)
+    }.toDF("symbol", "bar_ts", "open", "high", "low", "close", "volume",
+      "n_trades", "feat")
+    val f = RegimeEval.periodFrame(bars, "week", Seq("feat"))
+      .orderBy("period_ms").collect()
+    assert(f.length == 2)
+    assert(f(0).getAs[Long]("period_ms") == jan1)
+    assert(f(1).getAs[Long]("period_ms") == jan1 + 168L * hour)
+    assert(f(0).getAs[Double]("open") == 10.0)
+    assert(f(0).getAs[Double]("high") == 20.0 + 167)
+    assert(f(0).getAs[Double]("close") == 15.0 + 167)
+    assert(f(0).getAs[Double]("feat") == 167.0)
+    assert(f(1).getAs[Double]("feat") == 335.0)
+  }
+
   test("regime eval learns a separable 3-class regime and reports macro-F1") {
     val day = 86400000L
     // deterministic regime cycle (period i%4): up / range / down / range —
