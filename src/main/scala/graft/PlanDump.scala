@@ -29,7 +29,11 @@ object PlanDump {
     "low_plus_sweep" -> "Config grid explode: the |configs|-row table broadcasts (BroadcastNestedLoopJoin over a local relation — the big side never shuffles for the join), interval-union membership is a codegen'd exists over each config's interval array, and ONE hash aggregation on config_id rolls up every policy at once.",
     "keep_frac_sweep_sketch" -> "The lake-scale sweep (contract key since round 6, rows-only): one percentile_approx sketch pass for ALL fraction thresholds, a broadcast threshold join, one hash aggregation — NO window, no global sort, nothing single-partition (the rank-based keep_frac_sweep keeps the oracle-checkable exact cohort).",
     "pack_shards" -> "Stable hash sharding is a map-side projection; the running token sum is ONE per-shard window (nShards-way parallel, never a global sort) — the plan holds at any corpus size by raising nShards so per-shard window state stays executor-sized.",
-    "corpus_pipeline" -> "The training-data capstone as ONE plan: exact-dedup keep-min window on the content fingerprint, codegen'd quality/language gates (stateless map), chunk explode (map-side sequence generation), and the per-shard packing window — two keyed exchanges total (fingerprint, shard) for the whole clean→dedup→chunk→pack path; every other stage is narrow.")
+    "corpus_pipeline" -> "The training-data capstone as ONE plan: exact-dedup keep-min window on the content fingerprint, codegen'd quality/language gates (stateless map), chunk explode (map-side sequence generation), and the per-shard packing window — two keyed exchanges total (fingerprint, shard) for the whole clean→dedup→chunk→pack path; every other stage is narrow.",
+    "ml_filter" -> "The scoring pass of the MLlib trade filter: feature windows (atr/er/vwap-z) share one (symbol, ts) sort above the bar hash-aggregate, vector assembly and the fitted model's transform are projections, and the confusion matrix is one final hash aggregate. The LBFGS fit itself ran upstream of this plan on a narrow repartitioned cached iterate, unpersisted on return (ScaleHygieneSpec) — training cost amortizes with data and leaves no block-manager residue.",
+    "ml_regime_month" -> "The per-slice evaluation plan of the period-grain regime model: the coarse frame is ONE hash aggregation (min_by/max_by per day bucket) over the shared feature-window sort; forward-return labels are a per-symbol lead window on the period grid (bounded by symbols x periods, tiny at any bar volume); scoring is projections above the fitted model; the TRAIN/VAL/TEST summary is one hash aggregate. Threshold/impute/moment scalars were pulled upstream from the symbols x periods frame — boundary metadata, not a data-path collect (the deterministic frame itself is hash-checked under the regime_frame key).",
+    "ann_lsh" -> "Banded-LSH candidate generation as id-only equi-joins: hash-band signatures are codegen'd projections, candidates come from a (band, bucket) self-equi-join carrying ONLY ids (vectors rejoin after the distinct), exact re-rank is the native cosine expression, top-k is WindowGroupLimit pruned map-side before the final exchange. No CartesianProduct anywhere (PlanAuditSpec asserts it).",
+    "contamination" -> "Train/test leak check at lake scale: both sides reduce to content fingerprints map-side (native canonical-hash expression directly above each scan), the train side pre-aggregates to one row per fingerprint, and the match is a single fingerprint equi-join — shuffle carries hashes and ids, never document text.")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */

@@ -204,8 +204,96 @@ object ScaleProbe {
         graft.llm.Cluster.nearDupClusters(base.unionByName(dups)).count()
       })
 
-    val qs = results.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
+    val all = results ++ skewProbe(spark, n)
+    val qs = all.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$qs}""")
     spark.stop()
+  }
+
+  /** Seeded-skew block: one key ("HOT") holds ~30% of all rows, the rest
+    * spread over 10k keys. Three claims measured (see
+    * [[graft.functions.Salting]]'s scaladoc for the conclusions these
+    * numbers back):
+    *   1. plain vs salted SUM — expected parity: partial aggregation
+    *      pre-combines map-side, so combinable aggs don't row-skew;
+    *   2. plain vs salted exact-distinct (collect_set buffer) — the hot
+    *      key's whole value set merges in ONE reducer vs split by
+    *      hash(value) across `salts` reducers;
+    *   3. hot-key sort-merge join, AQE skew-split off vs on (broadcast
+    *      disabled: at lake scale the build side doesn't fit; skew
+    *      thresholds scaled to probe size — production partition sizes
+    *      cross the 256 MB default on their own).
+    */
+  private def skewProbe(spark: org.apache.spark.sql.SparkSession,
+                        n: Long): Seq[(String, Double)] = {
+    import spark.implicits._
+    val skewed = spark.range(n).select(
+      when(pmod(xxhash64(col("id"), lit(31)), lit(10L)) < 3, lit("HOT"))
+        .otherwise(concat(lit("K"),
+          pmod(xxhash64(col("id"), lit(32)), lit(10000L)))).as("k"),
+      col("id").as("v"),
+      (pmod(xxhash64(col("id"), lit(33)), lit(1000L)) / 10.0).as("x"))
+
+    def time(name: String)(f: => Long): (String, Double) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $sec%.1f s, $rows rows, ${n / sec / 1e6}%.1f M input rows/s")
+      name -> (n / sec)
+    }
+    // consume through a hash of every output value so Catalyst can't prune
+    // the aggregates under test
+    def consume(df: org.apache.spark.sql.DataFrame): Long = {
+      val h = xxhash64(df.columns.map(col): _*)
+      df.agg(sum(bit_count(h))).as[Long].collect()(0)
+    }
+
+    val sumPlain = time("skew_sum_plain") {
+      consume(skewed.groupBy("k")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c")))
+    }
+    val sumSalted = time("skew_sum_salted") {
+      consume(graft.functions.Salting.saltedSumCount(
+        skewed, Seq("k"), "x", entropyCol = "v"))
+    }
+    val setPlain = time("skew_distinct_plain_set") {
+      consume(skewed.groupBy("k")
+        .agg(size(collect_set(col("v"))).cast("long").as("n_distinct_v")))
+    }
+    val setSalted = time("skew_distinct_salted") {
+      consume(graft.functions.Salting.saltedDistinctCount(
+        skewed, Seq("k"), "v", salts = 32))
+    }
+
+    val dim = spark.range(10001).select(
+        when(col("id") === 10000L, lit("HOT"))
+          .otherwise(concat(lit("K"), col("id"))).as("k"),
+        (col("id") % 97).as("w"))
+    def hotJoin(): Long =
+      consume(skewed.join(dim, "k")
+        .select(col("k"), (col("v") + col("w")).as("vw")))
+    def withConf(pairs: (String, String)*)(f: => (String, Double)): (String, Double) = {
+      val prev = pairs.map { case (key, _) => key -> spark.conf.getOption(key) }
+      pairs.foreach { case (key, v) => spark.conf.set(key, v) }
+      try f
+      finally prev.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
+      }
+    }
+    val joinOff = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      time("skew_join_aqe_off")(hotJoin())
+    }
+    val joinOn = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m") {
+      time("skew_join_aqe_on")(hotJoin())
+    }
+    Seq(sumPlain, sumSalted, setPlain, setSalted, joinOff, joinOn)
   }
 }

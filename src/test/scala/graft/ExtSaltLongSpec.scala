@@ -32,6 +32,22 @@ class ExtSaltLongSpec extends SparkTestBase {
     assert(p.contains("_salt") || p.contains("HashAggregate"), p)
   }
 
+  test("salted distinct count equals plain distinct count") {
+    // hot key: 1000 values, each appearing 3x; cold key: 2 values. The salt
+    // comes from hash(value), so every distinct value lands in exactly one
+    // (key, salt) group and per-group set sizes are additive.
+    val rows = (1 to 1000).flatMap(i =>
+      Seq.fill(3)(("hot", (i % 400).toLong))) ++ Seq(("cold", 1L), ("cold", 2L))
+    val df = rows.toDF("k", "v")
+    val salted = Salting.saltedDistinctCount(df, Seq("k"), "v", salts = 8)
+      .orderBy("k").collect()
+    assert(salted(0).getAs[Long]("n_distinct_v") == 2L)
+    assert(salted(1).getAs[Long]("n_distinct_v") == 400L)
+    val plain = df.groupBy("k").agg(countDistinct(col("v")).as("d"))
+      .orderBy("k").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(2L, 400L))
+  }
+
   test("long-side backtest mirrors exits and applies fees") {
     val bars = Seq(
       ("A", 0L, 100.0, 100.0, 100.0, 100.0, 5.0, 1),
