@@ -756,6 +756,27 @@ object SparkEntry {
       MlFilter.confusion(scored).orderBy("symbol")
     }),
 
+    // §2 #25e — the deterministic half of ml_filter as its own hash-checked
+    // key: the labeled training frame (features at t, label = sign of the
+    // NEXT bar's close move, warm-up/last-bar rows dropped) is pure SQL
+    // semantics, so it gets a full DuckDB oracle — leaving only the
+    // LBFGS/GBT fit itself rows-only under ml_filter. Mirrors the
+    // regime_frame split of ml_regime_month.
+    "ml_filter_frame" -> ((s, dir) => {
+      val feats = Seq("atr_pct", "er", "vwap_dist_z")
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      MlFilter.withLabel(h1).na.drop(feats :+ "label")
+        .select(col("symbol"), col("bar_ts_ms"),
+          round(col("atr_pct"), 6).as("atr_pct"),
+          round(col("er"), 6).as("er"),
+          round(col("vwap_dist_z"), 6).as("vwap_dist_z"),
+          col("label"))
+        .orderBy("symbol", "bar_ts_ms")
+    }),
+
     // §2 #25e2 — period-grain 3-class regime evaluation: coarse-period
     // OHLC + last-feature frame, forward-return quantile labels, multinomial
     // logistic fit on the TRAIN slice, per-slice accuracy / macro-F1 /
@@ -1289,6 +1310,56 @@ object SparkEntry {
       |         sum(value) AS volume,
       |         count(*) AS n_trades
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Shared DuckDB chain: hourly bars → true range / ATR(14) percent,
+    * efficiency ratio(10), cumulative-VWAP distance z(24) — the h1 feature
+    * block behind the regime-frame and ml-filter-frame oracles, ending in
+    * the `feat` CTE (symbol, bar_ts_ms, open, high, low, close, atr_pct,
+    * er, vwap_dist_z). Factored so the feature constants can never diverge
+    * between the oracles that compose it. */
+  private val H1FeatCte: String =
+    s"""$H1Cte,
+      |t AS (
+      |  SELECT symbol, bar_ts_ms, open, high, low, close, volume,
+      |         lag(close) OVER w AS prev_c,
+      |         abs(close - lag(close) OVER w) AS adiff,
+      |         lag(close, 10) OVER w AS close_n
+      |  FROM h1
+      |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+      |trt AS (
+      |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
+      |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+      |         END AS tr
+      |  FROM t),
+      |v AS (
+      |  SELECT *,
+      |         sum((high + low + close) / 3.0 * coalesce(volume, 0)) OVER cum
+      |           / nullif(sum(coalesce(volume, 0)) OVER cum, 0) AS vwap
+      |  FROM trt
+      |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (
+      |  SELECT *, (close - vwap) / nullif(vwap, 0) AS vwap_dist FROM v),
+      |feat AS (
+      |  SELECT symbol, bar_ts_ms, open, high, low, close,
+      |         (CASE WHEN count(tr) OVER w14 = 14
+      |          THEN avg(tr) OVER w14 END) / nullif(close, 0) AS atr_pct,
+      |         abs(close - close_n)
+      |           / nullif(CASE WHEN count(adiff) OVER w10 = 10
+      |                    THEN sum(adiff) OVER w10 END, 0) AS er,
+      |         (vwap_dist -
+      |          CASE WHEN count(vwap_dist) OVER w24 >= 12
+      |               THEN avg(vwap_dist) OVER w24 END)
+      |           / (CASE WHEN count(vwap_dist) OVER w24 >= 12
+      |              THEN stddev_pop(vwap_dist) OVER w24 END + 1e-12)
+      |           AS vwap_dist_z
+      |  FROM d
+      |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+      |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+      |         w10 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+      |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+      |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+      |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin
 
   /** Shared DuckDB chain: the corpus-cleaning stage (seeded exact dups →
     * md5-canonical survivors → quality/language gates), ending in the
@@ -2796,48 +2867,7 @@ object SparkEntry {
     // the pandas-.last() null semantics periodFrame implements; day
     // truncation on an epoch-ms UTC grid is modular arithmetic.
     "regime_frame" ->
-      s"""$H1Cte,
-        |t AS (
-        |  SELECT symbol, bar_ts_ms, open, high, low, close, volume,
-        |         lag(close) OVER w AS prev_c,
-        |         abs(close - lag(close) OVER w) AS adiff,
-        |         lag(close, 10) OVER w AS close_n
-        |  FROM h1
-        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
-        |trt AS (
-        |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
-        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
-        |         END AS tr
-        |  FROM t),
-        |v AS (
-        |  SELECT *,
-        |         sum((high + low + close) / 3.0 * coalesce(volume, 0)) OVER cum
-        |           / nullif(sum(coalesce(volume, 0)) OVER cum, 0) AS vwap
-        |  FROM trt
-        |  WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |d AS (
-        |  SELECT *, (close - vwap) / nullif(vwap, 0) AS vwap_dist FROM v),
-        |feat AS (
-        |  SELECT symbol, bar_ts_ms, open, high, low, close,
-        |         (CASE WHEN count(tr) OVER w14 = 14
-        |          THEN avg(tr) OVER w14 END) / nullif(close, 0) AS atr_pct,
-        |         abs(close - close_n)
-        |           / nullif(CASE WHEN count(adiff) OVER w10 = 10
-        |                    THEN sum(adiff) OVER w10 END, 0) AS er,
-        |         (vwap_dist -
-        |          CASE WHEN count(vwap_dist) OVER w24 >= 12
-        |               THEN avg(vwap_dist) OVER w24 END)
-        |           / (CASE WHEN count(vwap_dist) OVER w24 >= 12
-        |              THEN stddev_pop(vwap_dist) OVER w24 END + 1e-12)
-        |           AS vwap_dist_z
-        |  FROM d
-        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-        |         w10 AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-        |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
-        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      s"""$H1FeatCte
         |SELECT symbol,
         |       (bar_ts_ms // 86400000) * 86400000 AS period_ms,
         |       arg_min(open, bar_ts_ms) AS open,
@@ -2849,6 +2879,25 @@ object SparkEntry {
         |       round(arg_max(vwap_dist_z, bar_ts_ms), 6) + 0.0 AS vwap_dist_z
         |FROM feat
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ml_filter_frame" ->
+      s"""$H1FeatCte,
+        |lab AS (
+        |  SELECT symbol, bar_ts_ms, atr_pct, er, vwap_dist_z,
+        |         lead(close) OVER w AS next_c,
+        |         CAST(CASE WHEN lead(close) OVER w > close
+        |              THEN 1 ELSE 0 END AS DOUBLE) AS label
+        |  FROM feat
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms))
+        |SELECT symbol, bar_ts_ms,
+        |       round(atr_pct, 6) + 0.0 AS atr_pct,
+        |       round(er, 6) + 0.0 AS er,
+        |       round(vwap_dist_z, 6) + 0.0 AS vwap_dist_z,
+        |       label
+        |FROM lab
+        |WHERE next_c IS NOT NULL AND atr_pct IS NOT NULL
+        |  AND er IS NOT NULL AND vwap_dist_z IS NOT NULL
+        |ORDER BY symbol, bar_ts_ms""".stripMargin,
 
     "ichimoku" ->
       s"""$H1Cte,

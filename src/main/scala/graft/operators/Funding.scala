@@ -29,6 +29,16 @@ object Funding {
       .withColumn("pay_ms", col("bucket_ms") + settleMs)
   }
 
+  /** Adapt a staged funding-event lake (the
+    * [[graft.sources.Collector.fundingShape]] schema:
+    * `symbol, funding_time_ms, rate, …`) to the `(symbol, pay_ms, rate)`
+    * frame [[accrueOntoBars]] consumes — settled events already carry
+    * their pay timestamp, so no settlement-window aggregation is needed. */
+  def ratesFromEvents(events: DataFrame,
+                      symbolCol: String = "symbol"): DataFrame =
+    events.select(col(symbolCol), col("funding_time_ms").as("pay_ms"),
+      col("rate"))
+
   /** Accrue rates cumulatively and project the accrued funding onto each
     * bar: the funding paid up to (and including) the last settlement at or
     * before the bar. */

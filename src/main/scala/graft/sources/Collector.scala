@@ -40,10 +40,42 @@ object Collector {
                          volumeQuote: Double, nTrades: Long,
                          takerBuyBase: Double, takerBuyQuote: Double)
 
+  /** One settled funding event — the record the reference's (0-byte in this
+    * snapshot) funding_events.py collector would stage: settlement
+    * timestamp, realized rate, mark price at settlement. Shaped to feed
+    * [[graft.operators.Funding.accrueOntoBars]] directly
+    * (`funding_time_ms` is the pay timestamp, `rate` the per-period rate). */
+  final case class FundingEvent(fundingTimeMs: Long, fundingRate: Double,
+                                markPrice: Double)
+
+  /** One open-interest snapshot — the record shape for the reference's
+    * open_interest_snapshots.py collector (also 0-byte in the snapshot):
+    * poll timestamp, outstanding contracts, and their notional value. */
+  final case class OpenInterestSnap(timestampMs: Long, sumOpenInterest: Double,
+                                    sumOpenInterestValue: Double)
+
   /** Fetch contract: (symbol, startTimeMs, limit) → up to `limit` klines
     * with openTimeMs >= startTimeMs, ascending; empty when nothing new.
     * Implementations wrap the REST endpoint; tests use fakes. */
   type Fetch = (String, Option[Long], Int) => Seq[Kline]
+
+  /** The same fetch contract for an arbitrary record type: ascending by the
+    * shape's event time, at most `limit` records at or after the requested
+    * start. */
+  type FetchOf[R] = (String, Option[Long], Int) => Seq[R]
+
+  /** What makes a record type collectable: where its resume point lives,
+    * which column partitions the staged lake, how to read its event time,
+    * and how a fetched page becomes a DataFrame in the staged schema. The
+    * poll loop itself — resume, paging, safe-lag, end-clip, append,
+    * checkpoint advance, stop conditions — is shape-independent, so every
+    * shape inherits the loop the kline CollectorSpec cases pin down. */
+  final case class RecordShape[R](
+      checkpointPrefix: String,
+      legacyCheckpoint: Option[String],
+      tsMsCol: String,
+      timeMs: R => Long,
+      toDf: (SparkSession, Seq[R], String) => DataFrame)
 
   /** Bounded retry with exponential backoff around a fetch — the transient
     * -failure handling a long-running poll needs (the reference's
@@ -69,13 +101,6 @@ object Collector {
   final case class CollectReport(symbol: String, pages: Int, rows: Long,
                                  nextStartTimeMs: Option[Long],
                                  stopReason: String)
-
-  /** Per-symbol checkpoint namespace — one `_checkpoint_collector_m1_<SYM>
-    * .json` per symbol, matching the reference's per-symbol `_checkpoint
-    * .json` (klines_m1.py:38). Concurrent collectors for different symbols
-    * never read-modify-write a shared file, so no resume point can be lost
-    * to a race. */
-  private def checkpointTf(symbol: String) = s"collector_m1_$symbol"
 
   /** Concurrent per-symbol collector threads serialize their lake writes
     * here: Hadoop's FileOutputCommitter stages every job under the SAME
@@ -107,18 +132,35 @@ object Collector {
               nowMs: Long, startMs: Option[Long] = None,
               endMs: Option[Long] = None, safeLagMinutes: Int = 2,
               limit: Int = 1500, maxPages: Int = 10000,
-              intervalMs: Long = 60000L): CollectReport = {
+              intervalMs: Long = 60000L): CollectReport =
+    collectRecords(spark, fetch, klineShape(intervalMs), symbol, root, nowMs,
+      startMs, endMs, safeLagMinutes, limit, maxPages)
+
+  /** The shape-independent poll loop behind [[collect]]: resume from the
+    * shape's per-symbol checkpoint (with one-time legacy-namespace
+    * migration), page forward, clip at safe-lag/end, append each page as
+    * month-partitioned staging, advance the checkpoint past the page's max
+    * event time. Same at-least-once contract as [[collect]] — exactly-once
+    * comes from [[Lake.compact]] dedup on (symbol, shape.tsMsCol). */
+  def collectRecords[R](spark: SparkSession, fetch: FetchOf[R],
+                        shape: RecordShape[R], symbol: String, root: String,
+                        nowMs: Long, startMs: Option[Long] = None,
+                        endMs: Option[Long] = None, safeLagMinutes: Int = 2,
+                        limit: Int = 1500,
+                        maxPages: Int = 10000): CollectReport = {
+    val ckptTf = s"${shape.checkpointPrefix}_$symbol"
     val safeEndMs = nowMs - safeLagMinutes * 60000L
     var startTime: Option[Long] =
-      Checkpoint.read(root, checkpointTf(symbol)).get(symbol)
+      Checkpoint.read(root, ckptTf).get(symbol)
         .orElse {
-          // One-time migration from the pre-per-symbol shared namespace:
+          // One-time migration from a pre-per-symbol shared namespace:
           // a lake written by an older collector holds its resume point in
-          // `_checkpoint_collector_m1.json`; ignoring it would refetch the
-          // full history and duplicate staging until the next compact.
-          val legacy = Checkpoint.read(root, "collector_m1").get(symbol)
+          // the shared file; ignoring it would refetch the full history and
+          // duplicate staging until the next compact.
+          val legacy = shape.legacyCheckpoint
+            .flatMap(ns => Checkpoint.read(root, ns).get(symbol))
           legacy.foreach(v =>
-            Checkpoint.write(root, checkpointTf(symbol), Map(symbol -> v)))
+            Checkpoint.write(root, ckptTf, Map(symbol -> v)))
           legacy
         }
         .orElse(startMs)
@@ -130,16 +172,22 @@ object Collector {
       else if (endMs.exists(e => startTime.exists(_ > e))) stop = Some("end_reached")
       else {
         val page = fetch(symbol, startTime, limit)
-        val kept = endMs.map(e => page.filter(_.openTimeMs <= e)).getOrElse(page)
+        val kept = endMs.map(e => page.filter(shape.timeMs(_) <= e)).getOrElse(page)
         if (page.isEmpty) stop = Some("no_new_data")
         else if (kept.isEmpty) stop = Some("end_reached")
         else {
-          writeStaging(spark, kept, symbol, root, intervalMs)
+          val df = shape.toDf(spark, kept, symbol)
+          // Append, never overwrite: staging accumulates pages exactly like
+          // the reference's per-month append files (klines_m1.py:136-146).
+          writeLock.synchronized {
+            Lake.writePartitioned(df, root, tsMsCol = shape.tsMsCol,
+              mode = SaveMode.Append)
+          }
           pages += 1
           rows += kept.size
-          val next = kept.map(_.openTimeMs).max + 1
+          val next = kept.map(shape.timeMs).max + 1
           startTime = Some(next)
-          Checkpoint.write(root, checkpointTf(symbol), Map(symbol -> next))
+          Checkpoint.write(root, ckptTf, Map(symbol -> next))
           if (kept.size < page.size) stop = Some("end_reached")
         }
       }
@@ -147,6 +195,47 @@ object Collector {
     CollectReport(symbol, pages, rows, startTime,
       stop.getOrElse("max_pages"))
   }
+
+  /** The m1-kline shape [[collect]] specializes: the reference collector's
+    * own record type, checkpoint namespace, and staged schema. */
+  def klineShape(intervalMs: Long = 60000L): RecordShape[Kline] =
+    RecordShape[Kline]("collector_m1", Some("collector_m1"), "open_time_ms",
+      _.openTimeMs, (s, page, sym) => pageToDf(s, page, sym, intervalMs))
+
+  /** Funding-event collector shape: stages settled funding as
+    * `(ts, rate, mark_price, funding_time_ms)` month partitions. The
+    * reference's funding_events.py is 0 bytes in this snapshot, so the shape
+    * matches the schema [[graft.operators.Funding]] consumes instead. */
+  val fundingShape: RecordShape[FundingEvent] =
+    RecordShape[FundingEvent]("collector_funding", None, "funding_time_ms",
+      _.fundingTimeMs, (spark, page, sym) => {
+        import spark.implicits._
+        page.toDF().select(
+          timestamp_millis(col("fundingTimeMs")).as("ts"),
+          col("fundingRate").as("rate"),
+          col("markPrice").as("mark_price"),
+          col("fundingTimeMs").as("funding_time_ms"),
+          lit("binance").as("exchange"),
+          lit("um_futures").as("market"),
+          lit(sym).as("symbol"))
+      })
+
+  /** Open-interest snapshot collector shape (open_interest_snapshots.py,
+    * 0 bytes in the snapshot): poll-time keyed, so safe-lag applies the
+    * same way as klines. */
+  val openInterestShape: RecordShape[OpenInterestSnap] =
+    RecordShape[OpenInterestSnap]("collector_oi", None, "snap_time_ms",
+      _.timestampMs, (spark, page, sym) => {
+        import spark.implicits._
+        page.toDF().select(
+          timestamp_millis(col("timestampMs")).as("ts"),
+          col("sumOpenInterest").as("open_interest"),
+          col("sumOpenInterestValue").as("open_interest_value"),
+          col("timestampMs").as("snap_time_ms"),
+          lit("binance").as("exchange"),
+          lit("um_futures").as("market"),
+          lit(sym).as("symbol"))
+      })
 
   /** Repair an explicit [startMs, endMs] range: page through it in
     * limit-sized chunks, then merge-write the fetched rows into the lake —
@@ -257,26 +346,10 @@ object Collector {
       s.getPath.getName.startsWith("symbol="))
   }
 
-  /** One page → month-partitioned staging parts in the reference's raw
-    * kline schema (plus the lake's partition columns). A page is at most
-    * `limit` rows (a REST response), so the local-relation parallelize is
-    * the honest shape — the DISTRIBUTED side is the lake it appends into
-    * and every operator that reads it back. */
-  private def writeStaging(spark: SparkSession, page: Seq[Kline],
-                           symbol: String, root: String,
-                           intervalMs: Long): Unit = {
-    val df = pageToDf(spark, page, symbol, intervalMs)
-    // Append, never overwrite: staging accumulates pages exactly like the
-    // reference's per-month append files (klines_m1.py:136-146); an
-    // Overwrite here would wipe every previously staged page.
-    writeLock.synchronized {
-      Lake.writePartitioned(df, root, tsMsCol = "open_time_ms",
-        mode = SaveMode.Append)
-    }
-  }
-
   /** A fetched page in the lake's staged-kline schema (klines_m1.py:109-129
-    * column names). */
+    * column names). A page is at most `limit` rows (a REST response), so the
+    * local-relation parallelize is the honest shape — the DISTRIBUTED side
+    * is the lake it appends into and every operator that reads it back. */
   private def pageToDf(spark: SparkSession, page: Seq[Kline],
                        symbol: String, intervalMs: Long): DataFrame = {
     import spark.implicits._

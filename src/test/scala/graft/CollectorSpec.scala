@@ -418,4 +418,80 @@ class CollectorSpec extends SparkTestBase {
     assert(parts == 1)
     assert(Lake.read(spark, compacted).count() == 40L)
   }
+
+  test("funding-event shape: generic loop stages settled rates that feed accrual") {
+    import graft.operators.Funding
+    import graft.sources.Collector.FundingEvent
+    val root = tmpRoot("coll-funding")
+    val eightH = 8 * 3600000L
+    // three settlements on the 8h grid from t0 (t0 is midnight UTC)
+    val events = Seq(
+      FundingEvent(t0, 0.001, 42000.0),
+      FundingEvent(t0 + eightH, -0.002, 42100.0),
+      FundingEvent(t0 + 2 * eightH, 0.0005, 41900.0))
+    val calls = ArrayBuffer.empty[Option[Long]]
+    val fetch: Collector.FetchOf[FundingEvent] = (_, start, limit) => {
+      calls += start
+      val s = start.getOrElse(Long.MinValue)
+      events.filter(_.fundingTimeMs >= s).take(limit)
+    }
+    val rep = Collector.collectRecords(spark, fetch, Collector.fundingShape,
+      "BTCUSDT", root, nowMs, startMs = Some(t0), limit = 2)
+    assert(rep.pages == 2 && rep.rows == 3L)          // 2 + 1
+    assert(rep.stopReason == "no_new_data")
+    // per-shape checkpoint namespace, per-symbol file
+    assert(Checkpoint.read(root, "collector_funding_BTCUSDT")
+      .get("BTCUSDT").contains(t0 + 2 * eightH + 1))
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 3L)
+    assert(Seq("rate", "mark_price", "funding_time_ms")
+      .forall(staged.columns.contains))
+    // the staged lake feeds the accrual pipeline directly
+    import spark.implicits._
+    val bars = Seq(
+      ("BTCUSDT", t0 - 1L),             // before first settlement
+      ("BTCUSDT", t0),                  // at first: accrued 0.001
+      ("BTCUSDT", t0 + 9 * 3600000L),   // after second: 0.001 - 0.002
+      ("BTCUSDT", t0 + 20 * 3600000L))  // after third: -0.001 + 0.0005
+      .toDF("symbol", "bar_ts_ms")
+    val accrued = Funding.accrueOntoBars(bars,
+        Funding.ratesFromEvents(staged))
+      .orderBy("bar_ts_ms")
+      .select("cum_funding").as[Double].collect()
+    assert(accrued.length == 4)
+    assert(math.abs(accrued(0) - 0.0) < 1e-12)
+    assert(math.abs(accrued(1) - 0.001) < 1e-12)
+    assert(math.abs(accrued(2) - (-0.001)) < 1e-12)
+    assert(math.abs(accrued(3) - (-0.0005)) < 1e-12)
+  }
+
+  test("open-interest shape: staging round-trip and checkpoint resume") {
+    import graft.sources.Collector.OpenInterestSnap
+    val root = tmpRoot("coll-oi")
+    val snaps = (0 until 30).map(i =>
+      OpenInterestSnap(t0 + i * 300000L, 1000.0 + i, 4.2e7 + i * 1000))
+    def src(upTo: Int): (ArrayBuffer[Option[Long]], Collector.FetchOf[OpenInterestSnap]) = {
+      val calls = ArrayBuffer.empty[Option[Long]]
+      val fetch: Collector.FetchOf[OpenInterestSnap] = (_, start, limit) => {
+        calls += start
+        val s = start.getOrElse(Long.MinValue)
+        snaps.take(upTo).filter(_.timestampMs >= s).take(limit)
+      }
+      (calls, fetch)
+    }
+    val (_, fetch1) = src(20)
+    Collector.collectRecords(spark, fetch1, Collector.openInterestShape,
+      "BTCUSDT", root, nowMs, startMs = Some(t0), limit = 100)
+    // resume: the second run starts at the stored per-shape checkpoint
+    val (calls2, fetch2) = src(30)
+    val rep2 = Collector.collectRecords(spark, fetch2, Collector.openInterestShape,
+      "BTCUSDT", root, nowMs, startMs = Some(t0), limit = 100)
+    assert(calls2.head.contains(snaps(19).timestampMs + 1))
+    assert(rep2.rows == 10L)
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 30L)
+    assert(staged.agg(max(col("open_interest"))).head.getDouble(0) == 1029.0)
+    assert(Seq("open_interest", "open_interest_value", "snap_time_ms")
+      .forall(staged.columns.contains))
+  }
 }
