@@ -431,6 +431,27 @@ object SparkEntry {
         .orderBy("symbol", "entry_ts")
     }),
 
+    // §2 #23c — the reference's FULL router-backtest risk model
+    // (backtest_router_event_v1.py): same event engine plus the break-even
+    // overlay (stop moves to entry once the close shows +0.6R, :252-258)
+    // and the 5-bar cooldown after a losing trade (:209-316). Every exit
+    // path — armed-stop SL at 0R, plain SL at -1R, TP, TIME — and the
+    // loss-gated entry chain are hash-checked against a recursive oracle.
+    "backtest_router" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      val sig = Ichimoku(h1, IchimokuParams())
+        .withColumn("signal", when(col("label") === "SHORT", 1).otherwise(0))
+        .select(col("symbol"), col("bar_ts_ms"), col("open"), col("high"),
+          col("low"), col("close"), col("atr"), col("signal"))
+      Backtest.run(sig, "signal", short = true, tpR = 2.0, slK = 1.0,
+          horizon = 16, breakEvenAtR = Some(0.6), beOffsetR = 0.0,
+          cooldownBars = 5)
+        .select(col("symbol"), col("entry_ts"), round(col("entry_price"), 6).as("entry_price"),
+          col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
+          col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
+        .orderBy("symbol", "entry_ts")
+    }),
+
     // §2 #23b — per-symbol equity/performance rollup of the event backtest:
     // n, mean R, win rate, profit factor, max drawdown of the cumulative R
     // curve (trade_backtest_router_short.py:23-96 max_drawdown + summary).
@@ -1560,7 +1581,13 @@ object SparkEntry {
   /** Backtest CTE chain shared by the `backtest_trades` and
     * `equity_curve` oracles: h1 bars -> ATR -> ichimoku SHORT signal ->
     * renewal-structure recursive trade chain -> closed trades in `tr1`. */
-  private def backtestTr1Cte: String =
+  /** Shared backtest-oracle base: hour bars → ATR(14) → ichimoku SHORT
+    * signal → per-symbol bar index (`rr`), entry candidates (`entries` =
+    * bars whose PREVIOUS bar signalled, with a valid ATR), and the
+    * next-candidate lookup (`ne`, next entry candidate strictly after a
+    * given bar). The plain-engine (tr1) and router-overlay continuations
+    * both build on exactly these. */
+  private def backtestBaseCte: String =
     s"""t AS (
         |  SELECT symbol, bar_ts_ms, open, high, low, close,
         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
@@ -1595,6 +1622,16 @@ object SparkEntry {
         |entries AS (
         |  SELECT symbol, rn, bar_ts_ms, open, atr
         |  FROM ecand WHERE prev_sig = 1 AND atr IS NOT NULL),
+        |ne AS (
+        |  SELECT symbol, rn,
+        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
+        |           OVER (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_entry_rn
+        |  FROM ecand)""".stripMargin
+
+  private def backtestTr1Cte: String =
+    s"""$backtestBaseCte,
         |hits AS (
         |  SELECT e.symbol, e.rn,
         |         min(CASE WHEN j.high >= e.open + 1.0 * e.atr
@@ -1613,13 +1650,6 @@ object SparkEntry {
         |           AS exit_rn
         |  FROM entries e
         |  LEFT JOIN hits h ON h.symbol = e.symbol AND h.rn = e.rn),
-        |ne AS (
-        |  SELECT symbol, rn,
-        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
-        |           OVER (PARTITION BY symbol ORDER BY rn
-        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-        |           AS next_entry_rn
-        |  FROM ecand),
         |chain(symbol, rn, exit_rn) AS (
         |  SELECT p.symbol, p.rn, p.exit_rn
         |  FROM pre p
@@ -1652,6 +1682,82 @@ object SparkEntry {
         |              WHEN xlow <= ep - 2.0 * risk THEN 2.0
         |              ELSE (ep - xclose) / risk END AS xr
         |  FROM tr0)""".stripMargin
+
+  /** Router-overlay continuation (backtest_router_event_v1.py semantics):
+    * per-entry break-even arming (`armr` = first bar whose CLOSE shows
+    * >= 0.6R unrealized; from that bar on, the effective stop is the entry
+    * price), armed-aware first-hit detection, per-entry exit facts incl.
+    * the realized R (`trf`), and a cooldown-aware one-position chain —
+    * after a trade with xr < 0 the next candidate must sit strictly more
+    * than 5 bars past the exit. Exits are entry-local even with the
+    * overlay (the armed stop depends only on the trade's own path), so
+    * everything except the chain stays non-recursive. */
+  private def backtestRouterCte: String =
+    s"""$backtestBaseCte,
+        |armr AS (
+        |  SELECT e.symbol, e.rn, min(j.rn) AS arm_rn
+        |  FROM entries e JOIN rr j
+        |    ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + 15
+        |  WHERE e.atr > 0 AND e.open - j.close >= 0.6 * e.atr
+        |  GROUP BY 1, 2),
+        |hitsr AS (
+        |  SELECT e.symbol, e.rn,
+        |         min(CASE WHEN (a.arm_rn IS NOT NULL AND j.rn >= a.arm_rn
+        |                        AND j.high >= e.open)
+        |                    OR ((a.arm_rn IS NULL OR j.rn < a.arm_rn)
+        |                        AND j.high >= e.open + e.atr)
+        |                    OR j.low <= e.open - 2.0 * e.atr
+        |              THEN j.rn END) AS hit_rn,
+        |         max(j.rn) AS last_rn
+        |  FROM entries e
+        |  LEFT JOIN armr a ON a.symbol = e.symbol AND a.rn = e.rn
+        |  JOIN rr j ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + 15
+        |  WHERE e.atr > 0
+        |  GROUP BY 1, 2),
+        |prer AS (
+        |  SELECT e.symbol, e.rn, e.bar_ts_ms AS ets, e.open AS ep,
+        |         1.0 * e.atr AS risk, a.arm_rn,
+        |         coalesce(h.hit_rn,
+        |                  CASE WHEN h.last_rn = e.rn + 15 THEN e.rn + 15 END)
+        |           AS exit_rn
+        |  FROM entries e
+        |  LEFT JOIN armr a ON a.symbol = e.symbol AND a.rn = e.rn
+        |  LEFT JOIN hitsr h ON h.symbol = e.symbol AND h.rn = e.rn),
+        |trx AS (
+        |  SELECT p.symbol, p.rn, p.ets, p.ep, p.risk, p.exit_rn,
+        |         x.bar_ts_ms AS xts, x.close AS xclose,
+        |         CAST(p.exit_rn - p.rn + 1 AS INTEGER) AS bars_held,
+        |         (p.arm_rn IS NOT NULL AND p.exit_rn >= p.arm_rn) AS armed,
+        |         CASE WHEN p.arm_rn IS NOT NULL AND p.exit_rn >= p.arm_rn
+        |              THEN x.high >= p.ep
+        |              ELSE x.high >= p.ep + p.risk END AS sl_hit,
+        |         x.low <= p.ep - 2.0 * p.risk AS tp_hit
+        |  FROM prer p JOIN rr x ON x.symbol = p.symbol AND x.rn = p.exit_rn
+        |  WHERE p.exit_rn IS NOT NULL),
+        |trf AS (
+        |  SELECT symbol, rn, ets, ep, risk, exit_rn, xts, bars_held,
+        |         CASE WHEN sl_hit AND armed THEN ep
+        |              WHEN sl_hit THEN ep + risk
+        |              WHEN tp_hit THEN ep - 2.0 * risk
+        |              ELSE xclose END AS xpx,
+        |         CASE WHEN sl_hit THEN 'SL'
+        |              WHEN tp_hit THEN 'TP'
+        |              ELSE 'TIME' END AS xreason,
+        |         CASE WHEN sl_hit AND armed THEN 0.0
+        |              WHEN sl_hit THEN -1.0
+        |              WHEN tp_hit THEN 2.0
+        |              ELSE (ep - xclose) / risk END AS xr
+        |  FROM trx),
+        |chainr(symbol, rn) AS (
+        |  SELECT symbol, min(rn) FROM entries GROUP BY 1
+        |  UNION ALL
+        |  SELECT t.symbol, n.next_entry_rn
+        |  FROM chainr c
+        |  JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn
+        |  JOIN ne n ON n.symbol = c.symbol
+        |           AND n.rn = t.exit_rn +
+        |                      CASE WHEN t.xr < 0 THEN 5 ELSE 0 END
+        |  WHERE n.next_entry_rn IS NOT NULL)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1770,6 +1876,16 @@ object SparkEntry {
         |       xts AS exit_ts, round(xpx, 6) AS exit_price,
         |       xreason AS exit_reason, round(xr, 6) AS r_mult, bars_held
         |FROM tr1 ORDER BY 1, 2""".stripMargin,
+
+    "backtest_router" ->
+      s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$backtestRouterCte
+        |SELECT t.symbol, t.ets AS entry_ts, round(t.ep, 6) AS entry_price,
+        |       t.xts AS exit_ts, round(t.xpx, 6) AS exit_price,
+        |       t.xreason AS exit_reason, round(t.xr, 6) AS r_mult,
+        |       t.bars_held
+        |FROM chainr c JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn
+        |ORDER BY 1, 2""".stripMargin,
 
     "equity_curve" ->
       s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},

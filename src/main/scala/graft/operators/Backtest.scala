@@ -142,6 +142,9 @@ object Backtest {
     var entry = 0.0
     var risk = 0.0
     var barsHeld = 0
+    var beArmed = false
+    var barIdx = 0L
+    var cooldownUntil = -1L
   }
 
   /** Event-driven SHORT backtest — see [[run]]. */
@@ -169,10 +172,24 @@ object Backtest {
     * apply_costs_on_entry. Emits one row per closed trade. Runs as a
     * per-symbol [[SeqScan]] — the position lifecycle is inherently
     * sequential; parallelism is across symbols, exactly like a keyed stream
-    * processor. */
+    * processor.
+    *
+    * Two further risk overlays from backtest_router_event_v1.py:
+    *  - `breakEvenAtR` (MR_BREAK_EVEN_AT_R, :252-258): once the bar CLOSE
+    *    shows an unrealized gain of that many R, the stop moves to
+    *    entry ± `beOffsetR`·risk (locking break-even or a small profit) —
+    *    armed once per trade, checked BEFORE the same bar's SL test, in the
+    *    reference's exact order. An SL exit then realizes the armed stop's
+    *    R, not -1.
+    *  - `cooldownBars` (COOLDOWN_AFTER_LOSS_BARS, :209-316): after a LOSING
+    *    trade exits at bar i, no new entry may execute until bar
+    *    i + cooldownBars + 1 (pre-fee R decides "losing", matching the
+    *    reference's pnl_r). */
   def run(bars: DataFrame, signalCol: String, short: Boolean,
           tpR: Double = 2.0, slK: Double = 1.0, horizon: Int = 16,
           feeBps: Double = 0.0, flipCol: Option[String] = None,
+          breakEvenAtR: Option[Double] = None, beOffsetR: Double = 0.0,
+          cooldownBars: Int = 0,
           symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
     val sch = bars.schema
     val iTs = sch.fieldIndex(tsCol)
@@ -193,27 +210,39 @@ object Backtest {
       val low = row.getDouble(iLow)
       val close = row.getDouble(iClose)
 
-      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr)) {
+      st.barIdx += 1
+      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr) &&
+          st.barIdx > st.cooldownUntil) {
         st.inPos = true
         st.entryTs = ts
         st.entry = open
         st.risk = slK * row.getDouble(iAtr)
         st.barsHeld = 0
+        st.beArmed = false
       }
       if (st.inPos && st.risk > 0.0) {
         st.barsHeld += 1
-        val sl = if (short) st.entry + st.risk else st.entry - st.risk
+        val unrealR =
+          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
+        // break-even arming uses THIS bar's close and applies to this bar's
+        // SL test — the reference's order (backtest_router_event_v1.py:252)
+        if (!st.beArmed && breakEvenAtR.exists(unrealR >= _)) st.beArmed = true
+        val sl =
+          if (st.beArmed)
+            if (short) st.entry - beOffsetR * st.risk
+            else st.entry + beOffsetR * st.risk
+          else if (short) st.entry + st.risk
+          else st.entry - st.risk
         val tp = if (short) st.entry - tpR * st.risk else st.entry + tpR * st.risk
         val slHit = if (short) high >= sl else low <= sl
         val tpHit = if (short) low <= tp else high >= tp
-        val timeR =
-          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
+        val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
         val flip = iFlip.exists(i => !row.isNullAt(i) && row.getInt(i) == 1)
         val exited: Option[(Double, String, Double)] =
-          if (slHit) Some((sl, "SL", -1.0))
+          if (slHit) Some((sl, "SL", slR))
           else if (tpHit) Some((tp, "TP", tpR))
-          else if (flip) Some((close, "FLIP", timeR))
-          else if (st.barsHeld >= horizon) Some((close, "TIME", timeR))
+          else if (flip) Some((close, "FLIP", unrealR))
+          else if (st.barsHeld >= horizon) Some((close, "TIME", unrealR))
           else None
         exited.foreach { case (px, reason, r) =>
           // round-trip fees in R multiples of the risk unit
@@ -221,6 +250,8 @@ object Backtest {
           out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
             reason, Double.box(r - feeR), Int.box(st.barsHeld))
           st.inPos = false
+          if (cooldownBars > 0 && r < 0.0)
+            st.cooldownUntil = st.barIdx + cooldownBars
         }
       }
       st.pendingEntry = !st.inPos &&

@@ -107,4 +107,75 @@ class BacktestSpec extends SparkTestBase {
     // r = (entry - close)/risk = (100-97)/10
     assert(math.abs(t(0).getAs[Double]("r_mult") - 0.3) < 1e-12)
   }
+
+  test("break-even arms on the SAME bar's close before its SL test") {
+    // entry bar closes +0.6R in favor -> stop moves to entry; the same
+    // bar's high then trips the moved stop at r=0 (the reference's
+    // arm-before-SL-check order, backtest_router_event_v1.py:252)
+    val bars = mk(
+      (0L, 100, 101, 99, 100, 10.0, 1),
+      (1L, 100, 100.5, 93, 94, 10.0, 0)) // close 94 -> +0.6R; high 100.5 >= 100
+    val t = Backtest.run(bars, "signal", short = true, tpR = 2.0, slK = 1.0,
+      horizon = 16, breakEvenAtR = Some(0.6)).collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("exit_reason") == "SL")
+    assert(t(0).getAs[Double]("exit_price") == 100.0)
+    assert(t(0).getAs[Double]("r_mult") == 0.0)
+  }
+
+  test("break-even stop: armed on a later close, retrace exits at entry not -1R") {
+    val bars = mk(
+      (0L, 100, 101, 99, 100, 10.0, 1),
+      (1L, 100, 101, 96, 98, 10.0, 0),   // entry 100; +0.2R close: not armed
+      (2L, 98, 99, 93, 93, 10.0, 0),     // close 93 -> +0.7R: arm; high 99 < 100
+      (3L, 94, 101, 93, 100, 10.0, 0),   // high 101 >= moved stop 100 -> BE exit
+      (4L, 100, 101, 99, 100, 10.0, 0))
+    val be = Backtest.run(bars, "signal", short = true, tpR = 3.0, slK = 1.0,
+      horizon = 16, breakEvenAtR = Some(0.6)).collect()
+    assert(be.length == 1)
+    assert(be(0).getAs[String]("exit_reason") == "SL")
+    assert(be(0).getAs[Double]("exit_price") == 100.0)
+    assert(be(0).getAs[Double]("r_mult") == 0.0)
+    assert(be(0).getAs[Long]("exit_ts") == 3L)
+    // without the overlay the same path never hits SL(110)/TP(70) and the
+    // horizon is longer than the data: no exit at all
+    val plain = Backtest.run(bars, "signal", short = true, tpR = 3.0, slK = 1.0,
+      horizon = 16).collect()
+    assert(plain.isEmpty)
+    // a positive offset locks +offset R instead of break-even
+    val off = Backtest.run(bars, "signal", short = true, tpR = 3.0, slK = 1.0,
+      horizon = 16, breakEvenAtR = Some(0.6), beOffsetR = 0.2).collect()
+    assert(off(0).getAs[Double]("exit_price") == 98.0) // entry - 0.2*risk
+    assert(math.abs(off(0).getAs[Double]("r_mult") - 0.2) < 1e-12)
+  }
+
+  test("cooldown after a loss suppresses entries for N bars; wins don't cool down") {
+    val bars = mk(
+      (0L, 100, 100, 100, 100, 10.0, 1),  // signal
+      (1L, 100, 115, 99, 100, 10.0, 1),   // entry; SL at 110 -> -1R; re-signal
+      (2L, 100, 100, 100, 100, 10.0, 1),  // blocked (cooldown), re-signal
+      (3L, 100, 100, 100, 100, 10.0, 1),  // blocked, re-signal
+      (4L, 100, 100, 100, 100, 10.0, 1),  // last blocked bar, re-signal
+      (5L, 100, 101, 99, 100, 10.0, 0),   // cooldown over: entry executes here
+      (6L, 100, 101, 99, 100, 10.0, 0),
+      (7L, 100, 115, 99, 100, 10.0, 0))   // SL again
+    val cd = Backtest.run(bars, "signal", short = true, tpR = 2.0, slK = 1.0,
+      horizon = 16, cooldownBars = 3).collect()
+    assert(cd.length == 2)
+    assert(cd(0).getAs[Long]("entry_ts") == 1L)
+    assert(cd(1).getAs[Long]("entry_ts") == 5L) // loss at bar idx 2 blocks idx 3-5 = ts 2-4
+    // without cooldown the second entry lands immediately after the loss
+    val plain = Backtest.run(bars, "signal", short = true, tpR = 2.0, slK = 1.0,
+      horizon = 16).collect()
+    assert(plain.length == 2 && plain(1).getAs[Long]("entry_ts") == 2L)
+    // a WINNING trade triggers no cooldown: TP then immediate re-entry
+    val winBars = mk(
+      (0L, 100, 100, 100, 100, 10.0, 1),
+      (1L, 100, 101, 79, 90, 10.0, 1),    // entry; TP at 80 -> +2R; re-signal
+      (2L, 90, 91, 89, 90, 10.0, 0),      // entry executes immediately
+      (3L, 90, 120, 89, 90, 10.0, 0))     // SL
+    val win = Backtest.run(winBars, "signal", short = true, tpR = 2.0, slK = 1.0,
+      horizon = 16, cooldownBars = 3).collect()
+    assert(win.length == 2 && win(1).getAs[Long]("entry_ts") == 2L)
+  }
 }
