@@ -452,6 +452,36 @@ object SparkEntry {
         .orderBy("symbol", "entry_ts")
     }),
 
+    // §2 #23d — the reference's TREND/RANGE dual-engine split: the regime
+    // mode at entry picks the engine and its whole risk config (TREND:
+    // 1.0-ATR stop, 2R target, 16-bar time stop, no break-even; RANGE:
+    // 0.8-ATR stop, 1.2R target, 8 bars, break-even at +0.6R), a FLIP exit
+    // fires when the mode leaves the entry engine, and one position + the
+    // 5-bar post-loss cooldown are shared across engines
+    // (backtest_router_event_v1.py:200-330). Mode = efficiency-ratio
+    // regime; NA mode blocks entries (VOL_EXCLUDE_NA).
+    "backtest_dual_engine" -> ((s, dir) => {
+      val h1 = Features.withEfficiencyRatio(
+        Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10)
+      val sig = Ichimoku(h1, IchimokuParams())
+        .withColumn("signal", when(col("label") === "SHORT", 1).otherwise(0))
+        .withColumn("mode", when(col("er").isNotNull,
+          when(col("er") >= 0.3, "TREND").otherwise("RANGE")))
+        .withColumn("tp_r", when(col("mode") === "TREND", 2.0).otherwise(1.2))
+        .withColumn("sl_k", when(col("mode") === "TREND", 1.0).otherwise(0.8))
+        .withColumn("horizon_bars", when(col("mode") === "TREND", 16).otherwise(8))
+        .withColumn("be_at_r", when(col("mode") === "RANGE", 0.6))
+        .select(col("symbol"), col("bar_ts_ms"), col("open"), col("high"),
+          col("low"), col("close"), col("atr"), col("signal"), col("mode"),
+          col("tp_r"), col("sl_k"), col("horizon_bars"), col("be_at_r"))
+      Backtest.runDualEngine(sig, "signal", "mode", cooldownBars = 5)
+        .select(col("symbol"), col("engine"), col("entry_ts"),
+          round(col("entry_price"), 6).as("entry_price"),
+          col("exit_ts"), round(col("exit_price"), 6).as("exit_price"),
+          col("exit_reason"), round(col("r_mult"), 6).as("r_mult"), col("bars_held"))
+        .orderBy("symbol", "entry_ts")
+    }),
+
     // §2 #23b — per-symbol equity/performance rollup of the event backtest:
     // n, mean R, win rate, profit factor, max drawdown of the cumulative R
     // curve (trade_backtest_router_short.py:23-96 max_drawdown + summary).
@@ -1759,6 +1789,142 @@ object SparkEntry {
         |                      CASE WHEN t.xr < 0 THEN 5 ELSE 0 END
         |  WHERE n.next_entry_rn IS NOT NULL)""".stripMargin
 
+  /** Dual-engine oracle (backtest_router_event_v1.py TREND/RANGE split):
+    * the shared base rebuilt with the efficiency-ratio mode column, entry
+    * candidates carrying their per-engine config, per-entry exits that
+    * fold armed-stop SL, TP, mode-FLIP, and the per-engine time stop (SL/TP
+    * before FLIP before TIME on the same bar, like the engine), and the
+    * cooldown-aware chain over per-entry realized R. */
+  private def backtestDualCte: String =
+    s"""t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER w AS prev_c,
+        |         abs(close - lag(close) OVER w) AS adiff,
+        |         lag(close, 10) OVER w AS close_n
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |trt AS (
+        |  SELECT *, CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr,
+        |         abs(close - close_n)
+        |           / nullif(CASE WHEN count(adiff) OVER w10 = 10
+        |                    THEN sum(adiff) OVER w10 END, 0) AS er
+        |  FROM trt
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        |         w10 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |${ichChainSql("h1", "b")},
+        |sg AS (
+        |  SELECT a.symbol, a.bar_ts_ms, a.open, a.high, a.low, a.close, a.atr,
+        |         CASE WHEN bout.label = 'SHORT' THEN 1 ELSE 0 END AS sig,
+        |         CASE WHEN a.er IS NOT NULL THEN
+        |           CASE WHEN a.er >= 0.3 THEN 'TREND' ELSE 'RANGE' END
+        |         END AS mode
+        |  FROM a JOIN bout
+        |    ON a.symbol = bout.symbol AND a.bar_ts_ms = bout.bar_ts_ms),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS rn
+        |  FROM sg),
+        |ecand AS (
+        |  SELECT rr.*,
+        |         lag(sig) OVER (PARTITION BY symbol ORDER BY rn) AS prev_sig
+        |  FROM rr),
+        |entries AS (
+        |  SELECT symbol, rn, bar_ts_ms, open, atr, mode,
+        |         CASE WHEN mode = 'TREND' THEN 2.0 ELSE 1.2 END AS tp_r,
+        |         CASE WHEN mode = 'TREND' THEN 1.0 ELSE 0.8 END AS sl_k,
+        |         CASE WHEN mode = 'TREND' THEN 16 ELSE 8 END AS hz,
+        |         CASE WHEN mode = 'RANGE' THEN 0.6 END AS be_at_r
+        |  FROM ecand
+        |  WHERE prev_sig = 1 AND atr IS NOT NULL AND mode IS NOT NULL),
+        |ne AS (
+        |  SELECT symbol, rn,
+        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL
+        |                   AND mode IS NOT NULL THEN rn END)
+        |           OVER (PARTITION BY symbol ORDER BY rn
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_entry_rn
+        |  FROM ecand),
+        |armd AS (
+        |  SELECT e.symbol, e.rn, min(j.rn) AS arm_rn
+        |  FROM entries e JOIN rr j
+        |    ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + e.hz - 1
+        |  WHERE e.atr > 0 AND e.be_at_r IS NOT NULL
+        |    AND e.open - j.close >= e.be_at_r * e.sl_k * e.atr
+        |  GROUP BY 1, 2),
+        |evd AS (
+        |  SELECT e.symbol, e.rn,
+        |         min(CASE WHEN (a.arm_rn IS NOT NULL AND j.rn >= a.arm_rn
+        |                        AND j.high >= e.open)
+        |                    OR ((a.arm_rn IS NULL OR j.rn < a.arm_rn)
+        |                        AND j.high >= e.open + e.sl_k * e.atr)
+        |                    OR j.low <= e.open - e.tp_r * e.sl_k * e.atr
+        |              THEN j.rn END) AS hit_rn,
+        |         min(CASE WHEN j.mode IS NULL OR j.mode <> e.mode
+        |              THEN j.rn END) AS flip_rn,
+        |         max(j.rn) AS last_rn
+        |  FROM entries e
+        |  LEFT JOIN armd a ON a.symbol = e.symbol AND a.rn = e.rn
+        |  JOIN rr j ON j.symbol = e.symbol AND j.rn BETWEEN e.rn AND e.rn + e.hz - 1
+        |  WHERE e.atr > 0
+        |  GROUP BY 1, 2),
+        |prd AS (
+        |  SELECT e.symbol, e.rn, e.bar_ts_ms AS ets, e.open AS ep, e.mode,
+        |         e.sl_k * e.atr AS risk, e.tp_r, a.arm_rn,
+        |         nullif(least(coalesce(v.hit_rn, 2147483647),
+        |                      coalesce(v.flip_rn, 2147483647),
+        |                      coalesce(CASE WHEN v.last_rn = e.rn + e.hz - 1
+        |                               THEN e.rn + e.hz - 1 END, 2147483647)),
+        |                2147483647) AS exit_rn
+        |  FROM entries e
+        |  LEFT JOIN armd a ON a.symbol = e.symbol AND a.rn = e.rn
+        |  LEFT JOIN evd v ON v.symbol = e.symbol AND v.rn = e.rn),
+        |trx AS (
+        |  SELECT p.symbol, p.rn, p.ets, p.ep, p.risk, p.tp_r, p.mode, p.exit_rn,
+        |         x.bar_ts_ms AS xts, x.close AS xclose,
+        |         CAST(p.exit_rn - p.rn + 1 AS INTEGER) AS bars_held,
+        |         (p.arm_rn IS NOT NULL AND p.exit_rn >= p.arm_rn) AS armed,
+        |         CASE WHEN p.arm_rn IS NOT NULL AND p.exit_rn >= p.arm_rn
+        |              THEN x.high >= p.ep
+        |              ELSE x.high >= p.ep + p.risk END AS sl_hit,
+        |         x.low <= p.ep - p.tp_r * p.risk AS tp_hit,
+        |         (x.mode IS NULL OR x.mode <> p.mode) AS flip_at
+        |  FROM prd p JOIN rr x ON x.symbol = p.symbol AND x.rn = p.exit_rn
+        |  WHERE p.exit_rn IS NOT NULL),
+        |trf AS (
+        |  SELECT symbol, rn, ets, ep, risk, mode, exit_rn, xts, bars_held,
+        |         CASE WHEN sl_hit AND armed THEN ep
+        |              WHEN sl_hit THEN ep + risk
+        |              WHEN tp_hit THEN ep - tp_r * risk
+        |              ELSE xclose END AS xpx,
+        |         CASE WHEN sl_hit THEN 'SL'
+        |              WHEN tp_hit THEN 'TP'
+        |              WHEN flip_at THEN 'FLIP'
+        |              ELSE 'TIME' END AS xreason,
+        |         CASE WHEN sl_hit AND armed THEN 0.0
+        |              WHEN sl_hit THEN -1.0
+        |              WHEN tp_hit THEN tp_r
+        |              ELSE (ep - xclose) / risk END AS xr
+        |  FROM trx),
+        |chaind(symbol, rn) AS (
+        |  SELECT symbol, min(rn) FROM entries GROUP BY 1
+        |  UNION ALL
+        |  SELECT t2.symbol, n.next_entry_rn
+        |  FROM chaind c
+        |  JOIN trf t2 ON t2.symbol = c.symbol AND t2.rn = c.rn
+        |  JOIN ne n ON n.symbol = c.symbol
+        |           AND n.rn = t2.exit_rn +
+        |                      CASE WHEN t2.xr < 0 THEN 5 ELSE 0 END
+        |  WHERE n.next_entry_rn IS NOT NULL)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1886,6 +2052,16 @@ object SparkEntry {
         |       t.bars_held
         |FROM chainr c JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn
         |ORDER BY 1, 2""".stripMargin,
+
+    "backtest_dual_engine" ->
+      s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$backtestDualCte
+        |SELECT t.symbol, t.mode AS engine, t.ets AS entry_ts,
+        |       round(t.ep, 6) AS entry_price, t.xts AS exit_ts,
+        |       round(t.xpx, 6) AS exit_price, t.xreason AS exit_reason,
+        |       round(t.xr, 6) AS r_mult, t.bars_held
+        |FROM chaind c JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn
+        |ORDER BY 1, 3""".stripMargin,
 
     "equity_curve" ->
       s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},

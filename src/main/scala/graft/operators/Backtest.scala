@@ -265,6 +265,126 @@ object Backtest {
         col("r_mult"), col("bars_held"))
   }
 
+  private val dualTradeFields = tradeFields :+
+    StructField("engine", StringType, nullable = true)
+
+  private final class DualPosState {
+    var inPos = false
+    var pendingEntry = false
+    var entryTs = 0L
+    var entry = 0.0
+    var risk = 0.0
+    var barsHeld = 0
+    var beArmed = false
+    var barIdx = 0L
+    var cooldownUntil = -1L
+    var mode: String = null
+    var tpR = 0.0
+    var horizon = 0
+    var beAtR = Double.NaN // NaN = break-even disabled for this trade
+  }
+
+  /** Dual-engine router backtest (backtest_router_event_v1.py:200-330, the
+    * TREND/RANGE split): the regime `modeCol` at the ENTRY bar picks the
+    * engine, and the trade's whole risk config — `tpRCol`, `slKCol`,
+    * `horizonCol`, and a nullable `beAtRCol` (null = no break-even for that
+    * engine) — is read from the entry row, so the upstream frame routes
+    * per-regime configs with plain `when(...)` columns. Exits add a FLIP
+    * when the CURRENT bar's mode differs from the entry engine (the
+    * reference's router_mode_now != pos.engine; a null mode counts as
+    * left). One position and the post-loss cooldown are shared across
+    * engines, exactly like the reference's single `pos` + cooldown_until.
+    * Entries require a non-null mode (VOL_EXCLUDE_NA). Emits the entry
+    * engine per trade. */
+  def runDualEngine(bars: DataFrame, signalCol: String, modeCol: String,
+                    short: Boolean = true, tpRCol: String = "tp_r",
+                    slKCol: String = "sl_k", horizonCol: String = "horizon_bars",
+                    beAtRCol: String = "be_at_r", beOffsetR: Double = 0.0,
+                    cooldownBars: Int = 0, feeBps: Double = 0.0,
+                    symbolCol: String = "symbol",
+                    tsCol: String = "bar_ts_ms"): DataFrame = {
+    val sch = bars.schema
+    val iTs = sch.fieldIndex(tsCol)
+    val iOpen = sch.fieldIndex("open")
+    val iHigh = sch.fieldIndex("high")
+    val iLow = sch.fieldIndex("low")
+    val iClose = sch.fieldIndex("close")
+    val iAtr = sch.fieldIndex("atr")
+    val iSig = sch.fieldIndex(signalCol)
+    val iMode = sch.fieldIndex(modeCol)
+    val iTpR = sch.fieldIndex(tpRCol)
+    val iSlK = sch.fieldIndex(slKCol)
+    val iHz = sch.fieldIndex(horizonCol)
+    val iBe = sch.fieldIndex(beAtRCol)
+
+    val perBar = SeqScan.mapOrdered(bars, symbolCol, tsCol, dualTradeFields)(
+      () => new DualPosState) { (st, row) =>
+      var out: Seq[Any] = Seq(null, null, null, null, null, null, null)
+      val ts = row.getLong(iTs)
+      val open = row.getDouble(iOpen)
+      val high = row.getDouble(iHigh)
+      val low = row.getDouble(iLow)
+      val close = row.getDouble(iClose)
+      val mode = if (row.isNullAt(iMode)) null else row.getString(iMode)
+
+      st.barIdx += 1
+      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr) &&
+          mode != null && st.barIdx > st.cooldownUntil) {
+        st.inPos = true
+        st.entryTs = ts
+        st.entry = open
+        st.risk = row.getDouble(iSlK) * row.getDouble(iAtr)
+        st.barsHeld = 0
+        st.beArmed = false
+        st.mode = mode
+        st.tpR = row.getDouble(iTpR)
+        st.horizon = row.getInt(iHz)
+        st.beAtR = if (row.isNullAt(iBe)) Double.NaN else row.getDouble(iBe)
+      }
+      if (st.inPos && st.risk > 0.0) {
+        st.barsHeld += 1
+        val unrealR =
+          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
+        if (!st.beArmed && !st.beAtR.isNaN && unrealR >= st.beAtR)
+          st.beArmed = true
+        val sl =
+          if (st.beArmed)
+            if (short) st.entry - beOffsetR * st.risk
+            else st.entry + beOffsetR * st.risk
+          else if (short) st.entry + st.risk
+          else st.entry - st.risk
+        val tp =
+          if (short) st.entry - st.tpR * st.risk else st.entry + st.tpR * st.risk
+        val slHit = if (short) high >= sl else low <= sl
+        val tpHit = if (short) low <= tp else high >= tp
+        val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
+        val flip = mode == null || mode != st.mode
+        val exited: Option[(Double, String, Double)] =
+          if (slHit) Some((sl, "SL", slR))
+          else if (tpHit) Some((tp, "TP", st.tpR))
+          else if (flip) Some((close, "FLIP", unrealR))
+          else if (st.barsHeld >= st.horizon) Some((close, "TIME", unrealR))
+          else None
+        exited.foreach { case (px, reason, r) =>
+          val feeR = 2.0 * feeBps * 1e-4 * st.entry / st.risk
+          out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
+            reason, Double.box(r - feeR), Int.box(st.barsHeld), st.mode)
+          st.inPos = false
+          if (cooldownBars > 0 && r < 0.0)
+            st.cooldownUntil = st.barIdx + cooldownBars
+        }
+      }
+      st.pendingEntry = !st.inPos &&
+        !row.isNullAt(iSig) && row.getInt(iSig) == 1
+      out
+    }
+    perBar
+      .where(col("exit_reason").isNotNull)
+      .select(col(symbolCol), col("engine"), col("entry_ts"), col("entry_price"),
+        col(tsCol).as("exit_ts"), col("exit_price"), col("exit_reason"),
+        col("r_mult"), col("bars_held"))
+  }
+
   /** Volatility-bucketed excursion report
     * (trade_diagnostics_mae_mfe_short.py:47-82): bucket each entry by its
     * range percentile (the reference's `_rp_bucket` edges) and aggregate the

@@ -178,4 +178,74 @@ class BacktestSpec extends SparkTestBase {
       horizon = 16, cooldownBars = 3).collect()
     assert(win.length == 2 && win(1).getAs[Long]("entry_ts") == 2L)
   }
+
+  // (ts, o, h, l, c, atr, sig, mode) with per-mode config columns attached
+  private def mkDual(rows: (Long, Double, Double, Double, Double, Double, Int, String)*) = {
+    import org.apache.spark.sql.functions._
+    rows.map { case (ts, o, h, l, c, atr, sig, m) => ("A", ts, o, h, l, c, atr, sig, m) }
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr",
+        "signal", "mode")
+      .withColumn("tp_r", when(col("mode") === "TREND", 2.0).otherwise(1.2))
+      .withColumn("sl_k", when(col("mode") === "TREND", 1.0).otherwise(0.8))
+      .withColumn("horizon_bars", when(col("mode") === "TREND", 16).otherwise(2))
+      .withColumn("be_at_r", when(col("mode") === "RANGE", 0.5)) // TREND: null
+  }
+
+  test("dual engine: entry row's mode picks the whole risk config") {
+    // RANGE entry: risk = 0.8*10 = 8, TP at entry - 1.2*8 = 90.4, horizon 2
+    val bars = mkDual(
+      (0L, 100, 100, 100, 100, 10.0, 1, "RANGE"),
+      (1L, 100, 101, 99, 100, 10.0, 0, "RANGE"),  // entry 100
+      // close 95 arms BE (+0.625R >= 0.5) but high 99 stays under the moved
+      // stop, so the TP touch wins this bar
+      (2L, 99, 99, 90, 95, 10.0, 0, "RANGE"))     // low 90 <= 90.4 -> TP +1.2R
+    val t = Backtest.runDualEngine(bars, "signal", "mode").collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("engine") == "RANGE")
+    assert(t(0).getAs[String]("exit_reason") == "TP")
+    assert(math.abs(t(0).getAs[Double]("exit_price") - 90.4) < 1e-9)
+    assert(math.abs(t(0).getAs[Double]("r_mult") - 1.2) < 1e-12)
+    // same path under TREND config never reaches its TP (80): RANGE horizon
+    // would also differ — the short RANGE time stop fires at bar 2
+    val trendBars = mkDual(
+      (0L, 100, 100, 100, 100, 10.0, 1, "TREND"),
+      (1L, 100, 101, 99, 100, 10.0, 0, "TREND"),
+      (2L, 99, 99, 90, 95, 10.0, 0, "TREND"))
+    val tt = Backtest.runDualEngine(trendBars, "signal", "mode").collect()
+    assert(tt.isEmpty) // TREND: TP=80 not reached, horizon 16 > data
+  }
+
+  test("dual engine: break-even only for the engine that carries be_at_r") {
+    // RANGE be_at_r=0.5: close +0.5R arms; retrace exits at entry, r=0
+    val bars = mkDual(
+      (0L, 100, 100, 100, 100, 10.0, 1, "RANGE"),
+      (1L, 100, 99, 95, 96, 10.0, 0, "RANGE"),    // risk 8; close 96 -> +0.5R arm
+      (2L, 97, 101, 96, 100, 10.0, 0, "RANGE"))   // high 101 >= 100 -> BE exit
+    val t = Backtest.runDualEngine(bars, "signal", "mode").collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[String]("exit_reason") == "SL")
+    assert(t(0).getAs[Double]("r_mult") == 0.0)
+    assert(t(0).getAs[Double]("exit_price") == 100.0)
+  }
+
+  test("dual engine: flip exit when the mode leaves the entry engine; NA blocks entry") {
+    val bars = mkDual(
+      (0L, 100, 100, 100, 100, 10.0, 1, "TREND"),
+      (1L, 100, 101, 99, 98, 10.0, 0, "TREND"),   // entry 100 (TREND)
+      (2L, 98, 99, 97, 97, 10.0, 0, "RANGE"),     // mode left TREND -> FLIP
+      (3L, 97, 98, 96, 96, 10.0, 1, null),        // signal, but mode NA
+      (4L, 96, 97, 95, 95, 10.0, 1, null),        // NA entry blocked; re-signal
+      (5L, 95, 96, 94, 94, 10.0, 0, "RANGE"),     // mode back: entry executes
+      (6L, 94, 120, 93, 94, 10.0, 0, "RANGE"))    // SL (risk 8 -> 103)
+    val t = Backtest.runDualEngine(bars, "signal", "mode").collect()
+    assert(t.length == 2)
+    assert(t(0).getAs[String]("exit_reason") == "FLIP")
+    assert(t(0).getAs[Long]("exit_ts") == 2L)
+    assert(t(0).getAs[Double]("exit_price") == 97.0)
+    // r = (100-97)/10 (TREND risk = 1.0*atr)
+    assert(math.abs(t(0).getAs[Double]("r_mult") - 0.3) < 1e-12)
+    assert(t(1).getAs[Long]("entry_ts") == 5L)
+    assert(t(1).getAs[String]("engine") == "RANGE")
+    assert(t(1).getAs[String]("exit_reason") == "SL")
+  }
 }
