@@ -165,6 +165,25 @@ object ScaleProbe {
           Seq("symbol"), "close")
           .agg(count(col("robust_z"))).as[Long].collect()(0)
       },
+      time("backtest_dual_engine") {
+        // the SeqScan position state machine at lake scale: 64 symbols run
+        // their sequential lifecycles in parallel, ~5% signal density,
+        // regime mode flipping on an hourly grid so every exit path fires
+        val sig = bars
+          .withColumn("atr", lit(5.0))
+          .withColumn("signal",
+            (pmod(xxhash64(col("event_id"), lit(31)), lit(20L)) === 0)
+              .cast("int"))
+          .withColumn("mode",
+            when(pmod((col("bar_ts_ms") / 3600000L).cast("long"), lit(3L)) === 0,
+              "TREND").otherwise("RANGE"))
+          .withColumn("tp_r", when(col("mode") === "TREND", 2.0).otherwise(1.2))
+          .withColumn("sl_k", when(col("mode") === "TREND", 1.0).otherwise(0.8))
+          .withColumn("horizon_bars",
+            when(col("mode") === "TREND", 16).otherwise(8))
+          .withColumn("be_at_r", when(col("mode") === "RANGE", 0.6))
+        Backtest.runDualEngine(sig, "signal", "mode", cooldownBars = 5).count()
+      },
       // Streaming keyed-state probes: the SAME aggregation expressions as
       // the batch path, run through the real streaming engine (file source
       // → micro-batches → state store → noop sink, AvailableNow). Emitted
