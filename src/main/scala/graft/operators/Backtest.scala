@@ -268,20 +268,93 @@ object Backtest {
   private val dualTradeFields = tradeFields :+
     StructField("engine", StringType, nullable = true)
 
-  private final class DualPosState {
-    var inPos = false
-    var pendingEntry = false
-    var entryTs = 0L
-    var entry = 0.0
-    var risk = 0.0
-    var barsHeld = 0
-    var beArmed = false
-    var barIdx = 0L
-    var cooldownUntil = -1L
-    var mode: String = null
-    var tpR = 0.0
-    var horizon = 0
-    var beAtR = Double.NaN // NaN = break-even disabled for this trade
+  /** One input bar of the dual-engine state machine in typed form — the
+    * streaming path ([[graft.streaming.Ingest.dualBacktestStream]]) consumes
+    * this directly; the batch [[runDualEngine]] adapts Rows to it, so both
+    * run the SAME [[dualStep]] transition. */
+  final case class DualBar(symbol: String, barTsMs: Long, open: Double,
+                           high: Double, low: Double, close: Double,
+                           atr: Option[Double], signal: Option[Int],
+                           mode: Option[String], tpR: Double, slK: Double,
+                           horizonBars: Int, beAtR: Option[Double])
+
+  /** One closed trade emitted by the dual-engine machine. */
+  final case class DualTrade(symbol: String, engine: String, entryTs: Long,
+                             entryPrice: Double, exitTs: Long,
+                             exitPrice: Double, exitReason: String,
+                             rMult: Double, barsHeld: Int)
+
+  /** The dual-engine position state as an immutable product, so it is both
+    * a SeqScan fold accumulator and an encodable streaming `GroupState`.
+    * `beAtR` is NaN when break-even is disabled for the open trade. */
+  final case class DualState(inPos: Boolean, pendingEntry: Boolean,
+                             entryTs: Long, entry: Double, risk: Double,
+                             barsHeld: Int, beArmed: Boolean, barIdx: Long,
+                             cooldownUntil: Long, mode: String, tpR: Double,
+                             horizon: Int, beAtR: Double)
+
+  object DualState {
+    val init: DualState = DualState(inPos = false, pendingEntry = false,
+      entryTs = 0L, entry = 0.0, risk = 0.0, barsHeld = 0, beArmed = false,
+      barIdx = 0L, cooldownUntil = -1L, mode = null, tpR = 0.0, horizon = 0,
+      beAtR = Double.NaN)
+  }
+
+  /** The per-bar transition of the dual-engine backtest — one pure
+    * function shared verbatim by the batch SeqScan and the streaming
+    * flatMapGroupsWithState wrapper, so batch/stream equivalence is by
+    * construction, not by parallel implementations. Semantics documented
+    * on [[runDualEngine]]. */
+  private[graft] def dualStep(st0: DualState, b: DualBar, short: Boolean,
+                              beOffsetR: Double, cooldownBars: Int,
+                              feeBps: Double): (DualState, Option[DualTrade]) = {
+    var st = st0.copy(barIdx = st0.barIdx + 1)
+    var trade: Option[DualTrade] = None
+    val mode = b.mode.orNull
+    if (!st.inPos && st.pendingEntry && b.atr.isDefined && mode != null &&
+        st.barIdx > st.cooldownUntil) {
+      st = st.copy(inPos = true, entryTs = b.barTsMs, entry = b.open,
+        risk = b.slK * b.atr.get, barsHeld = 0, beArmed = false,
+        mode = mode, tpR = b.tpR, horizon = b.horizonBars,
+        beAtR = b.beAtR.getOrElse(Double.NaN))
+    }
+    if (st.inPos && st.risk > 0.0) {
+      st = st.copy(barsHeld = st.barsHeld + 1)
+      val unrealR =
+        if (short) (st.entry - b.close) / st.risk
+        else (b.close - st.entry) / st.risk
+      if (!st.beArmed && !st.beAtR.isNaN && unrealR >= st.beAtR)
+        st = st.copy(beArmed = true)
+      val sl =
+        if (st.beArmed)
+          if (short) st.entry - beOffsetR * st.risk
+          else st.entry + beOffsetR * st.risk
+        else if (short) st.entry + st.risk
+        else st.entry - st.risk
+      val tp =
+        if (short) st.entry - st.tpR * st.risk else st.entry + st.tpR * st.risk
+      val slHit = if (short) b.high >= sl else b.low <= sl
+      val tpHit = if (short) b.low <= tp else b.high >= tp
+      val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
+      val flip = mode == null || mode != st.mode
+      val exited: Option[(Double, String, Double)] =
+        if (slHit) Some((sl, "SL", slR))
+        else if (tpHit) Some((tp, "TP", st.tpR))
+        else if (flip) Some((b.close, "FLIP", unrealR))
+        else if (st.barsHeld >= st.horizon) Some((b.close, "TIME", unrealR))
+        else None
+      exited.foreach { case (px, reason, r) =>
+        val feeR = 2.0 * feeBps * 1e-4 * st.entry / st.risk
+        trade = Some(DualTrade(b.symbol, st.mode, st.entryTs, st.entry,
+          b.barTsMs, px, reason, r - feeR, st.barsHeld))
+        st = st.copy(inPos = false,
+          cooldownUntil =
+            if (cooldownBars > 0 && r < 0.0) st.barIdx + cooldownBars
+            else st.cooldownUntil)
+      }
+    }
+    st = st.copy(pendingEntry = !st.inPos && b.signal.contains(1))
+    (st, trade)
   }
 
   /** Dual-engine router backtest (backtest_router_event_v1.py:200-330, the
@@ -304,6 +377,7 @@ object Backtest {
                     symbolCol: String = "symbol",
                     tsCol: String = "bar_ts_ms"): DataFrame = {
     val sch = bars.schema
+    val iSym = sch.fieldIndex(symbolCol)
     val iTs = sch.fieldIndex(tsCol)
     val iOpen = sch.fieldIndex("open")
     val iHigh = sch.fieldIndex("high")
@@ -317,66 +391,29 @@ object Backtest {
     val iHz = sch.fieldIndex(horizonCol)
     val iBe = sch.fieldIndex(beAtRCol)
 
+    final class Holder { var s: DualState = DualState.init }
     val perBar = SeqScan.mapOrdered(bars, symbolCol, tsCol, dualTradeFields)(
-      () => new DualPosState) { (st, row) =>
-      var out: Seq[Any] = Seq(null, null, null, null, null, null, null)
-      val ts = row.getLong(iTs)
-      val open = row.getDouble(iOpen)
-      val high = row.getDouble(iHigh)
-      val low = row.getDouble(iLow)
-      val close = row.getDouble(iClose)
-      val mode = if (row.isNullAt(iMode)) null else row.getString(iMode)
-
-      st.barIdx += 1
-      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr) &&
-          mode != null && st.barIdx > st.cooldownUntil) {
-        st.inPos = true
-        st.entryTs = ts
-        st.entry = open
-        st.risk = row.getDouble(iSlK) * row.getDouble(iAtr)
-        st.barsHeld = 0
-        st.beArmed = false
-        st.mode = mode
-        st.tpR = row.getDouble(iTpR)
-        st.horizon = row.getInt(iHz)
-        st.beAtR = if (row.isNullAt(iBe)) Double.NaN else row.getDouble(iBe)
+      () => new Holder) { (h, row) =>
+      val bar = DualBar(
+        symbol = row.getString(iSym),
+        barTsMs = row.getLong(iTs),
+        open = row.getDouble(iOpen), high = row.getDouble(iHigh),
+        low = row.getDouble(iLow), close = row.getDouble(iClose),
+        atr = if (row.isNullAt(iAtr)) None else Some(row.getDouble(iAtr)),
+        signal = if (row.isNullAt(iSig)) None else Some(row.getInt(iSig)),
+        mode = if (row.isNullAt(iMode)) None else Some(row.getString(iMode)),
+        tpR = row.getDouble(iTpR), slK = row.getDouble(iSlK),
+        horizonBars = row.getInt(iHz),
+        beAtR = if (row.isNullAt(iBe)) None else Some(row.getDouble(iBe)))
+      val (next, trade) = dualStep(h.s, bar, short, beOffsetR, cooldownBars, feeBps)
+      h.s = next
+      trade match {
+        case Some(t) =>
+          Seq(Long.box(t.entryTs), Double.box(t.entryPrice),
+            Double.box(t.exitPrice), t.exitReason, Double.box(t.rMult),
+            Int.box(t.barsHeld), t.engine)
+        case None => Seq(null, null, null, null, null, null, null)
       }
-      if (st.inPos && st.risk > 0.0) {
-        st.barsHeld += 1
-        val unrealR =
-          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
-        if (!st.beArmed && !st.beAtR.isNaN && unrealR >= st.beAtR)
-          st.beArmed = true
-        val sl =
-          if (st.beArmed)
-            if (short) st.entry - beOffsetR * st.risk
-            else st.entry + beOffsetR * st.risk
-          else if (short) st.entry + st.risk
-          else st.entry - st.risk
-        val tp =
-          if (short) st.entry - st.tpR * st.risk else st.entry + st.tpR * st.risk
-        val slHit = if (short) high >= sl else low <= sl
-        val tpHit = if (short) low <= tp else high >= tp
-        val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
-        val flip = mode == null || mode != st.mode
-        val exited: Option[(Double, String, Double)] =
-          if (slHit) Some((sl, "SL", slR))
-          else if (tpHit) Some((tp, "TP", st.tpR))
-          else if (flip) Some((close, "FLIP", unrealR))
-          else if (st.barsHeld >= st.horizon) Some((close, "TIME", unrealR))
-          else None
-        exited.foreach { case (px, reason, r) =>
-          val feeR = 2.0 * feeBps * 1e-4 * st.entry / st.risk
-          out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
-            reason, Double.box(r - feeR), Int.box(st.barsHeld), st.mode)
-          st.inPos = false
-          if (cooldownBars > 0 && r < 0.0)
-            st.cooldownUntil = st.barIdx + cooldownBars
-        }
-      }
-      st.pendingEntry = !st.inPos &&
-        !row.isNullAt(iSig) && row.getInt(iSig) == 1
-      out
     }
     perBar
       .where(col("exit_reason").isNotNull)

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
 
+import graft.operators.Backtest
+
 /** Streaming ingestion: the collector path (reference
   * /root/reference/src/bfdl/collectors/klines_m1.py:31-210 polls an API and
   * appends month-partition staging parts) re-expressed as Structured
@@ -180,6 +182,38 @@ object Ingest {
             CvdPoint(symbol, b.tsMs, delta, cvd)
           }
           state.update(cvd)
+          out.iterator
+      }
+  }
+
+  /** Streaming dual-engine backtest: the per-symbol position lifecycle of
+    * [[graft.operators.Backtest.runDualEngine]] as online keyed state. Each
+    * symbol's [[graft.operators.Backtest.DualState]] lives in a GroupState
+    * and every bar runs the SAME `dualStep` transition the batch SeqScan
+    * folds, so a stream fed the batch input emits exactly the batch trade
+    * set — equivalence by shared code, asserted in StreamingSpec. Bars are
+    * processed in ts order within each micro-batch; cross-batch order is
+    * the source's contract (a per-symbol exchange feed is time-ordered),
+    * with upstream watermark/dedup hygiene as in [[minuteBars]]. */
+  def dualBacktestStream(bars: Dataset[Backtest.DualBar],
+                         short: Boolean = true, beOffsetR: Double = 0.0,
+                         cooldownBars: Int = 0,
+                         feeBps: Double = 0.0): Dataset[Backtest.DualTrade] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[Backtest.DualState, Backtest.DualTrade](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Backtest.DualBar],
+         state: GroupState[Backtest.DualState]) =>
+          var st = state.getOption.getOrElse(Backtest.DualState.init)
+          val out = it.toSeq.sortBy(_.barTsMs).flatMap { b =>
+            val (next, trade) =
+              Backtest.dualStep(st, b, short, beOffsetR, cooldownBars, feeBps)
+            st = next
+            trade
+          }
+          state.update(st)
           out.iterator
       }
   }

@@ -272,4 +272,66 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.contains(1L) && kept.contains(5L) && kept.contains(6L))
     assert(!kept.contains(2L) && !kept.contains(3L)) // french / too short
   }
+
+  test("streaming dual-engine backtest equals batch across micro-batch splits") {
+    import spark.implicits._
+    import graft.operators.Backtest
+    import graft.operators.Backtest.DualBar
+    implicit val sqlCtx = spark.sqlContext
+
+    // deterministic walk with mode blocks, NA holes, and enough signals to
+    // exercise entries, BE arming, flips, and the cooldown across batches
+    def mkBars(sym: String, seed: Int): Seq[DualBar] = (0 until 80).map { i =>
+      val base = 100.0 + 6.0 * math.sin((i + seed) * 0.7) + (i % 7)
+      val mode =
+        if (i % 23 == 0) None
+        else if ((i / 10) % 2 == 0) Some("TREND") else Some("RANGE")
+      val isTrend = mode.contains("TREND")
+      DualBar(sym, i * 60000L,
+        open = base, high = base + 3.0, low = base - 3.0,
+        close = base + (if (i % 3 == 0) -2.0 else 1.5),
+        atr = if (i < 2) None else Some(4.0),
+        signal = Some(if (i % 6 == 0) 1 else 0),
+        mode = mode,
+        tpR = if (isTrend) 2.0 else 1.2,
+        slK = if (isTrend) 1.0 else 0.8,
+        horizonBars = if (isTrend) 16 else 8,
+        beAtR = if (isTrend) None else Some(0.5))
+    }
+    val bars = mkBars("A", 0) ++ mkBars("B", 3)
+
+    // batch: the SeqScan fold over the same rows (column-name adapter)
+    val batchDf = bars.toDF()
+      .withColumnRenamed("barTsMs", "bar_ts_ms")
+      .withColumnRenamed("tpR", "tp_r")
+      .withColumnRenamed("slK", "sl_k")
+      .withColumnRenamed("horizonBars", "horizon_bars")
+      .withColumnRenamed("beAtR", "be_at_r")
+    val batch = Backtest.runDualEngine(batchDf, "signal", "mode", cooldownBars = 5)
+      .select("symbol", "engine", "entry_ts", "entry_price", "exit_ts",
+        "exit_price", "exit_reason", "r_mult", "bars_held")
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[DualBar]
+    val q = Ingest.dualBacktestStream(input.toDS(), cooldownBars = 5)
+      .writeStream.format("memory").queryName("dual_bt_out")
+      .outputMode("append").start()
+    // split so positions open in one micro-batch and close in another
+    val (a, b) = bars.partition(_.barTsMs < 30 * 60000L)
+    input.addData(a: _*)
+    q.processAllAvailable()
+    input.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dual_bt_out").as[Backtest.DualTrade].collect()
+      .map(t => Seq[Any](t.symbol, t.engine, t.entryTs, t.entryPrice,
+        t.exitTs, t.exitPrice, t.exitReason, t.rMult, t.barsHeld)).toSet
+    assert(batch.nonEmpty, "scenario produced no trades")
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    // the scenario must actually exercise multiple exit paths
+    val reasons = batch.map(_(6).asInstanceOf[String])
+    assert(reasons.size >= 2, s"only exit reasons $reasons fired")
+  }
 }
