@@ -579,6 +579,25 @@ object SparkEntry {
         .orderBy("config_id", "dim", "bucket")
     }),
 
+    // §2 #25b5 — ADD-set forward-return slicing (_tmp_add_slices.py family):
+    // 4/8-bar forward LOG returns of the override-only rows, the
+    // reference's four sequential groupbys (side, range bucket, hour,
+    // side×bucket) as ONE grouping-sets aggregation. dirAbsMin=0.15 sets
+    // the readiness floor AT the neutral band edge (dir_ready ≡ non-
+    // NEUTRAL) — the synthetic month is too calm for the reference's 0.30
+    // floor to admit any ADD rows; the slicing semantics are identical.
+    "add_slices" -> ((s, dir) => {
+      val h1 = Bars.fromTicks(events(s, dir), "hour")
+      LowPlus.addSlices(LowPlus.enrich(h1, dirAbsMin = 0.15))
+        .select(col("slice_dir"), col("slice_bucket"), col("slice_hour"),
+          col("n"),
+          round(col("mean_sret8"), 6).as("mean_sret8"),
+          round(col("wr_sret8"), 6).as("wr_sret8"),
+          round(col("mean_sret4"), 6).as("mean_sret4"),
+          round(col("std_sret8"), 6).as("std_sret8"))
+        .orderBy("slice_dir", "slice_bucket", "slice_hour")
+    }),
+
     // §2 #25s — confidence keep-fraction sweep: keep the top-f fraction of
     // bars by impulse score, report the kept cohort's forward-return stats
     // (run_ml_m15_v2_flow.py:238-263 choose_keep_frac_val).
@@ -2254,6 +2273,45 @@ object SparkEntry {
         |SELECT 'dbg' AS config_id, dim, bucket,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "add_slices" ->
+      s"""$LowPlusGatesCte,
+        |sr AS (
+        |  SELECT symbol, bar_ts_ms,
+        |         ln(lead(close, 4) OVER wl / close) AS sret_4,
+        |         ln(lead(close, 8) OVER wl / close) AS sret_8
+        |  FROM h1
+        |  WINDOW wl AS (PARTITION BY symbol ORDER BY bar_ts_ms)),
+        |ad AS (
+        |  SELECT g.dir_state,
+        |         CASE WHEN g.range_pctl IS NULL THEN 'NA'
+        |              WHEN g.range_pctl < 2.0 THEN '[00,02)'
+        |              WHEN g.range_pctl < 4.0 THEN '[02,04)'
+        |              WHEN g.range_pctl < 6.0 THEN '[04,06)'
+        |              WHEN g.range_pctl < 8.0 THEN '[06,08)'
+        |              WHEN g.range_pctl < 10.0 THEN '[08,10)'
+        |              WHEN g.range_pctl < 12.0 THEN '[10,12)'
+        |              ELSE '>=12' END AS rp_bucket,
+        |         CAST((g.bar_ts_ms // 3600000) % 24 AS INTEGER) AS hour_utc,
+        |         s.sret_4, s.sret_8
+        |  FROM gates g JOIN sr s
+        |    ON s.symbol = g.symbol AND s.bar_ts_ms = g.bar_ts_ms
+        |  WHERE g.low_plus AND g.dir_state IN ('BULL', 'BEAR')
+        |    AND NOT g.market_ready_base)
+        |SELECT coalesce(dir_state, 'ALL') AS slice_dir,
+        |       coalesce(rp_bucket, 'ALL') AS slice_bucket,
+        |       coalesce(CAST(hour_utc AS VARCHAR), 'ALL') AS slice_hour,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(sret_8), 6) + 0.0 AS mean_sret8,
+        |       round(avg(CASE WHEN sret_8 > 0 THEN 1.0
+        |                      WHEN sret_8 IS NOT NULL THEN 0.0 END), 6) + 0.0
+        |         AS wr_sret8,
+        |       round(avg(sret_4), 6) + 0.0 AS mean_sret4,
+        |       round(stddev_samp(sret_8), 6) + 0.0 AS std_sret8
+        |FROM ad
+        |GROUP BY GROUPING SETS ((dir_state), (rp_bucket), (hour_utc),
+        |                        (dir_state, rp_bucket))
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "keep_frac_sweep" ->
       s"""$H1Cte,

@@ -192,6 +192,51 @@ object LowPlus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** ADD-set slice report (_tmp_add_slices.py and its reports/ variants):
+    * forward LOG returns at 4 and 8 bars over the override-only (`is_add`)
+    * rows of an [[enrich]]ed frame, sliced by direction state, fixed
+    * range-percentile bucket, UTC hour, and side×bucket — the reference's
+    * FOUR sequential pandas groupbys as ONE grouping-sets aggregation
+    * (single shuffle, one pass). Aggregates follow the reference's `agg`:
+    * n, mean/win-rate of the 8-bar return, mean of the 4-bar return,
+    * sample (ddof=1) std of the 8-bar return — null-skipping like the
+    * `.dropna()` it wraps. Returns are computed on the FULL bar grid
+    * before the ADD filter (the reference shifts over the whole frame). */
+  def addSlices(enriched: DataFrame, symbolCol: String = "symbol",
+                tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val rp = col("range_pctl")
+    val bucket = when(rp.isNull, "NA")
+      .when(rp < 2.0, "[00,02)").when(rp < 4.0, "[02,04)")
+      .when(rp < 6.0, "[04,06)").when(rp < 8.0, "[06,08)")
+      .when(rp < 10.0, "[08,10)").when(rp < 12.0, "[10,12)")
+      .otherwise(">=12")
+    val add = enriched
+      .withColumn("sret_4", log(lead(col("close"), 4).over(w) / col("close")))
+      .withColumn("sret_8", log(lead(col("close"), 8).over(w) / col("close")))
+      .where(col("is_add"))
+      .withColumn("hour_utc",
+        ((col(tsCol) / lit(3600000L)).cast("long") % 24).cast("int"))
+      .withColumn("rp_bucket", bucket)
+    add.groupingSets(
+        Seq(Seq(col("dir_state")), Seq(col("rp_bucket")), Seq(col("hour_utc")),
+          Seq(col("dir_state"), col("rp_bucket"))),
+        col("dir_state"), col("rp_bucket"), col("hour_utc"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("sret_8")).as("mean_sret8"),
+        avg(when(col("sret_8") > 0, 1.0).when(col("sret_8").isNotNull, 0.0))
+          .as("wr_sret8"),
+        avg(col("sret_4")).as("mean_sret4"),
+        stddev_samp(col("sret_8")).as("std_sret8"))
+      .select(
+        coalesce(col("dir_state"), lit("ALL")).as("slice_dir"),
+        coalesce(col("rp_bucket"), lit("ALL")).as("slice_bucket"),
+        coalesce(col("hour_utc").cast("string"), lit("ALL")).as("slice_hour"),
+        col("n"), col("mean_sret8"), col("wr_sret8"), col("mean_sret4"),
+        col("std_sret8"))
+  }
+
   /** Per-config rollup of [[applyConfigs]]: candidate / allowed / net-new
     * tradability counts plus the major block-reason split — the summary
     * frame the reference sweep writes per config. One hash aggregation
