@@ -141,6 +141,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("ADD-set slicing: four groupbys run as ONE Expand + one aggregation exchange") {
+    import spark.implicits._
+    val enriched = Seq(
+      ("A", 3600000L, 100.0, "BULL", 3.0, true),
+      ("A", 7200000L, 101.0, "BEAR", 7.0, true),
+      ("A", 10800000L, 99.0, "BULL", 13.0, false))
+      .toDF("symbol", "bar_ts_ms", "close", "dir_state", "range_pctl", "is_add")
+    val p = plan(graft.operators.LowPlus.addSlices(enriched))
+    // grouping sets = one Expand feeding one partial/final aggregate pair —
+    // the reference's four sequential pandas groupbys cost ONE shuffle here
+    assert(p.contains("Expand"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p) // window key + slice key
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
