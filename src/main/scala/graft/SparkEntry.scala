@@ -388,6 +388,21 @@ object SparkEntry {
         .orderBy("sl_k", "tp_r")
     }),
 
+    // §2 #25m2 — 3-D (horizon × slK × tpR) sweep with exit-reason counts
+    // (_tmp_trade_sweep_short_atr_tpR.py H_LIST × SL_K_LIST × TP_R_LIST):
+    // extra horizons are extra window frames on one sort, not extra passes.
+    "param_sweep_3d" -> ((s, dir) => {
+      val h1 = Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14)
+      Backtest.sweepGrid3d(h1, horizons = Seq(8, 16),
+          slKs = Seq(0.5, 1.5), tpRs = Seq(1.0, 2.0))
+        .select(col("horizon_bars"), col("sl_k"), col("tp_r"), col("n_trades"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"),
+          col("n_sl"), col("n_tp"), col("n_time"))
+        .orderBy("horizon_bars", "sl_k", "tp_r")
+    }),
+
     // §2 #22+ — sticky direction regime with hysteresis + ML-ready
     // regime_id/state_age (build_m15_direction_regime.py:274-340).
     // Sequential state machine with a trigger-window oracle (transitions
@@ -3939,6 +3954,81 @@ object SparkEntry {
         |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
         |                      0), 6) AS pf
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "param_sweep_3d" ->
+      s"""$H1Cte,
+        |t AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts_ms)
+        |           AS prev_c
+        |  FROM h1),
+        |trc AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN prev_c IS NOT NULL THEN
+        |           greatest(high - low, abs(high - prev_c), abs(low - prev_c))
+        |         END AS trv
+        |  FROM t),
+        |a AS (
+        |  SELECT symbol, bar_ts_ms, open, high, low, close,
+        |         CASE WHEN count(trv) OVER w14 = 14
+        |           THEN avg(trv) OVER w14 END AS atr
+        |  FROM trc
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *,
+        |         lead(open, 1) OVER wk AS entry,
+        |         CASE WHEN count(high) OVER f8 = 8
+        |           THEN max(high) OVER f8 END AS fmh_8,
+        |         CASE WHEN count(high) OVER f8 = 8
+        |           THEN min(low) OVER f8 END AS fml_8,
+        |         CASE WHEN count(high) OVER f8 = 8
+        |           THEN nth_value(close, 8) OVER f8 END AS fc_8,
+        |         CASE WHEN count(high) OVER f16 = 16
+        |           THEN max(high) OVER f16 END AS fmh_16,
+        |         CASE WHEN count(high) OVER f16 = 16
+        |           THEN min(low) OVER f16 END AS fml_16,
+        |         CASE WHEN count(high) OVER f16 = 16
+        |           THEN nth_value(close, 16) OVER f16 END AS fc_16
+        |  FROM a
+        |  WINDOW wk AS (PARTITION BY symbol ORDER BY bar_ts_ms),
+        |         f8 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING),
+        |         f16 AS (PARTITION BY symbol ORDER BY bar_ts_ms
+        |                 ROWS BETWEEN 1 FOLLOWING AND 16 FOLLOWING)),
+        |g AS (
+        |  SELECT f.*, CAST(t2.h AS INTEGER) AS horizon_bars,
+        |         CAST(t2.sl_k AS DOUBLE) AS sl_k,
+        |         CAST(t2.tp_r AS DOUBLE) AS tp_r,
+        |         CASE t2.h WHEN 8 THEN fmh_8 ELSE fmh_16 END AS fmh,
+        |         CASE t2.h WHEN 8 THEN fml_8 ELSE fml_16 END AS fml,
+        |         CASE t2.h WHEN 8 THEN fc_8 ELSE fc_16 END AS fc
+        |  FROM f CROSS JOIN (VALUES (8, 0.5, 1.0), (8, 0.5, 2.0),
+        |                            (8, 1.5, 1.0), (8, 1.5, 2.0),
+        |                            (16, 0.5, 1.0), (16, 0.5, 2.0),
+        |                            (16, 1.5, 1.0), (16, 1.5, 2.0))
+        |         t2(h, sl_k, tp_r)
+        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0),
+        |o AS (
+        |  SELECT horizon_bars, sl_k, tp_r,
+        |         CASE WHEN fmh >= entry + sl_k * atr THEN 'SL'
+        |              WHEN fml <= entry - tp_r * (sl_k * atr) THEN 'TP'
+        |              ELSE 'TIME' END AS reason,
+        |         CASE WHEN fmh >= entry + sl_k * atr THEN -1.0
+        |              WHEN fml <= entry - tp_r * (sl_k * atr) THEN tp_r
+        |              ELSE (entry - fc) / (sl_k * atr) END AS r_mult
+        |  FROM g WHERE fmh IS NOT NULL)
+        |SELECT horizon_bars, sl_k, tp_r,
+        |       CAST(count(*) AS BIGINT) AS n_trades,
+        |       round(avg(r_mult), 6) AS mean_r,
+        |       round(avg(CASE WHEN r_mult > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN r_mult > 0 THEN r_mult ELSE 0 END)
+        |             / nullif(sum(CASE WHEN r_mult < 0 THEN -r_mult ELSE 0 END),
+        |                      0), 6) AS pf,
+        |       CAST(count(*) FILTER (WHERE reason = 'SL') AS BIGINT) AS n_sl,
+        |       CAST(count(*) FILTER (WHERE reason = 'TP') AS BIGINT) AS n_tp,
+        |       CAST(count(*) FILTER (WHERE reason = 'TIME') AS BIGINT) AS n_time
+        |FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "asof_join" ->
       s"""$H1Cte,

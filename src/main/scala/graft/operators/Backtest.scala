@@ -127,6 +127,56 @@ object Backtest {
       .drop("_pos", "_neg")
   }
 
+  /** 3-D (horizon × slK × tpR) sweep — the reference's full grid
+    * (_tmp_trade_sweep_short_atr_tpR.py: H_LIST × SL_K_LIST × TP_R_LIST,
+    * per-cell n/mean/wr/pf plus exit-reason counts). The horizon dimension
+    * costs WINDOW FRAMES, not passes: per-horizon forward extrema are extra
+    * frames on the one (symbol, ts) sort, the broadcast grid row selects
+    * its horizon's columns with a codegen'd conditional, and ONE hash
+    * aggregation rolls up every cell. |H| more frames ≪ |H| more scans. */
+  def sweepGrid3d(bars: DataFrame, horizons: Seq[Int], slKs: Seq[Double],
+                  tpRs: Seq[Double], symbolCol: String = "symbol",
+                  tsCol: String = "bar_ts_ms"): DataFrame = {
+    val w = Window.partitionBy(symbolCol).orderBy(tsCol)
+    val staged = horizons.foldLeft(
+        bars.withColumn("entry", lead(col("open"), 1).over(w))) { (df, h) =>
+      val fwd = w.rowsBetween(1, h)
+      val full = count(col("high")).over(fwd) === h
+      df.withColumn(s"_fmh_$h", when(full, max(col("high")).over(fwd)))
+        .withColumn(s"_fml_$h", when(full, min(col("low")).over(fwd)))
+        .withColumn(s"_fc_$h", when(full, nth_value(col("close"), h).over(fwd)))
+    }.where(col("entry").isNotNull && col("atr").isNotNull && col("atr") > 0.0)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val cells = for { h <- horizons; s <- slKs; t <- tpRs } yield (h, s, t)
+    val grid = broadcast(cells.toDF("horizon_bars", "sl_k", "tp_r"))
+    def pick(prefix: String) = coalesce(
+      horizons.map(h => when(col("horizon_bars") === h, col(s"${prefix}_$h"))): _*)
+    staged.crossJoin(grid)
+      .withColumn("_risk", col("sl_k") * col("atr"))
+      .withColumn("fwd_max_high", pick("_fmh"))
+      .withColumn("fwd_min_low", pick("_fml"))
+      .withColumn("fwd_close", pick("_fc"))
+      .where(col("fwd_max_high").isNotNull)
+      .withColumn("r_mult", outcomeR(col("tp_r")))
+      .withColumn("_reason",
+        when(col("fwd_max_high") >= col("entry") + col("_risk"), "SL")
+          .when(col("fwd_min_low") <= col("entry") - col("tp_r") * col("_risk"), "TP")
+          .otherwise("TIME"))
+      .groupBy(col("horizon_bars"), col("sl_k"), col("tp_r"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        avg(col("r_mult")).as("mean_r"),
+        avg(when(col("r_mult") > 0.0, 1.0).otherwise(0.0)).as("wr"),
+        sum(when(col("r_mult") > 0.0, col("r_mult")).otherwise(0.0)).as("_pos"),
+        sum(when(col("r_mult") < 0.0, -col("r_mult")).otherwise(0.0)).as("_neg"),
+        sum(when(col("_reason") === "SL", 1L).otherwise(0L)).as("n_sl"),
+        sum(when(col("_reason") === "TP", 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("_reason") === "TIME", 1L).otherwise(0L)).as("n_time"))
+      .withColumn("pf", col("_pos") / when(col("_neg") =!= 0.0, col("_neg")))
+      .drop("_pos", "_neg")
+  }
+
   private val tradeFields = Seq(
     StructField("entry_ts", LongType, nullable = true),
     StructField("entry_price", DoubleType, nullable = true),
