@@ -497,6 +497,33 @@ object SparkEntry {
         .orderBy("symbol", "entry_ts")
     }),
 
+    // §2 #23d — the per-(symbol, engine) summary table the dual-engine
+    // reference script prints: n, mean R, win rate, profit factor, max
+    // drawdown of each engine's own equity curve.
+    "dual_engine_perf" -> ((s, dir) => {
+      val h1 = Features.withEfficiencyRatio(
+        Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10)
+      val sig = Ichimoku(h1, IchimokuParams())
+        .withColumn("signal", when(col("label") === "SHORT", 1).otherwise(0))
+        .withColumn("mode", when(col("er").isNotNull,
+          when(col("er") >= 0.3, "TREND").otherwise("RANGE")))
+        .withColumn("tp_r", when(col("mode") === "TREND", 2.0).otherwise(1.2))
+        .withColumn("sl_k", when(col("mode") === "TREND", 1.0).otherwise(0.8))
+        .withColumn("horizon_bars", when(col("mode") === "TREND", 16).otherwise(8))
+        .withColumn("be_at_r", when(col("mode") === "RANGE", 0.6))
+        .select(col("symbol"), col("bar_ts_ms"), col("open"), col("high"),
+          col("low"), col("close"), col("atr"), col("signal"), col("mode"),
+          col("tp_r"), col("sl_k"), col("horizon_bars"), col("be_at_r"))
+      val trades = Backtest.runDualEngine(sig, "signal", "mode", cooldownBars = 5)
+      Backtest.perfBy(trades, Seq("symbol", "engine"))
+        .select(col("symbol"), col("engine"), col("n_trades"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("wr"), 6).as("wr"),
+          round(col("pf"), 6).as("pf"),
+          round(col("max_drawdown_r"), 6).as("max_dd_r"))
+        .orderBy("symbol", "engine")
+    }),
+
     // §2 #23b — per-symbol equity/performance rollup of the event backtest:
     // n, mean R, win rate, profit factor, max drawdown of the cumulative R
     // curve (trade_backtest_router_short.py:23-96 max_drawdown + summary).
@@ -2096,6 +2123,31 @@ object SparkEntry {
         |       round(t.xr, 6) AS r_mult, t.bars_held
         |FROM chaind c JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn
         |ORDER BY 1, 3""".stripMargin,
+
+    "dual_engine_perf" ->
+      s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$backtestDualCte,
+        |tr2 AS (
+        |  SELECT t.symbol, t.mode AS engine, t.xts, t.xr
+        |  FROM chaind c JOIN trf t ON t.symbol = c.symbol AND t.rn = c.rn),
+        |eq AS (
+        |  SELECT *, sum(xr) OVER weq AS eqv
+        |  FROM tr2
+        |  WINDOW weq AS (PARTITION BY symbol, engine ORDER BY xts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pk AS (
+        |  SELECT *, max(eqv) OVER wpk AS peak
+        |  FROM eq
+        |  WINDOW wpk AS (PARTITION BY symbol, engine ORDER BY xts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, engine, CAST(count(*) AS BIGINT) AS n_trades,
+        |       round(avg(xr), 6) AS mean_r,
+        |       round(avg(CASE WHEN xr > 0 THEN 1.0 ELSE 0.0 END), 6) AS wr,
+        |       round(sum(CASE WHEN xr > 0 THEN xr ELSE 0 END)
+        |             / nullif(sum(CASE WHEN xr < 0 THEN -xr ELSE 0 END), 0), 6)
+        |         AS pf,
+        |       round(max(peak - eqv), 6) AS max_dd_r
+        |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "equity_curve" ->
       s"""${H1Cte.replaceFirst("WITH ", "WITH RECURSIVE ")},

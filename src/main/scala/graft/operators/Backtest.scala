@@ -590,14 +590,21 @@ object Backtest {
     * profit factor, max drawdown of the cumulative R curve
     * (trade_diagnostics_mae_mfe_short.py:85-90, backtest_router_event_v1_1
     * .py:133-150). */
-  def perf(trades: DataFrame, symbolCol: String = "symbol"): DataFrame = {
-    val w = Window.partitionBy(symbolCol).orderBy("exit_ts")
+  def perf(trades: DataFrame, symbolCol: String = "symbol"): DataFrame =
+    perfBy(trades, Seq(symbolCol))
+
+  /** [[perf]] over a composite key — e.g. (symbol, engine) for the
+    * per-engine summary tables the dual-engine reference script prints.
+    * Keeping the symbol in the key keeps the equity ordering deterministic
+    * (exit timestamps are unique within a symbol: one position at a time). */
+  def perfBy(trades: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("exit_ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withEq = trades
       .withColumn("_eq", sum(col("r_mult")).over(w))
       .withColumn("_peak", max(col("_eq")).over(w))
       .withColumn("_dd", col("_peak") - col("_eq"))
-    withEq.groupBy(col(symbolCol))
+    withEq.groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_trades"),
         avg(col("r_mult")).as("mean_r"),

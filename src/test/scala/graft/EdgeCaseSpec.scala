@@ -205,4 +205,45 @@ class EdgeCaseSpec extends SparkTestBase {
     }
     assert(attempts == 1)
   }
+
+  test("round-7 backtest overlays: cross-symbol isolation and degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.Backtest
+
+    // cooldown state NEVER crosses symbols: A's loss must not block B's
+    // entry on the next bar (SeqScan resets state at every key change)
+    def sym(s: String) = Seq(
+      (s, 0L, 100.0, 100.0, 100.0, 100.0, 10.0, 1),
+      (s, 1L, 100.0, 115.0, 99.0, 100.0, 10.0, 1),  // entry; SL -> loss
+      (s, 2L, 100.0, 101.0, 99.0, 100.0, 10.0, 0),  // re-entry bar
+      (s, 3L, 100.0, 115.0, 99.0, 100.0, 10.0, 0))  // SL again
+    val bars = (sym("A") ++ sym("B"))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr", "signal")
+    val t = Backtest.run(bars, "signal", short = true, tpR = 2.0, slK = 1.0,
+      horizon = 16, cooldownBars = 10).collect()
+    // one trade per symbol (the re-entry is cooled down IN each symbol),
+    // proving B's first trade was not blocked by A's loss
+    assert(t.length == 2 && t.map(_.getAs[String]("symbol")).toSet == Set("A", "B"))
+    assert(t.forall(_.getAs[Long]("entry_ts") == 1L))
+
+    // dual engine: zero ATR opens a risk-0 position that never manages —
+    // documented one-position semantics: it blocks, emits nothing, no crash
+    val z = Seq(("A", 0L, 100.0, 100.0, 100.0, 100.0, 0.0, 1, "TREND"),
+        ("A", 1L, 100.0, 120.0, 80.0, 100.0, 0.0, 0, "TREND"),
+        ("A", 2L, 100.0, 120.0, 80.0, 100.0, 0.0, 0, "TREND"))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr", "signal", "mode")
+      .withColumn("tp_r", lit(2.0)).withColumn("sl_k", lit(1.0))
+      .withColumn("horizon_bars", lit(16)).withColumn("be_at_r", lit(null).cast("double"))
+    assert(Backtest.runDualEngine(z, "signal", "mode").collect().isEmpty)
+
+    // 3-D sweep: horizon longer than the data emits zero cells for that
+    // horizon but full cells for the short one
+    val short = (0 until 12).map(i =>
+        ("A", i.toLong, 100.0, 101.0, 99.0, 100.0, 5.0))
+      .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr")
+    val cells = Backtest.sweepGrid3d(short, horizons = Seq(8, 64),
+        slKs = Seq(1.0), tpRs = Seq(2.0))
+      .collect().map(r => r.getAs[Int]("horizon_bars") -> r.getAs[Long]("n_trades")).toMap
+    assert(cells.contains(8) && !cells.contains(64))
+  }
 }
