@@ -932,6 +932,24 @@ object SparkEntry {
         .orderBy("symbol", "period_ms")
     }),
 
+    // §2 #25e3 — the WEEK-grain period frame (run_ml_regime_week_v1.py's
+    // deterministic half) hash-checked too: same min_by/max_by + last
+    // non-null feature semantics over Monday-truncated weeks.
+    "regime_frame_week" -> ((s, dir) => {
+      val feats = Seq("atr_pct", "er", "vwap_dist_z")
+      val h1 = Features.withVwapZ(
+        Features.withEfficiencyRatio(
+          Features.withAtrSma(Bars.fromTicks(events(s, dir), "hour"), 14), 10))
+        .withColumn("atr_pct", col("atr") / when(col("close") =!= 0.0, col("close")))
+      RegimeEval.periodFrame(h1, "week", feats)
+        .select(col("symbol"), col("period_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("atr_pct"), 6).as("atr_pct"),
+          round(col("er"), 6).as("er"),
+          round(col("vwap_dist_z"), 6).as("vwap_dist_z"))
+        .orderBy("symbol", "period_ms")
+    }),
+
     // §2 #25e3 — the same evaluation at WEEK grain (run_ml_regime_week_v1
     // .py): identical pipeline, truncUnit="week", horizon 1. The testdata
     // month holds 5 ISO weeks, so the split leaves TRAIN=3 / VAL=1 weekly
@@ -3287,6 +3305,21 @@ object SparkEntry {
       s"""$H1FeatCte
         |SELECT symbol,
         |       (bar_ts_ms // 86400000) * 86400000 AS period_ms,
+        |       arg_min(open, bar_ts_ms) AS open,
+        |       max(high) AS high,
+        |       min(low) AS low,
+        |       arg_max(close, bar_ts_ms) AS close,
+        |       round(arg_max(atr_pct, bar_ts_ms), 6) + 0.0 AS atr_pct,
+        |       round(arg_max(er, bar_ts_ms), 6) + 0.0 AS er,
+        |       round(arg_max(vwap_dist_z, bar_ts_ms), 6) + 0.0 AS vwap_dist_z
+        |FROM feat
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "regime_frame_week" ->
+      s"""$H1FeatCte
+        |SELECT symbol,
+        |       epoch_ms(date_trunc('week', make_timestamp(bar_ts_ms * 1000)))
+        |         AS period_ms,
         |       arg_min(open, bar_ts_ms) AS open,
         |       max(high) AS high,
         |       min(low) AS low,
