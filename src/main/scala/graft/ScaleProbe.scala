@@ -208,6 +208,24 @@ object ScaleProbe {
         graft.streaming.Ingest.sessionSummaries(src, gapMs = 300000L,
           watermark = "0 seconds")
       },
+      streamProbe(spark, "streaming_dual_backtest",
+        bars.where(col("event_id") < streamN(n))
+          .select(col("symbol"), col("bar_ts_ms").as("barTsMs"),
+            col("open"), col("high"), col("low"), col("close"),
+            lit(5.0).as("atr"),
+            (pmod(xxhash64(col("event_id"), lit(31)), lit(20L)) === 0)
+              .cast("int").as("signal"),
+            when(pmod((col("bar_ts_ms") / 3600000L).cast("long"), lit(3L)) === 0,
+              "TREND").otherwise("RANGE").as("mode"),
+            when(pmod((col("bar_ts_ms") / 3600000L).cast("long"), lit(3L)) === 0,
+              2.0).otherwise(1.2).as("tpR"),
+            lit(1.0).as("slK"), lit(16).as("horizonBars"),
+            lit(0.6).as("beAtR")),
+        streamN(n)) { src =>
+        import spark.implicits._
+        graft.streaming.Ingest.dualBacktestStream(
+          src.as[graft.operators.Backtest.DualBar], cooldownBars = 5).toDF()
+      },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
         // exercises the DF-bounded blocking join + the propagation loop at
