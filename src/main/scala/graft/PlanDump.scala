@@ -33,6 +33,7 @@ object PlanDump {
     "ml_filter" -> "The scoring pass of the MLlib trade filter: feature windows (atr/er/vwap-z) share one (symbol, ts) sort above the bar hash-aggregate, vector assembly and the fitted model's transform are projections, and the confusion matrix is one final hash aggregate. The LBFGS fit itself ran upstream of this plan on a narrow repartitioned cached iterate, unpersisted on return (ScaleHygieneSpec) — training cost amortizes with data and leaves no block-manager residue.",
     "ml_regime_month" -> "The per-slice evaluation plan of the period-grain regime model: the coarse frame is ONE hash aggregation (min_by/max_by per day bucket) over the shared feature-window sort; forward-return labels are a per-symbol lead window on the period grid (bounded by symbols x periods, tiny at any bar volume); scoring is projections above the fitted model; the TRAIN/VAL/TEST summary is one hash aggregate. Threshold/impute/moment scalars were pulled upstream from the symbols x periods frame — boundary metadata, not a data-path collect (the deterministic frame itself is hash-checked under the regime_frame key).",
     "ann_lsh" -> "Banded-LSH candidate generation as id-only equi-joins: hash-band signatures are codegen'd projections, candidates come from a (band, bucket) self-equi-join carrying ONLY ids (vectors rejoin after the distinct), exact re-rank is the native cosine expression, top-k is WindowGroupLimit pruned map-side before the final exchange. No CartesianProduct anywhere (PlanAuditSpec asserts it).",
+    "param_sweep_3d" -> "The horizon dimension costs WINDOW FRAMES, not passes: every per-horizon forward-extrema frame rides the one (symbol, ts) sort, the 8-cell grid broadcasts (BroadcastNestedLoopJoin over a literal local relation — the bar side never shuffles for the join), each grid row selects its horizon's columns with a codegen'd conditional, and one partial+final hash-aggregate pair rolls up every (H, slK, tpR) cell including the exit-reason counts. Sweeping more horizons widens the window stage; it never adds a scan.",
     "add_slices" -> "The reference's four sequential pandas groupbys (side, range bucket, hour, side-by-bucket) as ONE grouping-sets aggregation: forward-return windows ride the (symbol, ts) sort, the slice dimensions expand via a single Expand node, and one partial+final hash-aggregate pair computes every slice — four reports, one shuffle on the slice key (PlanAuditSpec pins the Expand + single aggregation exchange).",
     "backtest_dual_engine" -> "The full router risk model as one plan: ATR/efficiency-ratio windows and the ichimoku signal chain share the (symbol, ts) sort; per-engine configs (stop, target, time stop, break-even) are codegen'd conditional projections — routing adds columns, not operators; the position lifecycle (entries, armed stops, mode flips, cooldown) is a per-symbol SeqScan state machine above ONE keyed sort — sequential where the semantics are sequential, parallel across symbols, the exact shape a keyed stream processor gives. Trade emission is a narrow filter; no per-trade joins, no driver loops.",
     "contamination" -> "Train/test leak check at lake scale: both sides reduce to content fingerprints map-side (native canonical-hash expression directly above each scan), the train side pre-aggregates to one row per fingerprint, and the match is a single fingerprint equi-join — shuffle carries hashes and ids, never document text.")
