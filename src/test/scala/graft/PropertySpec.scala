@@ -161,4 +161,47 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"trial=$trial budget=$budget shards=$nShards")
     }
   }
+
+  test("property: fixed-config run() and constant-mode runDualEngine agree") {
+    // the two engines implement the same position semantics independently
+    // (mutable SeqScan closure vs the shared immutable dualStep): with a
+    // constant mode (no flips possible) and constant config columns they
+    // must emit identical trade sets on random walks
+    import org.apache.spark.sql.functions._
+    import graft.operators.Backtest
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val tpR = Seq(1.2, 2.0, 3.0)(rnd.nextInt(3))
+      val slK = Seq(0.5, 1.0, 1.5)(rnd.nextInt(3))
+      val hz = Seq(4, 8, 16)(rnd.nextInt(3))
+      val beAtR = if (rnd.nextBoolean()) Some(0.4 + rnd.nextDouble() * 0.4) else None
+      val cd = rnd.nextInt(4)
+      val rows = (0 until 300).map { i =>
+        val base = 100.0 + 15.0 * math.sin(i * (0.1 + 0.2 * rnd.nextDouble())) +
+          rnd.nextGaussian() * 3.0
+        val spread = 1.0 + rnd.nextDouble() * 4.0
+        ("S" + (i % 3), i.toLong, base, base + spread, base - spread,
+          base + rnd.nextGaussian() * spread / 2,
+          2.0 + rnd.nextDouble() * 3.0, if (rnd.nextInt(5) == 0) 1 else 0)
+      }
+      val bars = rows.toDF("symbol", "bar_ts_ms", "open", "high", "low",
+        "close", "atr", "signal")
+      val plain = Backtest.run(bars, "signal", short = true, tpR = tpR,
+          slK = slK, horizon = hz, breakEvenAtR = beAtR, cooldownBars = cd)
+        .collect().map(_.toSeq).toSet
+      val dual = Backtest.runDualEngine(
+          bars.withColumn("mode", lit("ONLY"))
+            .withColumn("tp_r", lit(tpR)).withColumn("sl_k", lit(slK))
+            .withColumn("horizon_bars", lit(hz))
+            .withColumn("be_at_r", beAtR.map(lit).getOrElse(lit(null).cast("double"))),
+          "signal", "mode", cooldownBars = cd)
+        .drop("engine")
+        .select("symbol", "entry_ts", "entry_price", "exit_ts", "exit_price",
+          "exit_reason", "r_mult", "bars_held")
+        .collect().map(_.toSeq).toSet
+      assert(plain == dual,
+        s"trial=$trial tpR=$tpR slK=$slK hz=$hz be=$beAtR cd=$cd " +
+          s"plain-only=${plain -- dual} dual-only=${dual -- plain}")
+    }
+  }
 }
