@@ -1730,10 +1730,10 @@ object SparkEntry {
         |  FROM rr),
         |entries AS (
         |  SELECT symbol, rn, bar_ts_ms, open, atr
-        |  FROM ecand WHERE prev_sig = 1 AND atr IS NOT NULL),
+        |  FROM ecand WHERE prev_sig = 1 AND atr > 0),
         |ne AS (
         |  SELECT symbol, rn,
-        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL THEN rn END)
+        |         min(CASE WHEN prev_sig = 1 AND atr > 0 THEN rn END)
         |           OVER (PARTITION BY symbol ORDER BY rn
         |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
         |           AS next_entry_rn
@@ -1923,10 +1923,10 @@ object SparkEntry {
         |         CASE WHEN mode = 'TREND' THEN 16 ELSE 8 END AS hz,
         |         CASE WHEN mode = 'RANGE' THEN 0.6 END AS be_at_r
         |  FROM ecand
-        |  WHERE prev_sig = 1 AND atr IS NOT NULL AND mode IS NOT NULL),
+        |  WHERE prev_sig = 1 AND atr > 0 AND mode IS NOT NULL),
         |ne AS (
         |  SELECT symbol, rn,
-        |         min(CASE WHEN prev_sig = 1 AND atr IS NOT NULL
+        |         min(CASE WHEN prev_sig = 1 AND atr > 0
         |                   AND mode IS NOT NULL THEN rn END)
         |           OVER (PARTITION BY symbol ORDER BY rn
         |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
@@ -2383,9 +2383,13 @@ object SparkEntry {
         |    ON s.symbol = g.symbol AND s.bar_ts_ms = g.bar_ts_ms
         |  WHERE g.low_plus AND g.dir_state IN ('BULL', 'BEAR')
         |    AND NOT g.market_ready_base)
-        |SELECT coalesce(dir_state, 'ALL') AS slice_dir,
-        |       coalesce(rp_bucket, 'ALL') AS slice_bucket,
-        |       coalesce(CAST(hour_utc AS VARCHAR), 'ALL') AS slice_hour,
+        |SELECT CASE WHEN GROUPING(dir_state) = 1 THEN 'ALL'
+        |            ELSE coalesce(dir_state, 'NA') END AS slice_dir,
+        |       CASE WHEN GROUPING(rp_bucket) = 1 THEN 'ALL'
+        |            ELSE coalesce(rp_bucket, 'NA') END AS slice_bucket,
+        |       CASE WHEN GROUPING(hour_utc) = 1 THEN 'ALL'
+        |            ELSE coalesce(CAST(hour_utc AS VARCHAR), 'NA')
+        |       END AS slice_hour,
         |       CAST(count(*) AS BIGINT) AS n,
         |       round(avg(sret_8), 6) + 0.0 AS mean_sret8,
         |       round(avg(CASE WHEN sret_8 > 0 THEN 1.0
@@ -3890,6 +3894,7 @@ object SparkEntry {
         |f AS (
         |  SELECT *,
         |         lead(open, 1) OVER wk AS entry,
+        |         lead(atr, 1) OVER wk AS atr_e,
         |         CASE WHEN count(high) OVER fwd = 16
         |           THEN max(high) OVER fwd END AS fwd_max_high,
         |         CASE WHEN count(high) OVER fwd = 16
@@ -3903,13 +3908,13 @@ object SparkEntry {
         |g AS (
         |  SELECT f.*, CAST(t.tp_r AS DOUBLE) AS tp_r
         |  FROM f CROSS JOIN (VALUES (1.0), (1.5), (2.0), (3.0)) t(tp_r)
-        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |  WHERE entry IS NOT NULL AND atr_e IS NOT NULL AND atr_e > 0
         |    AND fwd_max_high IS NOT NULL),
         |o AS (
         |  SELECT tp_r,
-        |         CASE WHEN fwd_max_high >= entry + 1.0 * atr THEN -1.0
-        |              WHEN fwd_min_low <= entry - tp_r * (1.0 * atr) THEN tp_r
-        |              ELSE (entry - fwd_close) / (1.0 * atr) END AS r_mult
+        |         CASE WHEN fwd_max_high >= entry + 1.0 * atr_e THEN -1.0
+        |              WHEN fwd_min_low <= entry - tp_r * (1.0 * atr_e) THEN tp_r
+        |              ELSE (entry - fwd_close) / (1.0 * atr_e) END AS r_mult
         |  FROM g)
         |SELECT tp_r, CAST(count(*) AS BIGINT) AS n_trades,
         |       round(avg(r_mult), 6) AS mean_r,
@@ -4008,6 +4013,7 @@ object SparkEntry {
         |f AS (
         |  SELECT *,
         |         lead(open, 1) OVER wk AS entry,
+        |         lead(atr, 1) OVER wk AS atr_e,
         |         CASE WHEN count(high) OVER fwd = 16
         |           THEN max(high) OVER fwd END AS fwd_max_high,
         |         CASE WHEN count(high) OVER fwd = 16
@@ -4023,14 +4029,14 @@ object SparkEntry {
         |         CAST(t2.tp_r AS DOUBLE) AS tp_r
         |  FROM f CROSS JOIN (VALUES (0.5, 1.0), (0.5, 2.0), (1.5, 1.0),
         |                            (1.5, 2.0)) t2(sl_k, tp_r)
-        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0
+        |  WHERE entry IS NOT NULL AND atr_e IS NOT NULL AND atr_e > 0
         |    AND fwd_max_high IS NOT NULL),
         |o AS (
         |  SELECT sl_k, tp_r,
-        |         CASE WHEN fwd_max_high >= entry + sl_k * atr THEN -1.0
-        |              WHEN fwd_min_low <= entry - tp_r * (sl_k * atr)
+        |         CASE WHEN fwd_max_high >= entry + sl_k * atr_e THEN -1.0
+        |              WHEN fwd_min_low <= entry - tp_r * (sl_k * atr_e)
         |                THEN tp_r
-        |              ELSE (entry - fwd_close) / (sl_k * atr) END AS r_mult
+        |              ELSE (entry - fwd_close) / (sl_k * atr_e) END AS r_mult
         |  FROM g)
         |SELECT sl_k, tp_r, CAST(count(*) AS BIGINT) AS n_trades,
         |       round(avg(r_mult), 6) AS mean_r,
@@ -4063,6 +4069,7 @@ object SparkEntry {
         |f AS (
         |  SELECT *,
         |         lead(open, 1) OVER wk AS entry,
+        |         lead(atr, 1) OVER wk AS atr_e,
         |         CASE WHEN count(high) OVER f8 = 8
         |           THEN max(high) OVER f8 END AS fmh_8,
         |         CASE WHEN count(high) OVER f8 = 8
@@ -4093,15 +4100,15 @@ object SparkEntry {
         |                            (16, 0.5, 1.0), (16, 0.5, 2.0),
         |                            (16, 1.5, 1.0), (16, 1.5, 2.0))
         |         t2(h, sl_k, tp_r)
-        |  WHERE entry IS NOT NULL AND atr IS NOT NULL AND atr > 0),
+        |  WHERE entry IS NOT NULL AND atr_e IS NOT NULL AND atr_e > 0),
         |o AS (
         |  SELECT horizon_bars, sl_k, tp_r,
-        |         CASE WHEN fmh >= entry + sl_k * atr THEN 'SL'
-        |              WHEN fml <= entry - tp_r * (sl_k * atr) THEN 'TP'
+        |         CASE WHEN fmh >= entry + sl_k * atr_e THEN 'SL'
+        |              WHEN fml <= entry - tp_r * (sl_k * atr_e) THEN 'TP'
         |              ELSE 'TIME' END AS reason,
-        |         CASE WHEN fmh >= entry + sl_k * atr THEN -1.0
-        |              WHEN fml <= entry - tp_r * (sl_k * atr) THEN tp_r
-        |              ELSE (entry - fc) / (sl_k * atr) END AS r_mult
+        |         CASE WHEN fmh >= entry + sl_k * atr_e THEN -1.0
+        |              WHEN fml <= entry - tp_r * (sl_k * atr_e) THEN tp_r
+        |              ELSE (entry - fc) / (sl_k * atr_e) END AS r_mult
         |  FROM g WHERE fmh IS NOT NULL)
         |SELECT horizon_bars, sl_k, tp_r,
         |       CAST(count(*) AS BIGINT) AS n_trades,

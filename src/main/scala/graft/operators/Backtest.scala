@@ -57,7 +57,10 @@ object Backtest {
   /** tp-R parameter sweep (trade_sweep_tpR_short.py): every bar is a
     * hypothetical entry; the tiny grid is broadcast cross-joined, outcomes
     * classified per (bar, tpR) and rolled up per tpR. One shuffle (the final
-    * groupBy); the grid side is a literal local relation. */
+    * groupBy); the grid side is a literal local relation. Risk is sized
+    * from the ENTRY bar's (i+1) ATR, the reference's
+    * `atr_i = df.loc[entry_i, "atr"]` convention — degenerate entry-bar
+    * ATRs are skipped (`n_skip_atr`), just like in the event engines. */
   def sweepTpR(bars: DataFrame, tpRs: Seq[Double], horizon: Int = 16,
                slK: Double = 1.0, symbolCol: String = "symbol",
                tsCol: String = "bar_ts_ms"): DataFrame = {
@@ -66,7 +69,7 @@ object Backtest {
     val full = count(col("high")).over(fwd) === horizon
     val staged = bars
       .withColumn("entry", lead(col("open"), 1).over(w))
-      .withColumn("_risk", lit(slK) * col("atr"))
+      .withColumn("_risk", lit(slK) * lead(col("atr"), 1).over(w))
       .withColumn("fwd_max_high", when(full, max(col("high")).over(fwd)))
       .withColumn("fwd_min_low", when(full, min(col("low")).over(fwd)))
       .withColumn("fwd_close", when(full, nth_value(col("close"), horizon).over(fwd)))
@@ -90,7 +93,8 @@ object Backtest {
 
   /** 2-D sweep over (slK, tpR) pairs (trade_sweep_short_atr_tpR.py): same
     * machinery as [[sweepTpR]] with the risk unit also varying per grid
-    * point. Grid is a broadcast literal relation; one shuffle total. */
+    * point. Grid is a broadcast literal relation; one shuffle total.
+    * Entry-bar ATR sizes the risk, as in [[sweepTpR]]. */
   def sweepGrid(bars: DataFrame, slKs: Seq[Double], tpRs: Seq[Double],
                 horizon: Int = 16, symbolCol: String = "symbol",
                 tsCol: String = "bar_ts_ms"): DataFrame = {
@@ -99,16 +103,17 @@ object Backtest {
     val full = count(col("high")).over(fwd) === horizon
     val staged = bars
       .withColumn("entry", lead(col("open"), 1).over(w))
+      .withColumn("_atr_e", lead(col("atr"), 1).over(w))
       .withColumn("fwd_max_high", when(full, max(col("high")).over(fwd)))
       .withColumn("fwd_min_low", when(full, min(col("low")).over(fwd)))
       .withColumn("fwd_close", when(full, nth_value(col("close"), horizon).over(fwd)))
-      .where(col("entry").isNotNull && col("atr").isNotNull &&
-        col("atr") > 0.0 && col("fwd_max_high").isNotNull)
+      .where(col("entry").isNotNull && col("_atr_e").isNotNull &&
+        col("_atr_e") > 0.0 && col("fwd_max_high").isNotNull)
     val spark = bars.sparkSession
     import spark.implicits._
     val grid = broadcast(
       (for (s <- slKs; t <- tpRs) yield (s, t)).toDF("sl_k", "tp_r"))
-    val risk = col("sl_k") * col("atr")
+    val risk = col("sl_k") * col("_atr_e")
     val slTouched = col("fwd_max_high") >= col("entry") + risk
     val tpTouched = col("fwd_min_low") <= col("entry") - col("tp_r") * risk
     staged.crossJoin(grid)
@@ -133,19 +138,21 @@ object Backtest {
     * costs WINDOW FRAMES, not passes: per-horizon forward extrema are extra
     * frames on the one (symbol, ts) sort, the broadcast grid row selects
     * its horizon's columns with a codegen'd conditional, and ONE hash
-    * aggregation rolls up every cell. |H| more frames ≪ |H| more scans. */
+    * aggregation rolls up every cell. |H| more frames ≪ |H| more scans.
+    * Entry-bar ATR sizes the risk, as in [[sweepTpR]]. */
   def sweepGrid3d(bars: DataFrame, horizons: Seq[Int], slKs: Seq[Double],
                   tpRs: Seq[Double], symbolCol: String = "symbol",
                   tsCol: String = "bar_ts_ms"): DataFrame = {
     val w = Window.partitionBy(symbolCol).orderBy(tsCol)
     val staged = horizons.foldLeft(
-        bars.withColumn("entry", lead(col("open"), 1).over(w))) { (df, h) =>
+        bars.withColumn("entry", lead(col("open"), 1).over(w))
+          .withColumn("_atr_e", lead(col("atr"), 1).over(w))) { (df, h) =>
       val fwd = w.rowsBetween(1, h)
       val full = count(col("high")).over(fwd) === h
       df.withColumn(s"_fmh_$h", when(full, max(col("high")).over(fwd)))
         .withColumn(s"_fml_$h", when(full, min(col("low")).over(fwd)))
         .withColumn(s"_fc_$h", when(full, nth_value(col("close"), h).over(fwd)))
-    }.where(col("entry").isNotNull && col("atr").isNotNull && col("atr") > 0.0)
+    }.where(col("entry").isNotNull && col("_atr_e").isNotNull && col("_atr_e") > 0.0)
     val spark = bars.sparkSession
     import spark.implicits._
     val cells = for { h <- horizons; s <- slKs; t <- tpRs } yield (h, s, t)
@@ -153,7 +160,7 @@ object Backtest {
     def pick(prefix: String) = coalesce(
       horizons.map(h => when(col("horizon_bars") === h, col(s"${prefix}_$h"))): _*)
     staged.crossJoin(grid)
-      .withColumn("_risk", col("sl_k") * col("atr"))
+      .withColumn("_risk", col("sl_k") * col("_atr_e"))
       .withColumn("fwd_max_high", pick("_fmh"))
       .withColumn("fwd_min_low", pick("_fml"))
       .withColumn("fwd_close", pick("_fc"))
@@ -261,8 +268,11 @@ object Backtest {
       val close = row.getDouble(iClose)
 
       st.barIdx += 1
+      // entry requires a STRICTLY POSITIVE ATR (the reference's
+      // `atr <= 0: continue`): a zero/negative ATR would open a risk-0
+      // position that no exit test can ever close, wedging the symbol.
       if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr) &&
-          st.barIdx > st.cooldownUntil) {
+          row.getDouble(iAtr) > 0.0 && st.barIdx > st.cooldownUntil) {
         st.inPos = true
         st.entryTs = ts
         st.entry = open
@@ -336,32 +346,45 @@ object Backtest {
 
   /** The dual-engine position state as an immutable product, so it is both
     * a SeqScan fold accumulator and an encodable streaming `GroupState`.
-    * `beAtR` is NaN when break-even is disabled for the open trade. */
+    * `beAtR` is NaN when break-even is disabled for the open trade.
+    * `lastTsMs` is the fold's high-watermark: a bar at or before it is a
+    * late arrival or a duplicate and is dropped by [[dualStep]]. */
   final case class DualState(inPos: Boolean, pendingEntry: Boolean,
                              entryTs: Long, entry: Double, risk: Double,
                              barsHeld: Int, beArmed: Boolean, barIdx: Long,
                              cooldownUntil: Long, mode: String, tpR: Double,
-                             horizon: Int, beAtR: Double)
+                             horizon: Int, beAtR: Double, lastTsMs: Long)
 
   object DualState {
     val init: DualState = DualState(inPos = false, pendingEntry = false,
       entryTs = 0L, entry = 0.0, risk = 0.0, barsHeld = 0, beArmed = false,
       barIdx = 0L, cooldownUntil = -1L, mode = null, tpR = 0.0, horizon = 0,
-      beAtR = Double.NaN)
+      beAtR = Double.NaN, lastTsMs = Long.MinValue)
   }
 
   /** The per-bar transition of the dual-engine backtest — one pure
     * function shared verbatim by the batch SeqScan and the streaming
     * flatMapGroupsWithState wrapper, so batch/stream equivalence is by
     * construction, not by parallel implementations. Semantics documented
-    * on [[runDualEngine]]. */
+    * on [[runDualEngine]].
+    *
+    * A bar whose timestamp is at or before the state's `lastTsMs`
+    * high-watermark is DROPPED (state unchanged): in a stream, that is a
+    * cross-micro-batch late arrival that the batch engine — which sorts
+    * globally — would have folded in order, so folding it late would
+    * silently diverge from the batch result; in batch (sorted input) it
+    * only fires on duplicate timestamps, mirroring minuteBars' dedup
+    * hygiene. */
   private[graft] def dualStep(st0: DualState, b: DualBar, short: Boolean,
                               beOffsetR: Double, cooldownBars: Int,
                               feeBps: Double): (DualState, Option[DualTrade]) = {
-    var st = st0.copy(barIdx = st0.barIdx + 1)
+    if (b.barTsMs <= st0.lastTsMs) return (st0, None)
+    var st = st0.copy(barIdx = st0.barIdx + 1, lastTsMs = b.barTsMs)
     var trade: Option[DualTrade] = None
     val mode = b.mode.orNull
-    if (!st.inPos && st.pendingEntry && b.atr.isDefined && mode != null &&
+    // atr > 0 gate as in [[run]]: a degenerate bar skips the entry rather
+    // than opening an unmanageable risk-0 position.
+    if (!st.inPos && st.pendingEntry && b.atr.exists(_ > 0.0) && mode != null &&
         st.barIdx > st.cooldownUntil) {
       st = st.copy(inPos = true, entryTs = b.barTsMs, entry = b.open,
         risk = b.slK * b.atr.get, barsHeld = 0, beArmed = false,

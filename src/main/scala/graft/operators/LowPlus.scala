@@ -223,6 +223,13 @@ object LowPlus {
           Seq(col("dir_state"), col("rp_bucket"))),
         col("dir_state"), col("rp_bucket"), col("hour_utc"))
       .agg(
+        // grouping() disambiguates rollup rows from genuinely-NULL dims
+        // (classic grouping-sets null conflation): 'ALL' only for the
+        // rollup, 'NA' for a data NULL that slips past enrich(). It is
+        // only resolvable inside the aggregate, hence the _g_* carriers.
+        grouping(col("dir_state")).as("_g_dir"),
+        grouping(col("rp_bucket")).as("_g_bucket"),
+        grouping(col("hour_utc")).as("_g_hour"),
         count(lit(1)).as("n"),
         avg(col("sret_8")).as("mean_sret8"),
         avg(when(col("sret_8") > 0, 1.0).when(col("sret_8").isNotNull, 0.0))
@@ -230,9 +237,13 @@ object LowPlus {
         avg(col("sret_4")).as("mean_sret4"),
         stddev_samp(col("sret_8")).as("std_sret8"))
       .select(
-        coalesce(col("dir_state"), lit("ALL")).as("slice_dir"),
-        coalesce(col("rp_bucket"), lit("ALL")).as("slice_bucket"),
-        coalesce(col("hour_utc").cast("string"), lit("ALL")).as("slice_hour"),
+        when(col("_g_dir") === 1, "ALL")
+          .otherwise(coalesce(col("dir_state"), lit("NA"))).as("slice_dir"),
+        when(col("_g_bucket") === 1, "ALL")
+          .otherwise(coalesce(col("rp_bucket"), lit("NA"))).as("slice_bucket"),
+        when(col("_g_hour") === 1, "ALL")
+          .otherwise(coalesce(col("hour_utc").cast("string"), lit("NA")))
+          .as("slice_hour"),
         col("n"), col("mean_sret8"), col("wr_sret8"), col("mean_sret4"),
         col("std_sret8"))
   }

@@ -192,9 +192,12 @@ object Ingest {
     * and every bar runs the SAME `dualStep` transition the batch SeqScan
     * folds, so a stream fed the batch input emits exactly the batch trade
     * set — equivalence by shared code, asserted in StreamingSpec. Bars are
-    * processed in ts order within each micro-batch; cross-batch order is
-    * the source's contract (a per-symbol exchange feed is time-ordered),
-    * with upstream watermark/dedup hygiene as in [[minuteBars]]. */
+    * processed in ts order within each micro-batch; across micro-batches,
+    * the state's `lastTsMs` high-watermark makes `dualStep` DROP any bar
+    * at or before the last folded timestamp, so a late arrival (which the
+    * batch engine would have folded in order) cannot silently diverge the
+    * stream from the batch result — the same dedup/ordering hygiene
+    * [[minuteBars]] applies. */
   def dualBacktestStream(bars: Dataset[Backtest.DualBar],
                          short: Boolean = true, beOffsetR: Double = 0.0,
                          cooldownBars: Int = 0,

@@ -226,15 +226,23 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(t.length == 2 && t.map(_.getAs[String]("symbol")).toSet == Set("A", "B"))
     assert(t.forall(_.getAs[Long]("entry_ts") == 1L))
 
-    // dual engine: zero ATR opens a risk-0 position that never manages —
-    // documented one-position semantics: it blocks, emits nothing, no crash
+    // zero/negative ATR at the entry bar SKIPS the entry (the reference's
+    // `atr <= 0: continue`) instead of opening an unmanageable risk-0
+    // position — and, crucially, does NOT wedge the symbol: a later signal
+    // with a valid ATR still trades.
     val z = Seq(("A", 0L, 100.0, 100.0, 100.0, 100.0, 0.0, 1, "TREND"),
-        ("A", 1L, 100.0, 120.0, 80.0, 100.0, 0.0, 0, "TREND"),
-        ("A", 2L, 100.0, 120.0, 80.0, 100.0, 0.0, 0, "TREND"))
+        ("A", 1L, 100.0, 120.0, 80.0, 100.0, 0.0, 1, "TREND"),   // skipped entry (atr=0), re-signal
+        ("A", 2L, 100.0, 101.0, 99.0, 100.0, 10.0, 0, "TREND"),  // valid entry executes here
+        ("A", 3L, 100.0, 115.0, 99.0, 100.0, 10.0, 0, "TREND"))  // SL exit
       .toDF("symbol", "bar_ts_ms", "open", "high", "low", "close", "atr", "signal", "mode")
       .withColumn("tp_r", lit(2.0)).withColumn("sl_k", lit(1.0))
       .withColumn("horizon_bars", lit(16)).withColumn("be_at_r", lit(null).cast("double"))
-    assert(Backtest.runDualEngine(z, "signal", "mode").collect().isEmpty)
+    val zt = Backtest.runDualEngine(z, "signal", "mode").collect()
+    assert(zt.length == 1 && zt.head.getAs[Long]("entry_ts") == 2L &&
+      zt.head.getAs[String]("exit_reason") == "SL")
+    // same gate in the single-engine event machine
+    val zs = Backtest.run(z, "signal", short = true).collect()
+    assert(zs.length == 1 && zs.head.getAs[Long]("entry_ts") == 2L)
 
     // 3-D sweep: horizon longer than the data emits zero cells for that
     // horizon but full cells for the short one

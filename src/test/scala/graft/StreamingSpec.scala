@@ -333,5 +333,24 @@ class StreamingSpec extends SparkTestBase {
     // the scenario must actually exercise multiple exit paths
     val reasons = batch.map(_(6).asInstanceOf[String])
     assert(reasons.size >= 2, s"only exit reasons $reasons fired")
+
+    // late-arrival hygiene: re-feeding bars from the FIRST window in a
+    // later micro-batch (cross-batch out-of-order) must be dropped by the
+    // lastTsMs high-watermark, leaving the trade set identical rather than
+    // silently re-folding old bars into current state
+    val input2 = MemoryStream[DualBar]
+    val q2 = Ingest.dualBacktestStream(input2.toDS(), cooldownBars = 5)
+      .writeStream.format("memory").queryName("dual_bt_late")
+      .outputMode("append").start()
+    input2.addData(a: _*)
+    q2.processAllAvailable()
+    input2.addData((b ++ a.takeRight(6)): _*) // 6 stale bars arrive late
+    q2.processAllAvailable()
+    q2.stop()
+    val lateSet = spark.table("dual_bt_late").as[Backtest.DualTrade].collect()
+      .map(t => Seq[Any](t.symbol, t.engine, t.entryTs, t.entryPrice,
+        t.exitTs, t.exitPrice, t.exitReason, t.rMult, t.barsHeld)).toSet
+    assert(lateSet == batch,
+      s"late bars changed trades: extra=${lateSet -- batch} missing=${batch -- lateSet}")
   }
 }
