@@ -192,18 +192,6 @@ object Backtest {
     StructField("r_mult", DoubleType, nullable = true),
     StructField("bars_held", IntegerType, nullable = true))
 
-  private final class PosState {
-    var inPos = false
-    var pendingEntry = false
-    var entryTs = 0L
-    var entry = 0.0
-    var risk = 0.0
-    var barsHeld = 0
-    var beArmed = false
-    var barIdx = 0L
-    var cooldownUntil = -1L
-  }
-
   /** Event-driven SHORT backtest — see [[run]]. */
   def runShort(bars: DataFrame, signalCol: String, tpR: Double = 2.0,
                slK: Double = 1.0, horizon: Int = 16,
@@ -241,7 +229,14 @@ object Backtest {
     *  - `cooldownBars` (COOLDOWN_AFTER_LOSS_BARS, :209-316): after a LOSING
     *    trade exits at bar i, no new entry may execute until bar
     *    i + cooldownBars + 1 (pre-fee R decides "losing", matching the
-    *    reference's pnl_r). */
+    *    reference's pnl_r).
+    *
+    * A single-engine config IS a degenerate dual config — one constant
+    * mode, one constant risk tuple, the explicit `flipCol` as the flip
+    * signal — so this folds the SAME [[dualStep]] transition as
+    * [[runDualEngine]] and the streaming
+    * [[graft.streaming.Ingest.dualBacktestStream]]: one state machine,
+    * three entry points, batch/stream equivalence by construction. */
   def run(bars: DataFrame, signalCol: String, short: Boolean,
           tpR: Double = 2.0, slK: Double = 1.0, horizon: Int = 16,
           feeBps: Double = 0.0, flipCol: Option[String] = None,
@@ -249,6 +244,7 @@ object Backtest {
           cooldownBars: Int = 0,
           symbolCol: String = "symbol", tsCol: String = "bar_ts_ms"): DataFrame = {
     val sch = bars.schema
+    val iSym = sch.fieldIndex(symbolCol)
     val iTs = sch.fieldIndex(tsCol)
     val iOpen = sch.fieldIndex("open")
     val iHigh = sch.fieldIndex("high")
@@ -258,65 +254,27 @@ object Backtest {
     val iSig = sch.fieldIndex(signalCol)
     val iFlip = flipCol.map(sch.fieldIndex)
 
+    final class Holder { var s: DualState = DualState.init }
     val perBar = SeqScan.mapOrdered(bars, symbolCol, tsCol, tradeFields)(
-      () => new PosState) { (st, row) =>
-      var out: Seq[Any] = Seq(null, null, null, null, null, null)
-      val ts = row.getLong(iTs)
-      val open = row.getDouble(iOpen)
-      val high = row.getDouble(iHigh)
-      val low = row.getDouble(iLow)
-      val close = row.getDouble(iClose)
-
-      st.barIdx += 1
-      // entry requires a STRICTLY POSITIVE ATR (the reference's
-      // `atr <= 0: continue`): a zero/negative ATR would open a risk-0
-      // position that no exit test can ever close, wedging the symbol.
-      if (!st.inPos && st.pendingEntry && !row.isNullAt(iAtr) &&
-          row.getDouble(iAtr) > 0.0 && st.barIdx > st.cooldownUntil) {
-        st.inPos = true
-        st.entryTs = ts
-        st.entry = open
-        st.risk = slK * row.getDouble(iAtr)
-        st.barsHeld = 0
-        st.beArmed = false
+      () => new Holder) { (h, row) =>
+      val bar = DualBar(
+        symbol = row.getString(iSym),
+        barTsMs = row.getLong(iTs),
+        open = row.getDouble(iOpen), high = row.getDouble(iHigh),
+        low = row.getDouble(iLow), close = row.getDouble(iClose),
+        atr = if (row.isNullAt(iAtr)) None else Some(row.getDouble(iAtr)),
+        signal = if (row.isNullAt(iSig)) None else Some(row.getInt(iSig)),
+        mode = Some("E"), tpR = tpR, slK = slK, horizonBars = horizon,
+        beAtR = breakEvenAtR,
+        flip = iFlip.map(i => if (row.isNullAt(i)) 0 else row.getInt(i)))
+      val (next, trade) = dualStep(h.s, bar, short, beOffsetR, cooldownBars, feeBps)
+      h.s = next
+      trade match {
+        case Some(t) => Seq(Long.box(t.entryTs), Double.box(t.entryPrice),
+          Double.box(t.exitPrice), t.exitReason, Double.box(t.rMult),
+          Int.box(t.barsHeld))
+        case None => Seq(null, null, null, null, null, null)
       }
-      if (st.inPos && st.risk > 0.0) {
-        st.barsHeld += 1
-        val unrealR =
-          if (short) (st.entry - close) / st.risk else (close - st.entry) / st.risk
-        // break-even arming uses THIS bar's close and applies to this bar's
-        // SL test — the reference's order (backtest_router_event_v1.py:252)
-        if (!st.beArmed && breakEvenAtR.exists(unrealR >= _)) st.beArmed = true
-        val sl =
-          if (st.beArmed)
-            if (short) st.entry - beOffsetR * st.risk
-            else st.entry + beOffsetR * st.risk
-          else if (short) st.entry + st.risk
-          else st.entry - st.risk
-        val tp = if (short) st.entry - tpR * st.risk else st.entry + tpR * st.risk
-        val slHit = if (short) high >= sl else low <= sl
-        val tpHit = if (short) low <= tp else high >= tp
-        val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
-        val flip = iFlip.exists(i => !row.isNullAt(i) && row.getInt(i) == 1)
-        val exited: Option[(Double, String, Double)] =
-          if (slHit) Some((sl, "SL", slR))
-          else if (tpHit) Some((tp, "TP", tpR))
-          else if (flip) Some((close, "FLIP", unrealR))
-          else if (st.barsHeld >= horizon) Some((close, "TIME", unrealR))
-          else None
-        exited.foreach { case (px, reason, r) =>
-          // round-trip fees in R multiples of the risk unit
-          val feeR = 2.0 * feeBps * 1e-4 * st.entry / st.risk
-          out = Seq(Long.box(st.entryTs), Double.box(st.entry), Double.box(px),
-            reason, Double.box(r - feeR), Int.box(st.barsHeld))
-          st.inPos = false
-          if (cooldownBars > 0 && r < 0.0)
-            st.cooldownUntil = st.barIdx + cooldownBars
-        }
-      }
-      st.pendingEntry = !st.inPos &&
-        !row.isNullAt(iSig) && row.getInt(iSig) == 1
-      out
     }
     perBar
       .where(col("exit_reason").isNotNull)
@@ -330,13 +288,17 @@ object Backtest {
 
   /** One input bar of the dual-engine state machine in typed form — the
     * streaming path ([[graft.streaming.Ingest.dualBacktestStream]]) consumes
-    * this directly; the batch [[runDualEngine]] adapts Rows to it, so both
-    * run the SAME [[dualStep]] transition. */
+    * this directly; the batch [[runDualEngine]] AND the single-engine
+    * [[run]] adapt Rows to it, so all three run the SAME [[dualStep]]
+    * transition. `flip` carries [[run]]'s explicit regime-flip signal
+    * (run_sweep_router_v3_breakout.py FLIP_ROUTER); the dual engine leaves
+    * it None and flips on mode change instead. */
   final case class DualBar(symbol: String, barTsMs: Long, open: Double,
                            high: Double, low: Double, close: Double,
                            atr: Option[Double], signal: Option[Int],
                            mode: Option[String], tpR: Double, slK: Double,
-                           horizonBars: Int, beAtR: Option[Double])
+                           horizonBars: Int, beAtR: Option[Double],
+                           flip: Option[Int] = None)
 
   /** One closed trade emitted by the dual-engine machine. */
   final case class DualTrade(symbol: String, engine: String, entryTs: Long,
@@ -409,7 +371,7 @@ object Backtest {
       val slHit = if (short) b.high >= sl else b.low <= sl
       val tpHit = if (short) b.low <= tp else b.high >= tp
       val slR = if (short) (st.entry - sl) / st.risk else (sl - st.entry) / st.risk
-      val flip = mode == null || mode != st.mode
+      val flip = mode == null || mode != st.mode || b.flip.contains(1)
       val exited: Option[(Double, String, Double)] =
         if (slHit) Some((sl, "SL", slR))
         else if (tpHit) Some((tp, "TP", st.tpR))

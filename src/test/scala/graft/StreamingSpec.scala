@@ -353,4 +353,59 @@ class StreamingSpec extends SparkTestBase {
     assert(lateSet == batch,
       s"late bars changed trades: extra=${lateSet -- batch} missing=${batch -- lateSet}")
   }
+
+  test("streaming single-engine router backtest equals batch (degenerate dual config)") {
+    import spark.implicits._
+    import graft.operators.Backtest
+    import graft.operators.Backtest.DualBar
+    implicit val sqlCtx = spark.sqlContext
+
+    // walk with signals, an explicit flip column, and enough both-touch
+    // bars to exercise SL/TP/FLIP/TIME plus break-even and cooldown
+    def mkRows(sym: String, seed: Int): Seq[(String, Long, Double, Double,
+        Double, Double, Option[Double], Int, Int)] =
+      (0 until 90).map { i =>
+        val base = 100.0 + 5.0 * math.sin((i + seed) * 0.9) + (i % 5)
+        (sym, i * 60000L, base, base + 2.5, base - 2.5,
+          base + (if (i % 4 == 0) -1.8 else 1.2),
+          if (i < 2) None else Some(3.5),
+          if (i % 7 == 0) 1 else 0,
+          if (i % 29 == 0) 1 else 0)
+      }
+    val rows = mkRows("A", 0) ++ mkRows("B", 4)
+    val barsDf = rows.toDF("symbol", "bar_ts_ms", "open", "high", "low",
+      "close", "atr", "signal", "flip")
+
+    val batch = Backtest.run(barsDf, "signal", short = true, tpR = 1.5,
+        slK = 1.0, horizon = 12, feeBps = 2.0, flipCol = Some("flip"),
+        breakEvenAtR = Some(0.5), cooldownBars = 4)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "scenario produced no trades")
+
+    // the stream consumes the SAME rows as degenerate-dual DualBars:
+    // constant mode/config, the flip column as the explicit flip signal
+    val dualBars = rows.map { case (s, ts, o, h, l, c, atr, sig, flip) =>
+      DualBar(s, ts, o, h, l, c, atr, Some(sig), mode = Some("E"),
+        tpR = 1.5, slK = 1.0, horizonBars = 12, beAtR = Some(0.5),
+        flip = Some(flip))
+    }
+    val input = MemoryStream[DualBar]
+    val q = Ingest.dualBacktestStream(input.toDS(), cooldownBars = 4, feeBps = 2.0)
+      .writeStream.format("memory").queryName("single_bt_out")
+      .outputMode("append").start()
+    val (a, b) = dualBars.partition(_.barTsMs < 40 * 60000L)
+    input.addData(a: _*)
+    q.processAllAvailable()
+    input.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("single_bt_out").as[Backtest.DualTrade].collect()
+      .map(t => Seq[Any](t.symbol, t.entryTs, t.entryPrice, t.exitTs,
+        t.exitPrice, t.exitReason, t.rMult, t.barsHeld)).toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    val reasons = batch.map(_(5).asInstanceOf[String])
+    assert(reasons.size >= 2, s"only exit reasons $reasons fired")
+  }
 }
