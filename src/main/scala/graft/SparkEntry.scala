@@ -24,6 +24,25 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** The LOW+ gate/router frame with the reference's rendered columns
+    * (enrich_joined_low_plus.py output shape) — shared by `low_plus_gate`
+    * and `router_profile` so the projections cannot diverge. */
+  private def gateFrame(s: SparkSession, dir: String): DataFrame = {
+    val h1 = Bars.fromTicks(events(s, dir), "hour")
+    LowPlus.enrich(h1)
+      .select(col("symbol"), col("bar_ts_ms"),
+        round(col("dir_score"), 6).as("dir_score"),
+        col("dir_state"), coalesce(col("vol_state"), lit("NA")).as("vol_state"),
+        col("low_plus").cast("int").as("low_plus"),
+        col("market_ready_base").cast("int").as("market_ready_base"),
+        col("dir_ready").cast("int").as("dir_ready"),
+        col("tradable_base").cast("int").as("tradable_base"),
+        col("tradable_override").cast("int").as("tradable_override"),
+        col("tradable_final").cast("int").as("tradable_final"),
+        col("is_add").cast("int").as("is_add"),
+        col("override_reason"), col("block_reason_base"))
+  }
+
   /** documents ∪ seeded near-dups (every 5th doc with its last two tokens
     * dropped, id offset +1000000): the synthetic corpus has no natural
     * near-dups, so dedup queries seed deterministic ones to have something
@@ -566,22 +585,23 @@ object SparkEntry {
 
     // §2 #22c — LOW+ tradability enrichment: low-vol override gating with
     // reason codes (enrich_joined_low_plus.py:22-60).
-    "low_plus_gate" -> ((s, dir) => {
-      val h1 = Bars.fromTicks(events(s, dir), "hour")
-      LowPlus.enrich(h1)
-        .select(col("symbol"), col("bar_ts_ms"),
-          round(col("dir_score"), 6).as("dir_score"),
-          col("dir_state"), coalesce(col("vol_state"), lit("NA")).as("vol_state"),
-          col("low_plus").cast("int").as("low_plus"),
-          col("market_ready_base").cast("int").as("market_ready_base"),
-          col("dir_ready").cast("int").as("dir_ready"),
-          col("tradable_base").cast("int").as("tradable_base"),
-          col("tradable_override").cast("int").as("tradable_override"),
-          col("tradable_final").cast("int").as("tradable_final"),
-          col("is_add").cast("int").as("is_add"),
-          col("override_reason"), col("block_reason_base"))
-        .orderBy("symbol", "bar_ts_ms")
-    }),
+    "low_plus_gate" -> ((s, dir) =>
+      gateFrame(s, dir).orderBy("symbol", "bar_ts_ms")),
+
+    // §2 #22c6 — router-frame inspection dump
+    // (inspect_router_columns_and_counts_v1_1.py:104-114 VALUE COUNTS):
+    // per-column value-counts with in-column fractions over the enriched
+    // router/gate frame's state columns, nulls bucketed as 'NULL'
+    // (dropna=False). One map-side explode + one hash aggregation for ALL
+    // columns — single shuffle, vs the inspector's pass per column.
+    "router_profile" -> ((s, dir) =>
+      Profile.valueCounts(
+          gateFrame(s, dir).withColumn(
+            "hour_utc",
+            ((col("bar_ts_ms") / lit(3600000L)).cast("long") % 24).cast("int")),
+          Seq("dir_state", "vol_state", "dir_ready", "tradable_final",
+            "is_add", "override_reason", "block_reason_base", "hour_utc"))
+        .orderBy("col_name", "value")),
 
     // §2 #22c2 — LOW+ policy sweep: interval-union allow/block config
     // algebra over the enriched frame, ≥3 configs evaluated in ONE pass via
@@ -2266,6 +2286,51 @@ object SparkEntry {
         |              THEN 'VOL_BLOCKED_BASE'
         |            ELSE '' END AS block_reason_base
         |FROM gates ORDER BY 1, 2""".stripMargin,
+
+    "router_profile" ->
+      s"""$LowPlusGatesCte,
+        |gf AS (
+        |  SELECT dir_state,
+        |         coalesce(vol_state, 'NA') AS vol_state,
+        |         CAST(dir_ready AS INTEGER) AS dir_ready,
+        |         CAST((market_ready_base AND dir_ready)
+        |              OR (low_plus AND dir_ready) AS INTEGER) AS tradable_final,
+        |         CAST((low_plus AND dir_ready)
+        |              AND NOT (market_ready_base AND dir_ready) AS INTEGER)
+        |           AS is_add,
+        |         CASE WHEN low_plus AND dir_ready
+        |                THEN 'LOW_PLUS_AND_DIR_READY'
+        |              WHEN low_plus AND NOT dir_ready
+        |                THEN 'LOW_PLUS_BUT_DIR_NOT_READY'
+        |              ELSE '' END AS override_reason,
+        |         CASE WHEN NOT dir_ready THEN 'DIR_NOT_READY'
+        |              WHEN dir_ready AND NOT market_ready_base
+        |                THEN 'VOL_BLOCKED_BASE'
+        |              ELSE '' END AS block_reason_base,
+        |         CAST((bar_ts_ms // 3600000) % 24 AS INTEGER) AS hour_utc
+        |  FROM gates),
+        |kv AS (
+        |  SELECT 'dir_state' AS col_name,
+        |         coalesce(CAST(dir_state AS VARCHAR), 'NULL') AS value FROM gf
+        |  UNION ALL SELECT 'vol_state',
+        |         coalesce(CAST(vol_state AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'dir_ready',
+        |         coalesce(CAST(dir_ready AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'tradable_final',
+        |         coalesce(CAST(tradable_final AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'is_add',
+        |         coalesce(CAST(is_add AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'override_reason',
+        |         coalesce(CAST(override_reason AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'block_reason_base',
+        |         coalesce(CAST(block_reason_base AS VARCHAR), 'NULL') FROM gf
+        |  UNION ALL SELECT 'hour_utc',
+        |         coalesce(CAST(hour_utc AS VARCHAR), 'NULL') FROM gf),
+        |vc AS (SELECT col_name, value, count(*) AS n FROM kv GROUP BY 1, 2)
+        |SELECT col_name, value, CAST(n AS BIGINT) AS n,
+        |       round(n * 1.0 / sum(n) OVER (PARTITION BY col_name), 6) + 0.0
+        |         AS frac
+        |FROM vc ORDER BY 1, 2""".stripMargin,
 
     "low_plus_sweep" ->
       s"""$LowPlusGatesCte,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table/column profiling: one row per column with row, null, distinct
@@ -53,5 +54,30 @@ object Profile {
       .select(col("_e.column_name").as("column_name"), col("n_rows"),
         col("_e.n_null").as("n_null"), col("_e.n_distinct").as("n_distinct"),
         col("_e.min_str").as("min_str"), col("_e.max_str").as("max_str"))
+  }
+
+  /** Per-column value counts — the reference inspector's
+    * `value_counts(dropna=False)` dump (inspect_router_columns_and_counts
+    * _v1_1.py:104-114): one row per (column, rendered value) with the
+    * count and the in-column fraction; nulls count as a literal 'NULL'
+    * bucket (dropna=False). Spark-first: every column explodes map-side
+    * into (column, value) pairs and ONE hash aggregation counts every
+    * bucket of every column — a single shuffle for the whole dump (the
+    * pandas inspector is one pass per column); the per-column totals for
+    * the fraction come from a window over the tiny aggregated frame, not
+    * a second scan. */
+  def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+    val kv = explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        coalesce(col(quoted(c)).cast("string"), lit("NULL")).as("value"))
+    }: _*))
+    val counted = df.select(kv.as("_kv"))
+      .groupBy(col("_kv.col_name").as("col_name"), col("_kv.value").as("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("col_name")
+    counted
+      .withColumn("frac", round(col("n") / sum(col("n")).over(w), 6))
+      .select(col("col_name"), col("value"), col("n"), col("frac"))
   }
 }

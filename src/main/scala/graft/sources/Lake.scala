@@ -183,6 +183,59 @@ object Lake {
     driverChecks.unionByName(integ)
   }
 
+  /** Dataset-migration helper #1 (scripts/research/rename_ts_col_v1.py):
+    * rewrite a parquet dataset with one column renamed, failing loudly when
+    * the source column is absent or the target name already exists —
+    * exactly the reference's two `[KO]` guards — and refresh the
+    * `_meta.json` schema contract at the destination so [[verifyAll]]
+    * keeps passing after the rename. A plain projection: no shuffle, the
+    * scan streams straight into the write. */
+  def renameColumn(spark: SparkSession, in: String, out: String,
+                   fromCol: String, toCol: String): Unit = {
+    val df = spark.read.parquet(in)
+    require(df.columns.contains(fromCol),
+      s"'$fromCol' not in columns=${df.columns.take(50).mkString("[", ", ", "]")}")
+    require(!df.columns.contains(toCol), s"'$toCol' already exists in columns")
+    df.withColumnRenamed(fromCol, toCol)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    writeMeta(spark.read.parquet(out), out)
+  }
+
+  /** Dataset-migration helper #2 (scripts/research/concat_parquets_v1.py):
+    * union N parquet datasets, require `tsCol` present everywhere and
+    * timestamp-valid (non-null) on every row, sort by it, and dedup
+    * keep-last on the timestamp where LAST follows the input list order —
+    * later inputs replace earlier ones on a ts collision, the reference's
+    * stable-mergesort + `drop_duplicates(keep="last")`. Within one input,
+    * ties resolve by content hash (the reference's row order there is
+    * filesystem-glob-dependent; the hash is the reproducible equivalent,
+    * as in [[compact]]). One shuffle on ts; the final `orderBy` makes the
+    * written parts range-sorted like the reference's single sorted file. */
+  def concatParquets(spark: SparkSession, inputs: Seq[String], out: String,
+                     tsCol: String = "ts"): Unit = {
+    require(inputs.nonEmpty, "inputs is empty")
+    val parts = inputs.map { p =>
+      val df = spark.read.parquet(p)
+      require(df.columns.contains(tsCol),
+        s"'$p' missing tsCol='$tsCol'. Columns=${df.columns.take(40).mkString("[", ", ", "]")}")
+      df
+    }
+    val tagged = parts.zipWithIndex
+      .map { case (df, i) => df.withColumn("_pri", lit(i)) }
+      .reduce(_ unionByName _)
+    val nBad = tagged.where(col(tsCol).isNull).count()
+    require(nBad == 0, s"$nBad rows have invalid '$tsCol' timestamps after concat")
+    val payload = parts.head.columns.filterNot(_ == tsCol).map(col).toSeq
+    val tiebreak = if (payload.isEmpty) lit(0L) else xxhash64(payload: _*)
+    val w = Window.partitionBy(col(tsCol))
+      .orderBy(col("_pri").desc, tiebreak.asc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_pri")
+      .orderBy(col(tsCol))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** Schema validation against an expected contract (verify_all.py:38-54):
     * returns the list of violations, empty = valid. */
   def validateSchema(actual: StructType, expected: StructType): Seq[String] = {

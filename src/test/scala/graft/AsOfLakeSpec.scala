@@ -119,6 +119,44 @@ class AsOfLakeSpec extends SparkTestBase {
     assert(Lake.validateSchema(wrong.schema, df.schema).nonEmpty)
   }
 
+  test("migrate: column rename refreshes meta; concat keep-last honors input order") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "migrate").toString
+
+    // rename_ts_col_v1 semantics: guard both KO paths, rewrite, refresh meta
+    val src = s"$root/src"; val dst = s"$root/dst"
+    Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("symbol", "ts", "close")
+      .write.parquet(src)
+    intercept[IllegalArgumentException](
+      Lake.renameColumn(spark, src, dst, "nope", "bar_ts_ms"))
+    intercept[IllegalArgumentException](
+      Lake.renameColumn(spark, src, dst, "ts", "close"))
+    Lake.renameColumn(spark, src, dst, "ts", "bar_ts_ms")
+    val renamed = spark.read.parquet(dst)
+    assert(renamed.columns.toSet == Set("symbol", "bar_ts_ms", "close"))
+    assert(renamed.count() == 2)
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "_meta.json")))
+    assert(meta.contains("bar_ts_ms") && !meta.contains("\"ts\""))
+
+    // concat_parquets_v1 semantics: union, sort by ts, keep-LAST on ts
+    // collision where last = later input in list order
+    val p1 = s"$root/p1"; val p2 = s"$root/p2"; val cat = s"$root/cat"
+    Seq((1L, "old1"), (2L, "old2"), (4L, "only1")).toDF("ts", "v").write.parquet(p1)
+    Seq((2L, "new2"), (3L, "only2")).toDF("ts", "v").write.parquet(p2)
+    Lake.concatParquets(spark, Seq(p1, p2), cat, tsCol = "ts")
+    val got = spark.read.parquet(cat).orderBy("ts")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "old1", 2L -> "new2", 3L -> "only2", 4L -> "only1"))
+    // missing ts column and null ts both fail loudly, like the reference
+    intercept[IllegalArgumentException](
+      Lake.concatParquets(spark, Seq(p1, p2), cat, tsCol = "zzz"))
+    val pBad = s"$root/pbad"
+    Seq((Some(5L), "x"), (None, "y")).toDF("ts", "v").write.parquet(pBad)
+    intercept[IllegalArgumentException](
+      Lake.concatParquets(spark, Seq(p1, pBad), s"$root/cat2", tsCol = "ts"))
+  }
+
   test("verifyAll: healthy lake all-ok; corruption flips the right checks") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "verify-lake").toString

@@ -322,4 +322,26 @@ class FlowProfileSpec extends SparkTestBase {
     assert(out(7).getAs[Boolean]("market_ready_override")) // base carries
     assert(!out(1).getAs[Boolean]("market_ready_override"))
   }
+
+  test("value counts: per-column buckets, NULL bucket, in-column fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("BULL"), Some(1)), (Some("BULL"), Some(0)),
+      (Some("BEAR"), None), (None, Some(1)))
+      .toDF("state", "flag")
+    val out = graft.operators.Profile.valueCounts(df, Seq("state", "flag"))
+      .orderBy("col_name", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("flag", "0", 1L, 0.25), ("flag", "1", 2L, 0.5),
+      ("flag", "NULL", 1L, 0.25),
+      ("state", "BEAR", 1L, 0.25), ("state", "BULL", 2L, 0.5),
+      ("state", "NULL", 1L, 0.25)))
+    // one aggregation exchange for the whole dump (plus the window over
+    // the tiny counted frame) — never one scan per column
+    val plan = graft.operators.Profile.valueCounts(df, Seq("state", "flag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"per-column union scan:\n$plan")
+  }
 }
