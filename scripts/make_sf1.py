@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dev-only: inflate /root/testdata/sf0.1 10x into target/sf1.0.
+
+Events replicate as 10 symbol universes (event_type gets a _rN suffix for
+replicas 1..9) with event_id/user_id offset per replica so ids stay unique
+and ingestion-ordered; timestamps are shared across replicas (more symbols,
+same window — how a bigger exchange feed actually scales). Documents
+replicate with per-replica doc_id offsets and a replica token appended to
+the text so replicas are near- but not exact duplicates. Other tables copy
+unchanged. Used for the sf1.0-scale Spark-vs-DuckDB oracle pass; never a
+library dependency.
+"""
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+
+SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+DST = Path(sys.argv[2] if len(sys.argv) > 2 else "target/sf1.0")
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+DST.mkdir(parents=True, exist_ok=True)
+con = duckdb.connect()
+
+con.execute(f"""
+COPY (
+  SELECT event_id + r.r * 10000000000 AS event_id,
+         ts,
+         user_id + r.r * 1000000000 AS user_id,
+         CASE WHEN r.r = 0 THEN event_type
+              ELSE event_type || '_r' || r.r END AS event_type,
+         value, props
+  FROM '{SRC}/events.parquet', range({REPS}) r(r)
+  ORDER BY event_id
+) TO '{DST}/events.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT doc_id + r.r * 10000000 AS doc_id,
+         CASE WHEN r.r = 0 THEN text
+              ELSE text || ' zrep' || r.r END AS text,
+         lang, source,
+         CASE WHEN r.r = 0 THEN n_chars
+              ELSE n_chars + len(' zrep' || r.r) END AS n_chars
+  FROM '{SRC}/documents.parquet', range({REPS}) r(r)
+  ORDER BY doc_id
+) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+""")
+
+for t in ["embeddings", "lineitem", "orders", "customer", "supplier",
+          "part", "nation", "region"]:
+    shutil.copy(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+
+for t in ["events", "documents"]:
+    n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    print(f"[make_sf1] {t}: {n} rows")
+print(f"[make_sf1] wrote {DST}")

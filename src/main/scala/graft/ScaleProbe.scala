@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Features
 import graft.llm.TextAnalysis
-import graft.operators.{AsOf, Backtest, Canonical, Gaps, Sessions, Stats, TfAggregate}
+import graft.operators.{AsOf, Backtest, Canonical, Gaps, LowPlus, Sessions, Stats, TfAggregate}
 
 /** Engineering scale probe (not part of the driver contract): synthesizes an
   * n-row minute-bar lake in memory (64 symbols, 10% gaps, hash-derived
@@ -183,6 +183,37 @@ object ScaleProbe {
             when(col("mode") === "TREND", 16).otherwise(8))
           .withColumn("be_at_r", when(col("mode") === "RANGE", 0.6))
         Backtest.runDualEngine(sig, "signal", "mode", cooldownBars = 5).count()
+      },
+      time("add_slices_groupingsets") {
+        // the grouping-sets Expand duplicates every ADD row 4x (one per
+        // grouping set) — this measures that duplication cost at lake
+        // scale on a synthesized enriched frame (~10% ADD density)
+        val enr = bars
+          .withColumn("is_add",
+            pmod(xxhash64(col("event_id"), lit(41)), lit(10L)) === 0)
+          .withColumn("dir_state",
+            when(pmod(xxhash64(col("event_id"), lit(42)), lit(2L)) === 0,
+              "BULL").otherwise("BEAR"))
+          .withColumn("range_pctl",
+            pmod(xxhash64(col("event_id"), lit(43)), lit(2000L)) / 100.0)
+        LowPlus.addSlices(enr).count()
+      },
+      time("param_sweep_3d_8cells") {
+        // baseline grid for the frames-not-passes comparison below
+        val ab = bars.withColumn("atr", lit(5.0))
+        Backtest.sweepGrid3d(ab, horizons = Seq(8, 16),
+          slKs = Seq(0.5, 1.5), tpRs = Seq(1.0, 2.0)).count()
+      },
+      time("param_sweep_3d_64cells") {
+        // frames-not-passes at a real grid: 4 horizons cost 12 window
+        // frames on ONE (symbol, ts) sort; the 64-cell broadcast grid
+        // explodes AFTER the windows, so bar-side work is horizon-bound,
+        // not cell-bound — compare against the 8-cell row: 8x the cells
+        // must cost well under 8x the time
+        val ab = bars.withColumn("atr", lit(5.0))
+        Backtest.sweepGrid3d(ab, horizons = Seq(4, 8, 16, 32),
+          slKs = Seq(0.5, 1.0, 1.5, 2.0), tpRs = Seq(1.0, 1.5, 2.0, 3.0))
+          .count()
       },
       // Streaming keyed-state probes: the SAME aggregation expressions as
       // the batch path, run through the real streaming engine (file source

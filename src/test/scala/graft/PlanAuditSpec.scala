@@ -45,6 +45,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("value-counts dump: all columns in one aggregation exchange, no union") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("state", when(col("value") > 0, "POS").otherwise("NONPOS"))
+    val p = plan(graft.operators.Profile.valueCounts(
+      ev, Seq("event_type", "state", "user_id")))
+    // one exchange for the (col, value) hash agg + one for the tiny
+    // per-column-total window — NEVER a per-column union of scans
+    assert(!p.contains("Union"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("param sweep broadcasts the grid (no shuffle on the big side)") {
     val h1 = graft.functions.Features.withAtrSma(
       Bars.fromTicks(Tables.events(spark, sfDir), "hour"), 14)
