@@ -36,7 +36,8 @@ object PlanDump {
     "param_sweep_3d" -> "The horizon dimension costs WINDOW FRAMES, not passes: every per-horizon forward-extrema frame rides the one (symbol, ts) sort, the 8-cell grid broadcasts (BroadcastNestedLoopJoin over a literal local relation — the bar side never shuffles for the join), each grid row selects its horizon's columns with a codegen'd conditional, and one partial+final hash-aggregate pair rolls up every (H, slK, tpR) cell including the exit-reason counts. Sweeping more horizons widens the window stage; it never adds a scan.",
     "add_slices" -> "The reference's four sequential pandas groupbys (side, range bucket, hour, side-by-bucket) as ONE grouping-sets aggregation: forward-return windows ride the (symbol, ts) sort, the slice dimensions expand via a single Expand node, and one partial+final hash-aggregate pair computes every slice — four reports, one shuffle on the slice key (PlanAuditSpec pins the Expand + single aggregation exchange).",
     "backtest_dual_engine" -> "The full router risk model as one plan: ATR/efficiency-ratio windows and the ichimoku signal chain share the (symbol, ts) sort; per-engine configs (stop, target, time stop, break-even) are codegen'd conditional projections — routing adds columns, not operators; the position lifecycle (entries, armed stops, mode flips, cooldown) is a per-symbol SeqScan state machine above ONE keyed sort — sequential where the semantics are sequential, parallel across symbols, the exact shape a keyed stream processor gives. Trade emission is a narrow filter; no per-trade joins, no driver loops.",
-    "contamination" -> "Train/test leak check at lake scale: both sides reduce to content fingerprints map-side (native canonical-hash expression directly above each scan), the train side pre-aggregates to one row per fingerprint, and the match is a single fingerprint equi-join — shuffle carries hashes and ids, never document text.")
+    "contamination" -> "Train/test leak check at lake scale: both sides reduce to content fingerprints map-side (native canonical-hash expression directly above each scan), the train side pre-aggregates to one row per fingerprint, and the match is a single fingerprint equi-join — shuffle carries hashes and ids, never document text.",
+    "router_profile" -> "The reference inspector's per-column value_counts as ONE plan: every profiled column explodes map-side into (column, value) pairs, a single partial+final hash-aggregate pair counts every bucket of every column (one exchange for the whole dump — never a per-column union of scans), and the in-column fractions come from a window over the tiny aggregated frame. Adding profiled columns widens the explode; it never adds a scan (PlanAuditSpec pins no-Union + one aggregation exchange).")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */
