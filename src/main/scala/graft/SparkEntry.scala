@@ -1316,6 +1316,28 @@ object SparkEntry {
       Dedup.contamination(d, test).orderBy("test_id")
     }),
 
+    // §2 #39b — n-gram overlap decontamination (the GPT-3/PaLM 8-gram
+    // recipe; exact contamination above only catches verbatim copies).
+    // Seeded test set: full copies (share every gram), half-docs with a
+    // junk suffix (partial overlap — only grams fully inside the kept
+    // half match), and reversed text (shares nothing, absent from the
+    // output by the inner join).
+    "contamination_ngram" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), "\\s+")
+      val half = greatest((size(toks) / 2).cast("int"), lit(1))
+      val test = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(concat_ws(" ", slice(toks, lit(1), half)),
+              lit(" zq zw ze zr zt zy zu zi zo zp")).as("text")))
+        .unionByName(d.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.contaminationNgram(d, test, n = 8).orderBy("test_id")
+    }),
+
     // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
     // quantiles (the sketch path percentile_approx is pinned to these in
     // StatsSessionSpec).
@@ -3156,6 +3178,53 @@ object SparkEntry {
         |SELECT test.test_id, train.train_id, train.n_train_copies
         |FROM test JOIN train USING (fp)
         |ORDER BY 1""".stripMargin,
+
+    "contamination_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id + 2000000 AS test_id, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         array_to_string(
+        |           string_split_regex(text, '\s+')[1:greatest(
+        |             CAST(floor(len(string_split_regex(text, '\s+')) / 2)
+        |                  AS INTEGER), 1)], ' ')
+        |           || ' zq zw ze zr zt zy zu zi zo zp'
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |trw AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |trg AS (
+        |  SELECT DISTINCT unnest(
+        |           CASE WHEN len(w) >= 8 THEN
+        |             list_distinct(list_transform(range(len(w) - 7),
+        |               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                    w[i+7] || ' ' || w[i+8]))
+        |           ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM trw),
+        |tsh AS (
+        |  SELECT test_id,
+        |         CASE WHEN len(w) >= 8 THEN
+        |           list_distinct(list_transform(range(len(w) - 7),
+        |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                  w[i+7] || ' ' || w[i+8]))
+        |         ELSE [array_to_string(w, ' ')] END AS sh
+        |  FROM (SELECT test_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM t)),
+        |tg AS (
+        |  SELECT test_id, len(sh) AS n_test_ngrams, unnest(sh) AS g
+        |  FROM tsh)
+        |SELECT tg.test_id,
+        |       CAST(tg.n_test_ngrams AS INTEGER) AS n_test_ngrams,
+        |       CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+        |       round(count(*) * 1.0 / tg.n_test_ngrams, 6) + 0.0
+        |         AS share_frac
+        |FROM tg JOIN trg ON trg.g = tg.g
+        |GROUP BY tg.test_id, tg.n_test_ngrams ORDER BY 1""".stripMargin,
 
     "daily_quantiles" ->
       """SELECT event_type AS symbol,

@@ -51,6 +51,40 @@ object Dedup {
       .select(col("test_id"), col("train_id"), col("n_train_copies"))
   }
 
+  /** N-gram overlap decontamination — the GPT-3/PaLM recipe generalizing
+    * [[contamination]]'s exact match: a test document counts as
+    * contaminated when it shares word n-grams with ANY training document.
+    * Emits one row per test doc with at least one shared n-gram:
+    * (test_id, n_test_ngrams, n_shared_ngrams, share_frac), so callers
+    * apply their own threshold (any-overlap, 50%, ...).
+    *
+    * Spark-first at 100 TB: both sides reduce map-side to per-doc DISTINCT
+    * n-grams (the native [[shingles]] expression), the train side collapses
+    * to ONE global distinct-gram relation keyed by an 8-byte xxhash64 (the
+    * exchange carries hashes, never text), and the overlap is a single
+    * equi-join + one count per test doc. Shuffle volume is O(tokens) — the
+    * linear cost any decontamination pass must pay — with no pairwise
+    * doc-to-doc comparison anywhere. */
+  def contaminationNgram(train: DataFrame, test: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val trainGrams = train
+      .select(explode(shingles(col(textCol), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh"))
+      .distinct()
+    val testGrams = test
+      .select(col(idCol).as("test_id"), shingles(col(textCol), n).as("_gs"))
+      .select(col("test_id"), size(col("_gs")).as("n_test_ngrams"),
+        explode(col("_gs")).as("_g"))
+      .select(col("test_id"), col("n_test_ngrams"),
+        xxhash64(col("_g")).as("_gh"))
+    testGrams.join(trainGrams, "_gh")
+      .groupBy(col("test_id"), col("n_test_ngrams"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .withColumn("share_frac",
+        round(col("n_shared_ngrams") / col("n_test_ngrams"), 6))
+  }
+
   /** Word n-gram shingles of the case-folded text, distinct — the native
     * single-pass expression ([[graft.functions.WordShingles]]); sits twice
     * on the near-dup hot path (signature input + Jaccard verification). */

@@ -79,6 +79,23 @@ class StatsSessionsSpec extends SparkTestBase {
     assert(out.head.getLong(2) === 2L)
   }
 
+  test("n-gram contamination: overlap counts, partial fractions, clean docs absent") {
+    // trigram granularity for a hand-checkable case
+    val train = Seq(
+      (1L, "a b c d e"),            // grams: "a b c","b c d","c d e"
+      (2L, "x y z w v")).toDF("doc_id", "text")
+    val testSet = Seq(
+      (100L, "a b c d e"),          // all 3 grams shared -> frac 1.0
+      (101L, "a b c q r s"),        // grams: abc, bcq, cqr, qrs -> 1/4
+      (102L, "n o p q r"))          // nothing shared -> absent
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationNgram(train, testSet, n = 3)
+      .orderBy("test_id").collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Int]("n_test_ngrams"),
+        r.getAs[Long]("n_shared_ngrams"), r.getAs[Double]("share_frac")))
+    assert(out.toSeq == Seq((100L, 3, 3L, 1.0), (101L, 4, 1L, 0.25)))
+  }
+
   test("ngramFreq counts multiplicity (not distinct) and skips short docs") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
     val out = TextAnalysis.ngramFreq(docs, 2).orderBy("ngram").collect()
