@@ -163,10 +163,10 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("property: fixed-config run() and constant-mode runDualEngine agree") {
-    // the two engines implement the same position semantics independently
-    // (mutable SeqScan closure vs the shared immutable dualStep): with a
-    // constant mode (no flips possible) and constant config columns they
-    // must emit identical trade sets on random walks
+    // since round 8 both engines fold the SAME dualStep transition, so this
+    // property pins the Row→DualBar adaptation layers (global-config vs
+    // per-row-config columns): with a constant mode and constant config
+    // columns they must emit identical trade sets on random walks
     import org.apache.spark.sql.functions._
     import graft.operators.Backtest
     import spark.implicits._
@@ -202,6 +202,73 @@ class PropertySpec extends SparkTestBase {
       assert(plain == dual,
         s"trial=$trial tpR=$tpR slK=$slK hz=$hz be=$beAtR cd=$cd " +
           s"plain-only=${plain -- dual} dual-only=${dual -- plain}")
+    }
+  }
+
+  test("property: dualStep invariants on random walks (pure fold, no Spark)") {
+    import graft.operators.Backtest
+    import graft.operators.Backtest.{DualBar, DualState, DualTrade}
+    for (trial <- 1 to 50) {
+      val cd = rnd.nextInt(5)
+      val beOff = if (rnd.nextBoolean()) 0.0 else 0.2
+      val bars = (0 until 400).map { i =>
+        val base = 100.0 + 12.0 * math.sin(i * 0.21) + rnd.nextGaussian() * 2.5
+        val spread = 0.5 + rnd.nextDouble() * 4.0
+        val mode =
+          if (rnd.nextInt(17) == 0) None
+          else if ((i / 9) % 2 == 0) Some("TREND") else Some("RANGE")
+        DualBar("S", i.toLong * 1000L, base, base + spread, base - spread,
+          base + rnd.nextGaussian() * spread / 2,
+          atr = if (rnd.nextInt(23) == 0) None
+                else if (rnd.nextInt(29) == 0) Some(0.0)   // degenerate ATR
+                else Some(1.0 + rnd.nextDouble() * 4.0),
+          signal = Some(if (rnd.nextInt(4) == 0) 1 else 0),
+          mode = mode, tpR = 2.0, slK = 1.0, horizonBars = 6,
+          beAtR = if (mode.contains("RANGE")) Some(0.5) else None)
+      }
+      def fold(bs: Seq[DualBar], st0: DualState = DualState.init)
+          : (DualState, Vector[(DualTrade, Int)]) =
+        bs.zipWithIndex.foldLeft((st0, Vector.empty[(DualTrade, Int)])) {
+          case ((st, acc), (b, i)) =>
+            val (next, t) = Backtest.dualStep(st, b, short = true,
+              beOffsetR = beOff, cooldownBars = cd, feeBps = 0.0)
+            (next, acc ++ t.map(_ -> i))
+        }
+      val (endSt, trades) = fold(bars)
+      val barIdxOfTs = bars.map(_.barTsMs).zipWithIndex.toMap
+
+      // one position at a time: strictly non-overlapping, time-ordered
+      trades.map(_._1).sliding(2).foreach {
+        case Seq(a, b2) =>
+          assert(b2.entryTs > a.exitTs,
+            s"trial=$trial overlapping trades: $a then $b2")
+        case _ =>
+      }
+      trades.foreach { case (t, exitIdx) =>
+        assert(t.barsHeld >= 1 && t.exitTs >= t.entryTs)
+        assert(t.barsHeld <= 6, s"trial=$trial time stop overrun: $t")
+        // the entry bar's ATR was valid (atr > 0) and its mode non-null
+        val eIdx = barIdxOfTs(t.entryTs)
+        assert(bars(eIdx).atr.exists(_ > 0.0),
+          s"trial=$trial entered on degenerate ATR: $t")
+        assert(bars(eIdx).mode.isDefined)
+        assert(t.engine == bars(eIdx).mode.get)
+        assert(exitIdx == barIdxOfTs(t.exitTs))
+      }
+      // post-loss cooldown: at least cd bars between a losing exit and
+      // the next entry (in bar-index space, not wall time)
+      trades.sliding(2).foreach {
+        case Seq((a, aIdx), (b2, _)) if a.rMult < 0.0 =>
+          assert(barIdxOfTs(b2.entryTs) - aIdx > cd,
+            s"trial=$trial cd=$cd violated: exit@$aIdx -> ${b2.entryTs}")
+        case _ =>
+      }
+      // stale/duplicate bars are dropped without touching state: replaying
+      // a random prefix after the full fold changes nothing
+      val stale = bars.take(1 + rnd.nextInt(bars.size))
+      val (replaySt, replayTrades) = fold(stale, endSt)
+      assert(replaySt == endSt && replayTrades.isEmpty,
+        s"trial=$trial stale replay mutated state or emitted trades")
     }
   }
 }
