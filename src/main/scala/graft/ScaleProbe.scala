@@ -251,11 +251,28 @@ object ScaleProbe {
             when(pmod((col("bar_ts_ms") / 3600000L).cast("long"), lit(3L)) === 0,
               2.0).otherwise(1.2).as("tpR"),
             lit(1.0).as("slK"), lit(16).as("horizonBars"),
-            lit(0.6).as("beAtR")),
+            lit(0.6).as("beAtR"), lit(null).cast("int").as("flip")),
         streamN(n)) { src =>
         import spark.implicits._
         graft.streaming.Ingest.dualBacktestStream(
           src.as[graft.operators.Backtest.DualBar], cooldownBars = 5).toDF()
+      },
+      time("contamination_ngram") {
+        // ~n/16 train docs of 12 hash-words vs a 1/16-sized test split
+        // with seeded half-copies: the gram explode (x~10), the global
+        // distinct-gram relation, and the overlap equi-join at corpus
+        // scale — O(tokens) end to end
+        val nd = math.max(n / 16, 1000L)
+        val train = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        // drop 2 of 12 tokens: the 10-token test docs keep 3 of the
+        // train doc's 5 distinct 8-grams, so the overlap join EMITS
+        val test = train.where(col("doc_id") % 16 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Dedup.contaminationNgram(train, test, n = 8).count()
       },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
