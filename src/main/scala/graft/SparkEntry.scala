@@ -816,6 +816,27 @@ object SparkEntry {
         .orderBy("stratum", "event_id")
     }),
 
+    // §2 #49b — mixture-TARGETED sampling (the Doremi-style data-mixture
+    // pass): target weights + target size -> per-source keep fractions
+    // min(1, w·T/n) with the availability cap engaging on the two
+    // over-weighted sources, then the deterministic md5 membership.
+    // Emits the per-source mixture audit (avail, fraction, kept,
+    // achieved share).
+    "mixture_sample" -> ((s, dir) => {
+      val w = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.15,
+        "src3" -> 0.1, "src4" -> 0.05)
+      val kept = Sampling.mixture(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", w, targetRows = 100)
+      kept.groupBy(col("source"), col("n_avail"))
+        .agg(count(lit(1)).as("n_kept"), first(col("keep_frac")).as("_kf"))
+        .select(col("source"), col("n_avail"),
+          round(col("_kf"), 6).as("keep_frac"), col("n_kept"),
+          round(col("n_kept") / sum(col("n_kept")).over(Window.partitionBy()), 6)
+            .as("achieved_frac"))
+        .orderBy("source")
+    }),
+
     // §2 #48 — one-pass table/column profile: row, null, distinct counts and
     // string min/max per column (inspect_router_columns_and_counts_v1_1.py).
     // ts excluded: timestamp→string rendering is engine-specific.
@@ -2733,6 +2754,31 @@ object SparkEntry {
         |FROM f
         |WHERE frac IS NOT NULL AND bkt < frac * 10000
         |ORDER BY 1, 2""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_avail
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+        |    ('src2', 0.15), ('src3', 0.1), ('src4', 0.05)) t(source, w)),
+        |f AS (
+        |  SELECT c.source, c.n_avail,
+        |         least(1.0, w.w * 100 / c.n_avail) AS kf
+        |  FROM c JOIN w USING (source)),
+        |k AS (
+        |  SELECT d.source
+        |  FROM documents d JOIN f ON f.source = d.source
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |        AS UBIGINT) % 10000 < f.kf * 10000),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT f.source, f.n_avail, round(f.kf, 6) + 0.0 AS keep_frac,
+        |       s.n_kept,
+        |       round(s.n_kept * 1.0 / sum(s.n_kept) OVER (), 6) + 0.0
+        |         AS achieved_frac
+        |FROM f JOIN s USING (source) ORDER BY 1""".stripMargin,
 
     "column_profile" ->
       """WITH p AS (

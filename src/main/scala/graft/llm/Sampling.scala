@@ -42,4 +42,36 @@ object Sampling {
         hashBucket(col(keyCol), buckets) < col("_frac") * buckets)
       .drop("_frac")
   }
+
+  /** Mixture-TARGETED sampling — the data-mixture curation pass that sits
+    * one level above [[stratified]]: the caller states target source
+    * WEIGHTS and a target corpus SIZE, and the per-source keep fraction is
+    * derived from the observed counts, `keep_s = min(1, w_s·T / n_s)` —
+    * capped at 1 where a source lacks the mass its weight asks for (the
+    * standard availability compromise: an under-provisioned source
+    * contributes everything it has and the achieved mixture shifts
+    * accordingly, rather than failing or resampling with replacement).
+    * Membership then reuses [[stratified]]'s md5-bucket rule, so the
+    * sample stays deterministic across runs, engines and partitionings.
+    * Sources absent from `weights` are dropped.
+    *
+    * Scale: one tiny per-source count aggregation (|sources| rows) joined
+    * to the literal weights and broadcast back onto the scan; the filter
+    * itself is map-side — the 100 TB corpus is read once, never shuffled.
+    * The kept rows carry `keep_frac` so downstream audits can recompute
+    * the mixture. */
+  def mixture(df: DataFrame, keyCol: String, sourceCol: String,
+              weights: Map[String, Double], targetRows: Long,
+              buckets: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF(sourceCol, "_w")
+    val fracs = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_avail"))
+      .join(wdf, sourceCol)
+      .withColumn("keep_frac",
+        least(lit(1.0), col("_w") * targetRows / col("n_avail")))
+      .select(col(sourceCol), col("n_avail"), col("keep_frac"))
+    df.join(broadcast(fracs), sourceCol)
+      .where(hashBucket(col(keyCol), buckets) < col("keep_frac") * buckets)
+  }
 }

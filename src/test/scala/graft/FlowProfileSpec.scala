@@ -166,6 +166,34 @@ class FlowProfileSpec extends SparkTestBase {
     assert(s3.select("stratum").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("mixture sampling: weight-derived fractions, availability cap, determinism") {
+    import graft.llm.Sampling
+    // a: 1000 rows, b: 3000 rows, c: 100 rows (scarce), d: unweighted
+    val rows = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (0 until 3000).map(i => (1000L + i, "b")) ++
+      (0 until 100).map(i => (4000L + i, "c")) ++
+      (0 until 500).map(i => (4100L + i, "d")))
+      .toDF("id", "source")
+    val w = Map("a" -> 0.3, "b" -> 0.2, "c" -> 0.5)
+    val kept = Sampling.mixture(rows, "id", "source", w, targetRows = 1000)
+    val fr = kept.select("source", "keep_frac").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // derived fractions: a = 0.3*1000/1000 = 0.3, b = 0.2*1000/3000 = 1/15,
+    // c wants 500 of 100 available -> capped at 1.0 (everything it has)
+    assert(math.abs(fr("a") - 0.3) < 1e-12 &&
+      math.abs(fr("b") - 0.2 * 1000 / 3000) < 1e-12 && fr("c") == 1.0, fr)
+    val counts = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("c") == 100L, counts)          // capped source keeps all
+    assert(!counts.contains("d"), counts)        // unweighted source dropped
+    assert(math.abs(counts("a") - 300.0) / 300.0 < 0.2, counts)
+    // bit-for-bit reproducible under a different input partitioning
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.mixture(rows.repartition(11), "id", "source", w, 1000)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("doc chunking: window arithmetic, overlap, short-tail chunk") {
     import graft.llm.TextAnalysis
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
