@@ -1337,6 +1337,15 @@ object SparkEntry {
       Dedup.contamination(d, test).orderBy("test_id")
     }),
 
+    // §2 #44b — corpus-common-gram boilerplate profile (C4-style
+    // duplicated-span detection): per doc, the fraction of its distinct
+    // 8-grams appearing in >= 2 corpus documents. Runs over the seeded
+    // near-dup corpus so cross-document repetition actually exists: the
+    // seeded pairs profile high, the organic docs near zero.
+    "boilerplate_profile" -> ((s, dir) =>
+      Dedup.boilerplateProfile(docsWithNearDups(s, dir), n = 8, minDf = 2)
+        .orderBy("doc_id")),
+
     // §2 #39b — n-gram overlap decontamination (the GPT-3/PaLM 8-gram
     // recipe; exact contamination above only catches verbatim copies).
     // Seeded test set: full copies (share every gram), half-docs with a
@@ -3224,6 +3233,39 @@ object SparkEntry {
         |SELECT test.test_id, train.train_id, train.n_train_copies
         |FROM test JOIN train USING (fp)
         |ORDER BY 1""".stripMargin,
+
+    "boilerplate_profile" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split_regex(text, '\s+'),
+        |           1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)),
+        |           ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM d0),
+        |sha AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 8 THEN
+        |           list_distinct(list_transform(range(len(w) - 7),
+        |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                  w[i+7] || ' ' || w[i+8]))
+        |         ELSE [array_to_string(w, ' ')] END AS sh
+        |  FROM tk),
+        |gr AS (
+        |  SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS gm
+        |  FROM sha),
+        |dfq AS (SELECT gm, count(*) AS df FROM gr GROUP BY 1)
+        |SELECT gr.doc_id, CAST(gr.n_ngrams AS INTEGER) AS n_ngrams,
+        |       CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_common,
+        |       round(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) * 1.0
+        |             / gr.n_ngrams, 6) + 0.0 AS boilerplate_frac
+        |FROM gr JOIN dfq USING (gm)
+        |GROUP BY gr.doc_id, gr.n_ngrams ORDER BY 1""".stripMargin,
 
     "contamination_ngram" ->
       """WITH t AS (

@@ -85,6 +85,40 @@ object Dedup {
         round(col("n_shared_ngrams") / col("n_test_ngrams"), 6))
   }
 
+  /** Corpus-common-gram (boilerplate / duplicated-span) profiling — the
+    * C4-style "remove spans that repeat across the corpus" stage at word
+    * n-gram granularity, and the SELF-corpus dual of
+    * [[contaminationNgram]]'s cross-set membership: for every document,
+    * the fraction of its distinct n-grams whose corpus document frequency
+    * reaches `minDf`. High fractions mark template/boilerplate-heavy
+    * documents for downstream dropping or span-level scrubbing; this
+    * differs from the within-doc [[graft.llm.TextAnalysis]] repetition
+    * score, which cannot see cross-document repetition at all.
+    *
+    * Spark-first: per-doc distinct grams reduce map-side to 8-byte hashes,
+    * ONE hash aggregation computes each gram's document frequency, and the
+    * (doc, gram) relation joins the df relation on the SAME hash it was
+    * aggregated on — so the join needs no repartitioning beyond the
+    * aggregation's own exchange (AQE broadcasts the smaller side at test
+    * scale; at lake scale both sides are already co-partitioned on the
+    * gram hash). Everything through the exchanges is O(tokens) of 8-byte
+    * hashes, never text, and nothing is pairwise in documents. */
+  def boilerplateProfile(docs: DataFrame, n: Int = 8, minDf: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val dg = docs
+      .select(col(idCol), shingles(col(textCol), n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).as("n_ngrams"),
+        explode(col("_gs")).as("_g"))
+      .select(col(idCol), col("n_ngrams"), xxhash64(col("_g")).as("_gh"))
+    val df = dg.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
+    dg.join(df, "_gh")
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boilerplate_frac",
+        round(col("n_common") / col("n_ngrams"), 6))
+  }
+
   /** Word n-gram shingles of the case-folded text, distinct — the native
     * single-pass expression ([[graft.functions.WordShingles]]); sits twice
     * on the near-dup hot path (signature input + Jaccard verification). */

@@ -96,6 +96,24 @@ class StatsSessionsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((100L, 3, 3L, 1.0), (101L, 4, 1L, 0.25)))
   }
 
+  test("boilerplate profile: corpus-common grams per doc, zeros kept") {
+    // trigrams, minDf=2: docs 1/2 share "a b c d" (2 common grams each);
+    // doc 3 is unique (frac 0); doc 4 shares only its first gram with 1/2
+    val docs = Seq(
+      (1L, "a b c d x y"),   // grams: abc, bcd, cdx, dxy
+      (2L, "a b c d q r"),   // grams: abc, bcd, cdq, dqr
+      (3L, "m n o p"),       // grams: mno, nop
+      (4L, "a b c z z z"))   // grams: abc, bcz, czz, zzz
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateProfile(docs, n = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_ngrams"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("boilerplate_frac")))
+    assert(out.toSeq == Seq(
+      (1L, 4, 2L, 0.5), (2L, 4, 2L, 0.5),
+      (3L, 2, 0L, 0.0), (4L, 4, 1L, 0.25)))
+  }
+
   test("ngramFreq counts multiplicity (not distinct) and skips short docs") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
     val out = TextAnalysis.ngramFreq(docs, 2).orderBy("ngram").collect()
