@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
 import graft.ml.{MlFilter, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -1344,6 +1344,27 @@ object SparkEntry {
     // seeded pairs profile high, the organic docs near zero.
     "boilerplate_profile" -> ((s, dir) =>
       Dedup.boilerplateProfile(docsWithNearDups(s, dir), n = 8, minDf = 2)
+        .orderBy("doc_id")),
+
+    // §2 #54 — DSIR importance weights: every document scored by
+    // log(p_target/p_raw) under smoothed unigram LMs, the target
+    // distribution estimated from the src0/src1 subset (the stand-in
+    // "high-quality" corpus). The model-based selection stage that runs
+    // after the heuristic gates in corpus_clean.
+    "importance_weight" -> ((s, dir) =>
+      Selection.importanceWeight(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), alpha = 1.0)
+        .orderBy("doc_id")),
+
+    // §2 #55 — CCNet-style LM quality scoring: per-doc cross-entropy and
+    // perplexity under an add-alpha bigram LM trained on the src0/src1
+    // target subset. Low ppl = target-like; the head/middle/tail split is
+    // a quantile cut over this column downstream.
+    "lm_score" -> ((s, dir) =>
+      Selection.lmScore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), alpha = 0.1)
         .orderBy("doc_id")),
 
     // §2 #39b — n-gram overlap decontamination (the GPT-3/PaLM 8-gram
@@ -3266,6 +3287,54 @@ object SparkEntry {
         |             / gr.n_ngrams, 6) + 0.0 AS boilerplate_frac
         |FROM gr JOIN dfq USING (gm)
         |GROUP BY gr.doc_id, gr.n_ngrams ORDER BY 1""".stripMargin,
+
+    "importance_weight" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |lm AS (
+        |  SELECT w, count(*) AS cr,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
+        |pd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+        |       round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+        |                 - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v)))), 6)
+        |         + 0.0 AS log_weight,
+        |       round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+        |                 - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))))
+        |             / sum(pd.c), 6) + 0.0 AS avg_log_weight
+        |FROM pd JOIN lm USING (w) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+        |         string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |bgf AS (
+        |  SELECT doc_id, tgt,
+        |         unnest(list_transform(range(len(ws) - 1),
+        |           i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2])),
+        |           recursive := true)
+        |  FROM d WHERE len(ws) >= 2),
+        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf WHERE tgt GROUP BY 1, 2),
+        |b1 AS (SELECT w1, sum(c2) AS c1 FROM b2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM d WHERE tgt)),
+        |pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM bgf GROUP BY 1, 2, 3)
+        |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
+        |               / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
+        |             / sum(pd.c), 6) + 0.0 AS cross_entropy,
+        |       round(exp(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
+        |               / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
+        |             / sum(pd.c)), 6) + 0.0 AS ppl
+        |FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
+        |     CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "contamination_ngram" ->
       """WITH t AS (

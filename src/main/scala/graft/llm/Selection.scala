@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.tokens
+
+/** Distribution-based data selection: the two standard "score every raw
+  * document against a small high-quality target corpus" recipes used to
+  * curate pretraining mixtures, upstream of the sampling operators in
+  * [[Sampling]] (reference: the corpus-cleaning scripts stop at heuristic
+  * gates; these add the model-based selection stage a lake-scale training
+  * pipeline runs after them).
+  *
+  *  - [[importanceWeight]] — DSIR-style n-gram importance weights
+  *    (log p_target/p_raw under smoothed unigram LMs; "Data Selection for
+  *    Language Models via Importance Resampling", Xie et al. 2023).
+  *  - [[lmScore]] — CCNet-style LM quality scoring (per-doc cross-entropy /
+  *    perplexity under an add-alpha bigram LM trained on the target corpus;
+  *    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  *    Data", Wenzek et al. 2020 — KenLM swapped for a counts-based bigram
+  *    model so the whole pipeline stays inside the engine).
+  *
+  * Both are two hash aggregations plus one equi-join on the token key:
+  * per-doc token/bigram counts reduce map-side (O(distinct-per-doc) rows,
+  * never raw text, past the first exchange), the LM count tables are
+  * vocabulary-sized (broadcastable at any corpus scale — a web-scale
+  * unigram/bigram table is GBs while the corpus is TBs), and the final
+  * per-doc reduction is a combinable sum. Nothing is pairwise in documents
+  * and no driver-side state exists, so both scale linearly in corpus size.
+  */
+object Selection {
+
+  private def tokenCounts(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+
+  /** DSIR importance weights: for every document, the log likelihood ratio
+    * `sum_tokens ln(p_target(w) / p_raw(w))` under add-`alpha` smoothed
+    * unigram distributions, where the target distribution is estimated from
+    * the `isTarget` subset and the raw distribution from ALL of `docs`.
+    * High `log_weight` marks documents that look like the target corpus;
+    * resampling by these weights is the DSIR selection step (the provided
+    * [[Sampling.hashBucket]] membership applied to a weight-derived keep
+    * fraction). Smoothing uses the joint observed vocabulary, so every raw
+    * token has mass under both distributions.
+    *
+    * Output: (idCol, n_tokens, log_weight, avg_log_weight), one row per
+    * input document, `avg_log_weight` length-normalized for ranking docs of
+    * different sizes on one scale.
+    */
+  def importanceWeight(docs: DataFrame, isTarget: Column, alpha: Double = 1.0,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    val tok = base
+      .select(col(idCol), col("_tgt"),
+        explode(tokens(lower(col(textCol)))).as("_w"))
+    // one vocabulary-sized aggregation carries BOTH corpus counts
+    val lm = tok.groupBy(col("_w")).agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = lm.agg(
+      sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"),
+      count(lit(1)).as("_v"))
+    val perDoc = tok.groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+    perDoc.join(lm, "_w")
+      .crossJoin(broadcast(totals))
+      .withColumn("_llr", col("_c") *
+        (log((col("_ct") + lit(alpha)) / (col("_nt") + lit(alpha) * col("_v"))) -
+         log((col("_cr") + lit(alpha)) / (col("_nr") + lit(alpha) * col("_v")))))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        round(sum(col("_llr")), 6).as("log_weight"),
+        round(sum(col("_llr")) / sum(col("_c")), 6).as("avg_log_weight"))
+  }
+
+  /** CCNet-style LM quality score: per-document cross-entropy (mean negative
+    * log probability, nats) and perplexity of the token stream under an
+    * add-`alpha` bigram LM trained on the `isTarget` subset of `docs`.
+    * `P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * (V+1))` with `V` the
+    * target unigram vocabulary (+1 OOV bucket), so unseen contexts and
+    * continuations degrade gracefully to the uniform floor. Only bigram
+    * transitions are scored (`n_bigrams = n_tokens - 1`); single-token
+    * documents are dropped, matching CCNet's behavior of not scoring empty
+    * streams. Low perplexity = target-like; CCNet's head/middle/tail split
+    * is a quantile cut over `ppl` downstream ([[graft.operators.Stats]]).
+    */
+  def lmScore(docs: DataFrame, isTarget: Column, alpha: Double = 0.1,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    val toks = tokens(lower(col(textCol)))
+    // (doc, w1, w2) bigram stream; slice keeps the zip pairwise-aligned
+    val bg = base.select(col(idCol), col("_tgt"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("_w1"), b.as("_w2")))).as("_bg"))
+      .select(col(idCol), col("_tgt"),
+        col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
+    val bigramLm = bg.where(col("_tgt"))
+      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
+    val unigramLm = bigramLm.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    // vocab = distinct target unigrams incl. the final token of each doc
+    val vocab = base.where(col("_tgt"))
+      .select(explode(tokens(lower(col(textCol)))).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    val perDoc = bg.groupBy(col(idCol), col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c"))
+    perDoc
+      .join(bigramLm, Seq("_w1", "_w2"), "left")
+      .join(unigramLm, Seq("_w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_nll", -col("_c") *
+        log((coalesce(col("_c2"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("_c1"), lit(0L)) + lit(alpha) * (col("_v") + lit(1)))))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        round(sum(col("_nll")) / sum(col("_c")), 6).as("cross_entropy"),
+        round(exp(sum(col("_nll")) / sum(col("_c"))), 6).as("ppl"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Selection
+
+/** Distribution-based data selection ([[graft.llm.Selection]]): DSIR
+  * importance weights and the bigram-LM quality score, each checked against
+  * an independent in-test reimplementation of the closed-form math on a
+  * corpus small enough to reason about, plus the edge cases (single-token
+  * docs, unseen contexts, target/raw separation direction). */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "good clean text good", true),   // target
+    (2L, "good text", true),              // target
+    (3L, "spam junk spam junk", false),   // raw-only tokens
+    (4L, "good clean", false),            // target-like raw doc
+    (5L, "solo", false))                  // 1 token: no bigrams
+    .toDF("doc_id", "text", "tgt")
+
+  // closed-form reference: unigram counts with add-1 smoothing
+  private def expectedImportance(): Map[Long, (Long, Double, Double)] = {
+    val all = Seq(1L -> "good clean text good", 2L -> "good text",
+      3L -> "spam junk spam junk", 4L -> "good clean", 5L -> "solo")
+    val tgtIds = Set(1L, 2L)
+    val rawToks = all.flatMap(_._2.split("\\s+"))
+    val tgtToks = all.filter(d => tgtIds(d._1)).flatMap(_._2.split("\\s+"))
+    val cr = rawToks.groupBy(identity).map { case (k, v) => k -> v.size }
+    val ct = tgtToks.groupBy(identity).map { case (k, v) => k -> v.size }
+    val (nr, nt, v) = (rawToks.size, tgtToks.size, cr.size)
+    all.map { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      val lw = toks.map { w =>
+        math.log((ct.getOrElse(w, 0) + 1.0) / (nt + v)) -
+          math.log((cr(w) + 1.0) / (nr + v))
+      }.sum
+      id -> ((toks.size.toLong,
+        math.rint(lw * 1e6) / 1e6, math.rint(lw / toks.size * 1e6) / 1e6))
+    }.toMap
+  }
+
+  test("importanceWeight matches the closed-form log-likelihood ratio") {
+    val out = Selection.importanceWeight(docs, isTarget = col("tgt"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("log_weight"),
+          r.getAs[Double]("avg_log_weight")))).toMap
+    assert(out == expectedImportance())
+  }
+
+  test("importanceWeight separates target-like from raw-only documents") {
+    val out = Selection.importanceWeight(docs, isTarget = col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_log_weight")).toMap
+    assert(out(4L) > 0.0, "target-vocabulary doc should score positive")
+    assert(out(3L) < 0.0, "raw-only-vocabulary doc should score negative")
+    assert(out(4L) > out(3L) && out(1L) > out(3L))
+  }
+
+  // closed-form reference: add-alpha bigram LM trained on docs 1-2
+  private def expectedLm(alpha: Double): Map[Long, (Long, Double)] = {
+    val tgt = Seq("good clean text good", "good text")
+    val bg = tgt.flatMap(t => t.split("\\s+").toSeq.sliding(2).map(p => (p(0), p(1))))
+    val c2 = bg.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = bg.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val v = tgt.flatMap(_.split("\\s+")).distinct.size
+    val all = Seq(1L -> "good clean text good", 2L -> "good text",
+      3L -> "spam junk spam junk", 4L -> "good clean")
+    all.map { case (id, t) =>
+      val pairs = t.split("\\s+").toSeq.sliding(2).map(p => (p(0), p(1))).toSeq
+      val nll = pairs.map { p =>
+        -math.log((c2.getOrElse(p, 0) + alpha) /
+          (c1.getOrElse(p._1, 0) + alpha * (v + 1)))
+      }.sum
+      id -> ((pairs.size.toLong, math.rint(nll / pairs.size * 1e6) / 1e6))
+    }.toMap
+  }
+
+  test("lmScore matches the closed-form bigram cross-entropy") {
+    val out = Selection.lmScore(docs, isTarget = col("tgt"), alpha = 0.1)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"))))
+    assert(out.toMap == expectedLm(0.1))
+    assert(!out.map(_._1).contains(5L), "single-token doc has no bigrams")
+    val ce = out.toMap.map { case (k, v) => k -> v._2 }
+    assert(ce(1L) < ce(3L), "target doc must have lower cross-entropy than junk")
+  }
+
+  test("lmScore ppl is exp(cross_entropy) and floors unseen contexts") {
+    val out = Selection.lmScore(docs, isTarget = col("tgt"), alpha = 0.1)
+      .collect()
+    out.foreach { r =>
+      val (ce, ppl) = (r.getAs[Double]("cross_entropy"), r.getAs[Double]("ppl"))
+      assert(math.abs(ppl - math.exp(ce)) < 1e-3)
+    }
+    // doc 3's bigrams are all unseen: every transition gets the uniform
+    // floor alpha/(alpha*(V+1)) = 1/(V+1), V=3 target unigrams -> ppl = 4
+    val ppl3 = out.find(_.getAs[Long]("doc_id") == 3L).get.getAs[Double]("ppl")
+    assert(math.abs(ppl3 - 4.0) < 1e-6)
+  }
+}
