@@ -1108,6 +1108,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2 #56 — deterministic k-means assignment over the seeded embedding
+    // corpus (SemDeDup clustering stage): codebook = 8 lowest-id vectors,
+    // one max-cosine assignment pass, ties to the lowest cell.
+    "embed_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(embeddingsWithNearDups(s, dir), k = 8)
+        .orderBy("vec_id")),
+
+    // §2 #57 — SemDeDup within-cluster semantic dedup on the seeded
+    // corpus: the seeded jittered twins land in their source's cell and
+    // are dropped (kept=0) at tau=0.95; organic 64-dim vectors are
+    // near-orthogonal and survive.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embeddingsWithNearDups(s, dir), k = 8,
+          tau = 0.95)
+        .orderBy("vec_id")),
+
     // §2 #26b — composed corpus-cleaning pipeline: exact-dedup survivors
     // (lowest id per canonical form) that pass quality and language gates —
     // the LLM training-data filter chain as one declarative plan.
@@ -1583,6 +1599,35 @@ object SparkEntry {
       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
       |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
       |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Shared DuckDB chain: the seeded embedding corpus (every 5th vector
+    * jittered, id +1e6 — mirrors `embeddingsWithNearDups`), its 8-centroid
+    * lowest-id codebook, and the max-cosine assignment ending in the `asg`
+    * CTE (vec_id, cluster, centroid_sim). Used by the embed_kmeans and
+    * semantic_dedup oracles so the seeding/codebook constants can never
+    * diverge between the assignment key and the dedup that composes it. */
+  private val SeededEmbCte: String =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |aug AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_transform(range(len(v)),
+      |           i -> v[i+1] + 0.01 * ((i % 7) - 3)) AS v
+      |  FROM e0 WHERE vec_id % 5 = 0),
+      |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM aug),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      |sims AS (
+      |  SELECT e.vec_id, c.cell,
+      |         round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+      |  FROM e CROSS JOIN cent c),
+      |best AS (SELECT vec_id, max(sim) AS best FROM sims GROUP BY 1),
+      |asg AS (
+      |  SELECT s.vec_id, CAST(min(s.cell) AS INTEGER) AS cluster,
+      |         max(s.sim) AS centroid_sim
+      |  FROM sims s JOIN best b ON b.vec_id = s.vec_id AND s.sim = b.best
+      |  GROUP BY 1)""".stripMargin
 
   /** Shared DuckDB chain: the corpus-cleaning stage (seeded exact dups →
     * md5-canonical survivors → quality/language gates), ending in the
@@ -3335,6 +3380,29 @@ object SparkEntry {
         |FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
         |     CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "embed_kmeans" ->
+      s"""WITH $SeededEmbCte
+        |SELECT vec_id, cluster, centroid_sim + 0.0 AS centroid_sim
+        |FROM asg ORDER BY 1""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH $SeededEmbCte,
+        |av AS (SELECT a.vec_id, a.cluster, e.v
+        |       FROM asg a JOIN e USING (vec_id)),
+        |p AS (
+        |  SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups_prev,
+        |         max(round(list_cosine_similarity(a.v, b.v), 6)) AS ms
+        |  FROM av a JOIN av b ON a.cluster = b.cluster
+        |       AND b.vec_id < a.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+        |  GROUP BY 1)
+        |SELECT av.vec_id, av.cluster,
+        |       CAST(coalesce(p.n_dups_prev, 0) AS BIGINT) AS n_dups_prev,
+        |       p.ms + 0.0 AS max_sim_prev,
+        |       CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        |         AS kept
+        |FROM av LEFT JOIN p USING (vec_id) ORDER BY 1""".stripMargin,
 
     "contamination_ngram" ->
       """WITH t AS (

@@ -230,4 +230,68 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Deterministic k-means assignment over embeddings — the clustering
+    * stage of SemDeDup ("SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", Abbas et al. 2023). The codebook is
+    * the `k` lowest-id vectors (a deterministic closed-form init, so the
+    * whole operator is engine-reproducible and oracle-checkable; swap in
+    * [[sphericalKMeans]] centroids when codebook quality matters more than
+    * reproducibility — the assignment pass is identical). Assignment is
+    * max cosine over the literal codebook, ties to the lowest cell, sims
+    * rounded to 6dp BEFORE the argmax so tie-breaks are engine-stable.
+    *
+    * Scale: the codebook is a bounded driver artifact (k rows, like the
+    * IVF codebook); assignment is a map-only pass over a broadcast literal
+    * — no shuffle at all. k grows with the corpus (SemDeDup uses ~50k
+    * cells at web scale) but stays driver-trivial. */
+  def kmeansAssign(vecs: DataFrame, k: Int = 8, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    assigned(vecs, k, idCol, vecCol)
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
+
+  private def assigned(vecs: DataFrame, k: Int, idCol: String,
+                       vecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val centers = v.orderBy(col(idCol)).limit(k)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    require(centers.nonEmpty, "kmeansAssign: empty input, no codebook")
+    val sims = array(
+      centers.toIndexedSeq.map(c => round(cos(col("_v"), lit(c)), 6)): _*)
+    v.withColumn("_sims", sims)
+      .withColumn("centroid_sim", array_max(col("_sims")))
+      .withColumn("cluster",
+        (array_position(col("_sims"), col("centroid_sim")) - 1).cast("int"))
+      .drop("_sims")
+  }
+
+  /** SemDeDup within-cluster semantic dedup: inside each k-means cell,
+    * a vector is a duplicate if some LOWER-id cell-mate has cosine >=
+    * `tau` (keep-first, matching the exact-dedup survivor convention).
+    * Output keeps every input row with its verdict: (idCol, cluster,
+    * n_dups_prev, max_sim_prev, kept) — the kept=1 rows are the
+    * deduplicated corpus, and the stats say why each drop happened.
+    *
+    * Scale: the pairwise work is confined to cells by the equi-join on
+    * `cluster` — O(sum c_i^2), never corpus-pairwise; cell sizes are
+    * controlled by k (corpus-proportional at lake scale), which is
+    * SemDeDup's entire point vs naive O(N^2) embedding dedup. */
+  def semanticDedup(vecs: DataFrame, k: Int = 8, tau: Double = 0.95,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = assigned(vecs, k, idCol, vecCol)
+    val lhs = a.select(col(idCol).as("_ida"), col("cluster"), col("_v").as("_va"))
+    val rhs = a.select(col(idCol).as("_idb"), col("cluster"), col("_v").as("_vb"))
+    val dup = lhs.join(rhs, Seq("cluster"))
+      .where(col("_idb") < col("_ida"))
+      .withColumn("_sim", round(cos(col("_va"), col("_vb")), 6))
+      .where(col("_sim") >= tau)
+      .groupBy(col("_ida"))
+      .agg(count(lit(1)).as("n_dups_prev"), max(col("_sim")).as("max_sim_prev"))
+    a.join(dup, col(idCol) === col("_ida"), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("n_dups_prev"), lit(0L)).as("n_dups_prev"),
+        col("max_sim_prev"),
+        col("n_dups_prev").isNull.cast("int").as("kept"))
+  }
 }

@@ -230,4 +230,56 @@ class LlmSpec extends SparkTestBase {
     // per-shard running sums restart: doc 12 is second in shard 0
     assert(sharded.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 4L, 8L))
   }
+
+  test("kmeansAssign: lowest-id codebook, max-cosine cells, ties to low cell") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // centroid 0
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),   // centroid 1
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),   // nearer centroid 0
+      (3L, Seq(1.0, 1.0, 0.0, 0.0)),   // exact tie -> cell 0
+      (10L, Seq(2.0, 0.0, 0.0, 0.0)))  // scaled copy of centroid 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, k = 2).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("centroid_sim")))
+    assert(out.toSeq == Seq((0L, 0, 1.0), (1L, 1, 1.0), (2L, 0, 0.993884),
+      (3L, 0, 0.707107), (10L, 0, 1.0)))
+  }
+
+  test("semanticDedup drops within-cell lower-id matches, keeps the rest") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),   // cos to id 0 = 0.993884 < tau: kept
+      (3L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (10L, Seq(2.0, 0.0, 0.0, 0.0)))  // cos 1.0 to id 0: dropped
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, k = 2, tau = 0.995)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_dups_prev"),
+        Option(r.getAs[Double]("max_sim_prev")), r.getAs[Int]("kept")))
+    assert(out.toSeq == Seq(
+      (0L, 0L, None, 1), (1L, 0L, None, 1), (2L, 0L, None, 1),
+      (3L, 0L, None, 1), (10L, 1L, Some(1.0), 0)))
+  }
+
+  test("semanticDedup is cell-local: boundary-straddling twins both survive") {
+    // ids 0/1 define the cells; 2 and 3 are near-identical (cosine
+    // 0.99995) but straddle the decision boundary, so neither sees the
+    // other — the documented SemDeDup recall trade-off vs all-pairs
+    // (pairwise work stays O(sum c_i^2), never corpus-pairwise)
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.99, 0.0, 0.0)),   // barely cell 0
+      (3L, Seq(0.99, 1.0, 0.0, 0.0)))   // barely cell 1
+      .toDF("vec_id", "embedding")
+    val asg = Similarity.kmeansAssign(vecs, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(asg(2L) == 0 && asg(3L) == 1)
+    val out = Similarity.semanticDedup(vecs, k = 2, tau = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("kept")).toMap
+    assert(out == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1))
+  }
 }
