@@ -274,6 +274,54 @@ object ScaleProbe {
             regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
         graft.llm.Dedup.contaminationNgram(train, test, n = 8).count()
       },
+      time("importance_weight") {
+        // n docs of 8 hash-words over a 500-word vocab, 10% target: the
+        // DSIR path at corpus scale — two token aggs (vocab-sized LM
+        // relation) + one vocab-keyed equi-join, O(tokens) end to end
+        val txt = concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("event_id"), lit(i)),
+            lit(500L)))): _*)
+        val d = bars.select(col("event_id").as("doc_id"), txt.as("text"),
+          (pmod(xxhash64(col("event_id"), lit(51)), lit(10L)) === 0).as("tgt"))
+        graft.llm.Selection.importanceWeight(d, isTarget = col("tgt"))
+          .agg(count(col("log_weight"))).as[Long].collect()(0)
+      },
+      time("lm_score") {
+        // same corpus through the bigram LM: the bigram count relation is
+        // vocab^2-bounded (~250K rows here), the per-doc scoring join keys
+        // on (w1, w2) — the CCNet perplexity stage at corpus scale
+        val txt = concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("event_id"), lit(i)),
+            lit(500L)))): _*)
+        val d = bars.select(col("event_id").as("doc_id"), txt.as("text"),
+          (pmod(xxhash64(col("event_id"), lit(51)), lit(10L)) === 0).as("tgt"))
+        graft.llm.Selection.lmScore(d, isTarget = col("tgt"))
+          .agg(count(col("ppl"))).as[Long].collect()(0)
+      },
+      time("embed_kmeans_k256") {
+        // n 16-dim hash vectors against a 256-cell codebook: ONE fused
+        // NearestCentroid loop per row (k cosine columns would stop
+        // codegen'ing far below this k) — map-only, no shuffle
+        val vecs = bars.select(col("event_id").as("vec_id"),
+          array((0 until 16).map(i =>
+            (pmod(xxhash64(col("event_id"), lit(i)), lit(1000L)) / 500.0
+              - 1.0)): _*).as("embedding"))
+        graft.llm.Similarity.kmeansAssign(vecs, k = 256)
+          .agg(count(col("centroid_sim"))).as[Long].collect()(0)
+      },
+      time("semantic_dedup_k1024") {
+        // n/20 vectors, 1024 cells (~cell size n/20k): the within-cell
+        // self-join is the SemDeDup O(sum c_i^2) term — cell count is the
+        // knob that keeps it bounded as the corpus grows
+        val nv = math.max(n / 20, 10000L)
+        val vecs = bars.where(col("event_id") < nv)
+          .select(col("event_id").as("vec_id"),
+            array((0 until 16).map(i =>
+              (pmod(xxhash64(col("event_id"), lit(i)), lit(1000L)) / 500.0
+                - 1.0)): _*).as("embedding"))
+        graft.llm.Similarity.semanticDedup(vecs, k = 1024, tau = 0.95)
+          .agg(sum(col("kept"))).as[Long].collect()(0)
+      },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
         // exercises the DF-bounded blocking join + the propagation loop at

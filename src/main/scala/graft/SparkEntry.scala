@@ -1115,6 +1115,14 @@ object SparkEntry {
       Similarity.kmeansAssign(embeddingsWithNearDups(s, dir), k = 8)
         .orderBy("vec_id")),
 
+    // §2 #56b — distributed Lloyd refinement (one full-corpus iteration):
+    // assignment under the refined codebook — centroids recomputed as
+    // element-wise member means via ONE (cell, pos) hash aggregation.
+    "embed_kmeans_lloyd" -> ((s, dir) =>
+      Similarity.kmeansLloyd(embeddingsWithNearDups(s, dir), k = 8,
+          iters = 1)
+        .orderBy("vec_id")),
+
     // §2 #57 — SemDeDup within-cluster semantic dedup on the seeded
     // corpus: the seeded jittered twins land in their source's cell and
     // are dropped (kept=0) at tau=0.95; organic 64-dim vectors are
@@ -3385,6 +3393,30 @@ object SparkEntry {
       s"""WITH $SeededEmbCte
         |SELECT vec_id, cluster, centroid_sim + 0.0 AS centroid_sim
         |FROM asg ORDER BY 1""".stripMargin,
+
+    "embed_kmeans_lloyd" ->
+      s"""WITH $SeededEmbCte,
+        |ex AS (
+        |  SELECT a.cluster,
+        |         unnest(list_transform(range(len(e.v)),
+        |           i -> struct_pack(pos := i, x := e.v[i+1])),
+        |           recursive := true)
+        |  FROM asg a JOIN e USING (vec_id)),
+        |m AS (SELECT cluster, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT ct.cell, coalesce(mm.v1, ct.cv) AS cv
+        |  FROM cent ct LEFT JOIN (
+        |    SELECT cluster AS cell, list(cx ORDER BY pos) AS v1
+        |    FROM m GROUP BY 1) mm USING (cell)),
+        |sims1 AS (
+        |  SELECT e.vec_id, c.cell,
+        |         round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+        |  FROM e CROSS JOIN c1 c),
+        |best1 AS (SELECT vec_id, max(sim) AS best FROM sims1 GROUP BY 1)
+        |SELECT s.vec_id, CAST(min(s.cell) AS INTEGER) AS cluster,
+        |       max(s.sim) + 0.0 AS centroid_sim
+        |FROM sims1 s JOIN best1 b ON b.vec_id = s.vec_id AND s.sim = b.best
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "semantic_dedup" ->
       s"""WITH $SeededEmbCte,

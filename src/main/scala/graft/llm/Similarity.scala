@@ -253,16 +253,69 @@ object Similarity {
   private def assigned(vecs: DataFrame, k: Int, idCol: String,
                        vecCol: String): DataFrame = {
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    assignWith(v, initCenters(v, k, idCol))
+  }
+
+  /** The k lowest-id vectors — the deterministic closed-form codebook init
+    * shared by the assignment, dedup, and Lloyd entry points. */
+  private def initCenters(v: DataFrame, k: Int,
+                          idCol: String): Array[Array[Double]] = {
     val centers = v.orderBy(col(idCol)).limit(k)
       .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
     require(centers.nonEmpty, "kmeansAssign: empty input, no codebook")
-    val sims = array(
-      centers.toIndexedSeq.map(c => round(cos(col("_v"), lit(c)), 6)): _*)
-    v.withColumn("_sims", sims)
-      .withColumn("centroid_sim", array_max(col("_sims")))
-      .withColumn("cluster",
-        (array_position(col("_sims"), col("centroid_sim")) - 1).cast("int"))
-      .drop("_sims")
+    centers
+  }
+
+  /** One assignment pass of `_v` rows against a literal codebook: one fused
+    * k×dim loop per row (NearestCentroid) instead of k separate cosine
+    * columns — the codebook can be thousands of cells without breaking
+    * whole-stage codegen; sims are 6dp-rounded inside, ties to the lowest
+    * cell. */
+  private def assignWith(v: DataFrame,
+                         centers: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.NearestCentroid
+    val nc = GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(col("_v")), centers))
+    v.withColumn("_nc", nc)
+      .withColumn("cluster", col("_nc.cell"))
+      .withColumn("centroid_sim", col("_nc.sim"))
+      .drop("_nc")
+  }
+
+  /** Distributed Lloyd refinement over the FULL corpus (vs [[annTopKIvf]],
+    * which trains its codebook driver-side on a bounded sample): starting
+    * from the deterministic lowest-id init, each iteration (a) assigns
+    * every vector with the fused [[graft.functions.NearestCentroid]] pass
+    * and (b) recomputes each cell's centroid as the element-wise MEAN of
+    * its members — `posexplode` → ONE (cell, pos) hash aggregation →
+    * a k×dim driver collect that becomes the next literal codebook. Cells
+    * that lose all members keep their previous centroid (the standard
+    * empty-cell rule). Returns the assignment under the refined codebook.
+    *
+    * Scale: per iteration, one map-only assignment pass + one combinable
+    * aggregation whose result is k×dim doubles — the ONLY driver-side
+    * state. This is the canonical distributed k-means shape: iteration
+    * count is small and fixed, nothing driver-side grows with the corpus. */
+  def kmeansLloyd(vecs: DataFrame, k: Int = 8, iters: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    var centers = initCenters(v, k, idCol)
+    for (_ <- 0 until iters) {
+      val means = assignWith(v, centers)
+        .select(col("cluster"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy(col("cluster"), col("_pos")).agg(avg(col("_x")).as("_cx"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getAs[Int]("_pos")).map(_.getAs[Double]("_cx"))
+        }
+      centers = centers.indices.map(c =>
+        means.get(c).map(_.toArray).getOrElse(centers(c))).toArray
+    }
+    assignWith(v, centers)
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
   }
 
   /** SemDeDup within-cluster semantic dedup: inside each k-means cell,

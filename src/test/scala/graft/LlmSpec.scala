@@ -246,6 +246,66 @@ class LlmSpec extends SparkTestBase {
       (3L, 0, 0.707107), (10L, 0, 1.0)))
   }
 
+  test("NearestCentroid agrees with composed per-cell cosine columns at k=64") {
+    // the fused-loop expression must match what k separate CosineSimilarity
+    // columns + argmax would compute (incl. 6dp rounding and low-cell ties)
+    val vecs = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(1000L)) / 500.0 - 1.0)): _*)
+        .as("embedding"))
+    val k = 64
+    val out = Similarity.kmeansAssign(vecs, k = k).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Double]("centroid_sim")))).toMap
+    val centers = vecs.orderBy("vec_id").limit(k)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    val sims = vecs.select(col("vec_id"),
+      array(centers.toIndexedSeq.map(c => round(
+        Similarity.cosine(col("embedding").cast("array<double>"),
+          lit(c.toArray)), 6)): _*).as("_sims"))
+      .withColumn("best", array_max(col("_sims")))
+      .withColumn("cell", (array_position(col("_sims"), col("best")) - 1).cast("int"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Double]("best")))).toMap
+    assert(out == sims)
+  }
+
+  test("kmeansLloyd: one refinement migrates a bad init onto the true blobs") {
+    // both init centroids (ids 0, 1) sit in blob A; after one iteration the
+    // id-1 centroid absorbs blob B's members and moves to their mean, so the
+    // final assignment separates the blobs exactly
+    val blobA = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (2L, Seq(0.95, 0.05, 0.0, 0.0)), (3L, Seq(1.0, 0.02, 0.0, 0.0)))
+    val blobB = Seq(
+      (4L, Seq(0.05, 1.0, 0.0, 0.0)), (5L, Seq(0.0, 0.9, 0.0, 0.0)),
+      (6L, Seq(0.02, 1.0, 0.0, 0.0)), (7L, Seq(0.0, 1.0, 0.05, 0.0)),
+      (8L, Seq(0.0, 0.95, 0.0, 0.0)), (9L, Seq(0.01, 1.0, 0.0, 0.0)))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val before = Similarity.kmeansAssign(vecs, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    // init pathology: blob B is split off id 1's tilted vector, id 1 included
+    assert(before(1L) == 1 && blobB.forall(v => before(v._1) == 1))
+    val after = Similarity.kmeansLloyd(vecs, k = 2, iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(blobA.forall(v => after(v._1) == 0), after.toString)
+    assert(blobB.forall(v => after(v._1) == 1), after.toString)
+  }
+
+  test("kmeansLloyd with iters=0 degenerates to kmeansAssign") {
+    val vecs = spark.range(50).select(col("id").as("vec_id"),
+      array((0 until 6).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100L)) / 50.0 - 1.0)): _*)
+        .as("embedding"))
+    val a = Similarity.kmeansAssign(vecs, k = 8).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val b = Similarity.kmeansLloyd(vecs, k = 8, iters = 0).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
   test("semanticDedup drops within-cell lower-id matches, keeps the rest") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),

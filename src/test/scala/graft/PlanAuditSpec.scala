@@ -168,6 +168,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
   }
 
+  test("kmeans assignment is a map-only pass: no shuffle, no join, codegen'd") {
+    import spark.implicits._
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100L)) / 50.0)): _*)
+        .as("embedding"))
+    val p = plan(graft.llm.Similarity.kmeansAssign(vecs, k = 16))
+    // the codebook rides along as a literal reference object — the n-row
+    // side never exchanges, never joins, and the fused NearestCentroid
+    // loop stays inside WholeStageCodegen
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // "*(n)" node prefixes = the stage is inside WholeStageCodegen
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("nearest_centroid"), p)
+  }
+
+  test("semantic dedup pairs only within cells: equi-join on cluster, no cartesian") {
+    import spark.implicits._
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100L)) / 50.0)): _*)
+        .as("embedding"))
+    val p = plan(graft.llm.Similarity.semanticDedup(vecs, k = 16, tau = 0.95))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("selection scorers: LM relation joins on the token key, no window, no cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", true), (2L, "a c d", false))
+      .toDF("doc_id", "text", "tgt")
+    for (df <- Seq(
+        graft.llm.Selection.importanceWeight(docs, isTarget = col("tgt")),
+        graft.llm.Selection.lmScore(docs, isTarget = col("tgt")))) {
+      val p = plan(df)
+      // per-doc scoring must stay O(tokens): equi-joins on token keys plus
+      // hash aggregations only — a Window or nested-loop join would mean
+      // the plan stopped being corpus-linear
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("HashAggregate"), p)
+    }
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
