@@ -1381,6 +1381,15 @@ object SparkEntry {
         isTarget = col("source").isin("src0", "src1"), alpha = 1.0)
         .orderBy("doc_id")),
 
+    // §2 #54b — DSIR selection end to end: importance weights → exact
+    // 75th-percentile keep threshold → per-doc keep verdict (the
+    // deterministic counterpart of the paper's Gumbel-top-k resampling).
+    "dsir_sample" -> ((s, dir) =>
+      Selection.importanceSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), quantile = 0.75)
+        .orderBy("doc_id")),
+
     // §2 #55 — CCNet-style LM quality scoring: per-doc cross-entropy and
     // perplexity under an add-alpha bigram LM trained on the src0/src1
     // target subset. Low ppl = target-like; the head/middle/tail split is
@@ -1607,6 +1616,34 @@ object SparkEntry {
       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
       |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
       |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Shared DuckDB chain: DSIR unigram importance weights against the
+    * src0/src1 target subset (add-1 smoothing over the joint vocabulary),
+    * ending in the `iw` CTE (doc_id, n_tokens, log_weight,
+    * avg_log_weight). Used by the importance_weight and dsir_sample
+    * oracles so the smoothing/target constants can never diverge between
+    * the scorer and the sampler that composes it. */
+  private val DsirCte: String =
+    """tok AS (
+      |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+      |         unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |lm AS (
+      |  SELECT w, count(*) AS cr,
+      |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
+      |pd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |iw AS (
+      |  SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+      |         round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+      |                   - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v)))), 6)
+      |           + 0.0 AS log_weight,
+      |         round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+      |                   - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))))
+      |               / sum(pd.c), 6) + 0.0 AS avg_log_weight
+      |  FROM pd JOIN lm USING (w) CROSS JOIN tot
+      |  GROUP BY 1)""".stripMargin
 
   /** Shared DuckDB chain: the seeded embedding corpus (every 5th vector
     * jittered, id +1e6 — mirrors `embeddingsWithNearDups`), its 8-centroid
@@ -3342,25 +3379,17 @@ object SparkEntry {
         |GROUP BY gr.doc_id, gr.n_ngrams ORDER BY 1""".stripMargin,
 
     "importance_weight" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source IN ('src0','src1') AS tgt,
-        |         unnest(string_split_regex(lower(text), '\s+')) AS w
-        |  FROM documents),
-        |lm AS (
-        |  SELECT w, count(*) AS cr,
-        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
-        |  FROM tok GROUP BY 1),
-        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
-        |pd AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
-        |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
-        |       round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
-        |                 - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v)))), 6)
-        |         + 0.0 AS log_weight,
-        |       round(sum(pd.c * (ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
-        |                 - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))))
-        |             / sum(pd.c), 6) + 0.0 AS avg_log_weight
-        |FROM pd JOIN lm USING (w) CROSS JOIN tot
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $DsirCte
+        |SELECT doc_id, n_tokens, log_weight, avg_log_weight
+        |FROM iw ORDER BY 1""".stripMargin,
+
+    "dsir_sample" ->
+      s"""WITH $DsirCte,
+        |thr AS (SELECT quantile_cont(avg_log_weight, 0.75) AS thr FROM iw)
+        |SELECT iw.doc_id, iw.avg_log_weight,
+        |       CAST(CASE WHEN iw.avg_log_weight >= t.thr
+        |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM iw CROSS JOIN thr t ORDER BY 1""".stripMargin,
 
     "lm_score" ->
       """WITH d AS (

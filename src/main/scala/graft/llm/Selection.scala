@@ -75,6 +75,31 @@ object Selection {
         round(sum(col("_llr")) / sum(col("_c")), 6).as("avg_log_weight"))
   }
 
+  /** DSIR selection end to end: importance weights → a corpus-wide keep
+    * threshold at the `quantile`-th percentile of the length-normalized
+    * weight → a per-document keep verdict. The deterministic counterpart
+    * of the paper's Gumbel-top-k resampling step: `kept = 1` marks the
+    * target-like fraction of the corpus, reproducibly across engines.
+    *
+    * The threshold is ONE exact-percentile scalar broadcast back over the
+    * weight frame. Exact percentile buffers the corpus's weight column in
+    * a single aggregation buffer — fine to ~1e8 docs; at lake scale swap
+    * in `percentile_approx` for the threshold (the verdict column is the
+    * only consumer, and a t-digest threshold shifts the cut by at most
+    * the sketch error — see [[graft.operators.Stats]]'s exact/sketch
+    * ladder for the same trade documented on robust scaling). */
+  def importanceSample(docs: DataFrame, isTarget: Column,
+                       quantile: Double = 0.75, alpha: Double = 1.0,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val w = importanceWeight(docs, isTarget, alpha, idCol, textCol)
+    val thr = w.agg(
+      expr(s"percentile(avg_log_weight, $quantile)").as("_thr"))
+    w.crossJoin(broadcast(thr))
+      .select(col(idCol), col("avg_log_weight"),
+        (col("avg_log_weight") >= col("_thr")).cast("int").as("kept"))
+  }
+
   /** CCNet-style LM quality score: per-document cross-entropy (mean negative
     * log probability, nats) and perplexity of the token stream under an
     * add-`alpha` bigram LM trained on the `isTarget` subset of `docs`.

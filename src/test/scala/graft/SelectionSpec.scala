@@ -59,6 +59,27 @@ class SelectionSpec extends SparkTestBase {
     assert(out(4L) > out(3L) && out(1L) > out(3L))
   }
 
+  test("importanceSample keeps exactly the docs at/above the quantile cut") {
+    val weights = expectedImportance().map { case (id, (_, _, avg)) => id -> avg }
+    // exact interpolated percentile over the 5 avg weights, like Spark's
+    // percentile() and DuckDB's quantile_cont
+    val sorted = weights.values.toSeq.sorted
+    val pos = 0.75 * (sorted.size - 1)
+    val (lo, g) = (pos.toInt, pos - pos.toInt)
+    val thr = sorted(lo) * (1 - g) + sorted(lo + 1) * g
+    val out = Selection.importanceSample(docs, isTarget = col("tgt"),
+        quantile = 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_log_weight"), r.getAs[Int]("kept")))).toMap
+    assert(out.keySet == weights.keySet)
+    weights.foreach { case (id, avg) =>
+      assert(out(id) == ((avg, if (avg >= thr) 1 else 0)), s"doc $id")
+    }
+    // sanity: the cut keeps a strict, non-empty subset on this corpus
+    val kept = out.values.count(_._2 == 1)
+    assert(kept > 0 && kept < weights.size)
+  }
+
   // closed-form reference: add-alpha bigram LM trained on docs 1-2
   private def expectedLm(alpha: Double): Map[Long, (Long, Double)] = {
     val tgt = Seq("good clean text good", "good text")
