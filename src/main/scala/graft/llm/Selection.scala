@@ -100,6 +100,57 @@ object Selection {
         (col("avg_log_weight") >= col("_thr")).cast("int").as("kept"))
   }
 
+  /** The train-batch half of the serve-stream split: the per-token
+    * log-likelihood-ratio weights of [[importanceWeight]]'s smoothed
+    * unigram model, exported as a driver-side map, plus the OOV weight
+    * (the smoothing floor a token unseen in BOTH corpora receives).
+    * `scoreStateless(docs, exportModel(corpus, target))` reproduces
+    * `importanceWeight(corpus ∪ docs-seen-in-corpus, ...)` scores exactly
+    * for in-vocabulary text and degrades to the floor for new tokens —
+    * the standard model-serving contract.
+    *
+    * Scale: the model is vocabulary-sized (the thing that stays GBs while
+    * the corpus grows to TBs); at web-scale vocabularies ship it as a
+    * broadcast join relation instead of a plan literal — the scoring
+    * algebra is identical. */
+  def exportModel(docs: DataFrame, isTarget: Column, alpha: Double = 1.0,
+                  textCol: String = "text"): (Map[String, Double], Double) = {
+    val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    val tok = base.select(col("_tgt"),
+      explode(tokens(lower(col(textCol)))).as("_w"))
+    val lm = tok.groupBy(col("_w")).agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val rows = lm.collect()
+    val nr = rows.map(_.getAs[Long]("_cr")).sum.toDouble
+    val nt = rows.map(_.getAs[Long]("_ct")).sum.toDouble
+    val v = rows.length.toDouble
+    def llr(ct: Double, cr: Double): Double =
+      math.log((ct + alpha) / (nt + alpha * v)) -
+        math.log((cr + alpha) / (nr + alpha * v))
+    (rows.map(r => r.getAs[String]("_w") ->
+      llr(r.getAs[Long]("_ct").toDouble, r.getAs[Long]("_cr").toDouble)).toMap,
+      llr(0.0, 0.0))
+  }
+
+  /** The serve half: score any document frame against an exported model as
+    * a STATELESS projection — a literal token→weight map lookup summed
+    * over the token stream, no aggregation, no state, so the same call
+    * runs unchanged on a batch frame and on a `readStream` frame (append
+    * mode, no watermark; StreamingSpec asserts batch ≡ stream). This is
+    * how the selection stage runs inside a streaming ingest pipeline:
+    * train the model on yesterday's lake, score today's stream. */
+  def scoreStateless(docs: DataFrame, model: Map[String, Double],
+                     oovWeight: Double, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val m = typedLit(model)
+    docs.select(col(idCol), size(toks).as("n_tokens"),
+      round(aggregate(
+          transform(toks, w => coalesce(element_at(m, w), lit(oovWeight))),
+          lit(0.0), (acc, x) => acc + x), 6).as("log_weight"))
+  }
+
   /** CCNet-style LM quality score: per-document cross-entropy (mean negative
     * log probability, nats) and perplexity of the token stream under an
     * add-`alpha` bigram LM trained on the `isTarget` subset of `docs`.

@@ -80,6 +80,22 @@ class SelectionSpec extends SparkTestBase {
     assert(kept > 0 && kept < weights.size)
   }
 
+  test("exportModel + scoreStateless reproduces importanceWeight in-vocabulary") {
+    val (model, oov) = Selection.exportModel(docs, isTarget = col("tgt"))
+    val scored = Selection.scoreStateless(docs, model, oov)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens").toLong, r.getAs[Double]("log_weight")))).toMap
+    val direct = Selection.importanceWeight(docs, isTarget = col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("log_weight")))).toMap
+    assert(scored == direct)
+    // OOV floor: a doc of never-seen tokens scores n_tokens * oovWeight
+    val fresh = Seq((99L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val f = Selection.scoreStateless(fresh, model, oov).collect()(0)
+    assert(math.abs(f.getAs[Double]("log_weight") -
+      math.rint(3 * oov * 1e6) / 1e6) < 1e-9)
+  }
+
   // closed-form reference: add-alpha bigram LM trained on docs 1-2
   private def expectedLm(alpha: Double): Map[Long, (Long, Double)] = {
     val tgt = Seq("good clean text good", "good text")

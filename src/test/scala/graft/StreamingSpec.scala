@@ -273,6 +273,43 @@ class StreamingSpec extends SparkTestBase {
     assert(!kept.contains(2L) && !kept.contains(3L)) // french / too short
   }
 
+  test("DSIR scoring streams as a stateless map stage and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train on a small "lake" corpus, score a stream against the exported
+    // model: the serve half must be stateless (no watermark, no state
+    // store), so batch boundaries cannot change any score
+    val lake = Seq(
+      (1L, "good clean text good", true), (2L, "good text", true),
+      (3L, "spam junk spam junk", false), (4L, "good clean", false))
+      .toDF("doc_id", "text", "tgt")
+    val (model, oov) = graft.llm.Selection.exportModel(lake,
+      isTarget = col("tgt"))
+    val streamDocs = Seq((10L, "good clean text"), (11L, "junk spam"),
+      (12L, "brand new tokens"), (13L, "good junk"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.Selection.scoreStateless(
+        input.toDF().toDF("doc_id", "text"), model, oov)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    input.addData(streamDocs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(streamDocs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dsir_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.llm.Selection.scoreStateless(
+        streamDocs.toDF("doc_id", "text"), model, oov)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    val byId = batch.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("log_weight")).toMap
+    assert(byId(10L) > 0 && byId(11L) < 0, byId.toString) // separation holds
+  }
+
   test("streaming dual-engine backtest equals batch across micro-batch splits") {
     import spark.implicits._
     import graft.operators.Backtest
