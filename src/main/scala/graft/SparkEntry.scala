@@ -1400,6 +1400,15 @@ object SparkEntry {
         isTarget = col("source").isin("src0", "src1"), alpha = 0.1)
         .orderBy("doc_id")),
 
+    // §2 #44c — dedup-rate threshold curve on the seeded corpus: per
+    // candidate Jaccard threshold, the near-dup pair count and the docs
+    // the keep-first rule would drop. The seeded twins (last two tokens
+    // removed) sit at jac ≈ (L-9)/(L-7), so the curve falls off exactly
+    // where the seeding predicts.
+    "dedup_rate_curve" -> ((s, dir) =>
+      Dedup.dedupRateCurve(docsWithNearDups(s, dir),
+        thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9), n = 8)),
+
     // §2 #39b — n-gram overlap decontamination (the GPT-3/PaLM 8-gram
     // recipe; exact contamination above only catches verbatim copies).
     // Seeded test set: full copies (share every gram), half-docs with a
@@ -1616,6 +1625,37 @@ object SparkEntry {
       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
       |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
       |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Shared DuckDB chain: the seeded near-dup corpus (every 5th doc with
+    * its last two tokens dropped, id +1e6 — mirrors `docsWithNearDups`)
+    * exploded to distinct case-folded 8-grams, ending in the `gr` CTE
+    * (doc_id, n_ngrams, gm). Used by the boilerplate_profile and
+    * dedup_rate_curve oracles so the seeding/shingling constants can never
+    * diverge between the profile and the curve built on the same grams. */
+  private val SeededGramCte: String =
+    """d0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(list_slice(string_split_regex(text, '\s+'),
+      |           1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)),
+      |           ' ')
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |tk AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM d0),
+      |sha AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 8 THEN
+      |           list_distinct(list_transform(range(len(w) - 7),
+      |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+      |                  w[i+7] || ' ' || w[i+8]))
+      |         ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM tk),
+      |gr AS (
+      |  SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS gm
+      |  FROM sha)""".stripMargin
 
   /** Shared DuckDB chain: DSIR unigram importance weights against the
     * src0/src1 target subset (add-1 smoothing over the joint vocabulary),
@@ -3346,29 +3386,7 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     "boilerplate_profile" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |         array_to_string(list_slice(string_split_regex(text, '\s+'),
-        |           1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)),
-        |           ' ')
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |tk AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |  FROM d0),
-        |sha AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(w) >= 8 THEN
-        |           list_distinct(list_transform(range(len(w) - 7),
-        |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-        |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
-        |                  w[i+7] || ' ' || w[i+8]))
-        |         ELSE [array_to_string(w, ' ')] END AS sh
-        |  FROM tk),
-        |gr AS (
-        |  SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS gm
-        |  FROM sha),
+      s"""WITH $SeededGramCte,
         |dfq AS (SELECT gm, count(*) AS df FROM gr GROUP BY 1)
         |SELECT gr.doc_id, CAST(gr.n_ngrams AS INTEGER) AS n_ngrams,
         |       CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3417,6 +3435,26 @@ object SparkEntry {
         |FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
         |     CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_rate_curve" ->
+      s"""WITH $SeededGramCte,
+        |df2 AS (
+        |  SELECT gm FROM (SELECT gm, count(*) AS c FROM gr GROUP BY 1)
+        |  WHERE c BETWEEN 2 AND 8),
+        |gg AS (SELECT gr.* FROM gr JOIN df2 USING (gm)),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared,
+        |         any_value(a.n_ngrams) AS n1, any_value(b.n_ngrams) AS n2
+        |  FROM gg a JOIN gg b ON a.gm = b.gm AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id1, id2,
+        |             shared * 1.0 / (n1 + n2 - shared) AS jac FROM pr),
+        |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT t.threshold + 0.0 AS threshold,
+        |       CAST(count(j.id1) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT j.id2) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN j ON j.jac >= t.threshold
+        |GROUP BY t.threshold ORDER BY 1""".stripMargin,
 
     "embed_kmeans" ->
       s"""WITH $SeededEmbCte

@@ -119,6 +119,53 @@ object Dedup {
         round(col("n_common") / col("n_ngrams"), 6))
   }
 
+  /** Dedup-rate threshold curve — the "measure before you choose τ" sweep
+    * a curation run does ahead of near-dup dedup: for each candidate
+    * Jaccard threshold, how many near-dup pairs exist and how many
+    * documents the keep-first rule would drop. Candidate pairs come from
+    * the SAME deterministic gram-blocking as [[graft.llm.Cluster]]
+    * (documents sharing a distinct n-gram whose corpus df sits in
+    * [minDf, maxDf] — the df cap kills stop-grams, so pair fan-out per
+    * gram is at most C(maxDf, 2) and all-pairs is structurally
+    * impossible); exact Jaccard then comes free from the blocking join
+    * (`shared / (n1 + n2 - shared)` on distinct-gram counts — integer
+    * inputs, so the division is bit-identical across engines and the
+    * threshold comparison needs no rounding).
+    *
+    * Scale: O(tokens) gram explode → one df aggregation → a df-bounded
+    * equi-join on the gram hash → one (id1, id2) aggregation; the
+    * threshold grid is a broadcast literal (the pair side never shuffles
+    * for it), mirroring the sweep-grid pattern of
+    * [[graft.operators.Backtest.sweepTpR]]. */
+  def dedupRateCurve(docs: DataFrame, thresholds: Seq[Double],
+                     n: Int = 8, minDf: Int = 2, maxDf: Int = 8,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val dg = docs
+      .select(col(idCol).as("_id"), shingles(col(textCol), n).as("_gs"))
+      .select(col("_id"), size(col("_gs")).as("_n"), explode(col("_gs")).as("_g"))
+      .select(col("_id"), col("_n"), xxhash64(col("_g")).as("_gh"))
+    val dfc = dg.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
+      .where(col("_df").between(minDf, maxDf))
+      .select(col("_gh"))
+    val gg = dg.join(dfc, "_gh")
+    val pairs = gg.as("a").join(gg.as("b"),
+        col("a._gh") === col("b._gh") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("_shared"),
+        first(col("a._n")).as("_n1"), first(col("b._n")).as("_n2"))
+      .withColumn("_jac",
+        col("_shared") / (col("_n1") + col("_n2") - col("_shared")))
+    val grid = broadcast(
+      docs.sparkSession.range(1)
+        .select(explode(typedLit(thresholds)).as("threshold")))
+    grid.join(pairs, col("_jac") >= col("threshold"), "left")
+      .groupBy(col("threshold"))
+      .agg(count(col("id1")).as("n_pairs"),
+        countDistinct(col("id2")).as("n_dropped"))
+      .orderBy("threshold")
+  }
+
   /** Word n-gram shingles of the case-folded text, distinct — the native
     * single-pass expression ([[graft.functions.WordShingles]]); sits twice
     * on the near-dup hot path (signature input + Jaccard verification). */

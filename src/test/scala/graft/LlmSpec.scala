@@ -231,6 +231,30 @@ class LlmSpec extends SparkTestBase {
     assert(sharded.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 4L, 8L))
   }
 
+  test("dedupRateCurve: exact Jaccard from gram blocking, monotone curve") {
+    // trigrams: docs 1/2 share {abc, bcd} (df=2, inside the cap); their
+    // unique third grams have df=1 and are blocked out but still count in
+    // the distinct-gram sizes -> jac = 2 / (3 + 3 - 2) = 0.5 exactly
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupRateCurve(docs, thresholds = Seq(0.25, 0.5, 0.75),
+        n = 3).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_dropped")))
+    assert(out.toSeq == Seq((0.25, 1L, 1L), (0.5, 1L, 1L), (0.75, 0L, 0L)))
+  }
+
+  test("dedupRateCurve blocking is df-capped: stop-grams produce no pairs") {
+    // every doc shares the gram "x y z" (df=4 > maxDf=3): the cap blocks
+    // it, so no candidate pairs exist at all despite the common gram
+    val docs = Seq((1L, "x y z a b"), (2L, "x y z c d"),
+      (3L, "x y z e f"), (4L, "x y z g h")).toDF("doc_id", "text")
+    val out = Dedup.dedupRateCurve(docs, thresholds = Seq(0.1),
+        n = 3, maxDf = 3).collect()
+      .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dropped")))
+    assert(out.toSeq == Seq((0L, 0L)))
+  }
+
   test("kmeansAssign: lowest-id codebook, max-cosine cells, ties to low cell") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // centroid 0
