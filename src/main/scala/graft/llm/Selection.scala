@@ -53,18 +53,22 @@ object Selection {
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    // every exchange downstream carries the 8-byte token hash, never the
+    // token string (the contamination_ngram tactic; collision odds over a
+    // vocabulary are ~|V|^2/2^65 — immaterial, and deterministic)
     val tok = base
       .select(col(idCol), col("_tgt"),
         explode(tokens(lower(col(textCol)))).as("_w"))
+      .select(col(idCol), col("_tgt"), xxhash64(col("_w")).as("_wh"))
     // one vocabulary-sized aggregation carries BOTH corpus counts
-    val lm = tok.groupBy(col("_w")).agg(
+    val lm = tok.groupBy(col("_wh")).agg(
       count(lit(1)).as("_cr"),
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
     val totals = lm.agg(
       sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"),
       count(lit(1)).as("_v"))
-    val perDoc = tok.groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
-    perDoc.join(lm, "_w")
+    val perDoc = tok.groupBy(col(idCol), col("_wh")).agg(count(lit(1)).as("_c"))
+    perDoc.join(lm, "_wh")
       .crossJoin(broadcast(totals))
       .withColumn("_llr", col("_c") *
         (log((col("_ct") + lit(alpha)) / (col("_nt") + lit(alpha) * col("_v"))) -
@@ -166,26 +170,32 @@ object Selection {
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
     val toks = tokens(lower(col(textCol)))
-    // (doc, w1, w2) bigram stream; slice keeps the zip pairwise-aligned
+    // (doc, bigram-hash, context-hash) stream; slice keeps the zip
+    // pairwise-aligned, and every exchange downstream carries the 8-byte
+    // hashes, never the token strings (the contamination_ngram tactic)
     val bg = base.select(col(idCol), col("_tgt"),
         explode(zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => struct(a.as("_w1"), b.as("_w2")))).as("_bg"))
       .select(col(idCol), col("_tgt"),
-        col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
+        xxhash64(col("_bg._w1"), col("_bg._w2")).as("_bh"),
+        xxhash64(col("_bg._w1")).as("_uh"))
     val bigramLm = bg.where(col("_tgt"))
-      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
-    val unigramLm = bigramLm.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+      .groupBy(col("_bh")).agg(count(lit(1)).as("_c2"))
+    // context counts = bigram positions sharing the context token: the
+    // same quantity as summing _c2 over the context, one agg either way
+    val unigramLm = bg.where(col("_tgt"))
+      .groupBy(col("_uh")).agg(count(lit(1)).as("_c1"))
     // vocab = distinct target unigrams incl. the final token of each doc
     val vocab = base.where(col("_tgt"))
       .select(explode(tokens(lower(col(textCol)))).as("_w"))
       .agg(countDistinct(col("_w")).as("_v"))
-    val perDoc = bg.groupBy(col(idCol), col("_w1"), col("_w2"))
-      .agg(count(lit(1)).as("_c"))
+    val perDoc = bg.groupBy(col(idCol), col("_bh"))
+      .agg(count(lit(1)).as("_c"), first(col("_uh")).as("_uh"))
     perDoc
-      .join(bigramLm, Seq("_w1", "_w2"), "left")
-      .join(unigramLm, Seq("_w1"), "left")
+      .join(bigramLm, Seq("_bh"), "left")
+      .join(unigramLm, Seq("_uh"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("_nll", -col("_c") *
         log((coalesce(col("_c2"), lit(0L)) + lit(alpha)) /

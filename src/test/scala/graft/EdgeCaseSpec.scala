@@ -254,4 +254,35 @@ class EdgeCaseSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Int]("horizon_bars") -> r.getAs[Long]("n_trades")).toMap
     assert(cells.contains(8) && !cells.contains(64))
   }
+
+  test("round-8 selection/embedding operators survive degenerate input") {
+    import graft.llm.{Selection, Similarity}
+    val docs = Seq((1L, "only", true), (2L, "two words", false))
+      .toDF("doc_id", "text", "tgt")
+    // 1-token doc scores in importanceWeight but has no bigrams: lmScore
+    // drops it rather than emitting a 0/0 row
+    assert(Selection.importanceWeight(docs, col("tgt")).count() == 2)
+    assert(Selection.lmScore(docs, col("tgt")).count() == 1)
+    // all-target corpus: p_target == p_raw, every weight is exactly 0
+    val allT = Selection.importanceWeight(docs, lit(true)).collect()
+    assert(allT.forall(_.getAs[Double]("log_weight") == 0.0))
+    // dedup curve on a corpus with no qualifying pairs: zero-filled curve
+    val lone = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val curve = Dedup.dedupRateCurve(lone, thresholds = Seq(0.5), n = 3)
+      .collect()
+    assert(curve.map(r => (r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("n_dropped"))).toSeq == Seq((0L, 0L)))
+    // zero-norm vector: no cosine is defined -> null cluster row, and
+    // semanticDedup keeps it (it can never match anything)
+    val vz = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val asg = Similarity.kmeansAssign(vz, k = 2).orderBy("vec_id").collect()
+    assert(asg(2).isNullAt(1) && asg(2).isNullAt(2))
+    val sd = Similarity.semanticDedup(vz, k = 2, tau = 0.9)
+      .where(col("vec_id") === 2).collect()(0)
+    assert(sd.getAs[Int]("kept") == 1)
+    // k larger than the corpus: codebook is just every vector
+    assert(Similarity.kmeansAssign(vz.where(col("vec_id") < 2), k = 10)
+      .count() == 2)
+  }
 }
