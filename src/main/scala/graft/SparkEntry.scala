@@ -1108,6 +1108,15 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2 #55b — CCNet head/middle/tail split: perplexity terciles over
+    // the lm_score frame (head = most target-like third), the published
+    // pipeline's bucketing step.
+    "ccnet_buckets" -> ((s, dir) =>
+      Selection.ccnetBuckets(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), alpha = 0.1)
+        .orderBy("doc_id")),
+
     // §2 #56 — deterministic k-means assignment over the seeded embedding
     // corpus (SemDeDup clustering stage): codebook = 8 lowest-id vectors,
     // one max-cosine assignment pass, ties to the lowest cell.
@@ -1625,6 +1634,39 @@ object SparkEntry {
       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
       |         w24 AS (PARTITION BY symbol ORDER BY bar_ts_ms
       |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Shared DuckDB chain: the CCNet bigram-LM score against the src0/src1
+    * target subset (add-0.1 smoothing, V+1 OOV bucket), ending in the
+    * `lms` CTE (doc_id, n_bigrams, cross_entropy, ppl). Used by the
+    * lm_score and ccnet_buckets oracles so the smoothing constants can
+    * never diverge between the scorer and the tercile split built on it. */
+  private val LmScoreCte: String =
+    """d AS (
+      |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+      |         string_split_regex(lower(text), '\s+') AS ws
+      |  FROM documents),
+      |bgf AS (
+      |  SELECT doc_id, tgt,
+      |         unnest(list_transform(range(len(ws) - 1),
+      |           i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2])),
+      |           recursive := true)
+      |  FROM d WHERE len(ws) >= 2),
+      |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf WHERE tgt GROUP BY 1, 2),
+      |b1 AS (SELECT w1, sum(c2) AS c1 FROM b2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ws) AS w FROM d WHERE tgt)),
+      |pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM bgf GROUP BY 1, 2, 3),
+      |lms AS (
+      |  SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+      |         round(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
+      |                 / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
+      |               / sum(pd.c), 6) + 0.0 AS cross_entropy,
+      |         round(exp(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
+      |                 / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
+      |               / sum(pd.c)), 6) + 0.0 AS ppl
+      |  FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
+      |       CROSS JOIN v
+      |  GROUP BY 1)""".stripMargin
 
   /** Shared DuckDB chain: the seeded near-dup corpus (every 5th doc with
     * its last two tokens dropped, id +1e6 — mirrors `docsWithNearDups`)
@@ -3410,31 +3452,21 @@ object SparkEntry {
         |FROM iw CROSS JOIN thr t ORDER BY 1""".stripMargin,
 
     "lm_score" ->
-      """WITH d AS (
-        |  SELECT doc_id, source IN ('src0','src1') AS tgt,
-        |         string_split_regex(lower(text), '\s+') AS ws
-        |  FROM documents),
-        |bgf AS (
-        |  SELECT doc_id, tgt,
-        |         unnest(list_transform(range(len(ws) - 1),
-        |           i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2])),
-        |           recursive := true)
-        |  FROM d WHERE len(ws) >= 2),
-        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf WHERE tgt GROUP BY 1, 2),
-        |b1 AS (SELECT w1, sum(c2) AS c1 FROM b2 GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w) AS v
-        |      FROM (SELECT unnest(ws) AS w FROM d WHERE tgt)),
-        |pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM bgf GROUP BY 1, 2, 3)
-        |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
-        |       round(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
-        |               / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
-        |             / sum(pd.c), 6) + 0.0 AS cross_entropy,
-        |       round(exp(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
-        |               / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
-        |             / sum(pd.c)), 6) + 0.0 AS ppl
-        |FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
-        |     CROSS JOIN v
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $LmScoreCte
+        |SELECT doc_id, n_bigrams, cross_entropy, ppl
+        |FROM lms ORDER BY 1""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH $LmScoreCte,
+        |cuts AS (
+        |  SELECT quantile_cont(ppl, 1.0/3) AS c1,
+        |         quantile_cont(ppl, 2.0/3) AS c2
+        |  FROM lms)
+        |SELECT l.doc_id, l.ppl,
+        |       CASE WHEN l.ppl <= c.c1 THEN 'head'
+        |            WHEN l.ppl <= c.c2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM lms l CROSS JOIN cuts c ORDER BY 1""".stripMargin,
 
     "dedup_rate_curve" ->
       s"""WITH $SeededGramCte,

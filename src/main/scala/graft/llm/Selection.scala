@@ -104,6 +104,27 @@ object Selection {
         (col("avg_log_weight") >= col("_thr")).cast("int").as("kept"))
   }
 
+  /** CCNet's head/middle/tail corpus split: per-doc perplexity terciles
+    * (head = most target-like third). The published pipeline trains KenLM
+    * on Wikipedia and buckets Common Crawl by perplexity exactly this way;
+    * here the scorer is [[lmScore]] and the cuts are two exact-percentile
+    * scalars broadcast back over the score frame (same two-phase shape as
+    * [[importanceSample]], with the same lake-scale note: swap in
+    * percentile_approx when the corpus outgrows an exact buffer). */
+  def ccnetBuckets(docs: DataFrame, isTarget: Column, alpha: Double = 0.1,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val s = lmScore(docs, isTarget, alpha, idCol, textCol)
+    val cuts = s.agg(
+      expr("percentile(ppl, 1.0D / 3)").as("_c1"),
+      expr("percentile(ppl, 2.0D / 3)").as("_c2"))
+    s.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("ppl"),
+        when(col("ppl") <= col("_c1"), "head")
+          .when(col("ppl") <= col("_c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** The train-batch half of the serve-stream split: the per-token
     * log-likelihood-ratio weights of [[importanceWeight]]'s smoothed
     * unigram model, exported as a driver-side map, plus the OOV weight

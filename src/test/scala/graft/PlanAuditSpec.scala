@@ -213,6 +213,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dsir_sample: threshold side reuses the scoring exchanges at runtime") {
+    import graft.llm.Selection
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val out = Selection.importanceSample(d,
+      isTarget = col("source").isin("src0", "src1"))
+    out.collect() // drive to the final adaptive plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")

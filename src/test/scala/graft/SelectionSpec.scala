@@ -126,6 +126,22 @@ class SelectionSpec extends SparkTestBase {
     assert(ce(1L) < ce(3L), "target doc must have lower cross-entropy than junk")
   }
 
+  test("ccnetBuckets cuts perplexity terciles with head = target-like") {
+    val ppl = expectedLm(0.1).map { case (id, (_, ce)) => id -> math.exp(ce) }
+    val sorted = ppl.values.toSeq.sorted
+    // interpolated terciles over 4 values land exactly on the 2nd and 3rd
+    val (c1, c2) = (sorted(1), sorted(2))
+    val out = Selection.ccnetBuckets(docs, isTarget = col("tgt"), alpha = 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    ppl.foreach { case (id, p) =>
+      val want = if (p <= c1 + 1e-9) "head"
+        else if (p <= c2 + 1e-9) "middle" else "tail"
+      assert(out(id) == want, s"doc $id ppl $p")
+    }
+    assert(out(1L) == "head" && out(3L) == "tail") // target doc vs junk doc
+  }
+
   test("lmScore ppl is exp(cross_entropy) and floors unseen contexts") {
     val out = Selection.lmScore(docs, isTarget = col("tgt"), alpha = 0.1)
       .collect()
