@@ -37,6 +37,7 @@ object PlanDump {
     "add_slices" -> "The reference's four sequential pandas groupbys (side, range bucket, hour, side-by-bucket) as ONE grouping-sets aggregation: forward-return windows ride the (symbol, ts) sort, the slice dimensions expand via a single Expand node, and one partial+final hash-aggregate pair computes every slice — four reports, one shuffle on the slice key (PlanAuditSpec pins the Expand + single aggregation exchange).",
     "backtest_dual_engine" -> "The full router risk model as one plan: ATR/efficiency-ratio windows and the ichimoku signal chain share the (symbol, ts) sort; per-engine configs (stop, target, time stop, break-even) are codegen'd conditional projections — routing adds columns, not operators; the position lifecycle (entries, armed stops, mode flips, cooldown) is a per-symbol SeqScan state machine above ONE keyed sort — sequential where the semantics are sequential, parallel across symbols, the exact shape a keyed stream processor gives. Trade emission is a narrow filter; no per-trade joins, no driver loops.",
     "contamination" -> "Train/test leak check at lake scale: both sides reduce to content fingerprints map-side (native canonical-hash expression directly above each scan), the train side pre-aggregates to one row per fingerprint, and the match is a single fingerprint equi-join — shuffle carries hashes and ids, never document text.",
+    "ccnet_buckets" -> "The CCNet bucketing step: the LM-score subtree feeds both the tercile-cut aggregate (two exact-percentile scalars collapsing to ONE broadcast row) and the verdict projection; like dsir_sample, the cut side's scoring exchanges are served from the verdict side's shuffle files at runtime (ReusedExchange — PlanAuditSpec pins the same property on the DSIR twin). The two-phase shape (score, cut, label) is inherent to any global-quantile split; no stage scans the corpus more than the scoring pass itself.",
     "dsir_sample" -> "DSIR selection end to end: the weight frame feeds both the exact-percentile threshold aggregate and the verdict projection; the threshold side collapses to ONE scalar row that broadcasts back over the weight frame (BroadcastNestedLoopJoin over a 1-row relation — the weight side never shuffles for it). Where the two consumers share the scoring subtree, AQE exchange reuse serves the second reader from the first's shuffle files.",
     "dedup_rate_curve" -> "The pre-dedup threshold sweep: gram explode map-side, ONE df aggregation whose [minDf, maxDf] band bounds the blocking join (at most C(maxDf,2) pairs per gram — all-pairs structurally impossible), one (id1, id2) aggregation computing shared-gram counts, and the exact Jaccard + threshold grid as a broadcast literal join (the sweep-grid pattern: the pair side never shuffles per threshold, and adding thresholds adds rows to a literal, never a pass).",
     "importance_weight" -> "The DSIR scoring pass: tokens explode map-side, ONE vocabulary-keyed aggregation carries BOTH corpus counts (raw + target — no second scan for the target distribution), the corpus totals ride a broadcast 1-row cross join, and per-doc scoring is an equi-join on the token key feeding one final doc-keyed aggregate. Every exchange carries (id, token, count) rows — O(tokens), never text, nothing pairwise, no window (PlanAuditSpec pins no-Window/no-Cartesian).",
