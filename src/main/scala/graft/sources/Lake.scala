@@ -111,6 +111,26 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Materialize a packed corpus ([[graft.llm.TextAnalysis.packShards]]
+    * output) as a training-shard lake: `shard=N/` hive directories, ONE
+    * task — hence one contiguous parquet part — per shard, rows sorted by
+    * (pack_id, id) within the part so a sequential reader streams packs in
+    * training order without a shuffle. `maxRecordsPerFile` caps part size
+    * when a shard outgrows one file (parts stay sorted; readers concat in
+    * file order). This is the write half the reference's pipeline stops
+    * short of: pack assignment is only useful if the layout on disk lets a
+    * trainer consume shard-parallel, pack-sequential. */
+  def writeShards(packed: DataFrame, root: String, idCol: String = "doc_id",
+                  maxRecordsPerFile: Long = 5000000L,
+                  mode: SaveMode = SaveMode.Overwrite): Unit =
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pack_id"), col(idCol))
+      .write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(root)
+
   /** Minimal `_meta.json`: schema fingerprint + row count, the contract
     * verify_all.py checks. Driver-side write of a few hundred bytes, routed
     * through the Hadoop FileSystem API so HDFS/S3 lake roots work, not only

@@ -127,6 +127,23 @@ object Ingest {
         round(col("quality_score"), 6).as("quality_score"))
   }
 
+  /** Streaming exact dedup of a document stream by content FINGERPRINT
+    * (case-folded, whitespace-collapsed md5 — the same canonical key as
+    * the batch [[graft.llm.Dedup.exactSurvivors]]): within the watermark,
+    * only the first arrival of each canonical form survives, so reworded
+    * whitespace/case variants dedup too, not just byte-identical replays
+    * (which is all the event-id dedup of [[minuteBars]] can see). State is
+    * one fingerprint per distinct doc inside the watermark window — the
+    * watermark bounds it, exactly like the reference collector's staging
+    * dedup bounds its replay window. */
+  def dedupDocs(docs: DataFrame, tsCol: String = "ts",
+                watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_fp", graft.llm.TextAnalysis.fingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   final case class Tick(symbol: String, tsMs: Long, value: Double)
   final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)
 

@@ -62,6 +62,29 @@ class AsOfLakeSpec extends SparkTestBase {
     assert(parts == 1)
   }
 
+  test("writeShards: one sorted part per shard dir, pack order preserved") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "shards").toString
+    val docs = (0 until 40).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = graft.llm.TextAnalysis.packShards(docs, tokensPerPack = 6L,
+      nShards = 4)
+    Lake.writeShards(packed, root)
+    // one hive dir per shard, exactly one part file each (one task/shard)
+    (0 until 4).foreach { s =>
+      val parts = new java.io.File(s"$root/shard=$s")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"shard $s has $parts parts")
+    }
+    // a sequential read of a shard's single part streams packs in order
+    val shard0 = spark.read.parquet(s"$root/shard=0")
+      .select("pack_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(shard0.toSeq == shard0.sortBy(p => (p._1, p._2)).toSeq, shard0.toSeq)
+    // round trip loses nothing
+    assert(spark.read.parquet(root).count() == 40)
+  }
+
   test("bucketed tables join without an exchange (co-located)") {
     Seq("bkt_left", "bkt_right").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

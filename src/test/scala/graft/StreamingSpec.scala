@@ -273,6 +273,29 @@ class StreamingSpec extends SparkTestBase {
     assert(!kept.contains(2L) && !kept.contains(3L)) // french / too short
   }
 
+  test("streaming doc dedup: canonical fingerprint survivors across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Ingest.dedupDocs(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_docs_out")
+      .outputMode("append").start()
+    // batch 1: an original and a byte-identical replay
+    input.addData((1L, t0, "the quick brown fox"), (2L, t0, "another doc"),
+      (3L, t0, "the quick brown fox"))
+    q.processAllAvailable()
+    // batch 2 (inside the watermark): a case/whitespace variant must ALSO
+    // dedup (canonical fingerprint, not byte equality), a new doc survives
+    input.addData((4L, t1, "  THE   Quick BROWN fox "), (5L, t1, "fresh text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_docs_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L), kept.toString)
+  }
+
   test("DSIR scoring streams as a stateless map stage and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
