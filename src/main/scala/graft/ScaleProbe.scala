@@ -322,6 +322,21 @@ object ScaleProbe {
         graft.llm.Similarity.semanticDedup(vecs, k = 1024, tau = 0.95)
           .agg(sum(col("kept"))).as[Long].collect()(0)
       },
+      time("dedup_rate_curve") {
+        // same corpus shape as neardup_clusters: organic 8-grams are
+        // unique (df=1, blocked by minDf), seeded twin pairs share grams
+        // at df=2 — the curve costs one df agg + the df-capped pair join
+        val nd = math.max(n / 16, 1000L)
+        val base = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        val dups = base.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Dedup.dedupRateCurve(base.unionByName(dups),
+          thresholds = Seq(0.5, 0.7, 0.9), n = 8).count()
+      },
       time("neardup_clusters") {
         // ~n/16 docs of 12 hash-words with seeded near-dups every 8th doc:
         // exercises the DF-bounded blocking join + the propagation loop at

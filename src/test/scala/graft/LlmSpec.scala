@@ -330,6 +330,28 @@ class LlmSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("NearestCentroid interpreted eval agrees with the codegen path") {
+    // force object-mode projections so nullSafeEval runs, then compare
+    // against the default whole-stage-codegen result
+    val vecs = spark.range(300).select(col("id").as("vec_id"),
+      array((0 until 6).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(200L)) / 100.0 - 1.0)): _*)
+        .as("embedding"))
+    def run(): Seq[(Long, Int, Double)] =
+      Similarity.kmeansAssign(vecs, k = 32).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(interpreted == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("semanticDedup drops within-cell lower-id matches, keeps the rest") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),
