@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's testdata tables.
   *
@@ -23,7 +23,13 @@ object Tables {
     val df = read(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      // tz-naive parquet TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ under
+      // Spark 4's NTZ inference; the session tz is pinned to UTC, so the
+      // cast re-labels the same wall-clock as an instant (what the DuckDB
+      // oracle's epoch conversion assumes too) and unix_millis-based
+      // operators keep working unchanged.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
