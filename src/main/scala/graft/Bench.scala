@@ -7,8 +7,9 @@ object Bench {
     // reps > 1 => run each query `reps` times and report the MEDIAN, so a
     // contended measurement window can't fabricate per-query regressions
     // (driver-side bench noise produced 10-40x outliers on unmodified
-    // trivial queries in past rounds)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // trivial queries in past rounds; two consecutive driver artifacts at
+    // reps=1 were contention phantoms, so medians-of-3 is now the default)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
@@ -44,7 +45,13 @@ object Bench {
       try { GraftSession.releaseCache(spark) } catch { case _: Throwable => }
       (if (ok) dt else Double.NaN, dg)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while iterating
+    // on one operator; the driver sets no env so the full surface runs there
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val runs = Seq.fill(reps)(timeOnce(fn))
       val ts = runs.map(_._1)
       // any crashed rep surfaces as -1 (JSON has no NaN); true median for
@@ -58,7 +65,11 @@ object Bench {
         }
       (name, med, runs.map(_._2).sum / reps)
     }
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would emit
+    // '0,123' and corrupt the JSON
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     val loadEnd = loadAvg1m
     // The harness that captures this stdout keeps only the LAST ~2000 chars,
@@ -77,11 +88,23 @@ object Bench {
       .mkString("{", ",", "}")
     val gcTotal = results.map(_._3).sum
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"gc_ms_total":$gcTotal}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_full":"BENCH_LOCAL.json","sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"gc_ms_total":$gcTotal}""")
+    // Full per-query map lands next to the build; an absolute path so a
+    // CWD-relative launch can't scatter it. If the write fails the stdout
+    // line must not advertise a stale/missing file — fall back to inlining
+    // the full map (stdout keeps ~2000 trailing chars; correctness of the
+    // pointer beats compactness on the failure path).
+    val benchLocal = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    ).getAbsoluteFile
+    val wrote =
+      try {
+        val w = new java.io.PrintWriter(benchLocal)
+        try { w.println(full); true } finally w.close()
+      } catch { case _: Throwable => false }
+    val queriesField =
+      if (wrote) s""""queries":$qs,"queries_full":"${benchLocal.getPath}""""
+      else s""""queries":$qsFull,"queries_full":null"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$queriesField,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"gc_ms_total":$gcTotal}""")
     spark.stop()
   }
 }

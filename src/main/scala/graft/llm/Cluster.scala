@@ -57,19 +57,45 @@ object Cluster {
     // parquet scan instead of killing the run (localCheckpoint's
     // non-replicated executor-local blocks could not promise that at
     // 1000-executor scale).
+    // The arrays carry xxhash64 SHINGLE HASHES, not strings: hashing
+    // happens in this map stage, so no exchange in the whole edge pipeline
+    // ever moves a 5-word string — the hash-relation trade Selection.scala
+    // measured at 1.7x on its token joins. The verify-stage Jaccard
+    // intersects the hash arrays; its value differs from the string-shingle
+    // Jaccard only if two distinct shingles of ONE candidate pair collide
+    // in 64 bits (~1e-16 at 100-shingle docs) — negligible for a blocking
+    // stage whose recall is already probabilistic in `minCommon`, and a
+    // collision can only ADD a candidate, which verify then filters.
     val shArr = docs
-      .select(col(idCol).as("_id"), Dedup.shingles(col(textCol), n).as("_sharr"))
+      .select(col(idCol).cast("long").as("_id"),
+        transform(Dedup.shingles(col(textCol), n), s => xxhash64(s)).as("_sharr"))
       .repartition(col("_id"))
-    val sh = shArr.select(col("_id"), explode(col("_sharr")).as("_sh"))
-    val rare = sh.groupBy("_sh")
-      .agg(count(lit(1)).as("_df"))
-      .where(col("_df") >= 2 && col("_df") <= maxDf)
-      .select("_sh")
-    val r = sh.join(rare, "_sh")
-    val cand = r.select(col("_sh"), col("_id").as("_ida"))
-      .join(r.select(col("_sh"), col("_id").as("_idb")), "_sh")
-      .where(col("_ida") < col("_idb"))
-      .groupBy(col("_ida").as("id1"), col("_idb").as("id2"))
+    // Candidate generation is ONE shuffle of the exploded posting stream:
+    // per-shingle posting lists come from [[BoundedPostingList]], a capped
+    // aggregate (> maxDf postings ⇒ NULL ⇒ dropped): hot boilerplate
+    // shingles cost 8*(maxDf+1) bytes of buffer instead of an unbounded
+    // collect_list, and the df-count pre-pass plus the re-shuffle of the
+    // full posting stream to join against it disappear. Pairs then expand
+    // from the tiny sorted lists (≤ C(maxDf,2) per shingle).
+    val sh = shArr.select(col("_id"), explode(col("_sharr")).as("_h"))
+    val postings = sh.groupBy("_h")
+      .agg(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BoundedPostingList(
+          org.apache.spark.sql.GraftBridge.expression(col("_id")), maxDf)
+          .toAggregateExpression()).as("_ids"))
+      .where(col("_ids").isNotNull && size(col("_ids")) >= 2)
+    // eval() sorted the list, so ids[i] < ids[j] for i < j: pairs are
+    // born ordered and distinct — no post-filter needed
+    val cand = postings
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("_ids")) - 2),
+        i => transform(
+          sequence(i + 1, size(col("_ids")) - 1),
+          j => struct(
+            element_at(col("_ids"), i + 1).as("id1"),
+            element_at(col("_ids"), j + 1).as("id2")))))).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)
     cand
@@ -116,20 +142,72 @@ object Cluster {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
-    val spark = vertices.sparkSession
+    val labels = activeComponents(edges, maxIter, reliable)
+    // inert vertices (no incident edge) are their own singleton component;
+    // left_anti on the converged active set restores the full vertex set
+    labels.unionByName(
+      vertices.select(col("id"))
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id")))
+  }
+
+  /** [[connectedComponents]] restricted to edge-incident vertices: returns
+    * (id, cluster_id) for exactly the vertices appearing in `edges`. The
+    * returned frame is a checkpointed leaf, so consumers may read it
+    * repeatedly without recompute. Callers that know the full vertex set
+    * handle the inert singletons themselves (see [[nearDupClusters]] —
+    * keeping the singleton union OUT of the iterated/reused frame avoids
+    * re-running the anti-join once per downstream consumer). */
+  def activeComponents(edges: DataFrame, maxIter: Int = 20,
+                       reliable: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
     if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
       "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
-    def pin(df: DataFrame): DataFrame =
+    // Fast mode pins LAZILY: the per-round changed-row count is the only
+    // action, and it both materializes the round's checkpoint blocks and
+    // returns the convergence signal — ONE job per round instead of the
+    // eager-pin-then-count pair (per-round job overhead, not data volume,
+    // dominated this loop at small scale; at cluster scale one fewer
+    // stage-scheduling round-trip per iteration still matters). Reliable
+    // mode keeps eager checkpoints: a lazy reliable checkpoint recomputes
+    // its RDD a second time when writing files, which is the worse trade
+    // on the fault-tolerant path.
+    def pinLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(false)
+    def pinEager(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     def release(df: DataFrame): Unit =
       if (!reliable) org.apache.spark.sql.GraftBridge.releasePinned(df)
 
-    // the symmetrized edge list is re-read every round — cache() (lineage
-    // retained, so losing a block means recompute, not job failure)
-    val sym = edges.select(col("id1").as("_src"), col("id2").as("_dst"))
-      .unionByName(edges.select(col("id2").as("_src"), col("id1").as("_dst")))
-      .cache()
-    var labels = pin(vertices.select(col("id"), col("id").as("cluster_id")))
+    // Cache the EDGE LIST, not the symmetrized union: the union's two
+    // branches share exchanges only up to the edge plan's join inputs, so
+    // caching the union would execute the (expensive) verify join twice —
+    // the join output is not an exchange boundary and ReusedExchange cannot
+    // dedupe it. cache() keeps lineage, so a lost block recomputes instead
+    // of failing the job; re-read every round, released at the end.
+    val e = edges.select(col("id1"), col("id2")).cache()
+    val sym = e.select(col("id1").as("_src"), col("id2").as("_dst"))
+      .unionByName(e.select(col("id2").as("_src"), col("id1").as("_dst")))
+    // Only vertices incident to an edge can ever change label — iterate
+    // over THOSE (usually a small fraction of the corpus) and union the
+    // inert majority back as singletons at the end. On a near-dup graph
+    // the active set is ~2x the dup count, so every per-round shuffle
+    // shrinks by the clean-corpus fraction; the singleton union is one
+    // anti-join, paid once, after the loop.
+    // Initial labels FUSE the active-vertex distinct with the first
+    // min-label propagation round: label0(v) = min(v, min neighbor(v)) is
+    // one aggregation over sym — the same frame a distinct-then-propagate
+    // sequence reaches after its first loop round, for one exchange
+    // instead of four (AQE schedules a job per exchange, so exchange count
+    // IS the fixed cost of this loop at any scale).
+    // Eager: round 1 reads `labels` from two map stages at once; a lazy
+    // first pin would let both compute the aggregation (and race e's
+    // cache) concurrently. This job also materializes the edge cache once.
+    var labels = pinEager(
+      sym.groupBy(col("_src"))
+        .agg(min(col("_dst")).as("_m"))
+        .select(col("_src").as("id"),
+          least(col("_src"), col("_m")).as("cluster_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -137,29 +215,38 @@ object Cluster {
         .groupBy(col("_dst"))
         .agg(min(col("cluster_id")).as("_nbr"))
       // (1) min-label propagation over neighbors
-      val prop = pin(labels.join(nbrMin, col("id") === col("_dst"), "left")
+      val propPlan = labels.join(nbrMin, col("id") === col("_dst"), "left")
         .select(col("id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
-            .as("_mid")))
+            .as("_mid"))
       // (2) pointer jumping from round 3 on: label ← label(label); every
       // label is a vertex id present in prop, so the left lookup always
-      // matches (coalesce is belt-and-braces)
-      val next =
-        if (iter < 2) prop
+      // matches (coalesce is belt-and-braces). The jump self-joins prop, so
+      // prop is pinned EAGERLY there (two concurrently-scheduled map stages
+      // over an unmaterialized lazy checkpoint would each compute it); the
+      // common shallow-graph path (rounds 1-2) never pays that extra job.
+      val (next, spent) =
+        if (iter < 2) (pinLazy(propPlan), None)
         else {
+          val prop = pinEager(propPlan)
           val lut = prop.select(col("id").as("_lid"), col("_mid").as("_lmid"))
-          val jumped = pin(prop.join(lut, col("_mid") === col("_lid"), "left")
+          val jumped = pinLazy(prop.join(lut, col("_mid") === col("_lid"), "left")
             .select(col("id"), col("_old"),
               coalesce(col("_lmid"), col("_mid")).as("_mid")))
-          release(prop)
-          jumped
+          (jumped, Some(prop))
         }
+      // the count materializes `next`'s checkpoint blocks AND yields the
+      // convergence signal in the same job — no separate pin action. prop
+      // (jump rounds) is released only AFTER that job: its lineage was
+      // truncated by the checkpoint, so dropping its blocks earlier would
+      // fail the materialization rather than recompute.
       changed = next.where(col("_mid") =!= col("_old")).count()
+      spent.foreach(release)
       release(labels)
       labels = next.select(col("id"), col("_mid").as("cluster_id"))
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
@@ -175,12 +262,19 @@ object Cluster {
                       minJaccard: Double = 0.5): DataFrame = {
     val edges =
       rareShingleEdges(docs, idCol, textCol, n, maxDf, minCommon, minJaccard)
-    val cc = connectedComponents(
-      docs.select(col(idCol).as("id")), edges.select("id1", "id2"))
-    val sizes = cc.groupBy(col("cluster_id").as("_cid"))
+    // components over edge-incident docs only (a checkpointed leaf, read
+    // three times below); the clean-corpus majority never enters the loop
+    // and joins back as size-1 self-canonical rows via one anti-join
+    val act = Cluster.activeComponents(edges.select("id1", "id2"))
+    val sizes = act.groupBy(col("cluster_id").as("_cid"))
       .agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, col("cluster_id") === col("_cid"))
+    val dupRows = act.join(sizes, col("cluster_id") === col("_cid"))
       .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+    val singletons = docs.select(col(idCol))
+      .join(act.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(1).as("is_canonical"))
+    dupRows.unionByName(singletons)
   }
 }
