@@ -1117,6 +1117,17 @@ object SparkEntry {
         isTarget = col("source").isin("src0", "src1"), alpha = 0.1)
         .orderBy("doc_id")),
 
+    // §2 #55b (sketch path) — lake-scale tercile cuts via approx_percentile
+    // (bounded sketch buffers). Rows-only by design: bucket edges can move
+    // by the sketch's rank error; SelectionSpec pins the monotone-partition
+    // and drift bounds vs the exact ladder.
+    "ccnet_buckets_approx" -> ((s, dir) =>
+      Selection.ccnetBuckets(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), alpha = 0.1,
+        useApprox = true)
+        .orderBy("doc_id")),
+
     // §2 #56 — deterministic k-means assignment over the seeded embedding
     // corpus (SemDeDup clustering stage): codebook = 8 lowest-id vectors,
     // one max-cosine assignment pass, ties to the lowest cell.
@@ -1397,6 +1408,18 @@ object SparkEntry {
       Selection.importanceSample(
         Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
         isTarget = col("source").isin("src0", "src1"), quantile = 0.75)
+        .orderBy("doc_id")),
+
+    // §2 #54b (sketch path) — the lake-scale DSIR cut: approx_percentile
+    // threshold (bounded, combinable sketch buffer) instead of the exact
+    // single-buffer percentile. Rows-only by design: the verdict can
+    // differ from the exact form by the sketch's rank error at the cut;
+    // SelectionSpec pins sketch-vs-exact tolerance.
+    "dsir_sample_approx" -> ((s, dir) =>
+      Selection.importanceSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        isTarget = col("source").isin("src0", "src1"), quantile = 0.75,
+        useApprox = true)
         .orderBy("doc_id")),
 
     // §2 #55 — CCNet-style LM quality scoring: per-doc cross-entropy and

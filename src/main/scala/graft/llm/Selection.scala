@@ -85,20 +85,25 @@ object Selection {
     * of the paper's Gumbel-top-k resampling step: `kept = 1` marks the
     * target-like fraction of the corpus, reproducibly across engines.
     *
-    * The threshold is ONE exact-percentile scalar broadcast back over the
-    * weight frame. Exact percentile buffers the corpus's weight column in
-    * a single aggregation buffer — fine to ~1e8 docs; at lake scale swap
-    * in `percentile_approx` for the threshold (the verdict column is the
-    * only consumer, and a t-digest threshold shifts the cut by at most
-    * the sketch error — see [[graft.operators.Stats]]'s exact/sketch
-    * ladder for the same trade documented on robust scaling). */
+    * The threshold is ONE percentile scalar broadcast back over the weight
+    * frame. `useApprox = false` (default) is exact: it buffers the
+    * corpus's weight column in a single aggregation buffer — fine to ~1e8
+    * docs and what the cross-engine oracle compares. `useApprox = true`
+    * swaps in `approx_percentile` (bounded sketch buffer, combinable
+    * map-side) — the lake-scale setting, shifting the cut by at most the
+    * sketch's rank error; same exact/sketch ladder as
+    * [[graft.operators.Stats.robustScale]]. */
   def importanceSample(docs: DataFrame, isTarget: Column,
                        quantile: Double = 0.75, alpha: Double = 1.0,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       useApprox: Boolean = false,
+                       approxAccuracy: Int = 10000): DataFrame = {
     val w = importanceWeight(docs, isTarget, alpha, idCol, textCol)
     val thr = w.agg(
-      expr(s"percentile(avg_log_weight, $quantile)").as("_thr"))
+      (if (useApprox)
+         expr(s"approx_percentile(avg_log_weight, $quantile, $approxAccuracy)")
+       else expr(s"percentile(avg_log_weight, $quantile)")).as("_thr"))
     w.crossJoin(broadcast(thr))
       .select(col(idCol), col("avg_log_weight"),
         (col("avg_log_weight") >= col("_thr")).cast("int").as("kept"))
@@ -107,17 +112,26 @@ object Selection {
   /** CCNet's head/middle/tail corpus split: per-doc perplexity terciles
     * (head = most target-like third). The published pipeline trains KenLM
     * on Wikipedia and buckets Common Crawl by perplexity exactly this way;
-    * here the scorer is [[lmScore]] and the cuts are two exact-percentile
-    * scalars broadcast back over the score frame (same two-phase shape as
-    * [[importanceSample]], with the same lake-scale note: swap in
-    * percentile_approx when the corpus outgrows an exact buffer). */
+    * here the scorer is [[lmScore]] and the cuts are two percentile
+    * scalars broadcast back over the score frame (same two-phase shape and
+    * the same exact/approx ladder as [[importanceSample]]: the default
+    * exact cut buffers the ppl column in one aggregation buffer, fine to
+    * ~1e8 docs; `useApprox = true` bounds the buffer with an
+    * approx_percentile sketch for lake-scale corpora, moving each cut by
+    * at most the sketch's rank error). */
   def ccnetBuckets(docs: DataFrame, isTarget: Column, alpha: Double = 0.1,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   useApprox: Boolean = false,
+                   approxAccuracy: Int = 10000): DataFrame = {
     val s = lmScore(docs, isTarget, alpha, idCol, textCol)
-    val cuts = s.agg(
-      expr("percentile(ppl, 1.0D / 3)").as("_c1"),
-      expr("percentile(ppl, 2.0D / 3)").as("_c2"))
+    val cuts =
+      if (useApprox) s.agg(
+        expr(s"approx_percentile(ppl, 1.0D / 3, $approxAccuracy)").as("_c1"),
+        expr(s"approx_percentile(ppl, 2.0D / 3, $approxAccuracy)").as("_c2"))
+      else s.agg(
+        expr("percentile(ppl, 1.0D / 3)").as("_c1"),
+        expr("percentile(ppl, 2.0D / 3)").as("_c2"))
     s.crossJoin(broadcast(cuts))
       .select(col(idCol), col("ppl"),
         when(col("ppl") <= col("_c1"), "head")
@@ -174,6 +188,62 @@ object Selection {
       round(aggregate(
           transform(toks, w => coalesce(element_at(m, w), lit(oovWeight))),
           lit(0.0), (acc, x) => acc + x), 6).as("log_weight"))
+  }
+
+  /** [[exportModel]]'s distributed twin: the same per-token LLR weights as
+    * a (token, weight) RELATION plus the OOV floor, with only three scalar
+    * totals ever touching the driver. This is the web-scale-vocabulary
+    * serving artifact: a multi-GB vocabulary cannot live inside a plan as
+    * a `typedLit` map (codegen'd into the plan, shipped with every task,
+    * resident on the driver), but it can be a frame — persisted to the
+    * lake, joined against any corpus, broadcast by AQE only when it
+    * actually fits. */
+  def exportModelRelation(docs: DataFrame, isTarget: Column,
+                          alpha: Double = 1.0,
+                          textCol: String = "text"): (DataFrame, Double) = {
+    val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    val lm = base.select(col("_tgt"),
+        explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col("_w")).agg(
+        count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val t = lm.agg(sum(col("_cr")), sum(col("_ct")), count(lit(1))).collect()(0)
+    val (nr, nt, v) = (t.getLong(0).toDouble, t.getLong(1).toDouble,
+      t.getLong(2).toDouble)
+    def llr(ct: Column, cr: Column): Column =
+      log((ct + lit(alpha)) / lit(nt + alpha * v)) -
+        log((cr + lit(alpha)) / lit(nr + alpha * v))
+    val rel = lm.select(col("_w").as("token"),
+      llr(col("_ct").cast("double"), col("_cr").cast("double")).as("weight"))
+    val oov = math.log(alpha / (nt + alpha * v)) -
+      math.log(alpha / (nr + alpha * v))
+    (rel, oov)
+  }
+
+  /** The serve half against a RELATION model (see [[exportModelRelation]]):
+    * token explode → equi-join on the token → per-doc sum. Numerically
+    * identical to [[scoreStateless]] on the same model (SelectionSpec
+    * pins the parity), but the vocabulary stays a distributed relation:
+    * Catalyst broadcasts it when it fits and shuffle-joins when it
+    * doesn't, so the path works at any vocabulary size. In a streaming
+    * ingest this runs per micro-batch under `foreachBatch` (each doc
+    * arrives exactly once, so per-batch sums are the per-doc totals —
+    * StreamingSpec asserts stream ≡ batch); the projection-shaped
+    * [[scoreStateless]] remains the zero-shuffle choice for small models.
+    */
+  def scoreWithRelation(docs: DataFrame, model: DataFrame,
+                        oovWeight: Double, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol),
+      explode_outer(tokens(lower(col(textCol)))).as("_w"))
+    tk.join(model.select(col("token").as("_w"), col("weight").as("_mw")),
+        Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_w")).cast("int").as("n_tokens"),
+        round(sum(when(col("_w").isNull, lit(0.0))
+          .otherwise(coalesce(col("_mw"), lit(oovWeight)))), 6)
+          .as("log_weight"))
   }
 
   /** CCNet-style LM quality score: per-document cross-entropy (mean negative

@@ -144,6 +144,55 @@ object Ingest {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming serving of the relation-model DSIR scorer
+    * ([[graft.llm.Selection.scoreWithRelation]]): train the model on
+    * yesterday's lake ([[graft.llm.Selection.exportModelRelation]]), score
+    * today's document stream per micro-batch under `foreachBatch`. The
+    * per-doc sum is an aggregation, which append-mode streaming cannot run
+    * unbounded — but each document arrives exactly once in exactly one
+    * micro-batch, so per-BATCH aggregation already yields the per-doc
+    * totals; `foreachBatch` is the standard shape for that (same pattern
+    * as [[shardWriter]]). The model stays a static relation: broadcast by
+    * AQE when small, shuffle-joined when web-scale — the serving path that
+    * `typedLit`-based [[graft.llm.Selection.scoreStateless]] cannot take.
+    */
+  def scoreDocsStream(docs: DataFrame, model: DataFrame, oovWeight: Double,
+                      idCol: String = "doc_id", textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.llm.Selection.scoreWithRelation(
+          batch.toDF(), model, oovWeight, idCol, textCol), batchId)
+      }
+
+  /** Streaming egress into the training-shard lake layout: every
+    * micro-batch is packed ([[graft.llm.TextAnalysis.packShards]]) and
+    * appended through the SAME physical writer as the batch path
+    * ([[graft.sources.Lake.writeShards]] with `SaveMode.Append`), so the
+    * on-disk contract — `shard=N/` hive directories, contiguous sorted
+    * parts, pack-sequential row order within each part — is the batch
+    * writer's contract (StreamingSpec asserts layout and order parity
+    * against a batch-written lake). `foreachBatch` rather than a
+    * partitioned file sink because pack assignment is a GREEDY
+    * token-budget aggregation, not a per-row projection. Shard assignment
+    * (`id mod nShards`) is id-stable, so a document lands in the same
+    * shard directory regardless of batching; pack ids restart per batch
+    * (each batch bin-packs what it saw — a trainer reads parts in file
+    * order, exactly as with the batch writer's multi-part shards).
+    * Exactly-once comes from the streaming checkpoint's batch-id replay
+    * as usual. */
+  def shardWriter(docs: DataFrame, root: String, tokensPerPack: Long,
+                  nShards: Int, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  maxRecordsPerFile: Long = 5000000L): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val packed = graft.llm.TextAnalysis.packShards(
+          batch.toDF(), tokensPerPack, nShards, idCol, textCol)
+        graft.sources.Lake.writeShards(packed, root, idCol,
+          maxRecordsPerFile, org.apache.spark.sql.SaveMode.Append)
+      }
+
   final case class Tick(symbol: String, tsMs: Long, value: Double)
   final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)
 

@@ -142,6 +142,102 @@ class SelectionSpec extends SparkTestBase {
     assert(out(1L) == "head" && out(3L) == "tail") // target doc vs junk doc
   }
 
+  // a bigger deterministic corpus so rank-error bounds are meaningful:
+  // 400 docs, ids 0..399, weight order follows the good/junk mix
+  private def bigDocs = {
+    val rows = (0L until 400L).map { i =>
+      val good = "good clean text"
+      val junk = "spam junk noise"
+      val mix = (0 until 6).map(j =>
+        if (((i * 7 + j * 3) % 11) < (i % 11)) junk else good).mkString(" ")
+      // the per-doc token u<i> spreads weights/ppl across distinct values
+      // so the tercile/quantile cuts don't land inside one giant tie
+      (i, s"$mix u$i", i % 7 == 0)
+    }
+    rows.toDF("doc_id", "text", "tgt")
+  }
+
+  test("importanceSample useApprox tracks the exact cut within rank error") {
+    val exact = Selection.importanceSample(bigDocs, isTarget = col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_log_weight"), r.getAs[Int]("kept")))).toMap
+    val approx = Selection.importanceSample(bigDocs, isTarget = col("tgt"),
+        useApprox = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_log_weight"), r.getAs[Int]("kept")))).toMap
+    assert(approx.keySet == exact.keySet)
+    // weights identical (the ladder only changes the threshold)
+    exact.foreach { case (id, (w, _)) => assert(approx(id)._1 == w, s"doc $id") }
+    // both verdicts are upward-closed in the weight: no doc with a higher
+    // weight than a kept doc can be dropped
+    Seq(exact, approx).foreach { m =>
+      val keptMin = m.values.collect { case (w, 1) => w }.min
+      m.values.foreach { case (w, k) =>
+        assert(k == 1 || w < keptMin, "threshold rule must be upward-closed")
+      }
+    }
+    // accuracy 10000 on 400 rows bounds rank error below one row; the only
+    // admissible drift is interpolation-vs-element at the cut itself, i.e.
+    // at most the tie mass of one weight value
+    val dExact = exact.values.count(_._2 == 1)
+    val dApprox = approx.values.count(_._2 == 1)
+    val maxTie = exact.values.groupBy(_._1).values.map(_.size).max
+    assert(math.abs(dExact - dApprox) <= maxTie,
+      s"exact kept $dExact vs approx kept $dApprox (maxTie $maxTie)")
+  }
+
+  test("ccnetBuckets useApprox keeps the tercile partition monotone") {
+    val exact = Selection.ccnetBuckets(bigDocs, isTarget = col("tgt"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("ppl"),
+        r.getAs[String]("bucket")))
+    val approx = Selection.ccnetBuckets(bigDocs, isTarget = col("tgt"),
+        useApprox = true)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("ppl"),
+        r.getAs[String]("bucket")))
+    assert(approx.map(_._1).toSet == exact.map(_._1).toSet)
+    // the partition must be monotone in ppl for BOTH ladders: every head
+    // ppl <= every middle ppl <= every tail ppl
+    Seq(exact, approx).foreach { rows =>
+      def of(b: String) = rows.filter(_._3 == b).map(_._2)
+      val (h, m, t) = (of("head"), of("middle"), of("tail"))
+      assert(h.nonEmpty && m.nonEmpty && t.nonEmpty)
+      assert(h.max <= m.min && m.max <= t.min, "tercile partition not monotone")
+    }
+    // rank error below one row => bucket counts drift by at most the tie
+    // mass at each cut
+    val ce = exact.groupBy(_._3).view.mapValues(_.size).toMap
+    val ca = approx.groupBy(_._3).view.mapValues(_.size).toMap
+    val maxTie = exact.groupBy(_._2).values.map(_.size).max
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(ce(b) - ca(b)) <= maxTie, s"$b: $ce vs $ca")
+    }
+  }
+
+  test("exportModelRelation + scoreWithRelation matches the typedLit path") {
+    val (model, oov) = Selection.exportModel(docs, isTarget = col("tgt"))
+    val (rel, oovR) = Selection.exportModelRelation(docs, isTarget = col("tgt"))
+    assert(math.abs(oov - oovR) < 1e-12)
+    // the relation holds exactly the exported vocabulary with equal weights
+    val relMap = rel.collect().map(r =>
+      r.getAs[String]("token") -> r.getAs[Double]("weight")).toMap
+    assert(relMap.keySet == model.keySet)
+    model.foreach { case (w, x) => assert(math.abs(relMap(w) - x) < 1e-12, w) }
+    // serving parity, including an all-OOV doc
+    val serveDocs = docs.select("doc_id", "text")
+      .unionByName(Seq((99L, "zzz yyy xxx")).toDF("doc_id", "text"))
+    val a = Selection.scoreStateless(serveDocs, model, oov)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("log_weight")))).toMap
+    val b = Selection.scoreWithRelation(serveDocs, rel, oovR)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("log_weight")))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, (n, lw)) =>
+      assert(b(id)._1 == n, s"doc $id n_tokens")
+      assert(math.abs(b(id)._2 - lw) <= 1.1e-6, s"doc $id: $lw vs ${b(id)._2}")
+    }
+  }
+
   test("lmScore ppl is exp(cross_entropy) and floors unseen contexts") {
     val out = Selection.lmScore(docs, isTarget = col("tgt"), alpha = 0.1)
       .collect()

@@ -468,4 +468,102 @@ class StreamingSpec extends SparkTestBase {
     val reasons = batch.map(_(5).asInstanceOf[String])
     assert(reasons.size >= 2, s"only exit reasons $reasons fired")
   }
+
+  test("relation-model scoring stream equals the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trainDocs = Seq(
+      (1L, "good clean text good", true), (2L, "good text", true),
+      (3L, "spam junk spam junk", false), (4L, "good clean", false))
+      .toDF("doc_id", "text", "tgt")
+    val (model, oov) = graft.llm.Selection.exportModelRelation(
+      trainDocs, isTarget = col("tgt"))
+    // model relation is consumed once per micro-batch — pin it
+    val m = model.cache()
+
+    val streamDocs = Seq((10L, "good clean text"), (11L, "junk spam"),
+      (12L, "brand new tokens"), (13L, "good junk"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.scoreDocsStream(
+        input.toDF().toDF("doc_id", "text"), m, oov) { (scored, _) =>
+        got.synchronized { got ++= scored.collect().map(_.toSeq) }
+      }.start()
+    input.addData(streamDocs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(streamDocs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.llm.Selection.scoreWithRelation(
+        streamDocs.toDF("doc_id", "text"), m, oov)
+      .collect().map(_.toSeq)
+    assert(got.sortBy(_.head.asInstanceOf[Long].toString) ==
+      batch.sortBy(_.head.asInstanceOf[Long].toString).toSeq,
+      s"stream=$got batch=${batch.toSeq}")
+    // and the relation path agrees with the typedLit serving path on the
+    // same stream input (the two serving halves are interchangeable)
+    val (lit, oovLit) = graft.llm.Selection.exportModel(
+      trainDocs, isTarget = col("tgt"))
+    val stateless = graft.llm.Selection.scoreStateless(
+        streamDocs.toDF("doc_id", "text"), lit, oovLit)
+      .collect().map(_.toSeq)
+    assert(stateless.map(_.head).toSet == batch.map(_.head).toSet)
+    m.unpersist()
+  }
+
+  test("streaming shard writer reproduces the batch shard-lake layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val allDocs = (0 until 40).map(i =>
+      (i.toLong, ("tok " * (i % 5 + 1)).trim))
+
+    val streamRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-shards").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.shardWriter(input.toDF().toDF("doc_id", "text"),
+        streamRoot, tokensPerPack = 6L, nShards = 4).start()
+    // single delivery => identical packing input to the batch writer
+    input.addData(allDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "batch-shards").toString
+    graft.sources.Lake.writeShards(graft.llm.TextAnalysis.packShards(
+      allDocs.toDF("doc_id", "text"), tokensPerPack = 6L, nShards = 4),
+      batchRoot)
+
+    // identical hive layout: same shard dirs, one part per shard
+    (0 until 4).foreach { s =>
+      val parts = new java.io.File(s"$streamRoot/shard=$s")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"shard $s has $parts parts")
+    }
+    // identical rows INCLUDING pack assignment, and pack-sequential order
+    // within the streamed part
+    val a = spark.read.parquet(streamRoot)
+      .select("shard", "pack_id", "doc_id", "n_tokens", "cum_tokens")
+    val b = spark.read.parquet(batchRoot)
+      .select("shard", "pack_id", "doc_id", "n_tokens", "cum_tokens")
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    val shard0 = spark.read.parquet(s"$streamRoot/shard=0")
+      .select("pack_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(shard0.toSeq == shard0.sortBy(p => (p._1, p._2)).toSeq)
+
+    // a second delivery appends new parts without disturbing layout: docs
+    // land in their id-stable shard dirs, every row still present once
+    val more = (40 until 56).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Ingest.shardWriter(input2.toDF().toDF("doc_id", "text"),
+        streamRoot, tokensPerPack = 6L, nShards = 4).start()
+    input2.addData(more: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(streamRoot)
+    assert(after.count() == 56)
+    assert(after.select("doc_id").distinct().count() == 56)
+    assert(after.where(expr("shard <> doc_id % 4")).count() == 0)
+  }
 }
