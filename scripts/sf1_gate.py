@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Dev-only sf1.0-scale oracle gate (mirrors the driver's correctness gate
+at 10x the driver's own scale; NOT part of the shipped library).
+
+    python3 scripts/sf1_gate.py [--skip-verify] [query ...]
+
+1. Builds target/sf1.0 via make_sf1.py when missing (10x sf0.1: events as
+   10 symbol universes, documents as near-dup replicas).
+2. Runs `sbt runMain graft.Verify target/sf1.0 target/verify_sf1` (skip
+   with --skip-verify when the dump is already fresh).
+3. Compares every oracle-backed query against DuckDB over the same
+   parquet, exactly like dev_check, and writes CORRECTNESS_SF1.json in the
+   driver artifact's shape ({name: {rows_match, schema_match, hash_match,
+   spark_rows, oracle_rows, err}}).
+
+Exit 0 only when every compared query matches — wire into any dev loop
+after scale-relevant changes so the sf1 gate can't rot.
+"""
+import hashlib
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+SF1 = REPO / "target" / "sf1.0"
+OUT = REPO / "target" / "verify_sf1"
+ARTIFACT = REPO / "CORRECTNESS_SF1.json"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    # stringify after float-normalizing so -0.0/0.0 and int/float dtype
+    # drift between engines can't fake a mismatch the value compare passes
+    parts = []
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            col = col.map(lambda v: "NaN" if pd.isna(v) else repr(float(v) + 0.0))
+        else:
+            col = col.map(lambda v: "NaN" if pd.isna(v) else str(v))
+        parts.append("\x00".join(col.tolist()))
+    return hashlib.md5("\x01".join(parts).encode()).hexdigest()
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    skip_verify = "--skip-verify" in args
+    only = {a for a in args if not a.startswith("--")}
+
+    if not SF1.exists() or not (SF1 / "events.parquet").exists():
+        print("[sf1_gate] building target/sf1.0 ...")
+        subprocess.run([sys.executable, str(REPO / "scripts" / "make_sf1.py"),
+                        "/root/testdata/sf0.1", str(SF1)], check=True)
+    if not skip_verify:
+        print("[sf1_gate] running graft.Verify on target/sf1.0 ...")
+        subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.Verify {SF1} {OUT}" +
+             ("" if not only else " " + " ".join(sorted(only)))],
+            cwd=REPO, check=True,
+            env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32",
+                 "SPARK_DRIVER_MEM": "48g"})
+
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = SF1 / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    results = {}
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            spark_dir = OUT / name
+            if not spark_dir.exists():
+                raise FileNotFoundError("missing spark output (query threw)")
+            a = norm(pd.read_parquet(spark_dir))
+            b = norm(con.sql(sql).df())
+            rec["spark_rows"], rec["oracle_rows"] = len(a), len(b)
+            rec["rows_match"] = len(a) == len(b)
+            rec["schema_match"] = list(a.columns) == list(b.columns)
+            rec["hash_match"] = (rec["rows_match"] and rec["schema_match"]
+                                 and frame_hash(a) == frame_hash(b))
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            rec["err"] = str(e)[:200]
+        results[name] = rec
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        if not ok:
+            n_fail += 1
+        print(f"[{name}] {'OK' if ok else 'FAIL ' + json.dumps(rec)}")
+    ARTIFACT.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
+    n_ok = len(results) - n_fail
+    print(f"== sf1.0 gate: {n_ok} ok / {n_fail} fail -> {ARTIFACT} ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

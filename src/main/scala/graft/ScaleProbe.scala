@@ -45,9 +45,19 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val n = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(20000000L)
     val spark = GraftSession.local("scale-probe")
     import spark.implicits._
+    // dev: `runMain graft.ScaleProbe hotcell [n]` isolates the SemDeDup
+    // hot-cell block (its numbers are contention-sensitive; the full-suite
+    // tail position would otherwise measure the other probes' residue)
+    if (args.contains("hotcell")) {
+      val res = hotCellProbe(spark, n)
+      val hq = res.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$hq}""")
+      spark.stop()
+      return
+    }
 
     val bars = spark.range(n).select(
         concat(lit("S"), pmod(col("id"), lit(64))).as("symbol"),
@@ -352,10 +362,72 @@ object ScaleProbe {
         graft.llm.Cluster.nearDupClusters(base.unionByName(dups)).count()
       })
 
-    val all = results ++ skewProbe(spark, n)
+    val all = results ++ skewProbe(spark, n) ++ hotCellProbe(spark, n)
     val qs = all.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$qs}""")
     spark.stop()
+  }
+
+  /** Seeded hot-cell block for SemDeDup: ~25% of the corpus lands in ONE
+    * k-means cell (vectors seeded on the cell-0 codebook direction plus
+    * per-id jitter), the rest spread organically over 64 cells. Three
+    * claims measured (conclusions in BASELINE.md and
+    * [[graft.llm.Similarity.semanticDedup]]'s scaladoc):
+    *   1. plain within-cell self-join — the hot cell's O(c^2) pairs are
+    *      ONE join key, i.e. one task;
+    *   2. AQE skew-split with byte thresholds hand-scaled to the hot
+    *      partition's actual size (1 MB) — effective HERE, but AQE keys on
+    *      input partition BYTES while the self-join's output is quadratic
+    *      in key mass, so at production defaults (256 MB) a hot cell of
+    *      tens of MB emitting billions of pairs never triggers the split;
+    *   3. the `maxCell` salt-split — m = ceil(c/maxCell) sub-keys of
+    *      ~c*maxCell pairs each, bit-identical output, keyed on row count
+    *      (the quantity that predicts pair count) with no conf tuning —
+    *      the production knob.
+    */
+  private def hotCellProbe(spark: org.apache.spark.sql.SparkSession,
+                           n: Long): Seq[(String, Double)] = {
+    import spark.implicits._
+    val nv = math.max(n / 400, 20000L)
+    def vcols(seed: org.apache.spark.sql.Column) =
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(seed, lit(i)), lit(1000L)) / 500.0 - 1.0)): _*)
+    // ids 0..63 seed the codebook (lowest-id init); from there every 4th
+    // id rides the cell-0 direction with 1% jitter -> one ~25%-mass cell
+    val vecs = spark.range(nv).select(col("id").as("vec_id"),
+      when(col("id") >= 64 && pmod(col("id"), lit(4)) === 0,
+        zip_with(vcols(lit(0L)), vcols(col("id")), (a, b) => a + b * 0.01))
+        .otherwise(vcols(col("id"))).as("embedding"))
+
+    def time(name: String)(f: => Long): (String, Double) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $sec%.1f s, $rows kept, ${nv / sec / 1e6}%.2f M vecs/s")
+      name -> (nv / sec)
+    }
+    def kept(maxCell: Option[Int]): Long =
+      graft.llm.Similarity.semanticDedup(vecs, k = 64, tau = 0.95,
+          maxCell = maxCell)
+        .agg(sum(col("kept"))).as[Long].collect()(0)
+    def withConf(pairs: (String, String)*)(f: => (String, Double)): (String, Double) = {
+      val prev = pairs.map { case (key, _) => key -> spark.conf.getOption(key) }
+      pairs.foreach { case (key, v) => spark.conf.set(key, v) }
+      try f
+      finally prev.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
+      }
+    }
+    val plain = time("semdedup_hotcell_plain")(kept(None))
+    val aqe = withConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k") {
+      time("semdedup_hotcell_aqe_tuned")(kept(None))
+    }
+    val capped = time("semdedup_hotcell_capped")(kept(Some(2000)))
+    Seq(plain, aqe, capped)
   }
 
   /** Seeded-skew block: one key ("HOT") holds ~30% of all rows, the rest

@@ -328,14 +328,50 @@ object Similarity {
     * Scale: the pairwise work is confined to cells by the equi-join on
     * `cluster` — O(sum c_i^2), never corpus-pairwise; cell sizes are
     * controlled by k (corpus-proportional at lake scale), which is
-    * SemDeDup's entire point vs naive O(N^2) embedding dedup. */
+    * SemDeDup's entire point vs naive O(N^2) embedding dedup.
+    *
+    * Hot cells: cell sizes are data-dependent — a near-dup-heavy corpus
+    * concentrates mass in one cell, and the O(c^2) pairs of that single
+    * join key land in ONE task. Measured (ScaleProbe hot-cell block, 50k
+    * vecs with a 25%-mass cell; BASELINE.md): plain 9.3 s; AQE skew-split
+    * 4.2 s — but ONLY with its byte threshold hand-tuned to ~the hot
+    * partition's size (1 MB), because AQE keys on INPUT bytes while a
+    * self-join's output is quadratic in key mass — at the 256 MB default a
+    * hot cell of tens of MB emitting billions of pairs never triggers the
+    * split; `maxCell` salt-split 6.0 s. `maxCell` is therefore the
+    * production knob: it keys on ROW COUNT (the quantity that actually
+    * predicts pair count), needs no conf tuning, and bounds every task at
+    * ~c*maxCell pairs by construction — cells larger than the cap hash
+    * their right side into `m = ceil(c / maxCell)` blocks, the left side
+    * replicates once per block, and the join key becomes (cluster,
+    * block). The pair SET is exactly the plain join's (every ordered pair
+    * meets in exactly one block), so the output is bit-identical
+    * (LlmSpec) — bounded parallelism without a semantics change. Cost
+    * when nothing is hot: one k-row count aggregate and a broadcast join
+    * against it. */
   def semanticDedup(vecs: DataFrame, k: Int = 8, tau: Double = 0.95,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxCell: Option[Int] = None): DataFrame = {
     val a = assigned(vecs, k, idCol, vecCol)
-    val lhs = a.select(col(idCol).as("_ida"), col("cluster"), col("_v").as("_va"))
-    val rhs = a.select(col(idCol).as("_idb"), col("cluster"), col("_v").as("_vb"))
-    val dup = lhs.join(rhs, Seq("cluster"))
+    val (lhs, rhs, joinKeys) = maxCell match {
+      case None =>
+        (a.select(col(idCol).as("_ida"), col("cluster"), col("_v").as("_va")),
+          a.select(col(idCol).as("_idb"), col("cluster"), col("_v").as("_vb")),
+          Seq("cluster"))
+      case Some(cap) =>
+        require(cap >= 1, "maxCell must be >= 1")
+        // k rows -> broadcast; _m = number of salt blocks for the cell
+        val m = a.groupBy(col("cluster"))
+          .agg(ceil(count(lit(1)).cast("double") / cap).cast("int").as("_m"))
+        val withM = a.join(broadcast(m), Seq("cluster"))
+        (withM.select(col(idCol).as("_ida"), col("cluster"), col("_v").as("_va"),
+            explode(sequence(lit(0), col("_m") - 1)).as("_blk")),
+          withM.select(col(idCol).as("_idb"), col("cluster"), col("_v").as("_vb"),
+            pmod(xxhash64(col(idCol)), col("_m")).cast("int").as("_blk")),
+          Seq("cluster", "_blk"))
+    }
+    val dup = lhs.join(rhs, joinKeys)
       .where(col("_idb") < col("_ida"))
       .withColumn("_sim", round(cos(col("_va"), col("_vb")), 6))
       .where(col("_sim") >= tau)

@@ -39,6 +39,29 @@ object Funding {
     events.select(col(symbolCol), col("funding_time_ms").as("pay_ms"),
       col("rate"))
 
+  /** Derive settlement rates from a staged premium-index lake (the
+    * [[graft.sources.Collector.premiumIndexShape]] schema): the window's
+    * rate is the MEAN premium index over the settlement window — the
+    * published perp-funding formula's premium component (its clamped
+    * interest-rate term is a constant offset the caller can add) — paid at
+    * the window END, anti-lookahead like [[ratesFromBars]]. One
+    * aggregation; a funding-event lake and a premium-index lake sampling
+    * the same market then accrue identically
+    * ([[graft.operators.Funding.accrueOntoBars]]; CollectorSpec pins the
+    * equality). */
+  def ratesFromPremiumIndex(premium: DataFrame,
+                            settleMs: Long = 8 * 3600000L,
+                            symbolCol: String = "symbol",
+                            tsMsCol: String = "open_time_ms",
+                            valueCol: String = "close"): DataFrame = {
+    val bucket = (col(tsMsCol) / settleMs).cast("long") * settleMs
+    premium
+      .groupBy(col(symbolCol), bucket.as("bucket_ms"))
+      .agg(avg(col(valueCol)).as("rate"))
+      .select(col(symbolCol), (col("bucket_ms") + settleMs).as("pay_ms"),
+        col("rate"))
+  }
+
   /** Accrue rates cumulatively and project the accrued funding onto each
     * bar: the funding paid up to (and including) the last settlement at or
     * before the bar. */

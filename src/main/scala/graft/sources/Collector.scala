@@ -54,6 +54,15 @@ object Collector {
   final case class OpenInterestSnap(timestampMs: Long, sumOpenInterest: Double,
                                     sumOpenInterestValue: Double)
 
+  /** One premium-index m1 kline — the record the reference's
+    * premium_index_m1.py collector (0-byte in the snapshot; shape follows
+    * its sibling klines_m1.py pattern) would stage: the per-minute OHLC of
+    * the perp-vs-index premium, the series funding rates derive from
+    * ([[graft.operators.Funding.ratesFromPremiumIndex]]). No volume
+    * fields — the premium index is a computed price, not a traded one. */
+  final case class PremiumIndexKline(openTimeMs: Long, open: Double,
+                                     high: Double, low: Double, close: Double)
+
   /** Fetch contract: (symbol, startTimeMs, limit) → up to `limit` klines
     * with openTimeMs >= startTimeMs, ascending; empty when nothing new.
     * Implementations wrap the REST endpoint; tests use fakes. */
@@ -215,6 +224,26 @@ object Collector {
           col("fundingRate").as("rate"),
           col("markPrice").as("mark_price"),
           col("fundingTimeMs").as("funding_time_ms"),
+          lit("binance").as("exchange"),
+          lit("um_futures").as("market"),
+          lit(sym).as("symbol"))
+      })
+
+  /** Premium-index m1 collector shape (premium_index_m1.py, 0 bytes in the
+    * snapshot — shape inferred from the klines_m1.py sibling pattern):
+    * stages per-minute premium-index OHLC month partitions, open-time
+    * keyed exactly like klines so safe-lag/resume behave identically. The
+    * staged lake feeds [[graft.operators.Funding.ratesFromPremiumIndex]]
+    * (settlement-window mean premium → periodic funding rate). */
+  def premiumIndexShape(intervalMs: Long = 60000L): RecordShape[PremiumIndexKline] =
+    RecordShape[PremiumIndexKline]("collector_premium_index", None,
+      "open_time_ms", _.openTimeMs, (spark, page, sym) => {
+        import spark.implicits._
+        page.toDF().select(
+          timestamp_millis(col("openTimeMs")).as("ts"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("openTimeMs").as("open_time_ms"),
+          (col("openTimeMs") + lit(intervalMs - 1)).as("close_time_ms"),
           lit("binance").as("exchange"),
           lit("um_futures").as("market"),
           lit(sym).as("symbol"))

@@ -465,6 +465,63 @@ class CollectorSpec extends SparkTestBase {
     assert(math.abs(accrued(3) - (-0.0005)) < 1e-12)
   }
 
+  test("premium-index shape: staged lake accrues like the funding-event lake") {
+    import graft.operators.Funding
+    import graft.sources.Collector.{FundingEvent, PremiumIndexKline}
+    val root = tmpRoot("coll-premium")
+    val eightH = 8 * 3600000L
+    // two full settlement windows of m1 premium bars; each window's mean
+    // premium is its funding rate (window 0: 0.001, window 1: -0.002)
+    val winRates = Seq(0.001, -0.002)
+    val bars = winRates.zipWithIndex.flatMap { case (r, wi) =>
+      (0 until 480).map { i =>
+        // premium oscillates around the window mean, cancelling in pairs so
+        // avg(close) == r exactly (i and i+1 offsets sum to zero)
+        val jitter = if (i % 2 == 0) 5e-5 else -5e-5
+        PremiumIndexKline(t0 + wi * eightH + i * 60000L,
+          r, r + 1e-4, r - 1e-4, r + jitter)
+      }
+    }
+    val calls = ArrayBuffer.empty[Option[Long]]
+    val fetch: Collector.FetchOf[PremiumIndexKline] = (_, start, limit) => {
+      calls += start
+      val s = start.getOrElse(Long.MinValue)
+      bars.filter(_.openTimeMs >= s).take(limit)
+    }
+    val rep = Collector.collectRecords(spark, fetch,
+      Collector.premiumIndexShape(), "BTCUSDT", root, nowMs,
+      startMs = Some(t0), limit = 500)
+    assert(rep.rows == 960L && rep.stopReason == "no_new_data")
+    assert(Checkpoint.read(root, "collector_premium_index_BTCUSDT")
+      .get("BTCUSDT").contains(bars.last.openTimeMs + 1))
+    val staged = Lake.read(spark, root)
+    assert(staged.count() == 960L)
+    assert(Seq("open", "high", "low", "close", "open_time_ms", "close_time_ms")
+      .forall(staged.columns.contains))
+    // the staged premium lake and the equivalent settled-event lake derive
+    // the SAME rate relation and accrue identically
+    import spark.implicits._
+    val events = winRates.zipWithIndex.map { case (r, wi) =>
+      FundingEvent(t0 + (wi + 1) * eightH, r, 42000.0) }
+    val fromPremium = Funding.ratesFromPremiumIndex(staged)
+      .select("symbol", "pay_ms", "rate")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12) / 1e12)).toSet
+    val fromEvents = Funding.ratesFromEvents(
+        Collector.fundingShape.toDf(spark, events, "BTCUSDT"))
+      .select("symbol", "pay_ms", "rate")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12) / 1e12)).toSet
+    assert(fromPremium == fromEvents, s"$fromPremium vs $fromEvents")
+    val probe = Seq(("BTCUSDT", t0 + eightH - 1L), ("BTCUSDT", t0 + eightH),
+      ("BTCUSDT", t0 + 2 * eightH + 1L)).toDF("symbol", "bar_ts_ms")
+    val a = Funding.accrueOntoBars(probe, Funding.ratesFromPremiumIndex(staged))
+      .orderBy("bar_ts_ms").select("cum_funding").as[Double].collect()
+    assert(math.abs(a(0) - 0.0) < 1e-12)
+    assert(math.abs(a(1) - 0.001) < 1e-9)
+    assert(math.abs(a(2) - (-0.001)) < 1e-9)
+  }
+
   test("open-interest shape: staging round-trip and checkpoint resume") {
     import graft.sources.Collector.OpenInterestSnap
     val root = tmpRoot("coll-oi")

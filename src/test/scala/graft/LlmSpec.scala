@@ -388,4 +388,29 @@ class LlmSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("kept")).toMap
     assert(out == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1))
   }
+
+  test("semanticDedup maxCell salt-split is bit-identical to the plain join") {
+    // one deliberately hot cell: 40 of 60 vectors ride the cell-0 codebook
+    // direction with per-id jitter; maxCell=5 forces ceil(40/5)=8 salt
+    // blocks through the split path on that cell while small cells get m=1
+    val vecs = (0L until 60L).map { i =>
+      val base =
+        if (i >= 4 && i % 3 != 1) Seq(1.0, 0.0, 0.0, 0.0)
+        else Seq(0.0, 1.0, 0.3 * (i % 5), 0.1 * (i % 7))
+      (i, base.zipWithIndex.map { case (x, j) =>
+        x + 0.01 * (((i * 31 + j * 17) % 11) - 5) })
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.semanticDedup(vecs, k = 4, tau = 0.98)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val split = Similarity.semanticDedup(vecs, k = 4, tau = 0.98,
+        maxCell = Some(5))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(split == plain)
+    // the hot cell really exercised the multi-block path
+    val cells = Similarity.kmeansAssign(vecs, k = 4).groupBy("cluster").count()
+      .collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("count")).toMap
+    assert(cells.values.max > 5, s"no cell above the cap: $cells")
+    // and the verdicts are not all-kept (dups actually fired on both paths)
+    assert(plain.exists(_.last == 0))
+  }
 }
