@@ -103,6 +103,12 @@ def main() -> int:
         if not ok:
             n_fail += 1
         print(f"[{name}] {'OK' if ok else 'FAIL ' + json.dumps(rec)}")
+    if only and ARTIFACT.exists():
+        # partial re-run: merge into the existing artifact, don't clobber
+        # the untouched keys' results
+        merged = json.loads(ARTIFACT.read_text())
+        merged.update(results)
+        results = merged
     ARTIFACT.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
     n_ok = len(results) - n_fail
     print(f"== sf1.0 gate: {n_ok} ok / {n_fail} fail -> {ARTIFACT} ==")

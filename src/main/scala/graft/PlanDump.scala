@@ -48,13 +48,17 @@ object PlanDump {
     * stages that the contract queries don't expose directly. */
   private def extras(spark: org.apache.spark.sql.SparkSession, dir: String) = Seq(
     ("dedup_clusters_edges",
-      "The edge-verify stage of near-dup clustering: rare-shingle inverted-" +
-        "index self-join bounded by document frequency (df in [2, maxDf] — " +
-        "at most C(maxDf,2) pairs per shingle, all-pairs structurally " +
-        "impossible), then exact-Jaccard verification joins bounded by the " +
-        "candidate count. The shingle arrays are computed once and shared " +
-        "by all three consumers through one reused exchange (no " +
-        "localCheckpoint, no blocks).", {
+      "The edge-verify stage of near-dup clustering: candidate generation " +
+        "is ONE shuffle of the exploded posting stream into the capped " +
+        "native BoundedPostingList aggregate (df in [2, maxDf] falls out " +
+        "of the list size — at most C(maxDf,2) pairs per shingle, a hot " +
+        "shingle costs 8*(maxDf+1) buffer bytes then drops; all-pairs " +
+        "structurally impossible), pairs expand from the tiny sorted " +
+        "lists, and exact-Jaccard verification joins are bounded by the " +
+        "candidate count. Every exchange carries 8-byte xxhash64 shingle " +
+        "hashes, never strings; the hashed shingle arrays are computed " +
+        "once and shared by explode and both verify sides through one " +
+        "reused exchange (no localCheckpoint, no blocks).", {
       import graft.sources.Tables
       graft.llm.Cluster.rareShingleEdges(
         Tables.documents(spark, dir).select(

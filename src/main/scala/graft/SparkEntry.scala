@@ -737,11 +737,13 @@ object SparkEntry {
     // while Jaccard already dips — the case symmetric scores miss.
     "ngram_containment" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
-      val pairs = d.where(col("doc_id") < 1000000)
-        .select(col("doc_id").as("id1"), col("text").as("_t1"))
-        .join(d.where(col("doc_id") >= 1000000)
-          .select((col("doc_id") - 1000000).as("id1"),
-            col("doc_id").as("id2"), col("text").as("_t2")), "id1")
+      // pair every seeded truncation with its source by the +1e6 id offset
+      // as a pure id-offset self-join — NOT by an id-range split, which
+      // silently drops sources whose ids are themselves >= 1e6 (the sf1.0
+      // replica universes; caught by the full-surface sf1 gate)
+      val pairs = d.select(col("doc_id").as("id1"), col("text").as("_t1"))
+        .join(d.select(col("doc_id").as("id2"), col("text").as("_t2")),
+          col("id2") === col("id1") + 1000000)
       Dedup.withContainment(pairs, "_t1", "_t2", n = 3)
         .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
           round(col("jaccard"), 6).as("jaccard"),
