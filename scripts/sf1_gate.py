@@ -73,6 +73,11 @@ def main() -> int:
                  "SPARK_DRIVER_MEM": "48g"})
 
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    # no-oracle (rows-only) keys: every dumped query dir without an oracle
+    # entry still gets a crash/row-count record, mirroring the driver's
+    # weaker rows-only check at this scale
+    rows_only = sorted(d.name for d in OUT.iterdir()
+                       if d.is_dir() and d.name not in oracle)
     con = duckdb.connect()
     for t in TABLES:
         p = SF1 / f"{t}.parquet"
@@ -103,6 +108,23 @@ def main() -> int:
         if not ok:
             n_fail += 1
         print(f"[{name}] {'OK' if ok else 'FAIL ' + json.dumps(rec)}")
+    for name in rows_only:
+        if only and name not in only:
+            continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "no_oracle"}
+        try:
+            rec["spark_rows"] = len(pd.read_parquet(OUT / name))
+            if rec["spark_rows"] == 0:
+                n_fail += 1
+                print(f"[{name}] FAIL rows-only: 0 rows")
+            else:
+                print(f"[{name}] rows-only OK ({rec['spark_rows']} rows)")
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"no_oracle; read failed: {str(e)[:150]}"
+            n_fail += 1
+            print(f"[{name}] FAIL rows-only: {rec['err']}")
+        results[name] = rec
     if only and ARTIFACT.exists():
         # partial re-run: merge into the existing artifact, don't clobber
         # the untouched keys' results

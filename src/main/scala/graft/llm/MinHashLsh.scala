@@ -82,9 +82,25 @@ object MinHashLsh {
     * session. ScaleHygieneSpec pins the single-evaluation behavior with an
     * accumulator. */
   def candidatePairs(signed: DataFrame, idCol: String = "doc_id", k: Int = 32,
-                     bands: Int = 8): DataFrame = {
-    val bb = bandBuckets(signed, idCol, k, bands)
+                     bands: Int = 8,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val bb0 = bandBuckets(signed, idCol, k, bands)
       .repartition(col("band"), col("bucket"))
+    // maxBucket: a bucket shared by B docs emits B^2 join rows, and a
+    // boilerplate/template-heavy corpus concentrates thousands of docs in
+    // one bucket (the sf1.0 replica corpus emits 19.9M candidate pairs
+    // from 50K docs) — the standard guard is to DROP oversized buckets:
+    // their members are near-identical template families that every other
+    // band also catches, so the recall cost is the documented LSH trade
+    // (DedupSpec pins it on a seeded mega-bucket). The count rides a
+    // window over the SAME (band, bucket) exchange the join pins — the
+    // cap adds no shuffle.
+    val bb = maxBucket.fold(bb0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      bb0.withColumn("_bc", count(lit(1)).over(w))
+        .where(col("_bc") <= cap).drop("_bc")
+    }
     val l = bb.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val rgt = bb.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(rgt, Seq("band", "bucket"))
@@ -97,9 +113,10 @@ object MinHashLsh {
     * keeping pairs with jaccard >= `threshold`. */
   def nearDupPairs(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 32, bands: Int = 8,
-                   shingleN: Int = 3, seed: Int = 42): DataFrame = {
+                   shingleN: Int = 3, seed: Int = 42,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val signed = withSignature(docs, textCol, k, shingleN, seed)
-    val pairs = candidatePairs(signed, idCol, k, bands)
+    val pairs = candidatePairs(signed, idCol, k, bands, maxBucket)
     val sh = docs.select(col(idCol),
       Dedup.shingles(col(textCol), shingleN).as("_sh"))
     val s1 = sh.select(col(idCol).as("id1"), col("_sh").as("_a"))

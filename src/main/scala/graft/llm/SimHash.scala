@@ -56,21 +56,35 @@ object SimHash {
     shiftrightunsigned(fp, band * 16).bitwiseAND(lit(0xFFFFL))
 
   /** Candidate pairs sharing at least one 16-bit chunk, verified to be
-    * within `maxHamming` bits (bit_count of the XOR). */
+    * within `maxHamming` bits (bit_count of the XOR).
+    *
+    * `maxBucket` drops chunks shared by more than that many docs before
+    * the self-join: a boilerplate/template-heavy corpus concentrates
+    * thousands of near-identical fingerprints in one chunk, whose B^2
+    * join rows are the hot-bucket blowup (same guard, same recall trade,
+    * and same zero-extra-shuffle window as
+    * [[MinHashLsh.candidatePairs]]). */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Option[Int] = None): DataFrame = {
     // compute-once without caching: the explicit repartition on the join
     // keys pins a shuffle exchange that is canonically identical under both
     // self-join sides, so exchange/stage reuse runs the fingerprint map
     // stage once and serves both readers from shuffle files — no
     // block-manager residue, fault-tolerant via lineage
     val fps = withFingerprint(docs, textCol).select(col(idCol), col("simhash"))
-    val banded = fps.select(col(idCol), col("simhash"),
+    val banded0 = fps.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), bandChunk(col("simhash"), b).as("chunk"))
       }: _*)).as("_b"))
       .select(col(idCol), col("simhash"), col("_b.band").as("band"), col("_b.chunk").as("chunk"))
       .repartition(col("band"), col("chunk"))
+    val banded = maxBucket.fold(banded0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("chunk"))
+      banded0.withColumn("_bc", count(lit(1)).over(w))
+        .where(col("_bc") <= cap).drop("_bc")
+    }
     val l = banded.select(col("band"), col("chunk"), col(idCol).as("id1"), col("simhash").as("fp1"))
     val r = banded.select(col("band"), col("chunk"), col(idCol).as("id2"), col("simhash").as("fp2"))
     l.join(r, Seq("band", "chunk"))

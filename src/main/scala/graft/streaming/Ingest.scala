@@ -179,19 +179,57 @@ object Ingest {
     * shard directory regardless of batching; pack ids restart per batch
     * (each batch bin-packs what it saw — a trainer reads parts in file
     * order, exactly as with the batch writer's multi-part shards).
-    * Exactly-once comes from the streaming checkpoint's batch-id replay
-    * as usual. */
+    *
+    * Delivery: `foreachBatch` re-runs the last uncommitted batch after a
+    * restart, and a blind append would duplicate it — [[writeShardBatch]]
+    * therefore skips batch ids that already carry a commit marker
+    * (`_committed_batches/<id>`, written through the Hadoop FS like the
+    * lake's `_meta.json`, after the append succeeds). That closes the
+    * common replay path (StreamingSpec re-runs a batch id and asserts no
+    * growth); the residual window — a crash BETWEEN append and marker —
+    * degrades to at-least-once of one batch, and because per-batch packing
+    * is deterministic the replayed rows are byte-identical, so the lake's
+    * dedup-compact remedy (keep-first on (shard, id)) restores
+    * exactly-once, the same contract as the collector's staging path. */
   def shardWriter(docs: DataFrame, root: String, tokensPerPack: Long,
                   nShards: Int, idCol: String = "doc_id",
                   textCol: String = "text",
-                  maxRecordsPerFile: Long = 5000000L): DataStreamWriter[Row] =
+                  maxRecordsPerFile: Long = 5000000L,
+                  commitId: String = "stream"): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val packed = graft.llm.TextAnalysis.packShards(
-          batch.toDF(), tokensPerPack, nShards, idCol, textCol)
-        graft.sources.Lake.writeShards(packed, root, idCol,
-          maxRecordsPerFile, org.apache.spark.sql.SaveMode.Append)
+        writeShardBatch(batch.toDF(), batchId, root, tokensPerPack, nShards,
+          idCol, textCol, maxRecordsPerFile, commitId)
+        ()
       }
+
+  /** One idempotent micro-batch of [[shardWriter]]: pack → append →
+    * commit marker. Returns false (and writes nothing) when the batch id
+    * is already committed — the replay-dedup contract foreachBatch
+    * requires from its sink. `commitId` namespaces the markers per
+    * logical query (batch ids restart at 0 for every new checkpoint, so
+    * two queries appending to one root would otherwise collide) — pair it
+    * 1:1 with the query's checkpointLocation. */
+  def writeShardBatch(batch: DataFrame, batchId: Long, root: String,
+                      tokensPerPack: Long, nShards: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxRecordsPerFile: Long = 5000000L,
+                      commitId: String = "stream"): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      root, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false
+    else {
+      val packed = graft.llm.TextAnalysis.packShards(
+        batch, tokensPerPack, nShards, idCol, textCol)
+      graft.sources.Lake.writeShards(packed, root, idCol,
+        maxRecordsPerFile, org.apache.spark.sql.SaveMode.Append)
+      val out = fs.create(marker, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      true
+    }
+  }
 
   final case class Tick(symbol: String, tsMs: Long, value: Double)
   final case class GapEvent(symbol: String, prevMs: Long, tsMs: Long, gapMinutes: Long)

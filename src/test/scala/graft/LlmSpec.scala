@@ -45,6 +45,47 @@ class LlmSpec extends SparkTestBase {
     assert(found.toDouble / total >= 0.7, s"recall $found/$total")
   }
 
+  test("maxBucket drops template mega-buckets, leaves organic pairs intact") {
+    // 200 copies of one template (a hot bucket in EVERY band: 19.9K
+    // within-family candidate pairs) + one organic near-dup pair
+    val template = (0L until 200L).map(i => (i, "the same boilerplate " +
+      "template text repeated across the whole mirror family"))
+    val organic = Seq(
+      (9000L, "a genuinely distinct document about market microstructure " +
+        "liquidity dynamics funding basis and open interest in futures"),
+      (9001L, "a genuinely distinct document about market microstructure " +
+        "liquidity dynamics funding basis and open interest in venues"))
+    val docs = (template ++ organic).toDF("doc_id", "text")
+
+    val mh = MinHashLsh.nearDupPairs(docs, threshold = 0.3)
+    val mhCapped = MinHashLsh.nearDupPairs(docs, threshold = 0.3,
+      maxBucket = Some(50))
+    // uncapped: the template family is all-pairs within its bucket
+    assert(mh.where(col("id1") < 200 && col("id2") < 200).count() ==
+      200L * 199 / 2)
+    // capped: the >50-member buckets are gone, the organic pair is not
+    assert(mhCapped.where(col("id1") < 200 && col("id2") < 200).count() == 0)
+    assert(mhCapped.where(col("id1") === 9000 && col("id2") === 9001)
+      .count() == 1)
+
+    val sh = SimHash.nearDupPairs(docs, maxHamming = 12)
+    val shCapped = SimHash.nearDupPairs(docs, maxHamming = 12,
+      maxBucket = Some(50))
+    assert(sh.where(col("id1") < 200 && col("id2") < 200).count() ==
+      200L * 199 / 2)
+    assert(shCapped.where(col("id1") < 200 && col("id2") < 200).count() == 0)
+    // the cap removes ONLY hot-bucket pairs: outside the template family,
+    // capped output equals uncapped (whether or not simhash banding caught
+    // the organic pair on this corpus)
+    assert(shCapped.where(col("id1") >= 200).collect().toSet ==
+      sh.where(col("id1") >= 200).collect().toSet)
+    // the cap adds no exchange: same shuffle count as the uncapped plan
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(shCapped) == exchanges(sh))
+  }
+
   test("native minhash expression equals the HOF formulation bit-for-bit") {
     import org.apache.spark.sql.GraftBridge
     val k = 8

@@ -556,8 +556,12 @@ class StreamingSpec extends SparkTestBase {
     // land in their id-stable shard dirs, every row still present once
     val more = (40 until 56).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
     val input2 = MemoryStream[(Long, String)]
+    // a DIFFERENT logical query on the same root: its batch ids restart at
+    // 0, so it needs its own commitId namespace (paired with its own
+    // checkpoint in production)
     val q2 = Ingest.shardWriter(input2.toDF().toDF("doc_id", "text"),
-        streamRoot, tokensPerPack = 6L, nShards = 4).start()
+        streamRoot, tokensPerPack = 6L, nShards = 4,
+        commitId = "second-feed").start()
     input2.addData(more: _*)
     q2.processAllAvailable()
     q2.stop()
@@ -565,5 +569,23 @@ class StreamingSpec extends SparkTestBase {
     assert(after.count() == 56)
     assert(after.select("doc_id").distinct().count() == 56)
     assert(after.where(expr("shard <> doc_id % 4")).count() == 0)
+
+    // foreachBatch replay-idempotence: re-running an already-committed
+    // batch id must write NOTHING (the restart path re-executes the last
+    // uncommitted batch; the commit marker is what makes that safe)
+    val replay = (100 until 110).map(i =>
+      (i.toLong, ("tok " * (i % 5 + 1)).trim)).toDF("doc_id", "text")
+    assert(Ingest.writeShardBatch(replay, batchId = 777L, streamRoot,
+      tokensPerPack = 6L, nShards = 4))
+    val afterBatch = spark.read.parquet(streamRoot).count()
+    assert(afterBatch == 66)
+    assert(!Ingest.writeShardBatch(replay, batchId = 777L, streamRoot,
+      tokensPerPack = 6L, nShards = 4), "replayed batch must be skipped")
+    assert(spark.read.parquet(streamRoot).count() == afterBatch)
+    // but the same batch id under ANOTHER query's namespace is fresh work
+    assert(Ingest.writeShardBatch(replay.withColumn("doc_id",
+        col("doc_id") + 100), batchId = 777L, streamRoot,
+      tokensPerPack = 6L, nShards = 4, commitId = "second-feed"))
+    assert(spark.read.parquet(streamRoot).count() == afterBatch + 10)
   }
 }
