@@ -71,13 +71,24 @@ object ScaleProbe {
         col("id").as("event_id"))
       .where(pmod(xxhash64(col("id"), lit(9)), lit(10L)) =!= 0)
 
+    // dev: `only:<op>` args isolate named batch ops for clean re-measures
+    // (skew/hotcell blocks have their own entry points)
+    val only = args.filter(_.startsWith("only:"))
+      .map(_.stripPrefix("only:")).toSet
     def time(name: String)(f: => Long): (String, Double) = {
+      if (only.nonEmpty && !only(name)) return name -> -1.0
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $name: $sec%.1f s, $rows rows, ${n / sec / 1e6}%.1f M input rows/s")
       name -> (n / sec)
     }
+    def timeStream(name: String, input: => org.apache.spark.sql.DataFrame,
+                   sn: Long)(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (String, Double) =
+      if (only.nonEmpty && !only(name)) name -> -1.0
+      else streamProbe(spark, name, input, sn)(mk)
 
     val results = Seq(
       time("tf_aggregate_m5") { TfAggregate(bars, 60000L, 5).count() },
@@ -231,7 +242,7 @@ object ScaleProbe {
       // -row counts are watermark-dependent; the measured quantity is
       // input rows/s through the stateful operator (staging write is
       // outside the timing).
-      streamProbe(spark, "streaming_tf_gate",
+      timeStream("streaming_tf_gate",
         bars.where(col("event_id") < streamN(n))
           .select(col("symbol"), timestamp_millis(col("bar_ts_ms")).as("bar_ts"),
             col("open"), col("high"), col("low"), col("close"),
@@ -240,7 +251,7 @@ object ScaleProbe {
         graft.streaming.Ingest.tfAggregate(src, 60000L, 5,
           watermark = "0 seconds")
       },
-      streamProbe(spark, "streaming_sessionize",
+      timeStream("streaming_sessionize",
         bars.where(col("event_id") < streamN(n))
           .select(pmod(col("event_id"), lit(4096L)).as("user_id"),
             timestamp_millis(col("bar_ts_ms")).as("ts"),
@@ -249,7 +260,7 @@ object ScaleProbe {
         graft.streaming.Ingest.sessionSummaries(src, gapMs = 300000L,
           watermark = "0 seconds")
       },
-      streamProbe(spark, "streaming_dual_backtest",
+      timeStream("streaming_dual_backtest",
         bars.where(col("event_id") < streamN(n))
           .select(col("symbol"), col("bar_ts_ms").as("barTsMs"),
             col("open"), col("high"), col("low"), col("close"),
@@ -362,7 +373,9 @@ object ScaleProbe {
         graft.llm.Cluster.nearDupClusters(base.unionByName(dups)).count()
       })
 
-    val all = results ++ skewProbe(spark, n) ++ hotCellProbe(spark, n)
+    val all = (if (only.isEmpty)
+        results ++ skewProbe(spark, n) ++ hotCellProbe(spark, n)
+      else results.filter(_._2 >= 0))
     val qs = all.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$qs}""")
     spark.stop()

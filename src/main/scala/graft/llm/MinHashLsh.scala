@@ -117,8 +117,15 @@ object MinHashLsh {
                    maxBucket: Option[Int] = None): DataFrame = {
     val signed = withSignature(docs, textCol, k, shingleN, seed)
     val pairs = candidatePairs(signed, idCol, k, bands, maxBucket)
+    // the verify arrays carry xxhash64 SHINGLE HASHES, not strings: the
+    // two pair-join exchanges move 8 bytes per shingle instead of the
+    // n-gram text, and intersect/distinct compare longs — identical
+    // n_inter/n_union/jaccard unless two distinct shingles of one
+    // candidate pair collide in 64 bits (~1e-12 at 1e6-shingle docs); the
+    // same hash-relation trade as Cluster.rareShingleEdges' verify stage
     val sh = docs.select(col(idCol),
-      Dedup.shingles(col(textCol), shingleN).as("_sh"))
+      transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
+        .as("_sh"))
     val s1 = sh.select(col(idCol).as("id1"), col("_sh").as("_a"))
     val s2 = sh.select(col(idCol).as("id2"), col("_sh").as("_b"))
     Dedup.jaccardOnShingles(pairs.join(s1, "id1").join(s2, "id2"))
