@@ -1403,6 +1403,25 @@ object SparkEntry {
         isTarget = col("source").isin("src0", "src1"), alpha = 1.0)
         .orderBy("doc_id")),
 
+    // §2 #54c — the RELATION serving path end to end: train the LLR model
+    // as a (token, weight) frame (exportModelRelation; only three scalar
+    // totals touch the driver), score the corpus through the token
+    // equi-join (scoreWithRelation). In-vocabulary — the model is trained
+    // on the scored corpus — this reproduces importance_weight's
+    // n_tokens/log_weight exactly, so the web-scale serving path carries
+    // the SAME DuckDB oracle as the direct scorer.
+    "dsir_score_relation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val (model, oov) = Selection.exportModelRelation(
+        d, isTarget = col("source").isin("src0", "src1"), alpha = 1.0)
+      Selection.scoreWithRelation(
+          d.select(col("doc_id"), col("text")), model, oov)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #54b — DSIR selection end to end: importance weights → exact
     // 75th-percentile keep threshold → per-doc keep verdict (the
     // deterministic counterpart of the paper's Gumbel-top-k resampling).
@@ -3466,6 +3485,14 @@ object SparkEntry {
     "importance_weight" ->
       s"""WITH $DsirCte
         |SELECT doc_id, n_tokens, log_weight, avg_log_weight
+        |FROM iw ORDER BY 1""".stripMargin,
+
+    // the relation serving path reproduces the direct scorer
+    // in-vocabulary, so it shares the DSIR oracle (minus the
+    // length-normalized column the serving surface doesn't emit)
+    "dsir_score_relation" ->
+      s"""WITH $DsirCte
+        |SELECT doc_id, n_tokens, log_weight
         |FROM iw ORDER BY 1""".stripMargin,
 
     "dsir_sample" ->

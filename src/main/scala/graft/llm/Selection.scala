@@ -234,15 +234,24 @@ object Selection {
   def scoreWithRelation(docs: DataFrame, model: DataFrame,
                         oovWeight: Double, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // pre-aggregate to (doc, token, count) BEFORE the model join: the join
+    // carries one row per DISTINCT token per doc (not per occurrence), and
+    // the per-doc sum is Σ count*weight — the same float-accumulation
+    // shape as [[importanceWeight]], so the relation path shares its
+    // cross-engine oracle behavior (occurrence-wise w+w+w addition differs
+    // from c*w in the last ulp and can flip a round(.,6) boundary)
     val tk = docs.select(col(idCol),
       explode_outer(tokens(lower(col(textCol)))).as("_w"))
-    tk.join(model.select(col("token").as("_w"), col("weight").as("_mw")),
+    val counts = tk.groupBy(col(idCol), col("_w"))
+      .agg(count(col("_w")).as("_c"))
+    counts
+      .join(model.select(col("token").as("_w"), col("weight").as("_mw")),
         Seq("_w"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(col("_w")).cast("int").as("n_tokens"),
+        sum(col("_c")).cast("int").as("n_tokens"),
         round(sum(when(col("_w").isNull, lit(0.0))
-          .otherwise(coalesce(col("_mw"), lit(oovWeight)))), 6)
+          .otherwise(col("_c") * coalesce(col("_mw"), lit(oovWeight)))), 6)
           .as("log_weight"))
   }
 
