@@ -307,6 +307,23 @@ object ScaleProbe {
         graft.llm.Selection.importanceWeight(d, isTarget = col("tgt"))
           .agg(count(col("log_weight"))).as[Long].collect()(0)
       },
+      time("score_relation") {
+        // the serving half at corpus scale: train the (token, weight)
+        // relation once (three scalar totals to the driver), then score
+        // the same corpus through the token equi-join — the
+        // web-scale-vocabulary path where the model cannot be a plan
+        // literal; per-doc distinct-token pre-aggregation bounds the join
+        val txt = concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("event_id"), lit(i)),
+            lit(500L)))): _*)
+        val d = bars.select(col("event_id").as("doc_id"), txt.as("text"),
+          (pmod(xxhash64(col("event_id"), lit(51)), lit(10L)) === 0).as("tgt"))
+        val (model, oov) = graft.llm.Selection.exportModelRelation(
+          d, isTarget = col("tgt"))
+        graft.llm.Selection.scoreWithRelation(
+            d.select(col("doc_id"), col("text")), model, oov)
+          .agg(count(col("log_weight"))).as[Long].collect()(0)
+      },
       time("lm_score") {
         // same corpus through the bigram LM: the bigram count relation is
         // vocab^2-bounded (~250K rows here), the per-doc scoring join keys
