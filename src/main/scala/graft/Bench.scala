@@ -27,12 +27,25 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split("\\s+")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
+    // hypervisor steal ticks (/proc/stat cpu col 8): a VM neighbor eating
+    // the host is invisible to loadavg — same-code bench totals varied
+    // 48-76 s across windows with loadavg < 2, so the artifact carries
+    // the one host-contention signal the guest can actually observe
+    def stealTicks: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          if (f.length > 8) f(8).toLong else -1L
+        } finally src.close()
+      } catch { case _: Throwable => -1L }
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
     val loadStart = loadAvg1m
+    val stealStart = stealTicks
     // NaN = the run crashed; a time-to-failure must not pose as a timing
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val g0 = gcMs
@@ -72,6 +85,8 @@ object Bench {
       else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     val loadEnd = loadAvg1m
+    val stealDelta =
+      if (stealStart < 0) -1L else math.max(stealTicks - stealStart, -1L)
     // The harness that captures this stdout keeps only the LAST ~2000 chars,
     // so the final line must stay compact: headline queries inline (the ops
     // BASELINE.md prices in pandas, plus the heaviest LLM-pipeline ops), full
@@ -87,7 +102,7 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val gcTotal = results.map(_._3).sum
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"gc_ms_total":$gcTotal}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}"""
     // Full per-query map lands next to the build; an absolute path so a
     // CWD-relative launch can't scatter it. If the write fails the stdout
     // line must not advertise a stale/missing file — fall back to inlining
@@ -104,7 +119,7 @@ object Bench {
     val queriesField =
       if (wrote) s""""queries":$qs,"queries_full":"${benchLocal.getPath}""""
       else s""""queries":$qsFull,"queries_full":null"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$queriesField,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"gc_ms_total":$gcTotal}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$queriesField,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}""")
     spark.stop()
   }
 }
