@@ -285,4 +285,45 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Similarity.kmeansAssign(vz.where(col("vec_id") < 2), k = 10)
       .count() == 2)
   }
+
+  test("round-9 paths survive degenerate input") {
+    import graft.llm.{Cluster, MinHashLsh, Selection, Similarity}
+    // posting-list blocking: empty corpus, single doc, and a maxDf=1 cap
+    // (every shared shingle over-cap) all yield zero edges, no crash
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("text")).where(lit(false))
+    assert(Cluster.rareShingleEdges(empty).count() == 0)
+    val lone = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Cluster.rareShingleEdges(lone).count() == 0)
+    val twins = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    assert(Cluster.rareShingleEdges(twins, maxDf = 1).count() == 0)
+    assert(Cluster.rareShingleEdges(twins, maxDf = 5).count() == 1)
+    // connectedComponents with an empty edge set: all singletons
+    val cc = Cluster.connectedComponents(
+      Seq(1L, 2L).toDF("id"), Cluster.rareShingleEdges(lone)
+        .select(col("id1"), col("id2")))
+    assert(cc.where(col("id") === col("cluster_id")).count() == 2)
+    // maxCell=1: maximal salt-split still equals the plain join
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.01)), (3L, Seq(1.0, 0.02))).toDF("vec_id", "embedding")
+    val plain = Similarity.semanticDedup(vecs, k = 2, tau = 0.9)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val split1 = Similarity.semanticDedup(vecs, k = 2, tau = 0.9,
+      maxCell = Some(1)).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(split1 == plain)
+    // maxBucket=1 drops every shared bucket; organic-only corpus unaffected
+    assert(MinHashLsh.nearDupPairs(twins, threshold = 0.3,
+      maxBucket = Some(1)).count() == 0)
+    // scoreWithRelation against an EMPTY model: every token takes the OOV
+    // floor; empty docs frame scores to an empty frame
+    val m0 = Seq.empty[(String, Double)].toDF("token", "weight")
+    val scored = Selection.scoreWithRelation(
+      Seq((7L, "x y z")).toDF("doc_id", "text"), m0, oovWeight = -1.5)
+      .collect()(0)
+    assert(scored.getAs[Int]("n_tokens") == 3)
+    assert(math.abs(scored.getAs[Double]("log_weight") - (-4.5)) < 1e-9)
+    assert(Selection.scoreWithRelation(
+      empty.select(col("doc_id"), col("text")), m0, 0.0).count() == 0)
+  }
 }

@@ -233,4 +233,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("relation scoring: distinct-token pre-agg feeds the model equi-join") {
+    import graft.llm.Selection
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (model, oov) = Selection.exportModelRelation(
+      d, isTarget = col("source").isin("src0", "src1"))
+    val out = Selection.scoreWithRelation(
+      d.select(col("doc_id"), col("text")), model, oov)
+    out.collect() // drive to the final adaptive plan
+    val p = out.queryExecution.executedPlan.toString
+    // token equi-join, no pairwise or nested-loop shape anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two hash aggregations (per-doc-token counts, final per-doc sum)
+    // bracket the join — the exchange carries distinct tokens per doc,
+    // never raw occurrences
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Join"), p)
+  }
 }
