@@ -84,8 +84,11 @@ object Cluster {
           org.apache.spark.sql.GraftBridge.expression(col("_id")), maxDf)
           .toAggregateExpression()).as("_ids"))
       .where(col("_ids").isNotNull && size(col("_ids")) >= 2)
-    // eval() sorted the list, so ids[i] < ids[j] for i < j: pairs are
-    // born ordered and distinct — no post-filter needed
+    // eval() sorted the list, so ids[i] <= ids[j] for i < j; the strict
+    // id1 < id2 filter drops the self-pair a within-doc shingle-hash
+    // collision would fabricate (two distinct shingles of one doc sharing
+    // a 64-bit hash put that doc in the list twice) — the invariant the
+    // old `<`-join had structurally
     val cand = postings
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("_ids")) - 2),
@@ -95,6 +98,7 @@ object Cluster {
             element_at(col("_ids"), i + 1).as("id1"),
             element_at(col("_ids"), j + 1).as("id2")))))).as("_p"))
       .select(col("_p.id1"), col("_p.id2"))
+      .where(col("id1") < col("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)

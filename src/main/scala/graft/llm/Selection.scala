@@ -202,11 +202,18 @@ object Selection {
                           alpha: Double = 1.0,
                           textCol: String = "text"): (DataFrame, Double) = {
     val base = docs.withColumn("_tgt", isTarget.cast("boolean"))
+    // cache() the vocabulary-sized count table: the totals collect below
+    // and the returned relation both read it, and without the pin each
+    // would re-run the corpus-wide token aggregation (two full passes).
+    // Vocabulary-sized is the premise of the whole serving design — this
+    // is the one frame that stays small while the corpus grows; lineage is
+    // retained, so an evicted block recomputes instead of failing.
     val lm = base.select(col("_tgt"),
         explode(tokens(lower(col(textCol)))).as("_w"))
       .groupBy(col("_w")).agg(
         count(lit(1)).as("_cr"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+      .cache()
     val t = lm.agg(sum(col("_cr")), sum(col("_ct")), count(lit(1))).collect()(0)
     val (nr, nt, v) = (t.getLong(0).toDouble, t.getLong(1).toDouble,
       t.getLong(2).toDouble)
