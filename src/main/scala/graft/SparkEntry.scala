@@ -1045,6 +1045,15 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // §2 #26b — span-grain exact dedup (RefinedWeb/Dolma line-dedup, at
+    // sentence grain): every distinct sentence keeps its corpus-wide first
+    // occurrence, documents rebuilt from surviving spans — the
+    // cross-document boilerplate pass doc-level dedup cannot see.
+    "span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy("doc_id")),
+
     // §2 #29 — n-gram Jaccard verification over an explicit pair list
     // (consecutive doc ids).
     "ngram_jaccard" -> ((s, dir) => {
@@ -4222,6 +4231,26 @@ object SparkEntry {
         |SELECT fingerprint, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "span_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS span
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS pieces
+        |        FROM documents)),
+        |flag AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY lower(trim(span))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM sp)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_removed,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '. '
+        |                           ORDER BY pos), '') AS kept_text
+        |FROM flag GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH d AS (

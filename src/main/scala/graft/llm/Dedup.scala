@@ -26,6 +26,51 @@ object Dedup {
         count(lit(1)).as("n_copies"))
   }
 
+  /** Span-grain exact dedup (the RefinedWeb/Dolma "remove duplicated
+    * lines" pass, at sentence grain for single-line corpora): split every
+    * document on `sepRegex`, keep each distinct span's FIRST occurrence
+    * corpus-wide (ordered by (id, position) — within-doc repeats dedup
+    * too), and rebuild documents from their surviving spans in original
+    * order. The cross-document dual of [[exact]]: doc-level dedup cannot
+    * see a boilerplate sentence shared by a million otherwise-distinct
+    * pages; this removes every copy but the first.
+    *
+    * Output: (idCol, n_spans, n_removed, kept_text) — kept_text is ''
+    * (never null) when every span was removed.
+    *
+    * Scale: one span explode (map-side), ONE hash aggregation keyed on
+    * the 8-byte span hash to elect first occurrences (min (id, pos)
+    * struct — a combinable agg, never a posting list), one equi-join back
+    * on the hash, and a per-doc rebuild aggregation whose buffer is one
+    * document's spans. Exchanges carry hashes and (id, pos) pairs, never
+    * span text, except the final rebuild which carries each doc's own
+    * surviving spans once. Canonicalization for matching is
+    * lower(trim(span)); reconstruction uses the original span text. */
+  def spanDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", sepRegex: String = "\\. ",
+                joinSep: String = ". "): DataFrame = {
+    val spans = docs.select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_span")))
+      .withColumn("_h", xxhash64(lower(trim(col("_span")))))
+    val first = spans.groupBy(col("_h"))
+      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
+        .as("_first"))
+    spans
+      .join(first, Seq("_h"))
+      .withColumn("_keep",
+        col(idCol) === col("_first._fid") && col("_pos") === col("_first._fpos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"),
+        // collect_list skips nulls, so only kept spans enter; sort by
+        // position restores original order regardless of partitioning
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_pos"), col("_span"))))),
+          x => x.getField("_span")), joinSep).as("kept_text"))
+  }
+
   /** Survivor view: drop all but the lowest-id row per fingerprint. */
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

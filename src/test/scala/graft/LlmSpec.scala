@@ -28,6 +28,30 @@ class LlmSpec extends SparkTestBase {
       .as[Long].collect()(0) == 0L)
   }
 
+  test("span dedup keeps corpus-wide first occurrences, rebuilds in order") {
+    val d = Seq(
+      (1L, "a b. c d. a b"),   // within-doc repeat of 'a b'
+      (2L, "c d. e f"),        // 'c d' first seen in doc 1
+      (3L, "x"),               // single span, unique
+      (4L, "C D. g h"))        // case-folded match of 'c d'
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("kept_text")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "a b. c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 1L, 0L, "x"),
+      (4L, 2L, 1L, "g h")))
+    // a doc whose every span is removed rebuilds to '' (never null)
+    val wiped = Dedup.spanDedup(
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"))
+      .where(col("doc_id") === 2).collect()(0)
+    assert(wiped.getAs[String]("kept_text") == "")
+    assert(wiped.getAs[Long]("n_removed") == 1L)
+    assertNoCartesian(Dedup.spanDedup(d))
+  }
+
   test("minhash LSH finds seeded near-dups with high recall, no cartesian") {
     val pairs = MinHashLsh.nearDupPairs(seeded, threshold = 0.3)
     assertNoCartesian(pairs)
