@@ -1221,6 +1221,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #34b — Gopher quality rules: the published word-level document
+    // filters (word-count bounds, mean-word-length bounds, symbol-to-word
+    // ratio, alphabetic-word fraction) as one stateless projection with
+    // per-rule pass flags + the overall gate.
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_frac"), col("pass_word_count"),
+          col("pass_mean_word_len"), col("pass_symbol_ratio"),
+          col("pass_alpha_frac"), col("pass_gopher"))
+        .orderBy("doc_id")),
+
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -4350,6 +4363,43 @@ object SparkEntry {
         |            WHEN sw_de >= sw_es THEN 'de'
         |            ELSE 'es' END AS lang_pred
         |FROM c ORDER BY 1""".stripMargin,
+
+    "gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(toks, x -> length(x)))
+        |              AS DOUBLE) / nullif(len(toks), 0) AS mean_wl,
+        |         CAST(length(text) - length(replace(text, '#', ''))
+        |              + (length(text) - length(replace(text, '...', ''))) // 3
+        |              AS DOUBLE) / nullif(len(toks), 0) AS sym_ratio,
+        |         CAST(len(list_filter(toks,
+        |                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |           / nullif(len(toks), 0) AS alpha_frac
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |       round(mean_wl, 6) + 0.0 AS mean_word_len,
+        |       round(sym_ratio, 6) + 0.0 AS symbol_ratio,
+        |       round(alpha_frac, 6) + 0.0 AS alpha_frac,
+        |       CAST(n_words BETWEEN 50 AND 100000 AS INTEGER)
+        |         AS pass_word_count,
+        |       coalesce(CAST(mean_wl BETWEEN 3.0 AND 10.0 AS INTEGER), 0)
+        |         AS pass_mean_word_len,
+        |       coalesce(CAST(sym_ratio <= 0.1 AS INTEGER), 0)
+        |         AS pass_symbol_ratio,
+        |       coalesce(CAST(alpha_frac >= 0.8 AS INTEGER), 0)
+        |         AS pass_alpha_frac,
+        |       CAST(n_words BETWEEN 50 AND 100000
+        |            AND coalesce(mean_wl BETWEEN 3.0 AND 10.0, false)
+        |            AND coalesce(sym_ratio <= 0.1, false)
+        |            AND coalesce(alpha_frac >= 0.8, false) AS INTEGER)
+        |         AS pass_gopher
+        |FROM m ORDER BY 1""".stripMargin,
 
     "quality_score" ->
       """WITH t AS (

@@ -20,6 +20,55 @@ object TextAnalysis {
     filter(split(regexp_replace(text, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])", " $1 "), "\\s+"),
       t => t =!= "")
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1), the
+    * word-level subset that is row-local at any scale: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio ('#' and '...'), and
+    * the alphabetic-word fraction. Each rule emits its metric AND a
+    * pass flag, plus the overall conjunction — a pipeline keeps
+    * `pass_gopher` rows and can audit exactly which rule dropped the
+    * rest. Pure per-row column algebra (one projection, streaming-safe,
+    * zero shuffle), complementing the heuristic [[withQuality]] score.
+    * (The repetition-based Gopher rules live in the dedicated
+    * repetition/boilerplate operators.) */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8): DataFrame = {
+    val toks = filter(tokens(trim(col(textCol))), t => t =!= "")
+    val nWords = size(toks)
+    val nWordsD = when(nWords =!= 0, nWords).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWordsD
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nWordsD
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaFrac = alphaWords.cast("double") / nWordsD
+    docs
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio", round(symbolRatio, 6))
+      .withColumn("alpha_frac", round(alphaFrac, 6))
+      .withColumn("pass_word_count",
+        (nWords >= minWords && nWords <= maxWords).cast("int"))
+      // a 0-word doc can't pass a ratio rule — coalesce the null ratios'
+      // flags to 0 (the metrics themselves stay null, honestly undefined)
+      .withColumn("pass_mean_word_len", coalesce(
+        (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).cast("int"),
+        lit(0)))
+      .withColumn("pass_symbol_ratio",
+        coalesce((symbolRatio <= maxSymbolRatio).cast("int"), lit(0)))
+      .withColumn("pass_alpha_frac",
+        coalesce((alphaFrac >= minAlphaFrac).cast("int"), lit(0)))
+      .withColumn("pass_gopher",
+        (col("pass_word_count") === 1 && col("pass_mean_word_len") === 1 &&
+          col("pass_symbol_ratio") === 1 && col("pass_alpha_frac") === 1)
+          .cast("int"))
+  }
+
   private val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
   private val StopwordsFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
   private val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")

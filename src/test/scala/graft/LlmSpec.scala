@@ -28,6 +28,36 @@ class LlmSpec extends SparkTestBase {
       .as[Long].collect()(0) == 0L)
   }
 
+  test("gopher rules: per-rule flags and the conjunction, hand-computed") {
+    val words60 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, words60),                        // passes everything
+      (2L, "too short"),                    // fails word count
+      (3L, words60 + " " + ("### " * 20).trim), // symbol-heavy
+      (4L, (1 to 60).map(_ => "123").mkString(" ")), // no alpha words
+      (5L, ""))                             // empty: 0 words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Int]("pass_word_count"),
+          r.getAs[Int]("pass_symbol_ratio"), r.getAs[Int]("pass_alpha_frac"),
+          r.getAs[Int]("pass_gopher")))).toMap
+    assert(out(1L) == ((60L, 1, 1, 1, 1)))
+    assert(out(2L)._2 == 0 && out(2L)._5 == 0)
+    // doc 3: 80 words, 60 '#' chars -> symbol ratio 0.75 > 0.1; the 20
+    // '###' tokens also drag the alpha fraction to 60/80 = 0.75 < 0.8
+    assert(out(3L) == ((80L, 1, 0, 0, 0)))
+    // doc 4: 60 numeric words -> alpha fraction 0
+    assert(out(4L) == ((60L, 1, 1, 0, 0)))
+    // empty doc: 0 words, every ratio rule fails closed (0, not null)
+    assert(out(5L) == ((0L, 0, 0, 0, 0)))
+    // mean word length: doc 1's words average (4+len(i digits)) chars
+    val m1 = TextAnalysis.gopherRules(d).where(col("doc_id") === 1)
+      .collect()(0).getAs[Double]("mean_word_len")
+    val exp = (1 to 60).map(i => s"word$i".length).sum.toDouble / 60
+    assert(math.abs(m1 - math.rint(exp * 1e6) / 1e6) < 1e-9)
+  }
+
   test("span dedup keeps corpus-wide first occurrences, rebuilds in order") {
     val d = Seq(
       (1L, "a b. c d. a b"),   // within-doc repeat of 'a b'
