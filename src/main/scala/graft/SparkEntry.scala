@@ -839,6 +839,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // §2 #49c — deterministic global training-order shuffle: md5(seed:key)
+    // sort key -> shard (top 32 hash bits mod n) + position within shard.
+    // Reproducible across runs/engines/partitionings (orderBy(rand()) is
+    // not); per-shard windows only, no global sort.
+    "shard_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      Sampling.shardShuffle(d, "doc_id", nShards = 8, seed = "epoch0")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy("shard", "pos_in_shard")
+    }),
+
     // §2 #48 — one-pass table/column profile: row, null, distinct counts and
     // string min/max per column (inspect_router_columns_and_counts_v1_1.py).
     // ts excluded: timestamp→string rendering is engine-specific.
@@ -1090,6 +1101,14 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.annTopKBrute(e, e.where(col("vec_id") < 30), k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // §2 #31b — int8 scalar quantization of the embedding store (absmax /
+    // SQ8): per-vector scale, code checksums, RMS reconstruction error.
+    // Map-only column algebra — the 4x memory ladder under the ANN family.
+    "embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeReport(Tables.embeddings(s, dir))
+        .orderBy("vec_id")
     }),
 
     // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
@@ -3048,6 +3067,21 @@ object SparkEntry {
         |         AS achieved_frac
         |FROM f JOIN s USING (source) ORDER BY 1""".stripMargin,
 
+    "shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, skey,
+        |         CAST(CAST('0x' || substr(skey, 1, 8) AS UBIGINT) % 8
+        |              AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |            ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM s ORDER BY 2, 3""".stripMargin,
+
     "column_profile" ->
       """WITH p AS (
         |  SELECT 'event_id' AS column_name, count(*) AS n_rows,
@@ -4304,6 +4338,27 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, rank, neighbor_id, sim
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, CAST(len(v) AS INTEGER) AS dim,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, dim, scale,
+        |         list_transform(v, x -> CAST(coalesce(
+        |           round(x / nullif(scale, 0)), 0) AS BIGINT)) AS q8,
+        |         list_transform(v, x -> pow(x - coalesce(
+        |           round(x / nullif(scale, 0)), 0) * scale, 2)) AS e2
+        |  FROM s)
+        |SELECT vec_id, dim, round(scale, 6) + 0.0 AS scale,
+        |       CAST(list_sum(q8) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(q8, x -> abs(x)))
+        |            AS BIGINT) AS q_abs_sum,
+        |       round(sqrt(list_sum(e2) / dim), 6) + 0.0 AS rmse
+        |FROM q ORDER BY 1""".stripMargin,
 
     "corpus_clean" ->
       s"""$CorpusCleanCte

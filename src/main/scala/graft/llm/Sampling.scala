@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling / dataset mixing — the pass that turns
@@ -73,5 +74,38 @@ object Sampling {
       .select(col(sourceCol), col("n_avail"), col("keep_frac"))
     df.join(broadcast(fracs), sourceCol)
       .where(hashBucket(col(keyCol), buckets) < col("keep_frac") * buckets)
+  }
+
+  /** Deterministic global training-order shuffle + shard assignment — the
+    * last step before shard egress: a trained model must NOT see the corpus
+    * in ingestion order (source- and time-correlated batches destabilize
+    * training), and the shuffled order must be REPRODUCIBLE so a resumed or
+    * re-run job reads the identical sequence. Spark's `orderBy(rand())`
+    * fails both (per-row RNG differs across retries); here the sort key is
+    * `md5(seed ‖ ':' ‖ key)` — a pure row function, so the same rows land
+    * in the same shard at the same position on every run, engine, and
+    * partitioning, and changing `seed` is a fresh epoch-level reshuffle.
+    *
+    * Output: (key, shard, pos_in_shard) — shard from the key's top 32 hash
+    * bits mod `nShards`, position by ascending hash within the shard
+    * (key-tiebreak for determinism hygiene).
+    *
+    * Scale: one hash-shuffle into `nShards` partitions and a per-shard
+    * sort — no global ordering anywhere. A training run sizes nShards ≫
+    * cores (thousands of shards for 100 TB), so the per-shard window IS
+    * the parallel unit; the row_number buffer is one shard's keys. The
+    * dual of [[graft.llm.TextAnalysis.packShards]]' stable-hash sharding:
+    * packShards preserves doc order within a shard for budget packing,
+    * shardShuffle randomizes it for training-batch decorrelation. */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                   seed: String = "shuffle"): DataFrame = {
+    val skey = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("_skey"), col(keyCol))
+    df.withColumn("_skey", skey)
+      .withColumn("shard",
+        (conv(substring(col("_skey"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .drop("_skey")
   }
 }

@@ -383,4 +383,58 @@ object Similarity {
         col("max_sim_prev"),
         col("n_dups_prev").isNull.cast("int").as("kept"))
   }
+
+  /** Int8 scalar quantization of the embedding column — the memory ladder
+    * under the ANN family: a 100 TB float32 embedding store is 25 TB at
+    * int8, which is the difference between an IVF codebook sweep that fits
+    * in cluster memory and one that spills. Per-vector absmax scaling
+    * (`scale = max|x| / 127`, `q_i = round(x_i / scale)` clamped by
+    * construction to [-127, 127]), the standard faiss/SQ8 recipe; the
+    * all-zero vector quantizes to all-zero at scale 0 rather than NaN.
+    *
+    * Output: the input row plus `q8` (array<int> codes), `scale` (double),
+    * and `dim` — dequantization is `q_i · scale`. Downstream ANN re-ranks
+    * exact on the float column for the final top-k (the usual two-stage
+    * scheme); tests pin the reconstruction bound |x - q·scale| ≤ scale/2.
+    *
+    * Scale: pure per-row column algebra — one projection, no shuffle, no
+    * UDF; the transform/aggregate HOFs evaluate in one pass per vector. */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    // null when scale is 0 (all-zero vector): x/null -> null, coalesce 0
+    val safe = when(col("scale") =!= 0.0, col("scale"))
+    vecs
+      .withColumn("dim", size(v).cast("int"))
+      .withColumn("scale", scale)
+      .withColumn("q8",
+        transform(v, x => coalesce(round(x / safe, 0), lit(0.0)).cast("int")))
+  }
+
+  /** Reconstruction-error report over [[quantizeInt8]]'s output: per-vector
+    * code checksums and the root-mean-square dequantization error (single
+    * elementwise pass; q_i is recomputed from x_i inside the transform so
+    * no array zip is needed). */
+  def quantizeReport(vecs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeInt8(vecs, idCol, vecCol)
+    val v = col(vecCol).cast("array<double>")
+    val safe = when(col("scale") =!= 0.0, col("scale"))
+    val sqErr = transform(v, x =>
+      pow(x - coalesce(round(x / safe, 0), lit(0.0)) * col("scale"), 2))
+    // _rmse via withColumn, NOT inline in the select below: there the
+    // `round(scale, 6) AS scale` item would capture sqErr's col("scale")
+    // as a LATERAL column alias (Spark 3.4+ resolves later select items
+    // against earlier aliases first), silently quantizing against the
+    // display-rounded scale
+    q.withColumn("_rmse",
+        sqrt(aggregate(sqErr, lit(0.0), (acc, e) => acc + e) / col("dim")))
+      .select(
+        col(idCol), col("dim"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("q8"), lit(0L), (acc, x) => acc + abs(x)).as("q_abs_sum"),
+        round(col("_rmse"), 6).as("rmse"))
+  }
 }

@@ -194,6 +194,37 @@ class FlowProfileSpec extends SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("shard shuffle: partition, position, seed epoch, determinism") {
+    import graft.llm.Sampling
+    val rows = (0 until 2000).map(_.toLong).toDF("id")
+    val out = Sampling.shardShuffle(rows, "id", nShards = 8, seed = "e0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every row exactly once, shards in range
+    assert(out.length == 2000 && out.map(_._1).distinct.length == 2000)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are contiguous 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // uniform-ish shard sizes (md5 buckets): within 25% of 250
+    out.groupBy(_._2).values.foreach(rs =>
+      assert(math.abs(rs.length - 250.0) / 250.0 < 0.25, rs.length))
+    // bit-for-bit reproducible under a different input partitioning
+    val again = Sampling.shardShuffle(rows.repartition(13), "id", 8, "e0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(again.toSeq == out.sorted.toSeq)
+    // a different seed is a genuinely different permutation
+    val e1 = Sampling.shardShuffle(rows, "id", 8, "e1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(e1.toSeq != out.sorted.toSeq)
+    // decorrelation: ingestion order doesn't survive — consecutive ids
+    // rarely stay adjacent in (shard, pos) order
+    val orderOf = out.sortBy(t => (t._2, t._3)).map(_._1).zipWithIndex.toMap
+    val adjacent = (0L until 1999L).count(i =>
+      math.abs(orderOf(i) - orderOf(i + 1)) == 1)
+    assert(adjacent < 20, s"$adjacent consecutive-id adjacencies")
+  }
+
   test("doc chunking: window arithmetic, overlap, short-tail chunk") {
     import graft.llm.TextAnalysis
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")

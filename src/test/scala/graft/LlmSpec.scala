@@ -508,4 +508,35 @@ class LlmSpec extends SparkTestBase {
     // and the verdicts are not all-kept (dups actually fired on both paths)
     assert(plain.exists(_.last == 0))
   }
+
+  test("int8 quantization: hand codes, reconstruction bound, zero vector") {
+    val vecs = Seq(
+      (1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale 0.01: codes ±127, 64
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // all-zero: scale 0, codes 0
+      (3L, Seq(2.54f, 1.27f, -0.01f, 0.005f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs).orderBy("vec_id").collect()
+    assert(q(0).getAs[scala.collection.Seq[Int]]("q8").toSeq == Seq(127, -127, 64, 0))
+    assert(math.abs(q(0).getAs[Double]("scale") - 0.01) < 1e-9)
+    assert(q(1).getAs[scala.collection.Seq[Int]]("q8").toSeq == Seq(0, 0, 0, 0))
+    assert(q(1).getAs[Double]("scale") == 0.0)
+    assert(q(2).getAs[scala.collection.Seq[Int]]("q8").head == 127)
+    // reconstruction bound on the real table: |x - q·scale| <= scale/2,
+    // codes within [-127, 127]
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"), col("q8"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("max_err", array_max(zip_with(col("v"), col("q8"),
+        (x, qi) => abs(x - qi * col("scale")))))
+      .withColumn("max_code", array_max(transform(col("q8"), x => abs(x))))
+    assert(r.where(col("max_err") > col("scale") / 2 + lit(1e-12)).count() == 0)
+    assert(r.where(col("max_code") > 127).count() == 0)
+    // the report's rmse respects the same bound
+    val rep = Similarity.quantizeReport(emb)
+    assert(rep.where(col("rmse") > col("scale") / 2 + lit(1e-6)).count() == 0)
+    assert(rep.count() == emb.count())
+    // map-only: no exchange anywhere in the quantization plan
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
