@@ -1525,6 +1525,20 @@ object SparkEntry {
       Dedup.contaminationNgram(d, test, n = 8).orderBy("test_id")
     }),
 
+    // §2 #39c — Bloom-filter decontamination (the 100 TB plan for #39b when
+    // the corpus dwarfs the benchmark): benchmark grams -> one Bloom filter
+    // shipped inside a native codegen probe; the corpus pass is map-only,
+    // no join/shuffle of corpus grams. Benchmark = every 10th doc (full
+    // gram overlap on itself) so the flagged set is stable; no-oracle (the
+    // fpp makes row content approximate) — LlmSpec pins the superset-of-
+    // exact property and the fpp bound against the equi-join twin.
+    "contamination_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val benchmark = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.contaminationBloom(d, benchmark, n = 8).orderBy("doc_id")
+    }),
+
     // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
     // quantiles (the sketch path percentile_approx is pinned to these in
     // StatsSessionSpec).

@@ -130,6 +130,52 @@ object Dedup {
         round(col("n_shared_ngrams") / col("n_test_ngrams"), 6))
   }
 
+  /** Bloom-filter n-gram decontamination — the 100 TB execution plan for
+    * [[contaminationNgram]] when the corpus side dwarfs the benchmark side
+    * (the production shape: eval suites are megabytes, pretraining corpora
+    * are terabytes). The benchmark's distinct gram hashes build one Bloom
+    * filter (a few MB at fpp=1e-3 even for millions of grams; Spark's
+    * `stat.bloomFilter` builds it as a distributed tree-aggregate), which
+    * ships inside a native codegen expression
+    * ([[graft.functions.BloomMightContain]]) — so the corpus pass is
+    * map-ONLY: no join, no shuffle of corpus grams at all, versus the
+    * equi-join plan whose exchange carries O(corpus tokens) hashes. One
+    * hash aggregation per doc then counts flagged grams.
+    *
+    * Approximate in the safe direction: `n_flagged ≥` the exact
+    * `n_shared_ngrams` per doc (no false negatives; extras bounded by the
+    * filter's fpp), so thresholding on `flag_frac` can only over-remove —
+    * the tolerable error for decontamination. Emits docs with at least one
+    * flagged gram: (idCol, n_ngrams, n_flagged, flag_frac). Tests pin the
+    * superset property and the fpp bound against the exact join twin.
+    *
+    * `expectedItems` pre-sizes the filter; left None it is the benchmark's
+    * distinct-gram count (one small aggregation over the benchmark side —
+    * never over the corpus). */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         fpp: Double = 0.001,
+                         expectedItems: Option[Long] = None,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val bg = benchmark
+      .select(explode(shingles(col(textCol), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh"))
+      .distinct()
+    val nItems = math.max(expectedItems.getOrElse(bg.count()), 1L)
+    val bloom = bg.stat.bloomFilter("_gh", nItems, fpp)
+    val flagged = GraftBridge.column(graft.functions.BloomMightContain(
+      GraftBridge.expression(xxhash64(col("_g"))), bloom))
+    corpus
+      .select(col(idCol), shingles(col(textCol), n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).as("n_ngrams"),
+        explode(col("_gs")).as("_g"))
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(sum(flagged.cast("long")).as("n_flagged"))
+      .where(col("n_flagged") > 0)
+      .withColumn("flag_frac", round(col("n_flagged") / col("n_ngrams"), 6))
+  }
+
   /** Corpus-common-gram (boilerplate / duplicated-span) profiling — the
     * C4-style "remove spans that repeat across the corpus" stage at word
     * n-gram granularity, and the SELF-corpus dual of

@@ -509,6 +509,45 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("bloom decontamination: superset of exact join, fpp-bounded extras") {
+    val benchmark = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    // the bloom pass flags corpus docs; the benchmark is a subset of the
+    // corpus, so every benchmark source doc must be flagged
+    val exactIds = docs.where(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.contaminationBloom(docs, benchmark, n = 8, fpp = 0.001)
+    val flagged = bloom.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(flagged),
+      s"missed ${exactIds.diff(flagged).size} contaminated docs")
+    // benchmark copies share EVERY gram: flag_frac 1.0 on the sources
+    val full = bloom.where(col("flag_frac") === 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(full))
+    // the exact twin in the SAME orientation (corpus docs vs benchmark
+    // grams): bloom must never under-flag a doc (no false negatives) ...
+    val exactCorpus = Dedup.contaminationNgram(benchmark, docs, n = 8)
+      .select(col("test_id").as("doc_id"), col("n_shared_ngrams"))
+    val joined = bloom.join(exactCorpus, Seq("doc_id"), "full")
+    assert(joined.where(col("n_flagged").isNull).count() == 0,
+      "exact-contaminated doc missing from bloom output")
+    assert(joined.where(col("n_flagged") <
+      coalesce(col("n_shared_ngrams"), lit(0L))).count() == 0)
+    // ... and the fpp bound: flagged grams beyond the exact shared count
+    // stay near fpp * total corpus grams (10x slack for variance)
+    val totalGrams = docs.select(explode(Dedup.shingles(col("text"), 8)))
+      .count()
+    val extraFlagged = joined
+      .agg(sum(col("n_flagged") - coalesce(col("n_shared_ngrams"), lit(0L))))
+      .collect()(0).getLong(0)
+    assert(extraFlagged <= math.max(20L, (0.001 * totalGrams * 10).toLong),
+      s"$extraFlagged extra flagged grams of $totalGrams")
+    // map-only corpus side: the only exchange is the per-doc count agg —
+    // no join anywhere in the plan
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("int8 quantization: hand codes, reconstruction bound, zero vector") {
     val vecs = Seq(
       (1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale 0.01: codes ±127, 64
