@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
 import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
-import graft.ml.{MlFilter, RegimeEval}
+import graft.ml.{MlFilter, QualityClassifier, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
@@ -941,6 +941,34 @@ object SparkEntry {
           round(col("vwap_dist_z"), 6).as("vwap_dist_z"),
           col("label"))
         .orderBy("symbol", "bar_ts_ms")
+    }),
+
+    // §2 #34c — GPT-3-style model-based quality filter: hashed-BoW
+    // logistic regression trained to separate a curated seed source
+    // (src0 as the WebText stand-in) from a deterministic sample of the
+    // rest, scoring every doc with P(seed-like). The fit is rows-only
+    // (LBFGS float accumulation); QualityClassifierSpec pins separation
+    // and held-out generalization.
+    "quality_classifier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val scored = QualityClassifier.trainScore(
+        d, QualityClassifier.labeled(d, seedSource = "src0"))
+      scored.select(col("doc_id"), col("source"),
+          round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #34c (deterministic half) — the weak-supervision training frame:
+    // label 1.0 on the seed source, 0.0 on the md5-bucket negative sample
+    // sized 2:1, class counts derived in-plan. Pure SQL semantics ->
+    // full oracle, mirroring the ml_filter_frame split.
+    "quality_labels" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      QualityClassifier.labeled(d, seedSource = "src0")
+        .select(col("doc_id"), col("source"), col("label"))
+        .orderBy("doc_id")
     }),
 
     // §2 #25e2 — period-grain 3-class regime evaluation: coarse-period
@@ -3964,6 +3992,24 @@ object SparkEntry {
         |WHERE next_c IS NOT NULL AND atr_pct IS NOT NULL
         |  AND er IS NOT NULL AND vwap_dist_z IS NOT NULL
         |ORDER BY symbol, bar_ts_ms""".stripMargin,
+
+    "quality_labels" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_neg
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |       CAST(CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END
+        |            AS DOUBLE) AS label
+        |FROM documents, c
+        |WHERE source = 'src0' OR
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS UBIGINT) % 10000
+        |    < least(1.0, 2.0 * n_pos / greatest(n_neg, 1)) * 10000
+        |ORDER BY 1""".stripMargin,
 
     "ichimoku" ->
       s"""$H1Cte,

@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Sampling, TextAnalysis}
+
+/** Model-based document quality filtering — the GPT-3/LLaMA recipe that
+  * sits above the row-local Gopher rules: train a linear classifier to
+  * distinguish a small CURATED seed corpus (WebText/Wikipedia stand-in:
+  * one trusted source) from the raw corpus, then score every document
+  * with P(seed-like) and let the pipeline keep the high scorers. The
+  * fastText-style shape: hashed bag-of-words features (no vocabulary to
+  * build or ship) into logistic regression.
+  *
+  * Spark-first at 100 TB: feature hashing is stateless per-row (HashingTF
+  * — murmur3 mod numFeatures, no fitted vocabulary), the LR fit is
+  * LBFGS treeAggregate passes over the (small) labeled frame only, and
+  * scoring the full corpus is a narrow map with the model's coefficient
+  * vector broadcast — the same structure as [[MlFilter]], so cluster
+  * execution is unchanged from local.
+  */
+object QualityClassifier {
+
+  /** Weak-supervision training frame: label 1.0 for every seed-source doc,
+    * 0.0 for a deterministic md5-bucket sample of the rest sized to
+    * `negPerPos` negatives per positive (capped at all of them). The
+    * negative sample reuses [[Sampling.hashBucket]], so the frame is
+    * reproducible across runs/engines/partitionings and fully
+    * SQL-expressible — the hash-checked deterministic half of the
+    * operator, mirroring [[MlFilter.withLabel]]'s split. Class counts are
+    * derived in-plan (one 2-row aggregation, broadcast back), never
+    * driver-side. */
+  def labeled(docs: DataFrame, seedSource: String, negPerPos: Double = 2.0,
+              sourceCol: String = "source", idCol: String = "doc_id",
+              buckets: Int = 10000): DataFrame = {
+    val isSeed = (col(sourceCol) === seedSource).cast("int")
+    val counts = docs.agg(
+      sum(isSeed).as("_n_pos"),
+      sum(lit(1) - isSeed).as("_n_neg"))
+    val withCounts = docs.crossJoin(broadcast(counts))
+    withCounts
+      .withColumn("_neg_frac",
+        least(lit(1.0), lit(negPerPos) * col("_n_pos") /
+          greatest(col("_n_neg"), lit(1L))))
+      .where(col(sourceCol) === seedSource ||
+        Sampling.hashBucket(col(idCol), buckets) < col("_neg_frac") * buckets)
+      .withColumn("label", (col(sourceCol) === seedSource).cast("double"))
+      .drop("_n_pos", "_n_neg", "_neg_frac")
+  }
+
+  /** Fit hashed-BoW logistic regression on `labeledDf` and score every row
+    * of `docs` with `quality_prob` = P(seed-like). Stateless feature
+    * hashing (numFeatures buckets) means the only fitted state is the LR
+    * coefficient vector — scoring is a broadcast-free narrow map. The
+    * cached training iterate is unpersisted before returning (same
+    * hygiene as [[MlFilter.trainScore]]). */
+  def trainScore(docs: DataFrame, labeledDf: DataFrame,
+                 numFeatures: Int = 4096, maxIter: Int = 15,
+                 textCol: String = "text"): DataFrame = {
+    def tokenize(df: DataFrame): DataFrame = df.withColumn("_toks",
+      filter(TextAnalysis.tokens(lower(trim(col(textCol)))), t => t =!= ""))
+    val tf = new HashingTF().setInputCol("_toks").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+    val train = tf.transform(tokenize(labeledDf)).repartition(8).cache()
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(0.01)
+      .fit(train)
+    val scored = model.transform(tf.transform(tokenize(docs)))
+      .withColumn("quality_prob",
+        element_at(vector_to_array(col("probability")), 2))
+      .drop("_toks", "features", "rawPrediction", "probability", "prediction")
+    train.unpersist(false)
+    scored
+  }
+}
