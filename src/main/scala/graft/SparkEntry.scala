@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Cluster, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
 import graft.ml.{MlFilter, QualityClassifier, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -1280,6 +1280,15 @@ object SparkEntry {
           col("pass_mean_word_len"), col("pass_symbol_ratio"),
           col("pass_alpha_frac"), col("pass_gopher"))
         .orderBy("doc_id")),
+
+    // §2 #34d — per-source curation data card: doc/char/token volumes,
+    // corpus-wide exact-dup rate (non-first fingerprint occurrences),
+    // Gopher pass rate. Map-side metrics + one fingerprint agg/join +
+    // a |sources|-row rollup; the numbers a mixture design feeds on.
+    "curation_report" -> ((s, dir) =>
+      Curation.dataCard(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")))
+        .orderBy("source")),
 
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
@@ -4010,6 +4019,43 @@ object SparkEntry {
         |       AS UBIGINT) % 10000
         |    < least(1.0, 2.0 * n_pos / greatest(n_neg, 1)) * 10000
         |ORDER BY 1""".stripMargin,
+
+    "curation_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY 1),
+        |m AS (
+        |  SELECT t.source,
+        |         CAST(length(t.text) AS BIGINT) AS n_chars,
+        |         CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |         CAST(t.doc_id <> k.keep_id AS INTEGER) AS is_dup,
+        |         CAST(len(t.toks) BETWEEN 50 AND 100000
+        |              AND coalesce(CAST(list_sum(list_transform(t.toks,
+        |                    x -> length(x))) AS DOUBLE) / nullif(len(t.toks), 0)
+        |                  BETWEEN 3.0 AND 10.0, false)
+        |              AND coalesce(CAST(length(t.text)
+        |                    - length(replace(t.text, '#', ''))
+        |                    + (length(t.text)
+        |                       - length(replace(t.text, '...', ''))) // 3
+        |                    AS DOUBLE) / nullif(len(t.toks), 0) <= 0.1, false)
+        |              AND coalesce(CAST(len(list_filter(t.toks,
+        |                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |                  / nullif(len(t.toks), 0) >= 0.8, false)
+        |              AS INTEGER) AS pass_gopher
+        |  FROM t JOIN k USING (fp))
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens_total,
+        |       round(avg(n_toks), 6) + 0.0 AS mean_tokens,
+        |       round(avg(is_dup), 6) + 0.0 AS dup_rate,
+        |       round(avg(pass_gopher), 6) + 0.0 AS gopher_pass_rate
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ichimoku" ->
       s"""$H1Cte,

@@ -509,6 +509,27 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("curation data card: volumes, cross-source dup attribution, gate rate") {
+    import graft.llm.Curation
+    val words60 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, "a", words60),            // passes gopher, unique
+      (2L, "a", "too short"),        // fails gopher, unique
+      (3L, "b", words60),            // exact copy of doc 1 -> b's dup
+      (4L, "b", words60 + " tail"),  // near-dup but NOT exact: no dup flag
+      (5L, "b", "TOO  SHORT"))       // canonical match of doc 2 -> b's dup
+      .toDF("doc_id", "source", "text")
+    val card = Curation.dataCard(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getAs[Double]("dup_rate"), r.getAs[Double]("gopher_pass_rate")))
+    // a: 2 docs, 62 tokens, no dups (first occurrences live here), 1/2 pass
+    assert(card(0) == (("a", 2L, 62L, 0.0, 0.5)))
+    // b: 3 docs, 60+61+2 tokens; docs 3 and 5 are copies of a's docs ->
+    // dup_rate 2/3 attributed to b; gopher passes on 3 and 4 -> 2/3
+    assert(card(1) == (("b", 3L, 123L, math.rint(2e6 / 3) / 1e6,
+      math.rint(2e6 / 3) / 1e6)))
+  }
+
   test("bloom decontamination: superset of exact join, fpp-bounded extras") {
     val benchmark = docs.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
