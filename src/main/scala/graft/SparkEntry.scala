@@ -1290,6 +1290,33 @@ object SparkEntry {
           .select(col("doc_id"), col("source"), col("text")))
         .orderBy("source")),
 
+    // §2 #26c — incremental exact dedup: a new crawl batch elects its
+    // within-batch survivors, then anti-joins the HISTORICAL fingerprint
+    // index (never historical text). Seeded: history = every 3rd doc;
+    // batch = the rest + cross-batch copies (dropped by the anti-join) +
+    // within-batch copies of %3==1 docs (collapse to n_copies=2).
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val seen = d.where(col("doc_id") % 3 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val batch = d.where(col("doc_id") % 3 =!= 0)
+        .unionByName(d.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 6000000).as("doc_id"), col("text")))
+      Dedup.exactIncremental(batch, seen).orderBy("keep_id")
+    }),
+
+    // §2 #35b — tokenizer-vocabulary coverage audit: top-V corpus tokens
+    // (deterministic tie-break) as the unigram vocabulary, per-doc OOV
+    // counts/rate. TakeOrdered top-V + broadcast vocab join — the per-doc
+    // pass is map-side. V=10 so the synthetic corpus has real OOV mass.
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        vocabSize = 10)
+        .orderBy("doc_id")),
+
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -4019,6 +4046,45 @@ object SparkEntry {
         |       AS UBIGINT) % 10000
         |    < least(1.0, 2.0 * n_pos / greatest(n_neg, 1)) * 10000
         |ORDER BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+        |                          'g'))) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fingerprint,
+        |         min(doc_id) AS keep_id,
+        |         CAST(count(*) AS BIGINT) AS n_copies_in_batch
+        |  FROM batch GROUP BY 1)
+        |SELECT fingerprint, keep_id, n_copies_in_batch
+        |FROM s WHERE fingerprint NOT IN (SELECT fp FROM seen)
+        |ORDER BY 2""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)),
+        |                '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |f AS (SELECT t, count(*) AS freq FROM tk GROUP BY 1),
+        |v AS (SELECT t, 1 AS in_vocab FROM f
+        |      ORDER BY freq DESC, t LIMIT 10)
+        |SELECT tk.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |             * 1.0 / count(*), 6) + 0.0 AS oov_frac
+        |FROM tk LEFT JOIN v USING (t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "curation_report" ->
       """WITH t AS (

@@ -79,6 +79,33 @@ object Dedup {
     fp.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup — the production shape where a corpus grows by
+    * batches (daily crawls) and each new batch dedups against the
+    * accumulated fingerprint INDEX, not the full historical text: elect
+    * within-batch survivors ([[exact]]'s min-id rule), then anti-join the
+    * historical fingerprint set. Output: one row per NEW unique document
+    * (fingerprint, keep_id, n_copies_in_batch) — exactly what gets
+    * appended to both the corpus and the index.
+    *
+    * Scale: the history side is the (hash, …) index relation — never
+    * historical text; one hash aggregation over the batch + one left-anti
+    * equi-join on the fingerprint. With the index bucketed on the
+    * fingerprint (the [[graft.sources.Lake]] layout) the anti-join
+    * co-locates and the daily cost is O(batch), independent of corpus
+    * age. */
+  def exactIncremental(newDocs: DataFrame, seenFingerprints: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       fpCol: String = "fingerprint"): DataFrame = {
+    val survivors = newDocs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies_in_batch"))
+    survivors.join(
+      seenFingerprints.select(col(fpCol).as("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_anti")
+  }
+
   /** Train/test contamination check: which test documents appear verbatim
     * (canonical form) in the training corpus. One hash-shuffle equi-join on
     * the fingerprint — the standard eval-set decontamination pass at corpus

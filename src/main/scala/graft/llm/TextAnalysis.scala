@@ -124,6 +124,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Tokenizer-vocabulary coverage audit — the check that runs after a
+    * vocabulary is fit and before training commits to it: build the
+    * top-`vocabSize` corpus tokens (the unigram-truncation vocabulary a
+    * WordPiece/BPE fit starts from), then report every document's
+    * out-of-vocabulary token count and rate. High-OOV documents are
+    * either junk (drop) or evidence the vocabulary under-covers a domain
+    * (refit); empty documents have no tokens and are absent.
+    *
+    * Scale: token explode is map-side; the frequency aggregation is one
+    * O(tokens) hash agg; top-V is TakeOrdered (per-partition top-V, V
+    * rows merged — never a global sort); and the vocabulary joins back
+    * BROADCAST, so the per-doc pass is map-side. Ties at the vocabulary
+    * boundary break lexicographically, keeping the vocab deterministic
+    * across engines and partitionings. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 10000,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(tokens(lower(trim(col(textCol)))), t => t =!= ""))
+        .as("_t"))
+    val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_freq"))
+      .orderBy(col("_freq").desc, col("_t").asc)
+      .limit(vocabSize)
+      .select(col("_t"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** All word n-grams of the case-folded text (non-distinct — frequency
     * counting wants multiplicity; [[Dedup.shingles]] is the distinct set).
     * Single-pass native expression ([[graft.functions.WordNgrams]]). */

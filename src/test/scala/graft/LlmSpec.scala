@@ -509,6 +509,49 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("incremental dedup: within-batch election then history anti-join") {
+    val seen = Seq("old news", "shared item").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (10L, "fresh doc"),       // new, unique
+      (11L, "Fresh  Doc"),      // canonical dup of 10 -> collapses into it
+      (12L, "shared item"),     // already in history -> dropped entirely
+      (13L, "another new one")) // new, unique
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, seen).orderBy("keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies_in_batch")))
+    assert(out.toSeq == Seq((10L, 2L), (13L, 1L)))
+    // empty history: pure within-batch dedup
+    val none = seen.limit(0)
+    assert(Dedup.exactIncremental(batch, none).count() == 3)
+  }
+
+  test("vocab coverage: top-V vocabulary, per-doc OOV, deterministic ties") {
+    val d = Seq(
+      (1L, "a a a b b c"),   // freqs: a=3(+2 below)=5? counted corpus-wide
+      (2L, "a a b rare1"),
+      (3L, "rare2 rare3 b"),
+      (4L, ""))              // empty: no tokens, absent from output
+      .toDF("doc_id", "text")
+    // corpus freqs: a=5, b=4, c=1, rare1=1, rare2=1, rare3=1
+    // V=3 -> vocab {a, b} + tie at freq 1 broken lexicographically: c
+    val out = TextAnalysis.vocabCoverage(d, vocabSize = 3).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov")))
+    assert(out.toSeq == Seq((1L, 6L, 0L), (2L, 4L, 1L), (3L, 3L, 2L)))
+    // deterministic under repartitioning (the tie-break is total)
+    val again = TextAnalysis.vocabCoverage(d.repartition(5), vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov")))
+    assert(again.toSeq == out.toSeq)
+    // the vocabulary side is broadcast: no shuffle join on the token stream
+    val plan = TextAnalysis.vocabCoverage(d, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("curation data card: volumes, cross-source dup attribution, gate rate") {
     import graft.llm.Curation
     val words60 = (1 to 60).map(i => s"word$i").mkString(" ")
