@@ -1317,6 +1317,21 @@ object SparkEntry {
         vocabSize = 10)
         .orderBy("doc_id")),
 
+    // §2 #33b — C4-style text normalization on a seeded messy wrap (markup
+    // tags, entities, a control char, ragged whitespace): strip -> unescape
+    // -> blank control chars -> collapse -> trim, with before/after char
+    // counts. Pure per-row regex projection.
+    "text_normalize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val messy = d.withColumn("text",
+        concat(lit("<div class=\"doc\">"), col("text"),
+          lit("</div> &amp; <br/>\u0001 tail &lt;EOS&gt;")))
+      TextAnalysis.withNormalized(messy)
+        .select(col("doc_id"), col("norm_text"),
+          col("n_chars_raw"), col("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1623,6 +1638,15 @@ object SparkEntry {
     "ngram_freq" -> ((s, dir) => {
       TextAnalysis.ngramFreq(Tables.documents(s, dir), n = 2)
         .orderBy("ngram")
+    }),
+
+    // §2 #41b — Count-Min-sketch frequency profile (the sketch path under
+    // ngram_freq): one-pass CMS over gram hashes, native point-query
+    // probe, estimate-vs-exact audit on the top-20. Rows-only (no CMS in
+    // the oracle engine); LlmSpec pins est >= exact and the eps·N bound.
+    "ngram_freq_sketch" -> ((s, dir) => {
+      TextAnalysis.ngramCmsProfile(Tables.documents(s, dir), n = 2, k = 20)
+        .orderBy(col("exact_count").desc, col("ngram").asc)
     }),
 
     // §2 #42 — distinct-cardinality profile per symbol (exact; the HLL
@@ -4046,6 +4070,31 @@ object SparkEntry {
         |       AS UBIGINT) % 10000
         |    < least(1.0, 2.0 * n_pos / greatest(n_neg, 1)) * 10000
         |ORDER BY 1""".stripMargin,
+
+    "text_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         '<div class="doc">' || text || '</div> &amp; <br/>' ||
+        |         chr(1) || ' tail &lt;EOS&gt;' AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |                 '&amp;', '&', 'g'),
+        |               '&lt;', '<', 'g'),
+        |             '&gt;', '>', 'g'),
+        |           '[\x00-\x1f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS norm_text
+        |  FROM m)
+        |SELECT doc_id, norm_text,
+        |       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH seen AS (

@@ -124,6 +124,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** C4-style text normalization — the cleanup projection that runs before
+    * any fingerprinting/tokenizing stage on raw web extractions: strip
+    * markup tags, unescape the basic HTML entities, blank control
+    * characters, collapse whitespace runs, trim. Order matters (tags
+    * before entities, control-strip before whitespace-collapse) and is
+    * pinned by the oracle. Pure per-row regex algebra — codegen'd,
+    * zero shuffle, streaming-safe. */
+  def normalize(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unesc = regexp_replace(regexp_replace(regexp_replace(noTags,
+      "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    val noCtrl = regexp_replace(unesc, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(noCtrl, "\\s+", " "))
+  }
+
+  /** [[normalize]] applied to a document frame, with the before/after char
+    * counts a cleaning audit reports. */
+  def withNormalized(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text", normalize(col(textCol)))
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
   /** Tokenizer-vocabulary coverage audit — the check that runs after a
     * vocabulary is fit and before training commits to it: build the
     * top-`vocabSize` corpus tokens (the unigram-truncation vocabulary a
@@ -181,6 +204,36 @@ object TextAnalysis {
     docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Count-Min-sketch n-gram frequency profile — the sketch path under
+    * [[ngramFreq]]: ONE pass builds a CMS over 8-byte gram hashes (KBs at
+    * any corpus size, distributed tree-aggregate, mergeable — the
+    * cross-shard/cross-day frequency-union shape), and the top-k exact
+    * grams are then re-estimated from the sketch via the native
+    * [[graft.functions.CmsEstimate]] probe, giving the estimate-vs-exact
+    * audit a sketch rollout publishes. est ≥ exact always; overshoot
+    * ≤ eps·N at the sketch's confidence.
+    *
+    * At lake scale the exact side here is only the audit's top-k; a
+    * sketch-only consumer skips it and pays one O(tokens) pass + KBs of
+    * state, vs the exact aggregation's full (gram, count) relation. */
+  def ngramCmsProfile(docs: DataFrame, n: Int = 2, k: Int = 20,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 42, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val grams = docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .withColumn("_gh", xxhash64(col("ngram")))
+    val cms = grams.stat.countMinSketch(col("_gh"), eps, confidence, seed)
+    val top = grams.groupBy(col("ngram"), col("_gh"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("ngram").asc)
+      .limit(k)
+    top
+      .withColumn("est_count", GraftBridge.column(
+        graft.functions.CmsEstimate(GraftBridge.expression(col("_gh")), cms)))
+      .withColumn("overshoot", col("est_count") - col("exact_count"))
+      .drop("_gh")
+  }
 
   /** Per-document repetition profile over word n-grams (the Gopher-style
     * repetitive-content quality filter): total vs distinct n-grams,

@@ -509,6 +509,58 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("CMS ngram profile: est >= exact, eps-bounded overshoot, determinism") {
+    val prof = TextAnalysis.ngramCmsProfile(docs, n = 2, k = 20,
+      eps = 0.001, confidence = 0.99)
+    val rows = prof.collect()
+    assert(rows.length == 20)
+    // CMS never undercounts
+    assert(rows.forall(r => r.getAs[Long]("overshoot") >= 0L))
+    // overshoot <= eps * N (total grams) — deterministic seed, hard bound
+    val totalGrams = docs
+      .select(explode(TextAnalysis.ngrams(col("text"), 2))).count()
+    val maxOver = rows.map(_.getAs[Long]("overshoot")).max
+    assert(maxOver <= math.ceil(0.001 * totalGrams).toLong + 1,
+      s"overshoot $maxOver vs eps*N=${0.001 * totalGrams}")
+    // the exact side agrees with ngramFreq's counts
+    val exact = TextAnalysis.ngramFreq(docs, 2)
+      .orderBy(col("cnt").desc, col("ngram").asc).limit(20)
+      .collect().map(r => r.getAs[String]("ngram") -> r.getAs[Long]("cnt")).toMap
+    assert(rows.forall(r =>
+      exact(r.getAs[String]("ngram")) == r.getAs[Long]("exact_count")))
+    // seeded sketch: estimates reproduce across partitionings
+    val again = TextAnalysis.ngramCmsProfile(docs.repartition(7), n = 2, k = 20)
+      .collect().map(r => r.getAs[String]("ngram") -> r.getAs[Long]("est_count"))
+      .toMap
+    assert(rows.forall(r =>
+      again(r.getAs[String]("ngram")) == r.getAs[Long]("est_count")))
+  }
+
+  test("text normalization: tags, entities, control chars, whitespace") {
+    val d = Seq(
+      (1L, "<p>Hello &amp; <b>world</b></p>"),
+      (2L, "a\u0001b\tc   d\n\ne"),           // control + ragged whitespace
+      (3L, "x &lt;tag&gt; y"),                 // entities survive as literals
+      (4L, "<br/><br/>"),                      // tags only -> empty
+      (5L, "plain already clean"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withNormalized(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[String]("norm_text"))
+    assert(out.toSeq == Seq(
+      "Hello & world",
+      "a b c d e",
+      "x <tag> y",
+      "",
+      "plain already clean"))
+    // unescaped entities are literal text, NOT re-stripped as tags
+    assert(out(2) == "x <tag> y")
+    // char accounting
+    val r2 = TextAnalysis.withNormalized(d).where(col("doc_id") === 2)
+      .collect()(0)
+    assert(r2.getAs[Long]("n_chars_raw") == 12L &&
+      r2.getAs[Long]("n_chars_norm") == 9L)
+  }
+
   test("incremental dedup: within-batch election then history anti-join") {
     val seen = Seq("old news", "shared item").toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
