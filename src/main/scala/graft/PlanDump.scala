@@ -42,7 +42,11 @@ object PlanDump {
     "dedup_rate_curve" -> "The pre-dedup threshold sweep: gram explode map-side, ONE df aggregation whose [minDf, maxDf] band bounds the blocking join (at most C(maxDf,2) pairs per gram — all-pairs structurally impossible), one (id1, id2) aggregation computing shared-gram counts, and the exact Jaccard + threshold grid as a broadcast literal join (the sweep-grid pattern: the pair side never shuffles per threshold, and adding thresholds adds rows to a literal, never a pass).",
     "importance_weight" -> "The DSIR scoring pass: tokens explode map-side, ONE vocabulary-keyed aggregation carries BOTH corpus counts (raw + target — no second scan for the target distribution), the corpus totals ride a broadcast 1-row cross join, and per-doc scoring is an equi-join on the token key feeding one final doc-keyed aggregate. Every exchange carries (id, token, count) rows — O(tokens), never text, nothing pairwise, no window (PlanAuditSpec pins no-Window/no-Cartesian).",
     "semantic_dedup" -> "SemDeDup as two stages in one plan: cell assignment is the fused NearestCentroid codegen loop (map-only, the codebook is a literal reference object — zero shuffle for any k), and the duplicate check is a self-equi-join ON THE CELL KEY, so pairwise cosine work is confined to O(sum c_i^2) within cells — corpus-pairwise comparison is structurally impossible (PlanAuditSpec pins no-Cartesian).",
-    "router_profile" -> "The reference inspector's per-column value_counts as ONE plan: every profiled column explodes map-side into (column, value) pairs, a single partial+final hash-aggregate pair counts every bucket of every column (one exchange for the whole dump — never a per-column union of scans), and the in-column fractions come from a window over the tiny aggregated frame. Adding profiled columns widens the explode; it never adds a scan (PlanAuditSpec pins no-Union + one aggregation exchange).")
+    "router_profile" -> "The reference inspector's per-column value_counts as ONE plan: every profiled column explodes map-side into (column, value) pairs, a single partial+final hash-aggregate pair counts every bucket of every column (one exchange for the whole dump — never a per-column union of scans), and the in-column fractions come from a window over the tiny aggregated frame. Adding profiled columns widens the explode; it never adds a scan (PlanAuditSpec pins no-Union + one aggregation exchange).",
+    "contamination_bloom" -> "Bloom decontamination's corpus pass: the benchmark-side filter was built upstream (one tree-aggregate over the SMALL side) and ships inside the native bloom_might_contain codegen expression, so the corpus side is gram-explode -> probe -> per-doc hash aggregate — NO join node anywhere, no corpus-gram exchange beyond the per-doc count's own shuffle. Compare contamination_ngram's equi-join plan: the exchange that carried O(corpus tokens) of hashes is gone (LlmSpec pins the no-Join property).",
+    "shard_shuffle" -> "Reproducible training-order shuffle: the md5 sort key and shard id are map-side projections, the only exchange is the hash partition on shard, and the position is a per-shard window — nShards is the parallel unit and the window buffer is one shard's keys. No global sort node anywhere; orderBy(rand()) would give a range exchange AND non-reproducibility across retries.",
+    "curation_report" -> "The per-source data card: quality flags and char/token metrics are one map-side projection block, duplicate election is ONE hash aggregate on the md5 fingerprint joined back on the same key (the exact-dedup shape — AQE broadcasts the keeper side at test scale, co-partitioned at lake scale), and the card is a |sources|-row partial+final aggregate. Text never enters an exchange.",
+    "vocab_coverage" -> "Vocabulary-coverage audit: token frequencies are one O(tokens) hash aggregate, top-V is TakeOrderedAndProject (per-partition top-V, V rows merged — never a global sort), and the vocabulary rejoins BROADCAST so the per-doc OOV pass is map-side above the token explode. Raising V grows a broadcast list, not a shuffle.")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */

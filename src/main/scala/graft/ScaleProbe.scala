@@ -295,6 +295,29 @@ object ScaleProbe {
             regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
         graft.llm.Dedup.contaminationNgram(train, test, n = 8).count()
       },
+      time("contamination_bloom") {
+        // the SAME corpus/benchmark shape as contamination_ngram, through
+        // the Bloom path: benchmark grams -> one filter (KBs), corpus pass
+        // map-only — measures the join-free plan's win at corpus scale
+        val nd = math.max(n / 16, 1000L)
+        val corpus = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        val benchmark = corpus.where(col("doc_id") % 16 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Dedup.contaminationBloom(corpus, benchmark, n = 8).count()
+      },
+      time("shard_shuffle") {
+        // reproducible training-order shuffle at corpus scale: one md5
+        // projection + a 1024-shard hash exchange + per-shard sorts; the
+        // window buffer is one shard (~n/1024 keys)
+        graft.llm.Sampling.shardShuffle(
+            bars.select(col("event_id").as("doc_id")), "doc_id",
+            nShards = 1024)
+          .agg(count(col("pos_in_shard"))).as[Long].collect()(0)
+      },
       time("importance_weight") {
         // n docs of 8 hash-words over a 500-word vocab, 10% target: the
         // DSIR path at corpus scale — two token aggs (vocab-sized LM
