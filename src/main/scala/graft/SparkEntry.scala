@@ -1139,6 +1139,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // §2 #31c — Achlioptas sign random projection (JL transform): 64 -> 16
+    // dims with a ±1/sqrt(16) matrix whose signs derive from md5(seed:j:i)
+    // — engine-reproducible, precomputed to a literal so the corpus pass
+    // is a map-side matrix multiply. Exploded scalar output.
+    "embed_project" -> ((s, dir) => {
+      Similarity.randomProject(Tables.embeddings(s, dir),
+          inDim = 64, outDim = 16, seed = "jl")
+        .orderBy("vec_id", "out_dim")
+    }),
+
     // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
     // brute verified in LlmSpec). 8 short bands: this corpus has low
     // pairwise similarity, so recall needs band-collision probability up.
@@ -4559,6 +4569,18 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, rank, neighbor_id, sim
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "embed_project" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |j AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS out_dim)
+        |SELECT v.vec_id, j.out_dim,
+        |       round(list_sum(list_transform(v.v, (x, i) ->
+        |         x * (CAST(CAST('0x' ||
+        |                substr(md5('jl:' || j.out_dim || ':' || i), 1, 1)
+        |              AS INTEGER) % 2 AS INTEGER) * 2 - 1))) / sqrt(16), 6)
+        |         + 0.0 AS value
+        |FROM v, j ORDER BY 1, 2""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (

@@ -384,6 +384,43 @@ object Similarity {
         col("n_dups_prev").isNull.cast("int").as("kept"))
   }
 
+  /** Achlioptas sign random projection — the dimensionality-reduction rung
+    * of the embedding memory ladder (with [[quantizeInt8]] below it): a
+    * Johnson-Lindenstrauss transform with entries ±1/√outDim, which
+    * preserves pairwise distances within (1±ε) while cutting an
+    * embedding store dim/outDim-fold before ANN indexing. The matrix
+    * entry sign is `parity(md5(seed:j:i))` — engine-reproducible, so the
+    * SAME matrix regenerates anywhere from the seed alone (no matrix to
+    * ship or version); it is PRECOMPUTED driver-side into a literal, so
+    * the corpus pass is a pure map-side literal-matrix multiply: no
+    * shuffle, no per-row hashing, codegen'd zip_with/aggregate loops.
+    *
+    * Output: one row per (idCol, out_dim, value) — the exploded scalar
+    * form. `i` is 1-based in the entry derivation (the SQL oracle's list
+    * index convention). A vector shorter/longer than `inDim` projects to
+    * null (zip_with pads), surfacing schema drift instead of hiding it. */
+  def randomProject(vecs: DataFrame, inDim: Int, outDim: Int,
+                    seed: String = "jl", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      // parity of the first hex digit = bit 4 of the first byte
+      if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
+    val matrix: Seq[Seq[Double]] =
+      Seq.tabulate(outDim, inDim)((j, i) => sign(j, i + 1))
+    val mLit = typedLit(matrix)
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(zip_with(v, element_at(mLit, j + 1), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t) / scale)
+    vecs
+      .select(col(idCol), posexplode(proj).as(Seq("out_dim", "value")))
+      .select(col(idCol), col("out_dim"), round(col("value"), 6).as("value"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the memory ladder
     * under the ANN family: a 100 TB float32 embedding store is 25 TB at
     * int8, which is the difference between an IVF codebook sweep that fits

@@ -509,6 +509,54 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("random projection: hand signs, JL distance preservation, determinism") {
+    // hand case: dim 2 -> 1, matrix entry signs from md5('jl:0:1'),
+    // md5('jl:0:2') — recompute here independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(s: String) =
+      if (((md.digest(s.getBytes("UTF-8"))(0) >> 4) & 1) == 1) 1.0 else -1.0
+    val (s1, s2) = (sign("jl:0:1"), sign("jl:0:2"))
+    val tiny = Seq((1L, Seq(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(tiny, inDim = 2, outDim = 1)
+      .collect()(0).getAs[Double]("value")
+    assert(math.abs(got - math.rint((3.0 * s1 + 5.0 * s2) * 1e6) / 1e6) < 1e-9)
+    // JL on the real table: projected pairwise distances track originals
+    // (loose band — outDim 16 from 64; Achlioptas guarantees in
+    // expectation, we pin the median ratio near 1 and a wide max band)
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 60)
+    val proj = Similarity.randomProject(emb, 64, 16)
+      .groupBy("vec_id").agg(collect_list(struct(col("out_dim"), col("value")))
+        .as("p"))
+      .select(col("vec_id"), expr(
+        "transform(array_sort(p), s -> s.value)").as("pv"))
+    val origs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    val projs = proj.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Double]]("pv").toArray).toMap
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- origs.keys.toSeq.sorted; jj <- origs.keys.toSeq.sorted if i < jj
+    } yield d(projs(i), projs(jj)) / d(origs(i), origs(jj))
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.length / 2)
+    assert(median > 0.75 && median < 1.25, s"median JL ratio $median")
+    assert(sortedR.head > 0.3 && sortedR.last < 2.0,
+      s"JL band [${sortedR.head}, ${sortedR.last}]")
+    // deterministic across partitionings (literal matrix, no RNG state)
+    val a1 = Similarity.randomProject(emb, 64, 16).orderBy("vec_id", "out_dim")
+      .collect().map(_.getAs[Double]("value")).toSeq
+    val a2 = Similarity.randomProject(emb.repartition(7), 64, 16)
+      .orderBy("vec_id", "out_dim")
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(a1 == a2)
+    // map-only: no exchange in the projection plan itself
+    assert(!Similarity.randomProject(emb, 64, 16)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("CMS ngram profile: est >= exact, eps-bounded overshoot, determinism") {
     val prof = TextAnalysis.ngramCmsProfile(docs, n = 2, k = 20,
       eps = 0.001, confidence = 0.99)
