@@ -959,6 +959,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #34c (serving half) — the exported-model scoring path: fit once,
+    // export (intercept, coefficients) = the ENTIRE model state, score
+    // through pure column algebra with the native HashingTfBucket
+    // expression (exact HashingTF parity — SQL hash() is a different
+    // murmur variant). Stateless, so the same column scores streams.
+    // Rows-only like the fit; QualityClassifierSpec pins batch/stream
+    // parity at 1e-9.
+    "quality_serve" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val (b, w) = QualityClassifier.exportModel(
+        QualityClassifier.labeled(d, seedSource = "src0"))
+      QualityClassifier.scoreStateless(d, b, w)
+        .select(col("doc_id"), col("source"),
+          round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #34c (deterministic half) — the weak-supervision training frame:
     // label 1.0 on the seed source, 0.0 on the md5-bucket negative sample
     // sized 2:1, class counts derived in-plan. Pure SQL semantics ->

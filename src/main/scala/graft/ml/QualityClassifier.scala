@@ -52,6 +52,52 @@ object QualityClassifier {
       .drop("_n_pos", "_n_neg", "_neg_frac")
   }
 
+  /** Train-batch / score-anywhere split: fit the hashed-BoW LR once and
+    * export `(intercept, coefficients)` — numFeatures doubles, the ENTIRE
+    * model state (feature hashing is stateless). [[scoreStateless]] then
+    * scores any frame, including a structured stream, without MLlib on
+    * the path. Same split as the DSIR scorer's exportModel/scoreStateless
+    * pair. */
+  def exportModel(labeledDf: DataFrame, numFeatures: Int = 4096,
+                  maxIter: Int = 15,
+                  textCol: String = "text"): (Double, Array[Double]) = {
+    val tf = new HashingTF().setInputCol("_toks").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+    val train = tf.transform(labeledDf.withColumn("_toks",
+        filter(TextAnalysis.tokens(lower(trim(col(textCol)))), t => t =!= "")))
+      .repartition(8).cache()
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(0.01)
+      .fit(train)
+    train.unpersist(false)
+    (model.intercept, model.coefficients.toArray)
+  }
+
+  /** Score from the exported model with pure column algebra:
+    * `sigmoid(intercept + Σ_tokens coef[bucket(token)])` — the exact
+    * HashingTF+LR margin (term counts distribute over the sum), with the
+    * coefficient array a broadcast literal and the bucket from the native
+    * [[graft.functions.HashingTfBucket]] expression (HashingTF's own
+    * murmur3 variant — NOT SQL `hash()`, which is a different seed-42
+    * murmur flavor and reads the wrong coefficients). Stateless and
+    * codegen'd: runs unchanged under Structured Streaming per
+    * micro-batch — the model-serving half of a streaming quality gate.
+    * Parity with the MLlib transform is pinned in tests. */
+  def scoreStateless(docs: DataFrame, intercept: Double,
+                     coefs: Array[Double],
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val numFeatures = coefs.length
+    val coefLit = typedLit(coefs.toSeq)
+    def bucket(t: org.apache.spark.sql.Column) = GraftBridge.column(
+      graft.functions.HashingTfBucket(GraftBridge.expression(t), numFeatures))
+    val toks = filter(TextAnalysis.tokens(lower(trim(col(textCol)))),
+      t => t =!= "")
+    val margin = aggregate(toks, lit(intercept), (acc, t) =>
+      acc + element_at(coefLit, bucket(t) + 1))
+    docs.withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-margin)))
+  }
+
   /** Fit hashed-BoW logistic regression on `labeledDf` and score every row
     * of `docs` with `quality_prob` = P(seed-like). Stateless feature
     * hashing (numFeatures buckets) means the only fitted state is the LR

@@ -61,6 +61,34 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(minSeed > maxWeb, s"overlap: minSeed=$minSeed maxWeb=$maxWeb")
   }
 
+  test("stateless serving reproduces the MLlib transform, batch and stream") {
+    val lab = QualityClassifier.labeled(corpus, "seed")
+    val (b, w) = QualityClassifier.exportModel(lab)
+    assert(w.length == 4096)
+    // parity: the column-algebra margin IS the HashingTF+LR margin
+    val mllib = QualityClassifier.trainScore(corpus, lab)
+      .select("doc_id", "quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = QualityClassifier.scoreStateless(corpus, b, w)
+      .select("doc_id", "quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxDiff = mllib.keys.map(k => math.abs(mllib(k) - served(k))).max
+    assert(maxDiff < 1e-9, s"serving drift $maxDiff")
+    // the serving column is stateless: identical through a real stream
+    val dir = java.nio.file.Files.createTempDirectory("qserve").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(corpus.schema).parquet(dir)
+    QualityClassifier.scoreStateless(src, b, w)
+      .select("doc_id", "quality_prob")
+      .writeStream.format("memory").queryName("qserve_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table("qserve_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.size == 300)
+    assert(streamed.keys.map(k => math.abs(streamed(k) - served(k))).max == 0.0)
+  }
+
   test("real-table contract path: every doc scored, probabilities valid") {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
