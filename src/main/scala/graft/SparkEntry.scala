@@ -1167,6 +1167,20 @@ object SparkEntry {
         .orderBy("vec_id", "out_dim")
     }),
 
+    // §2 #31d — the compressed-ANN ladder composed: JL-projected (64->32)
+    // + int8-quantized candidate index (~6x smaller), coarse search on
+    // dequantized codes, exact re-rank of a 100-shortlist on the float
+    // vectors. This corpus is near-orthogonal (low pairwise cosine), the
+    // hard case for JL rank preservation — 32 dims holds recall where 16
+    // does not. Rows-only (compression-specific); LlmSpec pins recall vs
+    // the uncompressed brute baseline.
+    "ann_topk_compressed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKCompressed(e, e.where(col("vec_id") < 30), k = 5,
+          inDim = 64, projDim = 32, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
     // brute verified in LlmSpec). 8 short bands: this corpus has low
     // pairwise similarity, so recall needs band-collision probability up.

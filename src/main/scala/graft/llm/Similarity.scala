@@ -401,7 +401,18 @@ object Similarity {
     * null (zip_with pads), surfacing schema drift instead of hiding it. */
   def randomProject(vecs: DataFrame, inDim: Int, outDim: Int,
                     seed: String = "jl", idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding"): DataFrame =
+    vecs
+      .select(col(idCol),
+        posexplode(projectVec(col(vecCol), inDim, outDim, seed))
+          .as(Seq("out_dim", "value")))
+      .select(col(idCol), col("out_dim"), round(col("value"), 6).as("value"))
+
+  /** The array form of [[randomProject]]: project one vector column to
+    * `array<double>` of `outDim` — composable into search pipelines
+    * ([[annTopKCompressed]]) where the exploded scalar form isn't wanted. */
+  def projectVec(vec: Column, inDim: Int, outDim: Int,
+                 seed: String = "jl"): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, i: Int): Double = {
       val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
@@ -411,14 +422,63 @@ object Similarity {
     val matrix: Seq[Seq[Double]] =
       Seq.tabulate(outDim, inDim)((j, i) => sign(j, i + 1))
     val mLit = typedLit(matrix)
-    val v = col(vecCol).cast("array<double>")
+    val v = vec.cast("array<double>")
     val scale = math.sqrt(outDim.toDouble)
-    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
       aggregate(zip_with(v, element_at(mLit, j + 1), (x, w) => x * w),
         lit(0.0), (acc, t) => acc + t) / scale)
-    vecs
-      .select(col(idCol), posexplode(proj).as(Seq("out_dim", "value")))
-      .select(col(idCol), col("out_dim"), round(col("value"), 6).as("value"))
+  }
+
+  /** The full compressed-ANN ladder composed: candidates are indexed as
+    * JL-projected ([[projectVec]]) then int8-quantized vectors — 16 int8
+    * codes + one scale vs 64 floats is a 10× smaller index, the
+    * difference between an in-memory and a spilling ANN store at 100 TB —
+    * the coarse pass scores the DEQUANTIZED codes against the projected
+    * query, keeps a `shortlist` per query, and only the shortlist is
+    * re-ranked EXACTLY on the original float vectors (the standard
+    * two-stage SQ recipe; faiss's IVF-SQ8 search shape). Recall vs the
+    * uncompressed brute baseline is pinned in tests.
+    *
+    * The coarse stage here is the broadcast brute pass over the
+    * compressed index (right when |Q| is small); at corpus scale the
+    * same compressed index drops into [[annTopKIvf]]'s cell-probed
+    * candidates — compression and cell-pruning compose, they don't
+    * compete. */
+  def annTopKCompressed(candidates: DataFrame, queries: DataFrame, k: Int,
+                        inDim: Int, projDim: Int = 16, shortlist: Int = 50,
+                        seed: String = "jl", idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val qp = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"),
+      projectVec(col(vecCol), inDim, projDim, seed).as("_qp")))
+    // the compressed index: per-candidate projected scale + int8 codes
+    val proj = projectVec(col(vecCol), inDim, projDim, seed)
+    val cp = candidates
+      .withColumn("_p", proj)
+      .withColumn("_pscale",
+        array_max(transform(col("_p"), x => abs(x))) / 127.0)
+      .withColumn("_q8", transform(col("_p"), x =>
+        coalesce(round(x / when(col("_pscale") =!= 0.0, col("_pscale")), 0),
+          lit(0.0)).cast("int")))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"),
+        col("_pscale"), col("_q8"))
+    val coarse = cp.crossJoin(qp)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_psim",
+        cos(col("_qp"), transform(col("_q8"), x => x * col("_pscale"))))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_psim").desc, col("neighbor_id").asc)
+    val short = coarse.withColumn("_prank", row_number().over(wCoarse))
+      .where(col("_prank") <= shortlist)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
   /** Int8 scalar quantization of the embedding column — the memory ladder

@@ -557,6 +557,31 @@ class LlmSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("compressed ANN: recall vs uncompressed brute, determinism") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 30)
+    val brute = Similarity.annTopKBrute(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val comp = Similarity.annTopKCompressed(emb, q, k = 5,
+      inDim = 64, projDim = 32, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(comp).size.toDouble / brute.size
+    assert(recall >= 0.75, s"compressed recall $recall")
+    // output shape: exactly k per query, exact sims (re-ranked on floats)
+    val rows = Similarity.annTopKCompressed(emb, q, 5, 64).collect()
+    assert(rows.length == 30 * 5)
+    // a shortlist as large as the corpus recovers brute exactly: the
+    // compression only prunes, the final ranking is the exact cosine
+    val full = Similarity.annTopKCompressed(emb, q, 5, 64,
+      shortlist = emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val bruteFull = Similarity.annTopKBrute(emb, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bruteFull)
+  }
+
   test("CMS ngram profile: est >= exact, eps-bounded overshoot, determinism") {
     val prof = TextAnalysis.ngramCmsProfile(docs, n = 2, k = 20,
       eps = 0.001, confidence = 0.99)
