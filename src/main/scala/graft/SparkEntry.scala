@@ -1167,6 +1167,18 @@ object SparkEntry {
         .orderBy("vec_id", "out_dim")
     }),
 
+    // §2 #30b — chunk->doc embedding mean-pooling: synthesized chunk
+    // grouping (vec_id % 50 as the parent doc), element-wise average via
+    // one (group, dim) hash aggregation with partial combine. Exploded
+    // scalar output.
+    "embed_pool" -> ((s, dir) => {
+      Similarity.meanPool(
+          Tables.embeddings(s, dir)
+            .withColumn("parent_doc", col("vec_id") % 50),
+          "parent_doc")
+        .orderBy("group_id", "dim")
+    }),
+
     // §2 #31d — the compressed-ANN ladder composed: JL-projected (64->32)
     // + int8-quantized candidate index (~6x smaller), coarse search on
     // dequantized codes, exact re-rank of a 100-shortlist on the float
@@ -4601,6 +4613,18 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, rank, neighbor_id, sim
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "embed_pool" ->
+      """WITH v AS (
+        |  SELECT vec_id % 50 AS group_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT group_id, CAST(i - 1 AS INTEGER) AS dim,
+        |         v[CAST(i AS INTEGER)] AS x
+        |  FROM v, unnest(range(1, len(v) + 1)) AS u(i))
+        |SELECT group_id, dim, round(avg(x), 6) + 0.0 AS value,
+        |       CAST(count(*) AS BIGINT) AS n_members
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "embed_project" ->
       """WITH v AS (

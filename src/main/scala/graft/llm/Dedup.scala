@@ -189,6 +189,14 @@ object Dedup {
       .select(explode(shingles(col(textCol), n)).as("_g"))
       .select(xxhash64(col("_g")).as("_gh"))
       .distinct()
+    // an empty benchmark contaminates nothing — and stat.bloomFilter NPEs
+    // on an empty frame (its aggregated sketch buffer comes back null),
+    // so short-circuit with an empty, schema-identical result
+    if (bg.isEmpty) {
+      return corpus.select(col(idCol), lit(0).as("n_ngrams"),
+          lit(0L).as("n_flagged"), lit(0.0).as("flag_frac"))
+        .where(lit(false))
+    }
     val nItems = math.max(expectedItems.getOrElse(bg.count()), 1L)
     val bloom = bg.stat.bloomFilter("_gh", nItems, fpp)
     val flagged = GraftBridge.column(graft.functions.BloomMightContain(

@@ -429,6 +429,27 @@ object Similarity {
         lit(0.0), (acc, t) => acc + t) / scale)
   }
 
+  /** Mean-pool member embeddings to group embeddings — the chunk→document
+    * aggregation of an embedding pipeline (documents are embedded per
+    * chunk; SemDeDup/clustering/ANN then want ONE vector per document),
+    * and equally the doc→cluster centroid step. Emits the exploded scalar
+    * form (group, dim, value, n_members) — joinable, oracle-checkable,
+    * and re-assemblable with collect_list when an array is wanted.
+    *
+    * Scale: explode is map-side; ONE hash aggregation on (group, dim)
+    * with partial (sum, count) combine — the exchange carries doubles at
+    * dim× the row count, the honest cost of element-wise pooling, with
+    * map-side combine collapsing co-located chunks first. No windows, no
+    * per-group arrays in any buffer. */
+  def meanPool(vecs: DataFrame, groupCol: String,
+               vecCol: String = "embedding"): DataFrame =
+    vecs
+      .select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("group_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("value"),
+        count(lit(1)).as("n_members"))
+
   /** The full compressed-ANN ladder composed: candidates are indexed as
     * JL-projected ([[projectVec]]) then int8-quantized vectors — 16 int8
     * codes + one scale vs 64 floats is a 10× smaller index, the

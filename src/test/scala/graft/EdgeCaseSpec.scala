@@ -326,4 +326,55 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Selection.scoreWithRelation(
       empty.select(col("doc_id"), col("text")), m0, 0.0).count() == 0)
   }
+
+  test("round-9 curation ops survive empty/degenerate input") {
+    import graft.llm.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
+    // bloom decontamination with an EMPTY benchmark: no grams -> a filter
+    // that matches nothing -> no corpus doc flagged (and no exception
+    // from the size-0 build)
+    assert(Dedup.contaminationBloom(oneDoc, emptyDocs).count() == 0)
+    // ... and an empty corpus against a real benchmark
+    assert(Dedup.contaminationBloom(emptyDocs, oneDoc).count() == 0)
+    // incremental dedup: empty batch; empty history handled in LlmSpec
+    assert(Dedup.exactIncremental(emptyDocs, oneDoc
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+      .count() == 0)
+    // shard shuffle: nShards=1 is a single contiguous permutation
+    val one = Sampling.shardShuffle((0L until 10L).toDF("id"), "id", 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(one.forall(_._1 == 0) && one.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(Sampling.shardShuffle(emptyDocs.select(col("doc_id")),
+      "doc_id", 8).count() == 0)
+    // quantization of a zero-DIMENSIONAL vector: scale null (undefined),
+    // codes empty, no crash
+    val zeroDim = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(zeroDim).collect()(0)
+    assert(qz.getAs[Int]("dim") == 0 && qz.isNullAt(qz.fieldIndex("scale")))
+    // projection with a mismatched inDim surfaces null, not silent junk
+    val shortVec = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.randomProject(shortVec, inDim = 4, outDim = 2)
+      .where(col("value").isNull).count() == 2)
+    // vocab coverage: empty corpus -> empty; all-empty docs -> no tokens
+    assert(TextAnalysis.vocabCoverage(emptyDocs, 5).count() == 0)
+    assert(TextAnalysis.vocabCoverage(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), 5).count() == 0)
+    // normalization of null text stays null; empty stays empty
+    val nn = TextAnalysis.withNormalized(
+      Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(nn(0).isNullAt(nn(0).fieldIndex("norm_text")))
+    assert(nn(1).getAs[String]("norm_text") == "")
+    // data card on a single-source, single-doc corpus
+    val card = Curation.dataCard(
+      Seq((1L, "a", "one tiny doc")).toDF("doc_id", "source", "text"))
+      .collect()(0)
+    assert(card.getAs[Long]("n_docs") == 1L &&
+      card.getAs[Double]("dup_rate") == 0.0)
+    // compressed ANN with k larger than the corpus: emits what exists
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val comp = Similarity.annTopKCompressed(emb, emb, k = 10, inDim = 2,
+      projDim = 2, shortlist = 10)
+    assert(comp.count() == 6) // 3 queries x 2 neighbors each
+  }
 }

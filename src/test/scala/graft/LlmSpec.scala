@@ -557,6 +557,21 @@ class LlmSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("mean pooling: hand averages, counts, exploded shape") {
+    val vecs = Seq(
+      (1L, 10L, Seq(1.0f, 2.0f)),
+      (2L, 10L, Seq(3.0f, 6.0f)),
+      (3L, 20L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "parent", "embedding")
+    val out = Similarity.meanPool(vecs, "parent")
+      .orderBy("group_id", "dim").collect()
+      .map(r => (r.getAs[Long]("group_id"), r.getAs[Int]("dim"),
+        r.getAs[Double]("value"), r.getAs[Long]("n_members")))
+    assert(out.toSeq == Seq(
+      (10L, 0, 2.0, 2L), (10L, 1, 4.0, 2L),
+      (20L, 0, 5.0, 1L), (20L, 1, 5.0, 1L)))
+  }
+
   test("compressed ANN: recall vs uncompressed brute, determinism") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 30)
