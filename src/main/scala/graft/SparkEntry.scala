@@ -1386,6 +1386,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #50d — curation CAPSTONE v2, composing the round-9 surface as ONE
+    // declarative plan with an end-to-end oracle: normalize -> split off
+    // the held-out benchmark (every 10th doc) -> Gopher gate -> 8-gram
+    // decontamination vs the benchmark (drop share >= 0.3) -> span-grain
+    // exact dedup (drop wiped docs) -> deterministic training-order
+    // shuffle into 4 shards. Every stage is the library operator itself,
+    // not a re-implementation.
+    "corpus_pipeline_v2" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val norm = d.withColumn("text", TextAnalysis.normalize(col("text")))
+      val benchmark = norm.where(col("doc_id") % 10 === 0)
+      val corpus = norm.where(col("doc_id") % 10 =!= 0)
+      val gated = TextAnalysis.gopherRules(corpus)
+        .where(col("pass_gopher") === 1).select("doc_id", "text")
+      val contaminated = Dedup.contaminationNgram(benchmark, gated, n = 8)
+        .where(col("share_frac") >= 0.3)
+        .select(col("test_id").as("doc_id"))
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      val deduped = Dedup.spanDedup(clean).where(col("kept_text") =!= "")
+      Sampling.shardShuffle(deduped, "doc_id", nShards = 4, seed = "v2")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          col("n_spans"), col("n_removed"),
+          size(TextAnalysis.tokens(col("kept_text"))).as("n_tokens"))
+        .orderBy("shard", "pos_in_shard")
+    }),
+
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -4124,6 +4150,103 @@ object SparkEntry {
         |       AS UBIGINT) % 10000
         |    < least(1.0, 2.0 * n_pos / greatest(n_neg, 1)) * 10000
         |ORDER BY 1""".stripMargin,
+
+    "corpus_pipeline_v2" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |                 '&amp;', '&', 'g'),
+        |               '&lt;', '<', 'g'),
+        |             '&gt;', '>', 'g'),
+        |           '[\x00-\x1f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS text
+        |  FROM documents),
+        |bench AS (SELECT doc_id, text FROM norm WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, text FROM norm WHERE doc_id % 10 <> 0),
+        |gt AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM corp),
+        |gate AS (
+        |  SELECT doc_id, text FROM gt
+        |  WHERE len(toks) BETWEEN 50 AND 100000
+        |    AND coalesce(CAST(list_sum(list_transform(toks,
+        |          x -> length(x))) AS DOUBLE) / nullif(len(toks), 0)
+        |        BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(CAST(length(text)
+        |          - length(replace(text, '#', ''))
+        |          + (length(text) - length(replace(text, '...', ''))) // 3
+        |          AS DOUBLE) / nullif(len(toks), 0) <= 0.1, false)
+        |    AND coalesce(CAST(len(list_filter(toks,
+        |          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / nullif(len(toks), 0) >= 0.8, false)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |           CASE WHEN len(w) >= 8 THEN
+        |             list_distinct(list_transform(range(len(w) - 7),
+        |               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                    w[i+7] || ' ' || w[i+8]))
+        |           ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS w
+        |        FROM bench)),
+        |cg AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(w) >= 8 THEN
+        |            list_distinct(list_transform(range(len(w) - 7),
+        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                   w[i+7] || ' ' || w[i+8]))
+        |          ELSE [array_to_string(w, ' ')] END AS sh
+        |        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+')
+        |                AS w FROM gate))),
+        |contaminated AS (
+        |  SELECT cg.doc_id FROM cg JOIN bg ON bg.g = cg.g
+        |  GROUP BY cg.doc_id, cg.n
+        |  HAVING round(count(*) * 1.0 / cg.n, 6) >= 0.3),
+        |clean AS (
+        |  SELECT doc_id, text FROM gate
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sp AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS span
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS pieces
+        |        FROM clean)),
+        |flag AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY lower(trim(span))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |sd AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_removed,
+        |         coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '. '
+        |                             ORDER BY pos), '') AS kept_text
+        |  FROM flag GROUP BY 1),
+        |sk AS (
+        |  SELECT doc_id, n_spans, n_removed, kept_text,
+        |         md5('v2' || ':' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM sd WHERE kept_text <> ''),
+        |sh2 AS (
+        |  SELECT *, CAST(CAST('0x' || substr(skey, 1, 8) AS UBIGINT) % 4
+        |                 AS INTEGER) AS shard
+        |  FROM sk)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |            ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard,
+        |       n_spans, n_removed,
+        |       CAST(len(string_split_regex(kept_text, '\s+')) AS INTEGER)
+        |         AS n_tokens
+        |FROM sh2 ORDER BY 2, 3""".stripMargin,
 
     "text_normalize" ->
       """WITH m AS (

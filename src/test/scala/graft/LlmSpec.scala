@@ -557,6 +557,31 @@ class LlmSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("capstone v2 composes deterministically with monotone attrition") {
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val norm = d.withColumn("text", TextAnalysis.normalize(col("text")))
+      val benchmark = norm.where(col("doc_id") % 10 === 0)
+      val corpus = norm.where(col("doc_id") % 10 =!= 0)
+      val gated = TextAnalysis.gopherRules(corpus)
+        .where(col("pass_gopher") === 1).select("doc_id", "text")
+      val contaminated = Dedup.contaminationNgram(benchmark, gated, n = 8)
+        .where(col("share_frac") >= 0.3).select(col("test_id").as("doc_id"))
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      (corpus.count(), gated.count(), clean.count(),
+        graft.llm.Sampling.shardShuffle(
+          Dedup.spanDedup(clean).where(col("kept_text") =!= ""),
+          "doc_id", 4, "v2").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+            r.getAs[Long]("pos_in_shard"))).sorted.toSeq)
+    }
+    val (nCorpus, nGated, nClean, out) = run(docs)
+    assert(nCorpus >= nGated && nGated >= nClean && nClean >= out.size)
+    assert(out.nonEmpty)
+    // bit-identical under a different input partitioning
+    val (_, _, _, out2) = run(docs.repartition(7))
+    assert(out == out2)
+  }
+
   test("mean pooling: hand averages, counts, exploded shape") {
     val vecs = Seq(
       (1L, 10L, Seq(1.0f, 2.0f)),
