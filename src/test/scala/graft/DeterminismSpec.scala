@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions.col
   *    coefficients can differ in the last ulps; their deterministic halves
   *    are already hash-checked as `ml_filter_frame` / `regime_frame` /
   *    `regime_frame_week`.
+  *  - `quality_classifier`, `quality_serve` — the LR fit shares the LBFGS
+  *    float-order caveat above; the deterministic training frame is
+  *    oracle-hashed as `quality_labels`, and serving parity with the fit
+  *    is pinned to 1e-9 in QualityClassifierSpec.
   *  - `keep_frac_sweep_sketch`, `robust_scale_approx` — approx_percentile
   *    is a mergeable sketch whose merge order follows partitioning by
   *    design, so a quantile boundary may shift to a neighboring value;
@@ -30,7 +34,11 @@ import org.apache.spark.sql.functions.col
 class DeterminismSpec extends SparkTestBase {
 
   private val deterministicKeys =
-    Seq("minhash_lsh", "simhash", "embed_neardup", "ann_lsh", "ann_ivf")
+    Seq("minhash_lsh", "simhash", "embed_neardup", "ann_lsh", "ann_ivf",
+      // round-9 continuation: seeded Bloom/CMS sketches, the hash-derived
+      // JL matrix, and explicit tie-broken re-ranks are all partitioning-
+      // independent by construction
+      "contamination_bloom", "ngram_freq_sketch", "ann_topk_compressed")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */
