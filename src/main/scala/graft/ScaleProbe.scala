@@ -309,6 +309,45 @@ object ScaleProbe {
             regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
         graft.llm.Dedup.contaminationBloom(corpus, benchmark, n = 8).count()
       },
+      time("corpus_pipeline_v2") {
+        // the composed curation capstone at corpus scale: normalize ->
+        // gopher gate -> 8-gram decontamination vs a 1/16 benchmark ->
+        // span dedup -> 1024-shard shuffle, over n/16 docs of 60
+        // hash-words (so the gate actually passes and spans split)
+        val nd = math.max(n / 16, 1000L)
+        val txt = concat_ws(". ", (0 until 12).map(s =>
+          concat_ws(" ", (0 until 5).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(s * 5 + i)),
+              lit(nd)))): _*)): _*)
+        val d = spark.range(nd).select(col("id").as("doc_id"), txt.as("text"))
+        val norm = d.withColumn("text",
+          graft.llm.TextAnalysis.normalize(col("text")))
+        val benchmark = norm.where(col("doc_id") % 16 === 0)
+        val corpus = norm.where(col("doc_id") % 16 =!= 0)
+        val gated = graft.llm.TextAnalysis.gopherRules(corpus,
+            minMeanWordLen = 1.0)
+          .where(col("pass_gopher") === 1).select("doc_id", "text")
+        val contaminated = graft.llm.Dedup
+          .contaminationNgram(benchmark, gated, n = 8)
+          .where(col("share_frac") >= 0.3)
+          .select(col("test_id").as("doc_id"))
+        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        val deduped = graft.llm.Dedup.spanDedup(clean)
+          .where(col("kept_text") =!= "")
+        graft.llm.Sampling.shardShuffle(deduped, "doc_id", 1024, "v2")
+          .agg(count(col("pos_in_shard"))).as[Long].collect()(0)
+      },
+      time("mean_pool") {
+        // chunk->doc pooling at scale: n/8 64-dim vectors, 50-chunk docs —
+        // one (group, dim) hash agg whose exchange is the honest dim-fold
+        val nv = math.max(n / 8, 1000L)
+        val vec = transform(sequence(lit(0), lit(63)), i =>
+          pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 1000.0)
+        graft.llm.Similarity.meanPool(
+            spark.range(nv).select((col("id") / 50).cast("long").as("parent"),
+              vec.as("embedding")), "parent")
+          .agg(count(col("value"))).as[Long].collect()(0)
+      },
       time("shard_shuffle") {
         // reproducible training-order shuffle at corpus scale: one md5
         // projection + a 1024-shard hash exchange + per-shard sorts; the

@@ -273,6 +273,41 @@ class StreamingSpec extends SparkTestBase {
     assert(!kept.contains(2L) && !kept.contains(3L)) // french / too short
   }
 
+  test("normalize + gopher gate stream as stateless stages and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words60 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "<p>" + words60 + "</p>"),           // markup-wrapped, passes
+      (2L, "too &amp; short"),                  // fails word count
+      (3L, words60 + "   \t " + words60))       // ragged ws, passes
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.gopherRules(
+        df.withColumn("text", graft.llm.TextAnalysis.normalize(col("text"))))
+        .select(col("doc_id"), col("n_words"), col("pass_gopher"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = stage(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_gate_out")
+      .outputMode("append").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("norm_gate_out").orderBy("doc_id")
+      .collect().toSeq
+    val batch = stage(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    val byId = batch.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_words"), r.getAs[Int]("pass_gopher")))).toMap
+    assert(byId(1L) == ((60L, 1)))   // tags stripped before counting
+    assert(byId(2L)._2 == 0)
+    assert(byId(3L) == ((120L, 1))) // whitespace collapsed, both halves kept
+  }
+
   test("streaming doc dedup: canonical fingerprint survivors across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
