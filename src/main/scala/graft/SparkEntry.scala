@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.Features
 import graft.llm.{Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
 import graft.ml.{MlFilter, QualityClassifier, RegimeEval}
-import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Sessions, Stats, StickyState, TfAggregate, VolRegime}
+import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Semi, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -849,6 +849,13 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos_in_shard"))
         .orderBy("shard", "pos_in_shard")
     }),
+
+    // §2 #48b — semi-structured extraction: typed parse of the JSON props
+    // column (one codegen'd schema-pruned Jackson pass per row, malformed
+    // rows counted not dropped) + per-type field profile.
+    "props_extract" -> ((s, dir) =>
+      Semi.jsonFieldProfile(events(s, dir), "event_type", "props", "k")
+        .orderBy("event_type")),
 
     // §2 #48 — one-pass table/column profile: row, null, distinct counts and
     // string min/max per column (inspect_router_columns_and_counts_v1_1.py).
@@ -3248,6 +3255,20 @@ object SparkEntry {
         |       round(s.n_kept * 1.0 / sum(s.n_kept) OVER (), 6) + 0.0
         |         AS achieved_frac
         |FROM f JOIN s USING (source) ORDER BY 1""".stripMargin,
+
+    "props_extract" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unparsed,
+        |       round(avg(k), 6) + 0.0 AS avg_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "shard_shuffle" ->
       """WITH k AS (

@@ -194,6 +194,34 @@ class FlowProfileSpec extends SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("semi-structured extraction: typed fields, malformed rows counted") {
+    import graft.operators.Semi
+    val rows = Seq(
+      (1L, "a", """{"k": 10, "tag": "x"}"""),
+      (2L, "a", """{"k": 20}"""),            // missing tag -> null tag only
+      (3L, "a", "not json at all"),          // malformed -> all nulls
+      (4L, "b", """{"k": 7, "tag": "y"}"""),
+      (5L, "b", null))                       // null payload -> all nulls
+      .toDF("id", "grp", "props")
+    val t = Semi.extractTyped(rows, "props", "k INT, tag STRING")
+      .orderBy("id").collect()
+    assert(t.map(r => Option(r.getAs[Integer]("k")).map(_.toInt)).toSeq ==
+      Seq(Some(10), Some(20), None, Some(7), None))
+    assert(t(0).getAs[String]("tag") == "x" && t(1).getAs[String]("tag") == null)
+    val prof = Semi.jsonFieldProfile(rows, "grp", "props", "k")
+      .orderBy("grp").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_unparsed"), r.getAs[Integer]("min_k"),
+        r.getAs[Integer]("max_k")))
+    assert(prof.toSeq == Seq(("a", 3L, 1L, Integer.valueOf(10),
+      Integer.valueOf(20)), ("b", 2L, 1L, Integer.valueOf(7),
+      Integer.valueOf(7))))
+    // the parse is map-side: only the final profile aggregation exchanges
+    val plan = Semi.jsonFieldProfile(rows, "grp", "props", "k")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("shard shuffle: partition, position, seed epoch, determinism") {
     import graft.llm.Sampling
     val rows = (0 until 2000).map(_.toLong).toDF("id")
