@@ -3259,12 +3259,17 @@ object SparkEntry {
     "props_extract" ->
       """WITH p AS (
         |  SELECT event_type,
-        |         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |         CASE WHEN props IS NOT NULL AND json_valid(props)
+        |              THEN CAST(json_extract(props, '$.k') AS INTEGER)
+        |         END AS k,
+        |         CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+        |              THEN 1 ELSE 0 END AS malformed
         |  FROM events)
         |SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(malformed) AS BIGINT) AS n_malformed,
         |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_unparsed,
+        |         AS n_null_field,
         |       round(avg(k), 6) + 0.0 AS avg_k,
         |       min(k) AS min_k, max(k) AS max_k,
         |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
@@ -4181,9 +4186,9 @@ object SparkEntry {
         |               regexp_replace(
         |                 regexp_replace(
         |                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
-        |                 '&amp;', '&', 'g'),
-        |               '&lt;', '<', 'g'),
-        |             '&gt;', '>', 'g'),
+        |                 '&lt;', '<', 'g'),
+        |               '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
         |           '[\x00-\x1f]', ' ', 'g'),
         |         '\s+', ' ', 'g')) AS text
         |  FROM documents),
@@ -4283,9 +4288,9 @@ object SparkEntry {
         |               regexp_replace(
         |                 regexp_replace(
         |                   regexp_replace(raw, '<[^>]*>', ' ', 'g'),
-        |                 '&amp;', '&', 'g'),
-        |               '&lt;', '<', 'g'),
-        |             '&gt;', '>', 'g'),
+        |                 '&lt;', '<', 'g'),
+        |               '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
         |           '[\x00-\x1f]', ' ', 'g'),
         |         '\s+', ' ', 'g')) AS norm_text
         |  FROM m)

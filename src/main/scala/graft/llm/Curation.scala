@@ -25,7 +25,12 @@ object Curation {
     * map-side combined. */
   def dataCard(docs: DataFrame, sourceCol: String = "source",
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withRules = TextAnalysis.gopherRules(docs, textCol)
+    // null text counts as an EMPTY document (0 chars/tokens, fails every
+    // gate, fingerprints with the empty-text group) — an audit must count
+    // broken rows, not drop them: a null fingerprint would fall out of
+    // the keeper equi-join and silently vanish from its source's card
+    val coalesced = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val withRules = TextAnalysis.gopherRules(coalesced, textCol)
       .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("_nc", length(col(textCol)).cast("long"))
     val keepers = withRules.groupBy(col("_fp"))

@@ -101,8 +101,11 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies_in_batch"))
+    // no distinct() on the history side: left_anti semantics are identical
+    // with duplicate right keys, and the dedup would cost a full
+    // hash-aggregation over the O(corpus-age) index every batch
     survivors.join(
-      seenFingerprints.select(col(fpCol).as("fingerprint")).distinct(),
+      seenFingerprints.select(col(fpCol).as("fingerprint")),
       Seq("fingerprint"), "left_anti")
   }
 
@@ -190,14 +193,18 @@ object Dedup {
       .select(xxhash64(col("_g")).as("_gh"))
       .distinct()
     // an empty benchmark contaminates nothing — and stat.bloomFilter NPEs
-    // on an empty frame (its aggregated sketch buffer comes back null),
-    // so short-circuit with an empty, schema-identical result
-    if (bg.isEmpty) {
+    // on an empty frame (its aggregated sketch buffer comes back null).
+    // One benchmark-side job either way: the exact count when the caller
+    // didn't pre-size, else a limit-1 emptiness probe.
+    val nItems = expectedItems match {
+      case Some(n) => if (bg.isEmpty) 0L else math.max(n, 1L)
+      case None => bg.count()
+    }
+    if (nItems == 0L) {
       return corpus.select(col(idCol), lit(0).as("n_ngrams"),
           lit(0L).as("n_flagged"), lit(0.0).as("flag_frac"))
         .where(lit(false))
     }
-    val nItems = math.max(expectedItems.getOrElse(bg.count()), 1L)
     val bloom = bg.stat.bloomFilter("_gh", nItems, fpp)
     val flagged = GraftBridge.column(graft.functions.BloomMightContain(
       GraftBridge.expression(xxhash64(col("_g"))), bloom))

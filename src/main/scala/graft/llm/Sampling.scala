@@ -90,6 +90,14 @@ object Sampling {
     * bits mod `nShards`, position by ascending hash within the shard
     * (key-tiebreak for determinism hygiene).
     *
+    * CONTRACT: `keyCol` must be UNIQUE and NON-NULL (it is a document id).
+    * Duplicate keys collide on the sort key, making their relative
+    * positions partition-arrival-dependent — the exact nondeterminism
+    * this operator exists to remove — and null keys all hash identically
+    * (concat_ws drops nulls). Nulls fail fast via a per-row guard; key
+    * uniqueness is the caller's id-column invariant (a full-corpus
+    * distinct check would cost an extra shuffle per epoch).
+    *
     * Scale: one hash-shuffle into `nShards` partitions and a per-shard
     * sort — no global ordering anywhere. A training run sizes nShards ≫
     * cores (thousands of shards for 100 TB), so the per-shard window IS
@@ -99,7 +107,13 @@ object Sampling {
     * shardShuffle randomizes it for training-batch decorrelation. */
   def shardShuffle(df: DataFrame, keyCol: String, nShards: Int,
                    seed: String = "shuffle"): DataFrame = {
-    val skey = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    // null keys would all share md5(seed:) and shuffle nondeterministically
+    // — raise per-row instead of silently corrupting the training order
+    val checkedKey = when(col(keyCol).isNull,
+        raise_error(lit(s"shardShuffle: null $keyCol — keys must be " +
+          "unique non-null ids")))
+      .otherwise(col(keyCol).cast("string"))
+    val skey = md5(concat_ws(":", lit(seed), checkedKey))
     val w = Window.partitionBy("shard").orderBy(col("_skey"), col(keyCol))
     df.withColumn("_skey", skey)
       .withColumn("shard",

@@ -482,13 +482,14 @@ object Similarity {
       .withColumn("_q8", transform(col("_p"), x =>
         coalesce(round(x / when(col("_pscale") =!= 0.0, col("_pscale")), 0),
           lit(0.0)).cast("int")))
+      // dequantize ONCE per candidate, below the join — inline in the
+      // coarse cosine it would be rebuilt |Q| times per candidate
+      .withColumn("_dq", transform(col("_q8"), x => x * col("_pscale")))
       .select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("_cv"),
-        col("_pscale"), col("_q8"))
+        col(vecCol).cast("array<double>").as("_cv"), col("_dq"))
     val coarse = cp.crossJoin(qp)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_psim",
-        cos(col("_qp"), transform(col("_q8"), x => x * col("_pscale"))))
+      .withColumn("_psim", cos(col("_qp"), col("_dq")))
     val wCoarse = Window.partitionBy("query_id")
       .orderBy(col("_psim").desc, col("neighbor_id").asc)
     val short = coarse.withColumn("_prank", row_number().over(wCoarse))

@@ -133,8 +133,11 @@ object TextAnalysis {
     * zero shuffle, streaming-safe. */
   def normalize(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
+    // &amp; unescapes LAST: doing it first would let author-escaped
+    // entities double-unescape ("&amp;lt;" means the literal text "&lt;",
+    // not "<" — &amp;->& would hand the &lt; pass a fresh entity)
     val unesc = regexp_replace(regexp_replace(regexp_replace(noTags,
-      "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
     val noCtrl = regexp_replace(unesc, "[\\x00-\\x1f]", " ")
     trim(regexp_replace(noCtrl, "\\s+", " "))
   }

@@ -61,17 +61,33 @@ object QualityClassifier {
   def exportModel(labeledDf: DataFrame, numFeatures: Int = 4096,
                   maxIter: Int = 15,
                   textCol: String = "text"): (Double, Array[Double]) = {
+    val (model, _) = fit(labeledDf, numFeatures, maxIter, textCol)
+    (model.intercept, model.coefficients.toArray)
+  }
+
+  /** The single fit pipeline both [[exportModel]] and [[trainScore]] use —
+    * one definition so the exported serving path can never desynchronize
+    * from the batch-scoring path (tokenizer, hashing width, regularizer,
+    * iterate hygiene all shared; QualityClassifierSpec pins 1e-9 parity
+    * on top). */
+  private def fit(labeledDf: DataFrame, numFeatures: Int, maxIter: Int,
+                  textCol: String)
+      : (org.apache.spark.ml.classification.LogisticRegressionModel,
+         HashingTF) = {
     val tf = new HashingTF().setInputCol("_toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
-    val train = tf.transform(labeledDf.withColumn("_toks",
-        filter(TextAnalysis.tokens(lower(trim(col(textCol)))), t => t =!= "")))
+    val train = tf.transform(tokenize(labeledDf, textCol))
       .repartition(8).cache()
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(0.01)
       .fit(train)
     train.unpersist(false)
-    (model.intercept, model.coefficients.toArray)
+    (model, tf)
   }
+
+  private def tokenize(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_toks",
+      filter(TextAnalysis.tokens(lower(trim(col(textCol)))), t => t =!= ""))
 
   /** Score from the exported model with pure column algebra:
     * `sigmoid(intercept + Σ_tokens coef[bucket(token)])` — the exact
@@ -107,19 +123,10 @@ object QualityClassifier {
   def trainScore(docs: DataFrame, labeledDf: DataFrame,
                  numFeatures: Int = 4096, maxIter: Int = 15,
                  textCol: String = "text"): DataFrame = {
-    def tokenize(df: DataFrame): DataFrame = df.withColumn("_toks",
-      filter(TextAnalysis.tokens(lower(trim(col(textCol)))), t => t =!= ""))
-    val tf = new HashingTF().setInputCol("_toks").setOutputCol("features")
-      .setNumFeatures(numFeatures)
-    val train = tf.transform(tokenize(labeledDf)).repartition(8).cache()
-    val model = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(0.01)
-      .fit(train)
-    val scored = model.transform(tf.transform(tokenize(docs)))
+    val (model, tf) = fit(labeledDf, numFeatures, maxIter, textCol)
+    model.transform(tf.transform(tokenize(docs, textCol)))
       .withColumn("quality_prob",
         element_at(vector_to_array(col("probability")), 2))
       .drop("_toks", "features", "rawPrediction", "probability", "prediction")
-    train.unpersist(false)
-    scored
   }
 }

@@ -33,17 +33,30 @@ object Semi {
     }.drop("_parsed")
   }
 
-  /** Per-group profile of one numeric JSON field: row/unparsed counts and
-    * the value distribution — the audit a pipeline runs before trusting a
-    * semi-structured column. One hash aggregation; the parse is map-side
-    * and schema-pruned to the single field. */
+  /** Per-group profile of one numeric JSON field: row counts, TRUE parse
+    * failures (`n_malformed`: non-null payload whose parse returned null
+    * — a missing or null FIELD in valid JSON is `n_null_field`, not a
+    * failure; conflating them masks real malformed-row regressions behind
+    * optional properties), and the value distribution — the audit a
+    * pipeline runs before trusting a semi-structured column. One hash
+    * aggregation; the parse is map-side and schema-pruned to the single
+    * field. */
   def jsonFieldProfile(df: DataFrame, groupCol: String, jsonCol: String,
                        field: String, fieldType: String = "INT"): DataFrame = {
-    val typed = extractTyped(df, jsonCol, s"$field $fieldType")
-    typed.groupBy(col(groupCol))
+    // PERMISSIVE from_json yields a struct of NULL fields for malformed
+    // input (not a null struct), so true failures are only visible via
+    // the corrupt-record column, which captures the raw payload
+    val parsed = df.withColumn("_parsed",
+        from_json(col(jsonCol), s"$field $fieldType, _corrupt STRING",
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("_malformed",
+        col("_parsed").getField("_corrupt").isNotNull.cast("long"))
+      .withColumn(field, col("_parsed").getField(field))
+    parsed.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
-        sum(col(field).isNull.cast("long")).as("n_unparsed"),
+        sum(col("_malformed")).as("n_malformed"),
+        sum(col(field).isNull.cast("long")).as("n_null_field"),
         round(avg(col(field)), 6).as(s"avg_$field"),
         min(col(field)).as(s"min_$field"),
         max(col(field)).as(s"max_$field"),

@@ -211,11 +211,19 @@ class FlowProfileSpec extends SparkTestBase {
     val prof = Semi.jsonFieldProfile(rows, "grp", "props", "k")
       .orderBy("grp").collect()
       .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
-        r.getAs[Long]("n_unparsed"), r.getAs[Integer]("min_k"),
-        r.getAs[Integer]("max_k")))
-    assert(prof.toSeq == Seq(("a", 3L, 1L, Integer.valueOf(10),
-      Integer.valueOf(20)), ("b", 2L, 1L, Integer.valueOf(7),
+        r.getAs[Long]("n_malformed"), r.getAs[Long]("n_null_field"),
+        r.getAs[Integer]("min_k"), r.getAs[Integer]("max_k")))
+    // group a: one malformed row; group b: a NULL payload is not a parse
+    // failure (n_malformed 0) though its field is unavailable
+    assert(prof.toSeq == Seq(("a", 3L, 1L, 1L, Integer.valueOf(10),
+      Integer.valueOf(20)), ("b", 2L, 0L, 1L, Integer.valueOf(7),
       Integer.valueOf(7))))
+    // a VALID payload with the field merely missing is not malformed
+    val opt = Semi.jsonFieldProfile(
+      Seq((1L, "c", """{"tag": "only"}""")).toDF("id", "grp", "props"),
+      "grp", "props", "k").collect()(0)
+    assert(opt.getAs[Long]("n_malformed") == 0L &&
+      opt.getAs[Long]("n_null_field") == 1L)
     // the parse is map-side: only the final profile aggregation exchanges
     val plan = Semi.jsonFieldProfile(rows, "grp", "props", "k")
       .queryExecution.executedPlan.toString

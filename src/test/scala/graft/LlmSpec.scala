@@ -655,7 +655,8 @@ class LlmSpec extends SparkTestBase {
       (2L, "a\u0001b\tc   d\n\ne"),           // control + ragged whitespace
       (3L, "x &lt;tag&gt; y"),                 // entities survive as literals
       (4L, "<br/><br/>"),                      // tags only -> empty
-      (5L, "plain already clean"))
+      (5L, "plain already clean"),
+      (6L, "see &amp;lt;b&amp;gt; here"))      // author-escaped entities
       .toDF("doc_id", "text")
     val out = TextAnalysis.withNormalized(d).orderBy("doc_id").collect()
       .map(r => r.getAs[String]("norm_text"))
@@ -664,7 +665,10 @@ class LlmSpec extends SparkTestBase {
       "a b c d e",
       "x <tag> y",
       "",
-      "plain already clean"))
+      "plain already clean",
+      // &amp; unescapes LAST: "&amp;lt;" is the literal text "&lt;", it
+      // must NOT double-unescape to "<"
+      "see &lt;b&gt; here"))
     // unescaped entities are literal text, NOT re-stripped as tags
     assert(out(2) == "x <tag> y")
     // char accounting
