@@ -46,7 +46,9 @@ object PlanDump {
     "contamination_bloom" -> "Bloom decontamination's corpus pass: the benchmark-side filter was built upstream (one tree-aggregate over the SMALL side) and ships inside the native bloom_might_contain codegen expression, so the corpus side is gram-explode -> probe -> per-doc hash aggregate — NO join node anywhere, no corpus-gram exchange beyond the per-doc count's own shuffle. Compare contamination_ngram's equi-join plan: the exchange that carried O(corpus tokens) of hashes is gone (LlmSpec pins the no-Join property).",
     "shard_shuffle" -> "Reproducible training-order shuffle: the md5 sort key and shard id are map-side projections, the only exchange is the hash partition on shard, and the position is a per-shard window — nShards is the parallel unit and the window buffer is one shard's keys. No global sort node anywhere; orderBy(rand()) would give a range exchange AND non-reproducibility across retries.",
     "curation_report" -> "The per-source data card: quality flags and char/token metrics are one map-side projection block, duplicate election is ONE hash aggregate on the md5 fingerprint joined back on the same key (the exact-dedup shape — AQE broadcasts the keeper side at test scale, co-partitioned at lake scale), and the card is a |sources|-row partial+final aggregate. Text never enters an exchange.",
-    "vocab_coverage" -> "Vocabulary-coverage audit: token frequencies are one O(tokens) hash aggregate, top-V is TakeOrderedAndProject (per-partition top-V, V rows merged — never a global sort), and the vocabulary rejoins BROADCAST so the per-doc OOV pass is map-side above the token explode. Raising V grows a broadcast list, not a shuffle.")
+    "vocab_coverage" -> "Vocabulary-coverage audit: token frequencies are one O(tokens) hash aggregate, top-V is TakeOrderedAndProject (per-partition top-V, V rows merged — never a global sort), and the vocabulary rejoins BROADCAST so the per-doc OOV pass is map-side above the token explode. Raising V grows a broadcast list, not a shuffle.",
+    "corpus_pipeline_v2" -> "The five-stage curation capstone as ONE plan: normalization is a stateless regex projection fused into the scans of both split sides; the Gopher gate is a codegen'd filter with no exchange of its own; decontamination pays ONE gram aggregation over the (small) benchmark and a left-anti on the corpus gram overlap; span dedup is the one-hash-agg first-occurrence election plus the per-doc rebuild; and the shard shuffle is a map-side md5 projection + one 4-way exchange + per-shard sorts. No stage materializes between stages; the two O(tokens) relations (benchmark grams, span hashes) are the whole shuffle budget.",
+    "props_extract" -> "Semi-structured extraction: ONE schema-pruned JsonToStructs (codegen'd Jackson pass) per row computes the typed field AND the corrupt-record flag map-side, then a single partial+final hash-aggregate pair rolls up the per-type profile — the parse never repeats per metric and malformed rows are counted in the same pass that extracts values.")
 
   /** Non-contract plans worth auditing: the scale variants and internal
     * stages that the contract queries don't expose directly. */
