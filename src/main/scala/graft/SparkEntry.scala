@@ -1445,6 +1445,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37c — REAL PNG container round-trip: build a signature+IHDR-
+    // faithful payload (big-endian dims via unhex(lpad(hex))), then parse
+    // it back with actual PNG header parsing (magic check + fixed IHDR
+    // offsets — works on real .png bytes, pinned on a hand-written header
+    // in MultimodalSpec). Pure codegen'd binary column algebra, map-only.
+    "png_meta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.pngMeta(Multimodal.withPngPayload(d))
+        .select(col("doc_id"), col("is_png"), col("png_width"),
+          col("png_height"), col("png_bit_depth"), col("png_color_type"),
+          octet_length(col("payload")).as("n_payload_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #37b — batched decode/feature-extract stage over the binary
     // payload (deterministic stub codec; plumbing is real). The histogram
     // is surfaced as scalar columns: the driver's compare engine (and any
@@ -4945,6 +4959,16 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |         AS fingerprint
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "png_meta" ->
+      """SELECT doc_id,
+        |       1 AS is_png,
+        |       CAST(64 + strlen(text) % 512 AS BIGINT) AS png_width,
+        |       CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS png_height,
+        |       8 AS png_bit_depth,
+        |       2 AS png_color_type,
+        |       CAST(33 + strlen(text) AS INTEGER) AS n_payload_bytes
         |FROM documents ORDER BY 1""".stripMargin,
 
     "multimodal_meta" ->

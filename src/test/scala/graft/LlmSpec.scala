@@ -557,6 +557,41 @@ class LlmSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("PNG header parsing: hand-written real header, round-trip, non-PNG") {
+    // a genuine PNG signature + IHDR for a 3x2, bit depth 8, color type 6
+    // image — written BYTE BY BYTE here, independent of the builder, so a
+    // consistent endianness/offset bug in build+parse cannot cancel out
+    val hand: Array[Byte] = (Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A,                    // signature
+      0x00, 0x00, 0x00, 0x0D,                    // IHDR length 13
+      'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+      0x00, 0x00, 0x00, 0x03,                    // width 3
+      0x00, 0x00, 0x00, 0x02,                    // height 2
+      0x08, 0x06, 0x00, 0x00, 0x00,              // depth 8, color 6 (RGBA)
+      0x9A, 0x76, 0x82, 0x70,                    // (crc bytes, unchecked)
+      0x00)                                      // 1 body byte -> >= 33
+      ).map(_.toByte).toArray
+    val rows = Seq((1L, hand), (2L, "just some text bytes not a png  xxxx"
+      .getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.pngMeta(rows).orderBy("id").collect()
+    assert(out(0).getAs[Int]("is_png") == 1)
+    assert(out(0).getAs[Long]("png_width") == 3L &&
+      out(0).getAs[Long]("png_height") == 2L)
+    assert(out(0).getAs[Int]("png_bit_depth") == 8 &&
+      out(0).getAs[Int]("png_color_type") == 6)
+    assert(out(1).getAs[Int]("is_png") == 0 &&
+      out(1).isNullAt(out(1).fieldIndex("png_width")))
+    // builder round-trip on the corpus: parsed dims equal the metadata
+    val rt = Multimodal.pngMeta(Multimodal.withPngPayload(docs))
+    assert(rt.where(col("is_png") =!= 1 ||
+      col("png_width") =!= col("meta.width") ||
+      col("png_height") =!= col("meta.height") ||
+      col("png_bit_depth") =!= 8 || col("png_color_type") =!= 2)
+      .count() == 0)
+    // map-only plan
+    assert(!rt.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("capstone v2 composes deterministically with monotone attrition") {
     def run(d: org.apache.spark.sql.DataFrame) = {
       val norm = d.withColumn("text", TextAnalysis.normalize(col("text")))
