@@ -1459,6 +1459,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37d — REAL WAV/RIFF container round-trip (the little-endian
+    // dual of png_meta): canonical 44-byte PCM header built with
+    // byte-reversed hex algebra, parsed back from actual .wav byte layout
+    // (magic + fixed offsets), duration derived from rate/channels/bits.
+    "wav_meta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.wavMeta(Multimodal.withWavPayload(d))
+        .select(col("doc_id"), col("is_wav"), col("wav_channels"),
+          col("wav_sample_rate"), col("wav_bits"), col("wav_data_bytes"),
+          col("wav_duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #37b — batched decode/feature-extract stage over the binary
     // payload (deterministic stub codec; plumbing is real). The histogram
     // is surfaced as scalar columns: the driver's compare engine (and any
@@ -4960,6 +4973,21 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |         AS fingerprint
         |FROM documents ORDER BY 1""".stripMargin,
+
+    "wav_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) AS L,
+        |         1 + strlen(text) % 2 AS ch,
+        |         8000 + (strlen(text) % 8) * 1000 AS rate
+        |  FROM documents)
+        |SELECT doc_id, 1 AS is_wav,
+        |       CAST(ch AS INTEGER) AS wav_channels,
+        |       CAST(rate AS BIGINT) AS wav_sample_rate,
+        |       16 AS wav_bits,
+        |       CAST(L AS BIGINT) AS wav_data_bytes,
+        |       round(L * 8000.0 / (rate * ch * 16), 3) + 0.0
+        |         AS wav_duration_ms
+        |FROM m ORDER BY 1""".stripMargin,
 
     "png_meta" ->
       """SELECT doc_id,

@@ -592,6 +592,39 @@ class LlmSpec extends SparkTestBase {
     assert(!rt.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("WAV header parsing: hand-written real header, round-trip, non-WAV") {
+    // a genuine 44-byte RIFF/WAVE PCM header (mono, 8000 Hz, 16-bit,
+    // 4 data bytes), written byte by byte independent of the builder
+    val hand: Array[Byte] = (Seq[Int](
+      'R', 'I', 'F', 'F', 0x28, 0x00, 0x00, 0x00,  // RIFF, size 40 LE
+      'W', 'A', 'V', 'E', 'f', 'm', 't', ' ',
+      0x10, 0x00, 0x00, 0x00,                      // fmt size 16 LE
+      0x01, 0x00, 0x01, 0x00,                      // PCM, 1 channel
+      0x40, 0x1F, 0x00, 0x00,                      // 8000 Hz LE
+      0x80, 0x3E, 0x00, 0x00,                      // byte rate 16000 LE
+      0x02, 0x00, 0x10, 0x00,                      // block align 2, 16 bit
+      'd', 'a', 't', 'a', 0x04, 0x00, 0x00, 0x00,  // data, size 4 LE
+      0x11, 0x22, 0x33, 0x44)                      // 4 sample bytes
+      ).map(_.toByte).toArray
+    val rows = Seq((1L, hand),
+      (2L, ("x" * 50).getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.wavMeta(rows).orderBy("id").collect()
+    assert(out(0).getAs[Int]("is_wav") == 1)
+    assert(out(0).getAs[Int]("wav_channels") == 1 &&
+      out(0).getAs[Long]("wav_sample_rate") == 8000L)
+    assert(out(0).getAs[Int]("wav_bits") == 16 &&
+      out(0).getAs[Long]("wav_data_bytes") == 4L)
+    // 4 bytes at 16000 B/s = 0.25 ms
+    assert(out(0).getAs[Double]("wav_duration_ms") == 0.25)
+    assert(out(1).getAs[Int]("is_wav") == 0 &&
+      out(1).isNullAt(out(1).fieldIndex("wav_sample_rate")))
+    // builder round-trip on the corpus
+    val rt = Multimodal.wavMeta(Multimodal.withWavPayload(docs))
+    assert(rt.where(col("is_wav") =!= 1 || col("wav_bits") =!= 16 ||
+      col("wav_data_bytes") =!= octet_length(col("text"))).count() == 0)
+    assert(!rt.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("capstone v2 composes deterministically with monotone attrition") {
     def run(d: org.apache.spark.sql.DataFrame) = {
       val norm = d.withColumn("text", TextAnalysis.normalize(col("text")))
