@@ -119,7 +119,14 @@ object Bench {
     val queriesField =
       if (wrote) s""""queries":$qs,"queries_full":"${benchLocal.getPath}""""
       else s""""queries":$qsFull,"queries_full":null"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$queriesField,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}""")
+    val stdoutLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$queriesField,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}"""
+    println(stdoutLine)
     spark.stop()
+    // Re-print AFTER spark.stop() so no late WARN/shutdown logging can land
+    // between the JSON and the end of the program's stdout, with a sentinel
+    // for parsers that grep rather than take-last-JSON-line. Both r8 and r9
+    // driver artifacts had parsed:null from the line drowning in sbt noise.
+    println("GRAFT_BENCH_JSON")
+    println(stdoutLine)
   }
 }

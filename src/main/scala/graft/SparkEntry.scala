@@ -3284,14 +3284,31 @@ object SparkEntry {
         |FROM f JOIN s USING (source) ORDER BY 1""".stripMargin,
 
     "props_extract" ->
-      """WITH p AS (
-        |  SELECT event_type,
+      """WITH p0 AS (
+        |  SELECT event_type, props,
         |         CASE WHEN props IS NOT NULL AND json_valid(props)
-        |              THEN CAST(json_extract(props, '$.k') AS INTEGER)
-        |         END AS k,
+        |              THEN json_extract(props, '$.k') END AS jk
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |         CASE WHEN jk IS NOT NULL
+        |                AND json_type(jk) IN ('UBIGINT', 'BIGINT')
+        |              THEN TRY_CAST(jk AS INTEGER) END AS k,
+        |         -- Spark PERMISSIVE marks a row corrupt for invalid JSON
+        |         -- AND for a wrong-typed / non-representable field value
+        |         -- (pinned by FlowProfileSpec); a missing or json-null
+        |         -- field is a null field, not a failure
         |         CASE WHEN props IS NOT NULL AND NOT json_valid(props)
-        |              THEN 1 ELSE 0 END AS malformed
-        |  FROM events)
+        |                THEN 1
+        |              WHEN jk IS NOT NULL
+        |                AND json_type(jk) NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+        |                THEN 1
+        |              WHEN jk IS NOT NULL
+        |                AND json_type(jk) IN ('UBIGINT', 'BIGINT')
+        |                AND TRY_CAST(jk AS INTEGER) IS NULL
+        |                THEN 1
+        |              ELSE 0 END AS malformed
+        |  FROM p0)
         |SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(malformed) AS BIGINT) AS n_malformed,

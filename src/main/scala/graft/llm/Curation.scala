@@ -33,9 +33,12 @@ object Curation {
     val withRules = TextAnalysis.gopherRules(coalesced, textCol)
       .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("_nc", length(col(textCol)).cast("long"))
-    val keepers = withRules.groupBy(col("_fp"))
-      .agg(min(col(idCol)).as("_keep_id"))
-    withRules.join(keepers, Seq("_fp"))
+    // keeper election via a window over the SAME frame (the exactSurvivors
+    // shape) — an agg+self-join here would recompute the gopherRules + md5
+    // projection once per side, two corpus scans for one report
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+    withRules
+      .withColumn("_keep_id", min(col(idCol)).over(wFp))
       .withColumn("_is_dup", (col(idCol) =!= col("_keep_id")).cast("int"))
       .groupBy(col(sourceCol))
       .agg(

@@ -197,7 +197,7 @@ object Dedup {
     // One benchmark-side job either way: the exact count when the caller
     // didn't pre-size, else a limit-1 emptiness probe.
     val nItems = expectedItems match {
-      case Some(n) => if (bg.isEmpty) 0L else math.max(n, 1L)
+      case Some(items) => if (bg.isEmpty) 0L else math.max(items, 1L)
       case None => bg.count()
     }
     if (nItems == 0L) {

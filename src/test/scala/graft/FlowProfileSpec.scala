@@ -224,6 +224,19 @@ class FlowProfileSpec extends SparkTestBase {
       "grp", "props", "k").collect()(0)
     assert(opt.getAs[Long]("n_malformed") == 0L &&
       opt.getAs[Long]("n_null_field") == 1L)
+    // a wrong-TYPED field in VALID JSON ({"k":"x"}): Spark's PERMISSIVE
+    // parse marks the whole row corrupt (the corrupt-record column captures
+    // the raw payload) and nulls the field — so it counts in BOTH
+    // n_malformed and n_null_field; pinned here so the DuckDB oracle's
+    // json_type guard must stay aligned with this semantics
+    val wrong = Semi.jsonFieldProfile(
+      Seq((1L, "d", """{"k": "x"}"""), (2L, "d", """{"k": 3}"""))
+        .toDF("id", "grp", "props"),
+      "grp", "props", "k").collect()(0)
+    assert(wrong.getAs[Long]("n_malformed") == 1L &&
+      wrong.getAs[Long]("n_null_field") == 1L &&
+      wrong.getAs[Integer]("min_k") == 3 &&
+      wrong.getAs[Integer]("max_k") == 3, wrong.toString)
     // the parse is map-side: only the final profile aggregation exchanges
     val plan = Semi.jsonFieldProfile(rows, "grp", "props", "k")
       .queryExecution.executedPlan.toString
