@@ -1219,6 +1219,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2 #32c — IVF × SQ8 composed (the faiss IVF-SQ8 shape, the actual
+    // 100 TB ANN plan): cell-probe on the k-means coarse quantizer, coarse
+    // scan over JL+int8 codes only, exact float re-rank of the shortlist
+    // via equi-join. Model training — no SQL oracle; LlmSpec pins recall
+    // vs brute, full-probe ≡ compressed-brute, and the no-cartesian /
+    // cell-pruned plan; DeterminismSpec pins partitioning stability.
+    "ann_ivf_compressed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKIvfCompressed(e, e.where(col("vec_id") < 30), k = 5,
+          inDim = 64, projDim = 32, nCells = 16, nProbe = 8, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #30 — embedding cosine near-dup via hyperplane-LSH buckets on the
     // seeded corpus.
     "embed_neardup" -> ((s, dir) => {
@@ -4851,6 +4864,58 @@ object SparkEntry {
         |            AS BIGINT) AS q_abs_sum,
         |       round(sqrt(list_sum(e2) / dim), 6) + 0.0 AS rmse
         |FROM q ORDER BY 1""".stripMargin,
+
+    // The full compressed-ANN ladder in SQL: the same md5-sign JL matrix
+    // as embed_project (32 dims, 1-based lambda index), the same absmax
+    // int8 round-trip as embed_quantize, coarse cosine on the dequantized
+    // codes rounded to 6dp (ties to the lower neighbor id — exactly the
+    // Spark window), shortlist 100, exact re-rank on the float vectors.
+    "ann_topk_compressed" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |j AS (SELECT CAST(unnest(range(32)) AS INTEGER) AS out_dim),
+        |p AS (
+        |  SELECT v.vec_id, j.out_dim,
+        |         list_sum(list_transform(v.v, (x, i) ->
+        |           x * (CAST(CAST('0x' ||
+        |                  substr(md5('jl:' || j.out_dim || ':' || i), 1, 1)
+        |                AS INTEGER) % 2 AS INTEGER) * 2 - 1))) / sqrt(32)
+        |           AS value
+        |  FROM v, j),
+        |pv AS (
+        |  SELECT vec_id, list(value ORDER BY out_dim) AS p
+        |  FROM p GROUP BY 1),
+        |dq AS (
+        |  SELECT vec_id,
+        |         list_transform(p, x -> CAST(coalesce(
+        |             round(x / nullif(list_max(list_transform(p, y -> abs(y)))
+        |                               / 127.0, 0)), 0) AS BIGINT)
+        |           * (list_max(list_transform(p, y -> abs(y))) / 127.0))
+        |           AS dqv
+        |  FROM pv),
+        |q AS (SELECT vec_id AS query_id, p AS qp FROM pv WHERE vec_id < 30),
+        |coarse AS (
+        |  SELECT q.query_id, d.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qp, d.dqv), 6) AS psim
+        |  FROM q CROSS JOIN dq d WHERE d.vec_id <> q.query_id),
+        |sh AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY psim DESC, neighbor_id) AS prank
+        |  FROM coarse),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+        |  FROM sh s
+        |  JOIN v qv ON qv.vec_id = s.query_id
+        |  JOIN v cv ON cv.vec_id = s.neighbor_id
+        |  WHERE s.prank <= 100),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM ex)
+        |SELECT query_id, rank, neighbor_id, sim
+        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "corpus_clean" ->
       s"""$CorpusCleanCte

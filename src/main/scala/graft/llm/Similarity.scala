@@ -138,27 +138,109 @@ object Similarity {
       return annTopKBrute(candidates, queries, k, idCol, vecCol)
     val centers = sphericalKMeans(sample, nCells, seed)
 
-    def cellSims(v: Column) = array(centers.zipWithIndex.toIndexedSeq.map {
-      case (c, i) =>
-        struct(coalesce(cos(v, lit(c)), lit(-2.0)).as("sim"), lit(i).as("cell"))
-    }: _*)
-
     // candidate → nearest cell: argmax cosine over the literal codebook
-    val assigned = cv.withColumn("cell",
-      element_at(slice(reverse(array_sort(cellSims(col("_cv")))), 1, 1), 1)("cell"))
+    val assigned = cv.withColumn("cell", nearestCells(centers, col("_cv"), 1)(0))
 
     // query → its nProbe nearest cells
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val probed = qv
-      .withColumn("_cells", slice(reverse(array_sort(cellSims(col("_qv")))), 1, nProbe))
-      .select(col("query_id"), col("_qv"), explode(col("_cells.cell")).as("cell"))
+      .withColumn("_cells", nearestCells(centers, col("_qv"), nProbe))
+      .select(col("query_id"), col("_qv"), explode(col("_cells")).as("cell"))
 
     val cand = broadcast(probed).join(assigned, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** The `n` nearest codebook cells for a vector as an `array<int>` column:
+    * top-n cosine over the literal centroids (sim ties resolve to the
+    * higher cell id — the reverse of the ascending struct sort — exactly
+    * the pre-factoring [[annTopKIvf]] semantics). Shared by the IVF entry
+    * points so assignment and probing can never drift apart. */
+  private def nearestCells(centers: Array[Array[Double]], v: Column,
+                           n: Int): Column = {
+    val sims = array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(coalesce(cos(v, lit(c)), lit(-2.0)).as("sim"), lit(i).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(sims)), 1, n).getField("cell")
+  }
+
+  /** IVF × SQ composed — the faiss IVF-SQ8 search shape, and the actual
+    * 100 TB ANN plan: the index holds, per candidate, its coarse CELL
+    * (nearest spherical-k-means centroid in the ORIGINAL space) plus the
+    * JL-projected ([[projectVec]]) int8-quantized code — and nothing else;
+    * a query probes its `nProbe` nearest cells, coarse-scores ONLY those
+    * cells' dequantized codes against its projected self, keeps a
+    * per-query `shortlist`, and only shortlist rows re-join the float
+    * vectors for the exact re-rank. Cell-pruning bounds the candidate
+    * volume (~nProbe/nCells of the corpus), compression bounds the bytes
+    * per candidate scanned (16-32 int8 codes vs 64 floats) — the two
+    * compose multiplicatively, which is why this operator exists instead
+    * of [[annTopKCompressed]]'s brute coarse pass at corpus scale.
+    *
+    * Scale: the codebook is a bounded driver artifact (as [[annTopKIvf]]);
+    * the index build is one map-only pass; the probe join is broadcast
+    * (queries are small); floats are touched for O(|Q|·shortlist) rows
+    * only, via an equi-join — at no point does a full-width float scan
+    * meet the quadratic candidate space. Coarse scores round to 6dp so
+    * shortlist membership is engine- and partitioning-stable. */
+  def annTopKIvfCompressed(candidates: DataFrame, queries: DataFrame, k: Int,
+                           inDim: Int, projDim: Int = 32, nCells: Int = 16,
+                           nProbe: Int = 4, shortlist: Int = 50,
+                           seed: Long = 7L, projSeed: String = "jl",
+                           sampleN: Int = 2048, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      return annTopKBrute(candidates, queries, k, idCol, vecCol)
+    val centers = sphericalKMeans(sample, nCells, seed)
+
+    // the compressed index: (cell, id, dequantized code) — no floats
+    val index = cv
+      .withColumn("cell", nearestCells(centers, col("_cv"), 1)(0))
+      .withColumn("_p", projectVec(col("_cv"), inDim, projDim, projSeed))
+      .withColumn("_pscale",
+        array_max(transform(col("_p"), x => abs(x))) / 127.0)
+      .withColumn("_q8", transform(col("_p"), x =>
+        coalesce(round(x / when(col("_pscale") =!= 0.0, col("_pscale")), 0),
+          lit(0.0)).cast("int")))
+      .withColumn("_dq", transform(col("_q8"), x => x * col("_pscale")))
+      .select(col("neighbor_id"), col("cell"), col("_dq"))
+
+    // query: projected self + its nProbe probe cells (probed in the
+    // original space, scored in the projected space — queries stay float)
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val probed = qv
+      .withColumn("_qp", projectVec(col("_qv"), inDim, projDim, projSeed))
+      .withColumn("_cells", nearestCells(centers, col("_qv"), nProbe))
+      .select(col("query_id"), col("_qp"),
+        explode(col("_cells")).as("cell"))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_psim").desc, col("neighbor_id").asc)
+    val short = broadcast(probed).join(index, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_psim", round(cos(col("_qp"), col("_dq")), 6))
+      .withColumn("_prank", row_number().over(wCoarse))
+      .where(col("_prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: floats touched ONLY for shortlist rows
+    val qf = broadcast(qv)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short.join(cv, "neighbor_id").join(qf, "query_id")
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
@@ -461,10 +543,12 @@ object Similarity {
     * uncompressed brute baseline is pinned in tests.
     *
     * The coarse stage here is the broadcast brute pass over the
-    * compressed index (right when |Q| is small); at corpus scale the
-    * same compressed index drops into [[annTopKIvf]]'s cell-probed
-    * candidates — compression and cell-pruning compose, they don't
-    * compete. */
+    * compressed index (right when |Q| is small); at corpus scale
+    * [[annTopKIvfCompressed]] runs the SAME code/shortlist/re-rank ladder
+    * inside the IVF cell probe — compression and cell-pruning compose,
+    * they don't compete. Coarse scores round to 6dp (ties to the lower
+    * neighbor id) so shortlist membership is engine-stable — this key is
+    * fully DuckDB-oracled, projection matrix and all. */
   def annTopKCompressed(candidates: DataFrame, queries: DataFrame, k: Int,
                         inDim: Int, projDim: Int = 16, shortlist: Int = 50,
                         seed: String = "jl", idCol: String = "vec_id",
@@ -489,7 +573,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("_cv"), col("_dq"))
     val coarse = cp.crossJoin(qp)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_psim", cos(col("_qp"), col("_dq")))
+      .withColumn("_psim", round(cos(col("_qp"), col("_dq")), 6))
     val wCoarse = Window.partitionBy("query_id")
       .orderBy(col("_psim").desc, col("neighbor_id").asc)
     val short = coarse.withColumn("_prank", row_number().over(wCoarse))

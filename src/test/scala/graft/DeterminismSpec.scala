@@ -38,7 +38,8 @@ class DeterminismSpec extends SparkTestBase {
       // round-9 continuation: seeded Bloom/CMS sketches, the hash-derived
       // JL matrix, and explicit tie-broken re-ranks are all partitioning-
       // independent by construction
-      "contamination_bloom", "ngram_freq_sketch", "ann_topk_compressed")
+      "contamination_bloom", "ngram_freq_sketch", "ann_topk_compressed",
+      "ann_ivf_compressed")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

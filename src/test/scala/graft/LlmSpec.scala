@@ -690,6 +690,37 @@ class LlmSpec extends SparkTestBase {
     assert(full == bruteFull)
   }
 
+  test("IVF-SQ8 composed ANN: recall vs brute, full-probe ≡ brute ladder, plan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 30)
+    val brute = Similarity.annTopKBrute(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val df = Similarity.annTopKIvfCompressed(emb, q, k = 5, inDim = 64,
+      projDim = 32, nCells = 16, nProbe = 8, shortlist = 100)
+    assertNoCartesian(df)
+    // the probe is an equi-join on cell (broadcast: queries are small) —
+    // the plan must scan candidates through a hash join keyed on cell,
+    // never a full candidate × query product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val comp = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(comp).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-SQ8 recall vs brute: $recall")
+    // probing EVERY cell makes cell-pruning a no-op: the composed ladder
+    // must then reproduce annTopKCompressed (same projection, same codes,
+    // same rounded coarse scores, same shortlist window) exactly
+    val full = Similarity.annTopKIvfCompressed(emb, q, k = 5, inDim = 64,
+      projDim = 32, nCells = 8, nProbe = 8, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    val ladder = Similarity.annTopKCompressed(emb, q, k = 5, inDim = 64,
+      projDim = 32, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    assert(full == ladder)
+  }
+
   test("CMS ngram profile: est >= exact, eps-bounded overshoot, determinism") {
     val prof = TextAnalysis.ngramCmsProfile(docs, n = 2, k = 20,
       eps = 0.001, confidence = 0.99)
