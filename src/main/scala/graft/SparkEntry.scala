@@ -1533,6 +1533,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37e — REAL JPEG container round-trip with VARIABLE-offset
+    // parsing: build a multi-segment header (APP0/JFIF + a per-row
+    // variable-length COM + SOF0) so the frame header lands at a
+    // data-dependent offset, then parse it back with a genuine marker-
+    // stream walk (graft.functions.JpegSofMeta, a native codegen'd
+    // expression — works on real .jpg bytes, pinned on a hand-written
+    // APP1+COM+DQT+SOF2 stream in LlmSpec). Map-only.
+    "jpeg_meta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.jpegMeta(Multimodal.withJpegPayload(d))
+        .select(col("doc_id"), col("is_jpeg"), col("jpeg_marker"),
+          col("jpeg_width"), col("jpeg_height"), col("jpeg_precision"),
+          col("jpeg_components"),
+          octet_length(col("payload")).as("n_payload_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #37b — batched decode/feature-extract stage over the binary
     // payload (deterministic stub codec; plumbing is real). The histogram
     // is surfaced as scalar columns: the driver's compare engine (and any
@@ -5292,6 +5309,22 @@ object SparkEntry {
         |       8 AS png_bit_depth,
         |       2 AS png_color_type,
         |       CAST(33 + strlen(text) AS INTEGER) AS n_payload_bytes
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    // Expected values derived INDEPENDENTLY from the text (length algebra,
+    // no binary parsing) — the round-trip equality is the oracle, exactly
+    // the png_meta/wav_meta pattern. Payload = 43 fixed header bytes +
+    // the variable COM payload + the body.
+    "jpeg_meta" ->
+      """SELECT doc_id,
+        |       1 AS is_jpeg,
+        |       192 AS jpeg_marker,
+        |       CAST(64 + strlen(text) % 512 AS BIGINT) AS jpeg_width,
+        |       CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS jpeg_height,
+        |       8 AS jpeg_precision,
+        |       3 AS jpeg_components,
+        |       CAST(43 + least(strlen(text), 5 + strlen(text) % 17)
+        |            + strlen(text) AS INTEGER) AS n_payload_bytes
         |FROM documents ORDER BY 1""".stripMargin,
 
     "multimodal_meta" ->

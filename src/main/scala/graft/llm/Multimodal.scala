@@ -148,6 +148,73 @@ object Multimodal {
           lit(16),
           encode(col(textCol), "utf-8")))
 
+  /** Big-endian u16 → 2 bytes, the JPEG segment-length/dimension codec. */
+  private def be16(x: Column): Column = unhex(lpad(hex(x), 4, "0"))
+
+  /** A REAL multi-segment JPEG header: SOI, a canonical 16-byte APP0/JFIF
+    * segment, a VARIABLE-length COM segment carrying `comment`, then an
+    * SOF0 frame header (8-bit precision, big-endian height/width, 3
+    * components with standard 4:2:0-style specs) followed by the body.
+    * The COM payload is what makes this the variable-offset test case:
+    * the SOF position differs per row with the comment's byte length,
+    * exactly like real .jpg files whose EXIF/comment/quant segments
+    * precede the frame header — a parser with fixed offsets cannot read
+    * this container, [[jpegMeta]]'s marker walk can. No entropy-coded
+    * scan/EOI (the codec stub's territory), so headers parse but nothing
+    * renders. */
+  def jpegHeader(width: Column, height: Column, comment: Column,
+                 body: Column): Column = {
+    val com = encode(comment, "utf-8")
+    concat(
+      unhex(lit("FFD8")),                              // SOI
+      unhex(lit("FFE0")), be16(lit(16)),               // APP0, len 16
+      encode(lit("JFIF"), "utf-8"), unhex(lit("00")),
+      unhex(lit("010100000100010000")),                // v1.1, densities
+      unhex(lit("FFFE")), be16(octet_length(com) + 2), // COM, len varies
+      com,
+      unhex(lit("FFC0")), be16(lit(17)),               // SOF0, len 17
+      unhex(lit("08")),                                // precision 8
+      be16(height), be16(width),
+      unhex(lit("03")),                                // 3 components
+      unhex(lit("012200021101031101")),                // component specs
+      body)
+  }
+
+  /** Parse JPEG SOF metadata from a binary column — REAL parsing for
+    * actual .jpg bytes: the [[graft.functions.JpegSofMeta]] native
+    * expression walks the marker stream (data-dependent segment lengths —
+    * a loop, not fixed offsets) to the first SOFn and packs its fields
+    * into one long; this unpacks them with codegen'd bit algebra. NULL
+    * metadata (is_jpeg 0) for non-JPEG payloads, corrupt marker streams,
+    * and frames truncated before their SOF. Map-only, no UDF. */
+  def jpegMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val packed = GraftBridge.column(graft.functions.JpegSofMeta(
+      GraftBridge.expression(col(payloadCol))))
+    def field(shift: Int, mask: Long) =
+      shiftright(col("_jm"), shift).bitwiseAND(lit(mask))
+    df.withColumn("_jm", packed)
+      .withColumn("is_jpeg", col("_jm").isNotNull.cast("int"))
+      .withColumn("jpeg_marker", field(48, 0xFFL).cast("int"))
+      .withColumn("jpeg_width", field(32, 0xFFFFL))
+      .withColumn("jpeg_height", field(16, 0xFFFFL))
+      .withColumn("jpeg_precision", field(8, 0xFFL).cast("int"))
+      .withColumn("jpeg_components", field(0, 0xFFL).cast("int"))
+      .drop("_jm")
+  }
+
+  /** [[withPayload]] with a real JPEG-container payload: metadata-derived
+    * dimensions in the SOF0, a per-row VARIABLE-length comment (a text
+    * prefix) ahead of it so the frame header lands at a different offset
+    * on every row, utf-8 text bytes standing in for scan data. */
+  def withJpegPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withPayload(docs, textCol)
+      .withColumn("payload",
+        jpegHeader(col("meta.width"), col("meta.height"),
+          col(textCol).substr(lit(1),
+            lit(5) + pmod(octet_length(col(textCol)), lit(17))),
+          encode(col(textCol), "utf-8")))
+
   /** STUB decode: deterministic byte statistics standing in for a codec.
     * Marked clearly; a real build replaces only this function. */
   private def stubDecode(bytes: Array[Byte]): (Double, Int, Array[Long]) = {

@@ -127,6 +127,61 @@ object Ingest {
         round(col("quality_score"), 6).as("quality_score"))
   }
 
+  /** The curation capstone's STATELESS prefix as ONE streaming stage:
+    * normalize → Gopher gate → Bloom decontamination probe → stateless
+    * quality-classifier score — the per-document half of
+    * `corpus_pipeline_v2/v3`, runnable on a live document stream. Pure
+    * per-row column algebra end to end: no watermark, no state store, no
+    * aggregation, so batch and stream run the SAME plan (StreamingSpec
+    * pins equality). The benchmark side is static by nature (held-out
+    * eval sets don't stream): its Bloom filter is built ONCE at plan
+    * time — two bounded benchmark-side jobs — and rides into every
+    * micro-batch as a broadcast literal expression
+    * ([[graft.functions.BloomMightContain]]), the same no-join corpus
+    * pass as [[graft.llm.Dedup.contaminationBloom]] but with the per-doc
+    * flag fraction folded by an `aggregate` HOF instead of a groupBy, so
+    * it stays append-mode legal. The cross-document stages (span/near-dup
+    * dedup, the DSIR percentile cut) stay batch or go through
+    * [[dedupDocs]]/`foreachBatch` by design — they need state a pure
+    * append stream cannot hold. */
+  def curateDocs(docs: DataFrame, benchmark: DataFrame,
+                 intercept: Double, coefs: Array[Double],
+                 n: Int = 8, fpp: Double = 0.001,
+                 maxFlagFrac: Double = 0.3,
+                 minQualityProb: Double = 0.5): DataFrame = {
+    import graft.llm.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.GraftBridge
+    val bg = benchmark
+      .select(explode(Dedup.shingles(col("text"), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh")).distinct()
+    val bloomOpt =
+      if (bg.isEmpty) None
+      else Some(bg.stat.bloomFilter("_gh", math.max(bg.count(), 1L), fpp))
+    val gated = TextAnalysis.gopherRules(
+        docs.withColumn("norm_text", TextAnalysis.normalize(col("text"))),
+        "norm_text")
+      .where(col("pass_gopher") === 1)
+    val probed = bloomOpt match {
+      case Some(bloom) =>
+        def hit(g: org.apache.spark.sql.Column) = GraftBridge.column(
+          graft.functions.BloomMightContain(
+            GraftBridge.expression(xxhash64(g)), bloom)).cast("int")
+        gated
+          .withColumn("_gs", Dedup.shingles(col("norm_text"), n))
+          .withColumn("flag_frac", round(
+            aggregate(col("_gs"), lit(0), (acc, g) => acc + hit(g))
+              .cast("double") / greatest(size(col("_gs")), lit(1)), 6))
+          .drop("_gs")
+      case None => gated.withColumn("flag_frac", lit(0.0))
+    }
+    graft.ml.QualityClassifier.scoreStateless(
+        probed.where(col("flag_frac") < maxFlagFrac),
+        intercept, coefs, textCol = "norm_text")
+      .where(col("quality_prob") >= minQualityProb)
+      .select(col("doc_id"), col("norm_text"), col("n_words"),
+        col("flag_frac"), round(col("quality_prob"), 6).as("quality_prob"))
+  }
+
   /** Streaming exact dedup of a document stream by content FINGERPRINT
     * (case-folded, whitespace-collapsed md5 — the same canonical key as
     * the batch [[graft.llm.Dedup.exactSurvivors]]): within the watermark,

@@ -625,6 +625,57 @@ class LlmSpec extends SparkTestBase {
     assert(!rt.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("JPEG SOF parsing: hand-written marker walk, round-trip, corrupt") {
+    // a genuine multi-segment JPEG header stream written byte by byte,
+    // with a DIFFERENT segment mix than the builder emits (APP1 + COM +
+    // DQT before a PROGRESSIVE SOF2) — the SOF offset is reachable only
+    // by walking the variable-length segments, and a build+parse bug
+    // cannot cancel out
+    val hand: Array[Byte] = (Seq[Int](
+      0xFF, 0xD8,                                   // SOI
+      0xFF, 0xE1, 0x00, 0x08, 'E', 'x', 'i', 'f', 0x00, 0x00, // APP1 len 8
+      0xFF, 0xFE, 0x00, 0x05, 'a', 'b', 'c',       // COM len 5
+      0xFF, 0xDB, 0x00, 0x07, 0x00, 1, 2, 3, 4,    // DQT len 7
+      0xFF, 0xC2, 0x00, 0x0B,                      // SOF2 len 11
+      0x08,                                        // precision 8
+      0x00, 0x07, 0x00, 0x05,                      // height 7, width 5
+      0x01, 0x01, 0x22, 0x00)                      // 1 component
+      ).map(_.toByte).toArray
+    val truncated = hand.take(20)                  // dies inside the COM
+    val sosFirst: Array[Byte] = (Seq[Int](0xFF, 0xD8, 0xFF, 0xDA,
+      0x00, 0x04, 0x01, 0x02) ++ Seq.fill(30)(0x55)).map(_.toByte).toArray
+    val rows = Seq(
+      (1L, hand), (2L, "plain text bytes, no jpeg here".getBytes("UTF-8")),
+      (3L, truncated), (4L, sosFirst)).toDF("id", "payload")
+    val out = Multimodal.jpegMeta(rows).orderBy("id").collect()
+    assert(out(0).getAs[Int]("is_jpeg") == 1)
+    assert(out(0).getAs[Int]("jpeg_marker") == 0xC2)
+    assert(out(0).getAs[Long]("jpeg_width") == 5L &&
+      out(0).getAs[Long]("jpeg_height") == 7L)
+    assert(out(0).getAs[Int]("jpeg_precision") == 8 &&
+      out(0).getAs[Int]("jpeg_components") == 1)
+    for (i <- 1 to 3) {
+      assert(out(i).getAs[Int]("is_jpeg") == 0, s"row ${i + 1}")
+      assert(out(i).isNullAt(out(i).fieldIndex("jpeg_width")))
+    }
+    // builder round-trip on the corpus: the per-row variable-length COM
+    // shifts the SOF to a different offset on every row; the walk must
+    // still recover exactly the metadata dimensions
+    val rt = Multimodal.jpegMeta(Multimodal.withJpegPayload(docs))
+    assert(rt.where(col("is_jpeg") =!= 1 ||
+      col("jpeg_marker") =!= 0xC0 ||
+      col("jpeg_width") =!= col("meta.width") ||
+      col("jpeg_height") =!= col("meta.height") ||
+      col("jpeg_precision") =!= 8 || col("jpeg_components") =!= 3)
+      .count() == 0)
+    // map-only and codegen'd: the marker walk lives inside the
+    // whole-stage-codegen span (the starred projects), not behind it
+    val plan = rt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("*(1) Project") && plan.contains("jpeg_sof_meta"),
+      plan)
+  }
+
   test("capstone v2 composes deterministically with monotone attrition") {
     def run(d: org.apache.spark.sql.DataFrame) = {
       val norm = d.withColumn("text", TextAnalysis.normalize(col("text")))

@@ -308,6 +308,55 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(3L) == ((120L, 1))) // whitespace collapsed, both halves kept
   }
 
+  test("curateDocs: full stateless curation stage streams and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val good2 = (1 to 60).map(i => s"bravo$i").mkString(" ")
+    val leaked = (1 to 60).map(i => s"leak$i").mkString(" ")
+    val docs = Seq(
+      (1L, "<p>" + good1 + "</p>"),   // markup-wrapped, survives everything
+      (2L, good2),                    // survives everything
+      (3L, leaked),                   // == benchmark text -> bloom-flagged
+      (4L, "too &amp; short"))        // fails the gopher word floor
+    val benchmark = Seq((100L, leaked)).toDF("doc_id", "text")
+    // a real exported model: positives are the alpha/bravo vocabulary,
+    // negatives junk — so the quality stage is a fitted scorer, not a
+    // constant
+    val labeled = Seq((good1, 1.0), (good2, 1.0),
+      ((1 to 60).map(_ => "zzz").mkString(" "), 0.0),
+      ((1 to 60).map(i => s"junk$i junk").mkString(" "), 0.0))
+      .toDF("text", "label")
+    val (b0, w) = graft.ml.QualityClassifier.exportModel(labeled,
+      numFeatures = 512)
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      Ingest.curateDocs(df, benchmark, b0, w)
+
+    val input = MemoryStream[(Long, String)]
+    val q = stage(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)  // stateless: batch boundaries irrelevant
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("curate_out").orderBy("doc_id").collect().toSeq
+    val batch = stage(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.map(_.getAs[Long]("doc_id")) == Seq(1L, 2L))
+    // the survivors are clean of benchmark grams and scored by the model
+    assert(batch.forall(_.getAs[Double]("flag_frac") == 0.0))
+    assert(batch.forall(_.getAs[Double]("quality_prob") >= 0.5))
+    // the leaked doc is dropped by the bloom probe specifically: with the
+    // probe disarmed (empty benchmark) but the same model, it survives
+    val noBench = Ingest.curateDocs(docs.toDF("doc_id", "text"),
+      benchmark.where(lit(false)), b0, w, minQualityProb = 0.0)
+    assert(noBench.where(col("doc_id") === 3L).count() == 1L)
+  }
+
   test("streaming doc dedup: canonical fingerprint survivors across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
