@@ -1141,6 +1141,29 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2 #27c — incremental near-dup dedup: a batch of edit variants
+    // dedups against the signature/shingle-hash INDEX of the accepted
+    // corpus (docs with doc_id % 7 != 0), never against historical text.
+    // v1 (+1M, last-2-tokens dropped) exists for every doc; v2 (+2M,
+    // first-token dropped) for even ids — variants of indexed docs land
+    // dup_of_index, variant pairs of UN-indexed docs exercise
+    // dup_in_batch/accepted. Hash-specific blocking → no SQL oracle;
+    // LlmSpec pins ≡ the full-corpus nearDupPairs pass.
+    "neardup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), "\\s+")
+      val v1 = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
+      val v2 = d.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(2), size(toks) - 1)).as("text"))
+      val index = MinHashLsh.buildIndex(d.where(col("doc_id") % 7 =!= 0))
+      MinHashLsh.nearDupIncremental(v1.unionByName(v2), index, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_id")
+    }),
+
     // §2 #28 — SimHash 64-bit fingerprints + banded near-dup pairs.
     "simhash" -> ((s, dir) => {
       SimHash.nearDupPairs(docsWithNearDups(s, dir), maxHamming = 12)

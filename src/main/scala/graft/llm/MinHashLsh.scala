@@ -132,4 +132,108 @@ object MinHashLsh {
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("n_inter"), col("n_union"), col("jaccard"))
   }
+
+  /** The near-dup INDEX relation for [[nearDupIncremental]]: one row per
+    * accepted doc with its MinHash signature (k longs — band buckets
+    * re-derive map-side from it) and its xxhash64 shingle-hash array (the
+    * verify relation). NO text: at 8 bytes/shingle the index is a fraction
+    * of corpus bytes, and every later batch verifies by exact hash-set
+    * Jaccard without ever touching historical text. In the lake layout
+    * this relation is written bucketed by the band-bucket keys
+    * ([[bandBuckets]] is exactly the map that derives them) so each
+    * batch's candidate join co-locates. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", k: Int = 32, shingleN: Int = 3,
+                 seed: Int = 42): DataFrame =
+    withSignature(docs, textCol, k, shingleN, seed)
+      .select(col(idCol),
+        col("minhash_sig"),
+        transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
+          .as("shingle_hashes"))
+
+  /** Incremental near-dup dedup — the growing-corpus production shape
+    * (daily crawl batches against an accumulated index), the near-dup twin
+    * of [[Dedup.exactIncremental]]. Returns one row per batch doc:
+    * (idCol, status, match_id, jaccard) with status ∈ {dup_of_index,
+    * dup_in_batch, accepted}; match_id is the min matching index id (with
+    * that pair's exact Jaccard) for dup_of_index, the cluster survivor for
+    * dup_in_batch (jaccard null — membership may be transitive), null for
+    * accepted. The accepted rows are exactly what gets appended to the
+    * corpus AND (via [[buildIndex]]) to the index.
+    *
+    * Scale posture: every stage is an equi-join keyed by band buckets, doc
+    * ids, or shingle hashes — per-batch cost is O(batch + candidates),
+    * never O(corpus) text. The index side contributes (a) its band-bucket
+    * relation (map-derived from k-long signatures, co-located when the
+    * lake stores it bucketed) and (b) its shingle-hash arrays, joined only
+    * for the candidate ids. Verification is bit-identical to a full
+    * [[nearDupPairs]] pass over history ∪ batch restricted to pairs
+    * touching the batch — pinned by LlmSpec. `maxBucket` caps the COMBINED
+    * (index + batch) population of a band bucket, the same drop-the-
+    * template-family guard as [[candidatePairs]], riding the one
+    * (band, bucket) exchange the join already pins. */
+  def nearDupIncremental(batch: DataFrame, index: DataFrame, threshold: Double,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                         seed: Int = 42,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    val signed = withSignature(batch, textCol, k, shingleN, seed)
+    val bb0 = bandBuckets(signed, idCol, k, bands)
+      .select(col(idCol).as("batch_id"), col("band"), col("bucket"))
+    val ib0 = bandBuckets(index, idCol, k, bands)
+      .select(col(idCol).as("index_id"), col("band"), col("bucket"))
+    // combined-population cap: count over the tagged union's single
+    // (band, bucket) exchange, then split sides back out
+    val (bb, ib) = maxBucket match {
+      case None => (bb0, ib0)
+      case Some(cap) =>
+        val u = bb0.select(col("batch_id").as("_id"), col("band"), col("bucket"),
+            lit(true).as("_isBatch"))
+          .unionByName(ib0.select(col("index_id").as("_id"), col("band"),
+            col("bucket"), lit(false).as("_isBatch")))
+          .repartition(col("band"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        val capped = u.withColumn("_bc", count(lit(1)).over(w))
+          .where(col("_bc") <= cap).drop("_bc")
+        (capped.where(col("_isBatch")).select(col("_id").as("batch_id"),
+           col("band"), col("bucket")),
+         capped.where(!col("_isBatch")).select(col("_id").as("index_id"),
+           col("band"), col("bucket")))
+    }
+    val cand = bb.join(ib, Seq("band", "bucket"))
+      .select(col("batch_id"), col("index_id")).distinct()
+    // verify: batch shingle hashes from text, index ones from the relation
+    val bSh = batch.select(col(idCol).as("batch_id"),
+      transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
+        .as("_a"))
+    val iSh = index.select(col(idCol).as("index_id"),
+      col("shingle_hashes").as("_b"))
+    val dupIdx = Dedup.jaccardOnShingles(
+        cand.join(bSh, "batch_id").join(iSh, "index_id"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(min(col("index_id")).as("match_id"),
+        min_by(col("jaccard"), col("index_id")).as("jaccard"))
+    // docs that cleared the index dedup near-dup-cluster WITHIN the batch;
+    // min-id member of each component survives (cluster_id IS the min id)
+    val rest = batch.join(dupIdx.select(col("batch_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val pairs = nearDupPairs(rest, threshold, idCol, textCol, k, bands,
+      shingleN, seed, maxBucket)
+    val comps = Cluster.activeComponents(pairs.select(col("id1"), col("id2")))
+    val dupInBatch = comps.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol), lit("dup_in_batch").as("status"),
+        col("cluster_id").as("match_id"),
+        lit(null).cast("double").as("jaccard"))
+    val accepted = rest.select(col(idCol))
+      .join(dupInBatch.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("accepted").as("status"),
+        lit(null).cast("long").as("match_id"),
+        lit(null).cast("double").as("jaccard"))
+    dupIdx.select(col("batch_id").as(idCol),
+        lit("dup_of_index").as("status"), col("match_id"), col("jaccard"))
+      .unionByName(dupInBatch)
+      .unionByName(accepted)
+  }
 }

@@ -39,7 +39,10 @@ class DeterminismSpec extends SparkTestBase {
       // JL matrix, and explicit tie-broken re-ranks are all partitioning-
       // independent by construction
       "contamination_bloom", "ngram_freq_sketch", "ann_topk_compressed",
-      "ann_ivf_compressed")
+      "ann_ivf_compressed",
+      // round 10: min-id/min_by elections and min-label components are
+      // partitioning-independent; jaccard verify is exact hash-set algebra
+      "neardup_incremental")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

@@ -91,6 +91,65 @@ class LlmSpec extends SparkTestBase {
     assert(found.toDouble / total >= 0.85, s"recall $found/$total")
   }
 
+  test("nearDupIncremental ≡ full-pass pairs restricted to the batch; " +
+      "statuses partition the batch") {
+    // history: docs with id % 7 != 0; batch: v1 (last-2-tokens dropped)
+    // for every doc, v2 (first-token dropped) for even ids — the contract
+    // key's construction
+    val toks = split(col("text"), "\\s+")
+    val hist = docs.where(col("doc_id") % 7 =!= 0)
+    val v1 = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ",
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
+    val v2 = docs.where(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(2), size(toks) - 1)).as("text"))
+    val batch = v1.unionByName(v2)
+    val out = MinHashLsh.nearDupIncremental(
+      batch, MinHashLsh.buildIndex(hist), threshold = 0.3)
+    assertNoCartesian(out)
+    // one row per batch doc, statuses disjoint
+    assert(out.count() == batch.count())
+    assert(out.select("doc_id").distinct().count() == batch.count())
+    // dup_of_index docs are EXACTLY the batch docs with a verified
+    // full-corpus pair to a history doc: identical blocking (same
+    // signature seed -> same band buckets) + identical hash-set Jaccard
+    val full = MinHashLsh.nearDupPairs(hist.unionByName(batch), 0.3)
+    val crossMatched = full
+      .where(col("id1") < 1000000 && col("id2") >= 1000000)
+      .select(col("id2").as("doc_id")).distinct()
+    val dupIdx = out.where(col("status") === "dup_of_index").select("doc_id")
+    assert(dupIdx.exceptAll(crossMatched).count() == 0)
+    assert(crossMatched.exceptAll(dupIdx).count() == 0)
+    // every within-batch dup points at an accepted survivor
+    val acceptedIds = out.where(col("status") === "accepted")
+      .select(col("doc_id").as("match_id"))
+    assert(out.where(col("status") === "dup_in_batch")
+      .join(acceptedIds, Seq("match_id"), "left_anti").count() == 0)
+    // the seeded construction exercises all three statuses: variants of
+    // un-indexed (id % 7 == 0) docs pair up (even ids) or stand alone
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("dup_of_index", 0L) > 0, byStatus.toString)
+    assert(byStatus.getOrElse("dup_in_batch", 0L) > 0, byStatus.toString)
+    assert(byStatus.getOrElse("accepted", 0L) > 0, byStatus.toString)
+  }
+
+  test("nearDupIncremental: empty index yields no dup_of_index, still " +
+      "covers the batch") {
+    val batch = docs.limit(20)
+    val out = MinHashLsh.nearDupIncremental(
+      batch, MinHashLsh.buildIndex(docs.where(lit(false))), threshold = 0.3)
+    assert(out.count() == 20)
+    assert(out.where(col("status") === "dup_of_index").count() == 0)
+    // the corpus has organic near-dups, so only assert the partition
+    // property: every doc is accepted or points at an accepted survivor
+    val acc = out.where(col("status") === "accepted")
+      .select(col("doc_id").as("match_id"))
+    assert(out.where(col("status") === "dup_in_batch")
+      .join(acc, Seq("match_id"), "left_anti").count() == 0)
+  }
+
   test("simhash finds seeded near-dups, no cartesian") {
     val pairs = SimHash.nearDupPairs(seeded, maxHamming = 12)
     assertNoCartesian(pairs)
