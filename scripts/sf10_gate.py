@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Dev-only 100x spot gate: the 5 heaviest oracle-backed keys at sf10
+(100x the driver's sf0.1 — 10M events / 500k documents), proving the
+PLANS survive two orders of magnitude, not just the answers.
+
+    python3 scripts/sf10_gate.py [--skip-verify] [query ...]
+
+Builds target/sf10 via make_sf1.py with 100 replicas, runs graft.Verify
+restricted to the heavy keys, compares against DuckDB over the same
+parquet, and writes CORRECTNESS_SF10.json (driver-artifact shape, plus a
+spark_secs wall-time per key). Exit 0 only when all keys match.
+"""
+import sys
+from pathlib import Path
+
+from sf1_gate import REPO, run_gate
+
+# The heaviest oracle-backed keys by BENCH_LOCAL medians: composed
+# curation capstones, near-dup clustering, the chained MTF as-of
+# composition, and the recursive dual-engine backtest.
+HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
+         "span_dedup", "mtf_join", "backtest_dual_engine"}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    only = {a for a in args if not a.startswith("--")} or HEAVY
+    return run_gate(REPO / "target" / "sf10", REPO / "target" / "verify_sf10",
+                    REPO / "CORRECTNESS_SF10.json", reps=100, label="sf10",
+                    skip_verify="--skip-verify" in args, only=only)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,26 +53,38 @@ def frame_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\x01".join(parts).encode()).hexdigest()
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:]]
-    skip_verify = "--skip-verify" in args
-    only = {a for a in args if not a.startswith("--")}
-
-    if not SF1.exists() or not (SF1 / "events.parquet").exists():
-        print("[sf1_gate] building target/sf1.0 ...")
+def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
+             label: str, skip_verify: bool, only: set) -> int:
+    """Parameterized Spark-vs-DuckDB gate: shared by the sf1.0 (10x) and
+    sf10 (100x) entry points below / in sf10_gate.py."""
+    if not sf_dir.exists() or not (sf_dir / "events.parquet").exists():
+        print(f"[{label}] building {sf_dir} ({reps}x sf0.1) ...")
         subprocess.run([sys.executable, str(REPO / "scripts" / "make_sf1.py"),
-                        "/root/testdata/sf0.1", str(SF1)], check=True)
+                        "/root/testdata/sf0.1", str(sf_dir), str(reps)],
+                       check=True)
+    timings = {}
     if not skip_verify:
-        print("[sf1_gate] running graft.Verify on target/sf1.0 ...")
-        subprocess.run(
+        print(f"[{label}] running graft.Verify on {sf_dir} ...")
+        proc = subprocess.run(
             ["sbt", "-batch",
-             f"runMain graft.Verify {SF1} {OUT}" +
+             f"runMain graft.Verify {sf_dir} {out}" +
              ("" if not only else " " + " ".join(sorted(only)))],
             cwd=REPO, check=True,
             env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32",
-                 "SPARK_DRIVER_MEM": "48g"})
+                 "SPARK_DRIVER_MEM": "48g"},
+            capture_output=True, text=True)
+        sys.stdout.write(proc.stdout[-4000:])
+        for line in proc.stderr.splitlines():
+            # Verify prints "[verify] <name> ok in <t>s" per query
+            if line.startswith("[verify] ") and " ok in " in line:
+                name, t = line[len("[verify] "):].split(" ok in ")
+                timings[name] = float(t.rstrip("s"))
+                print(line)
+            elif line.startswith("[verify] "):
+                print(line)
 
-    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    SF1, OUT, ARTIFACT = sf_dir, out, artifact
     # no-oracle (rows-only) keys: every dumped query dir without an oracle
     # entry still gets a crash/row-count record, mirroring the driver's
     # weaker rows-only check at this scale
@@ -90,6 +102,8 @@ def main() -> int:
             continue
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        if name in timings:
+            rec["spark_secs"] = timings[name]
         try:
             spark_dir = OUT / name
             if not spark_dir.exists():
@@ -133,8 +147,15 @@ def main() -> int:
         results = merged
     ARTIFACT.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
     n_ok = len(results) - n_fail
-    print(f"== sf1.0 gate: {n_ok} ok / {n_fail} fail -> {ARTIFACT} ==")
+    print(f"== {label} gate: {n_ok} ok / {n_fail} fail -> {ARTIFACT} ==")
     return 1 if n_fail else 0
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    return run_gate(SF1, OUT, ARTIFACT, reps=10, label="sf1.0",
+                    skip_verify="--skip-verify" in args,
+                    only={a for a in args if not a.startswith("--")})
 
 
 if __name__ == "__main__":

@@ -450,7 +450,44 @@ object ScaleProbe {
           .select((col("doc_id") + nd * 10).as("doc_id"),
             regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
         graft.llm.Cluster.nearDupClusters(base.unionByName(dups)).count()
-      })
+      }) ++ {
+      // incremental near-dup: a FIXED batch (half edit-variants of indexed
+      // docs, half fresh) against a pre-built cached index — production
+      // reads the index from the lake, so its build cost is amortized
+      // across batches and stays outside the timed section. The claim:
+      // doubling the index must not double per-batch cost (candidates +
+      // verify are O(batch); only the map-side bucket derivation and the
+      // one band-bucket exchange see the index). BASELINE.md compares the
+      // two wall times.
+      val nd = math.max(n / 16, 1000L)
+      val batchSize = math.max(nd / 8, 500L)
+      def idxDocs(m: Long) = spark.range(m).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+            lit(m * 4)))): _*).as("text"))
+      def batchOf(m: Long) = {
+        val variants = idxDocs(m).where(col("doc_id") < batchSize)
+          .select((col("doc_id") + m * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        val fresh = spark.range(batchSize)
+          .select((col("id") + m * 20).as("doc_id"),
+            concat_ws(" ", (0 until 12).map(i =>
+              concat(lit("f"), pmod(xxhash64(col("id"), lit(100 + i)),
+                lit(m * 4)))): _*).as("text"))
+        variants.unionByName(fresh)
+      }
+      def run(name: String, m: Long): (String, Double) = {
+        if (only.nonEmpty && !only(name)) return name -> -1.0
+        val ix = graft.llm.MinHashLsh.buildIndex(idxDocs(m)).cache()
+        ix.count()
+        val r = time(name) {
+          graft.llm.MinHashLsh.nearDupIncremental(batchOf(m), ix, 0.3).count()
+        }
+        ix.unpersist(blocking = true)
+        r
+      }
+      Seq(run("neardup_incr_ix1", nd), run("neardup_incr_ix2", nd * 2))
+    }
 
     val all = (if (only.isEmpty)
         results ++ skewProbe(spark, n) ++ hotCellProbe(spark, n)

@@ -135,6 +135,33 @@ class LlmSpec extends SparkTestBase {
     assert(byStatus.getOrElse("accepted", 0L) > 0, byStatus.toString)
   }
 
+  test("nearDupIncremental lifecycle: accepted docs join the index and " +
+      "replaying the batch is a no-op") {
+    val hist = docs.where(col("doc_id") < 200)
+    val toks = split(col("text"), "\\s+")
+    val batch = hist.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
+      .unionByName(docs.where(col("doc_id").between(200, 249)))
+    val out1 = MinHashLsh.nearDupIncremental(
+      batch, MinHashLsh.buildIndex(hist), threshold = 0.3)
+    val accepted = batch.join(
+      out1.where(col("status") === "accepted").select("doc_id"), Seq("doc_id"))
+    assert(accepted.count() > 0)
+    // append the accepted docs to the index (what production does after
+    // each batch) and REPLAY the same batch: every doc now matches the
+    // index — itself at jaccard 1.0 if nothing else — so nothing is
+    // accepted twice and the corpus cannot grow on retry
+    val out2 = MinHashLsh.nearDupIncremental(
+      batch, MinHashLsh.buildIndex(hist.unionByName(accepted)),
+      threshold = 0.3)
+    assert(out2.where(col("status") === "accepted").count() == 0)
+    assert(out2.where(col("status") === "dup_of_index" &&
+      col("jaccard") === 1.0 && col("match_id") === col("doc_id")).count() >=
+      accepted.count())
+  }
+
   test("nearDupIncremental: empty index yields no dup_of_index, still " +
       "covers the batch") {
     val batch = docs.limit(20)
