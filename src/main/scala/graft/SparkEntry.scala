@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
 import graft.ml.{MlFilter, QualityClassifier, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Semi, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -1862,6 +1862,26 @@ object SparkEntry {
     "ngram_freq_sketch" -> ((s, dir) => {
       TextAnalysis.ngramCmsProfile(Tables.documents(s, dir), n = 2, k = 20)
         .orderBy(col("exact_count").desc, col("ngram").asc)
+    }),
+
+    // §2 #41c — BPE pair statistics: the exact first-iteration view of
+    // tokenizer training — char-grain adjacent-pair frequencies over the
+    // word-frequency relation, deterministic top-100.
+    "bpe_pairs" -> ((s, dir) => {
+      Bpe.pairStats(Tables.documents(s, dir), k = 100).orderBy("pair_rank")
+    }),
+
+    // §2 #41d — BPE merge training (Sennrich et al. 2016): ONE distributed
+    // corpus pass to word counts, then the published bounded-dict merge
+    // loop (trainBounded; the fully-distributed Bpe.train loop exists for
+    // unbounded vocabularies and is pinned ≡ this one in BpeSpec).
+    // Rows-only (iterative argmax has no SQL oracle); BpeSpec pins the
+    // full merge sequence against an independent reference
+    // implementation, plus encode-≡-training and partitioning
+    // determinism.
+    "bpe_merges" -> ((s, dir) => {
+      Bpe.trainBounded(Tables.documents(s, dir), numMerges = 32)
+        .orderBy("merge_rank")
     }),
 
     // §2 #42 — distinct-cardinality profile per symbol (exact; the HLL
@@ -4062,6 +4082,35 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM w WHERE word <> '' GROUP BY 1),
+        |p0 AS (
+        |  SELECT word, cnt,
+        |         unnest(generate_series(1, length(word))) AS i
+        |  FROM wc),
+        |p AS (
+        |  SELECT substr(word, i, 1) AS left_sym,
+        |         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+        |              ELSE '</w>' END AS right_sym,
+        |         cnt
+        |  FROM p0),
+        |agg AS (
+        |  SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |  FROM p GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY pair_count DESC, left_sym ASC, right_sym ASC)
+        |         AS INT) AS pair_rank,
+        |         left_sym, right_sym, pair_count
+        |  FROM agg)
+        |SELECT pair_rank, left_sym, right_sym, pair_count
+        |FROM rk WHERE pair_rank <= 100 ORDER BY pair_rank""".stripMargin,
 
     "distinct_users" ->
       """SELECT event_type AS symbol,
