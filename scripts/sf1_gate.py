@@ -91,6 +91,13 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
     rows_only = sorted(d.name for d in OUT.iterdir()
                        if d.is_dir() and d.name not in oracle)
     con = duckdb.connect()
+    # large-scale gates: cap the oracle engine's memory and let it spill
+    # (an unbounded recursive-CTE evaluation at sf10 can otherwise draw the
+    # whole box and get OOM-killed, losing every key's result)
+    mem = __import__("os").environ.get("GATE_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = SF1 / f"{t}.parquet"
         if p.exists():

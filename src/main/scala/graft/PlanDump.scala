@@ -49,6 +49,8 @@ object PlanDump {
     "vocab_coverage" -> "Vocabulary-coverage audit: token frequencies are one O(tokens) hash aggregate, top-V is TakeOrderedAndProject (per-partition top-V, V rows merged — never a global sort), and the vocabulary rejoins BROADCAST so the per-doc OOV pass is map-side above the token explode. Raising V grows a broadcast list, not a shuffle.",
     "corpus_pipeline_v2" -> "The five-stage curation capstone as ONE plan: normalization is a stateless regex projection fused into the scans of both split sides; the Gopher gate is a codegen'd filter with no exchange of its own; decontamination pays ONE gram aggregation over the (small) benchmark and a left-anti on the corpus gram overlap; span dedup is the one-hash-agg first-occurrence election plus the per-doc rebuild; and the shard shuffle is a map-side md5 projection + one 4-way exchange + per-shard sorts. No stage materializes between stages; the two O(tokens) relations (benchmark grams, span hashes) are the whole shuffle budget.",
     "props_extract" -> "Semi-structured extraction: ONE schema-pruned JsonToStructs (codegen'd Jackson pass) per row computes the typed field AND the corrupt-record flag map-side, then a single partial+final hash-aggregate pair rolls up the per-type profile — the parse never repeats per metric and malformed rows are counted in the same pass that extracts values.",
+    "embed_pq" -> "Product quantization: codebooks are a bounded driver artifact (m·ksub·subDim doubles, the IVF-codebook pattern); encoding is ONE map-side projection — m·ksub literal sub-distance expressions per row, no shuffle, no UDF — and the report is the same single pass. The 4-byte-code index is what makes a 100 TB embedding store RAM-resident.",
+    "ann_pq" -> "PQ ANN with ADC scoring: the code-only index decodes ONCE per candidate below the broadcast query join (decode inline in the cosine would rebuild it |Q| times), the coarse pass is the broadcast brute scan over reconstructions (right at small |Q|; the IVF cell probe hosts the same codes at corpus scale), and floats are touched only for the per-query shortlist via equi-join — the two-stage skeleton shared with the SQ8 ladder.",
     "bpe_pairs" -> "BPE pair statistics: the corpus appears in exactly one explode + hash aggregation (the word-frequency pass); the char split and adjacent-pair explode then run over the VOCABULARY-sized relation, and the final rank is a window over the alphabet²-sized pair aggregate — corpus bytes never reach the window. The shape every tokenizer-training iteration reuses.",
     "bpe_merges" -> "BPE merge training: the corpus-scale work is the same single word-count aggregation; the merge loop consumes the deterministic frequency-truncated dict (a bounded driver artifact, the published trainer shape — HF tokenizers/SentencePiece train exactly this way) so each of the 32 iterations costs microseconds, not a job. The fully-distributed Bpe.train twin (one pair-count agg + LIMIT-1 argmax + one fold pass per iteration, localCheckpoint-truncated) is the unbounded-vocabulary fallback, pinned equal in BpeSpec.",
     "neardup_incremental" -> "Incremental near-dup dedup against the accumulated index: batch signatures and band buckets are map-side codegen projections; the index contributes its k-long signature relation (buckets re-derived map-side — co-located once the lake stores the bucket relation bucketed on (band, bucket)) and its shingle-hash arrays, equi-joined only for candidate ids. Candidates come from the (band, bucket) equi-join, verification is exact hash-set Jaccard over 8-byte xxhash64 arrays, and the within-batch stage reuses the banded self-join + active-set components. Per-batch exchange volume is O(batch + candidates); historical TEXT appears nowhere in the plan — the index relations carry hashes only.")

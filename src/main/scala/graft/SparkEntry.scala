@@ -1223,6 +1223,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2 #31e — product quantization (the third rung of the memory
+    // ladder: 8 sub-codebooks x 16 centroids = 4 bytes/vector vs 256
+    // float bytes): driver-trained per-subspace Euclidean codebooks over
+    // the deterministic lowest-id sample, map-side encode, per-vector
+    // code checksum + RMS reconstruction error. Rows-only (k-means has
+    // no SQL oracle); LlmSpec pins code ranges, determinism, and that
+    // error shrinks as ksub grows.
+    "embed_pq" -> ((s, dir) => {
+      Similarity.quantizePqReport(Tables.embeddings(s, dir), inDim = 64)
+        .orderBy("vec_id")
+    }),
+
+    // §2 #31f — PQ-compressed ANN with asymmetric-distance scoring (faiss
+    // ADC): coarse score = cos(float query, PQ-decoded candidate) over
+    // the 4-byte-code index, exact float re-rank of a 100-shortlist via
+    // equi-join. Rows-only; LlmSpec pins recall vs the uncompressed
+    // brute baseline.
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKPq(e, e.where(col("vec_id") < 30), k = 5,
+          inDim = 64, m = 8, ksub = 16, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #32 — LSH-bucketed approximate top-k (the scale path; recall vs
     // brute verified in LlmSpec). 8 short bands: this corpus has low
     // pairwise similarity, so recall needs band-collision probability up.

@@ -587,6 +587,178 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Driver-local Euclidean k-means over a bounded sample — the
+    * per-subspace PQ codebook trainer ([[sphericalKMeans]] is the cosine
+    * twin used by IVF; PQ subvectors want plain L2). Deterministic
+    * seeding; empty clusters keep their previous centroid. */
+  private def euclideanKMeans(points: Array[Array[Double]], k: Int,
+                              seed: Long, iters: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val dim = points.head.length
+    val rnd = new Random(seed)
+    val centers = Array.tabulate(k)(i => points(
+      if (points.length >= k) rnd.nextInt(points.length)
+      else i % points.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        centers(c)(i) = sums(c)(i) / counts(c)
+    }
+    centers
+  }
+
+  /** Product-quantization codebooks: split `inDim` into `m` subspaces and
+    * train a `ksub`-centroid Euclidean codebook per subspace over the
+    * given sample. A bounded driver artifact (m·ksub·(inDim/m) doubles —
+    * KBs) exactly like the IVF codebook. */
+  private[llm] def pqCodebooks(sample: Array[Array[Double]], inDim: Int,
+                               m: Int, ksub: Int,
+                               seed: Long): Array[Array[Array[Double]]] = {
+    require(inDim % m == 0, s"inDim $inDim must divide into $m subspaces")
+    val sub = inDim / m
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      euclideanKMeans(pts, ksub, seed + j)
+    }
+  }
+
+  /** Squared L2 distance between an array column and a literal centroid. */
+  private def sqDist(a: Column, c: Array[Double]): Column =
+    aggregate(zip_with(a, lit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** PQ encode: per subspace, the argmin-distance code — ties and NaNs
+    * resolve deterministically (distance asc, code asc; null distance
+    * sorts via the MaxValue coalesce). Returns `array<int>` of length m. */
+  private[llm] def pqEncode(vec: Column, books: Array[Array[Array[Double]]],
+                            inDim: Int): Column = {
+    val m = books.length
+    val sub = inDim / m
+    val v = vec.cast("array<double>")
+    val codes = (0 until m).map { j =>
+      val sv = slice(v, j * sub + 1, sub)
+      val ds = array(books(j).zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(coalesce(sqDist(sv, c), lit(Double.MaxValue)).as("d"),
+          lit(i).as("code"))
+      }: _*)
+      element_at(array_sort(ds), 1).getField("code")
+    }
+    array(codes: _*)
+  }
+
+  /** PQ decode as a column: concatenate each subspace's selected centroid
+    * from the literal codebooks. */
+  private def pqDecode(codes: Column,
+                       books: Array[Array[Array[Double]]]): Column = {
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(books.length - 1)), j =>
+      element_at(element_at(booksLit, j + 1),
+        element_at(codes, j + 1) + 1)))
+  }
+
+  /** Product quantization report — the third rung of the embedding memory
+    * ladder (float → SQ8 int8 → PQ codes): `m` sub-codebooks of `ksub`
+    * centroids give m·log2(ksub) BITS per vector (8 subspaces × 16
+    * centroids = 4 bytes vs 256 float bytes, a 64× store shrink — what
+    * makes a 100 TB embedding index RAM-resident), at higher
+    * reconstruction error than SQ8 — which is why PQ pairs with an exact
+    * float re-rank ([[annTopKPq]]) exactly as SQ8 does.
+    *
+    * Codebooks train driver-side on the deterministic lowest-id sample
+    * (the bounded-artifact pattern of the IVF codebook); encoding is one
+    * map-side projection (m·ksub literal sub-distances per row), no
+    * shuffle. Rows-only contract key (k-means has no SQL oracle);
+    * LlmSpec pins code ranges, determinism, and that reconstruction
+    * error improves with codebook size. */
+  def quantizePqReport(vecs: DataFrame, inDim: Int, m: Int = 8,
+                       ksub: Int = 16, sampleN: Int = 2048, seed: Long = 7L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sample = vecs.orderBy(col(idCol)).limit(sampleN)
+      .select(v).collect().map(_.getSeq[Double](0).toArray)
+    val books = pqCodebooks(sample, inDim, m, ksub, seed)
+    val withCodes = vecs
+      .withColumn("pq_codes", pqEncode(col(vecCol), books, inDim))
+      .withColumn("_dec", pqDecode(col("pq_codes"), books))
+    withCodes.select(
+      col(idCol), lit(m).as("m"), lit(ksub).as("ksub"),
+      aggregate(col("pq_codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+      round(sqrt(aggregate(zip_with(v, col("_dec"),
+        (x, d) => (x - d) * (x - d)), lit(0.0), (acc, t) => acc + t)
+        / lit(inDim)), 6).as("rmse"))
+  }
+
+  /** PQ-compressed ANN with asymmetric-distance scoring (the faiss ADC
+    * recipe): candidates carry only their m-byte PQ codes; the coarse
+    * score is cos(float query, PQ-decoded candidate) — mathematically the
+    * asymmetric distance, since the query stays full-precision and the
+    * candidate is its centroid reconstruction — then the per-query
+    * `shortlist` re-ranks EXACTLY on the original floats, touched via
+    * equi-join only. Same two-stage ladder as [[annTopKCompressed]]
+    * (which uses JL+SQ8 codes); at corpus scale the code column drops
+    * into [[annTopKIvfCompressed]]'s cell probe unchanged — the
+    * compression family shares one search skeleton.
+    *
+    * Scale: codebooks are a bounded driver artifact; encode and decode
+    * are map-side below the broadcast query join; coarse scores round to
+    * 6dp (ties to lower neighbor id) so shortlist membership is
+    * partitioning-stable. */
+  def annTopKPq(candidates: DataFrame, queries: DataFrame, k: Int,
+                inDim: Int, m: Int = 8, ksub: Int = 16, shortlist: Int = 50,
+                sampleN: Int = 2048, seed: Long = 7L,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      return annTopKBrute(candidates, queries, k, idCol, vecCol)
+    val books = pqCodebooks(sample, inDim, m, ksub, seed)
+
+    // the compressed index: codes only; decode ONCE per candidate
+    val index = cv
+      .withColumn("_codes", pqEncode(col("_cv"), books, inDim))
+      .withColumn("_dec", pqDecode(col("_codes"), books))
+      .select(col("neighbor_id"), col("_dec"))
+    val qp = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv")))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_psim").desc, col("neighbor_id").asc)
+    val short = index.crossJoin(qp)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_psim", round(cos(col("_qv"), col("_dec")), 6))
+      .withColumn("_prank", row_number().over(wCoarse))
+      .where(col("_prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short.join(cv, "neighbor_id").join(broadcast(queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))), "query_id")
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the memory ladder
     * under the ANN family: a 100 TB float32 embedding store is 25 TB at
     * int8, which is the difference between an IVF codebook sweep that fits

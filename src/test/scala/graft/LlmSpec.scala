@@ -827,6 +827,47 @@ class LlmSpec extends SparkTestBase {
     assert(full == bruteFull)
   }
 
+  test("PQ: codes in range, error shrinks with ksub, deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rep16 = Similarity.quantizePqReport(emb, inDim = 64, m = 8, ksub = 16)
+    val rows = rep16.orderBy("vec_id").collect()
+    assert(rows.length == emb.count())
+    // code_sum is bounded by m * (ksub - 1)
+    assert(rows.forall { r =>
+      val cs = r.getAs[Long]("code_sum"); cs >= 0 && cs <= 8L * 15 })
+    // more centroids per subspace can only improve mean reconstruction
+    val rep1 = Similarity.quantizePqReport(emb, inDim = 64, m = 8, ksub = 1)
+    val m16 = rep16.agg(avg("rmse")).head.getDouble(0)
+    val m1 = rep1.agg(avg("rmse")).head.getDouble(0)
+    assert(m16 < m1, s"rmse ksub16=$m16 vs ksub1=$m1")
+    // deterministic across partitionings
+    val a = rows.map(_.toSeq).toSeq
+    val b = Similarity.quantizePqReport(emb.repartition(13), inDim = 64)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("PQ ANN (ADC): recall vs brute, corpus-wide shortlist ≡ brute") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 30)
+    val brute = Similarity.annTopKBrute(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.annTopKPq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall vs brute: $recall")
+    // shortlist = corpus: PQ only prunes; exact re-rank recovers brute
+    val full = Similarity.annTopKPq(emb, q, k = 5, inDim = 64,
+      shortlist = emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val bruteFull = Similarity.annTopKBrute(emb, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bruteFull)
+  }
+
   test("IVF-SQ8 composed ANN: recall vs brute, full-probe ≡ brute ladder, plan") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 30)
