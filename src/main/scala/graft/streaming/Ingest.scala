@@ -199,6 +199,78 @@ object Ingest {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming incremental NEAR-dup dedup — the production growing-corpus
+    * loop around [[graft.llm.MinHashLsh.nearDupIncremental]]: each
+    * micro-batch dedups against the accumulated signature/shingle-hash
+    * index at `indexRoot/index`, appends its accepted docs' index rows
+    * back ([[graft.llm.MinHashLsh.buildIndex]]), and logs every decision
+    * to `indexRoot/decisions`. `foreachBatch` because the index is
+    * cross-batch state no append stream can hold (the same reasoning as
+    * [[shardWriter]]'s packing); within a batch the near-dup clustering
+    * elects min-id survivors exactly as the batch operator does.
+    *
+    * Delivery: batch ids that already carry a commit marker are skipped,
+    * as in [[writeShardBatch]]. The residual crash window (index appended,
+    * marker not yet written) is SELF-HEALING here: on replay the
+    * previously-accepted docs match their own index rows at Jaccard 1.0
+    * and come back `dup_of_index` with `match_id == doc_id`, so the index
+    * cannot grow twice (the replay-idempotency property LlmSpec pins for
+    * the batch API); only the decision log sees the degraded
+    * accepted→self-dup record, and `match_id == doc_id` disambiguates it
+    * as a replay, not a real duplicate. */
+  def nearDupWriter(docs: DataFrame, indexRoot: String, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                    seed: Int = 42, maxBucket: Option[Int] = None,
+                    commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        nearDupBatch(batch.toDF(), batchId, indexRoot, threshold, idCol,
+          textCol, k, bands, shingleN, seed, maxBucket, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[nearDupWriter]]: dedup against the
+    * index → append accepted index rows → log decisions → commit marker.
+    * Returns false (and writes nothing) when the batch id is already
+    * committed. */
+  def nearDupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                   threshold: Double, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, seed: Int = 42,
+                   maxBucket: Option[Int] = None,
+                   commitId: String = "stream"): Boolean = {
+    import graft.llm.MinHashLsh
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "index")
+    val index =
+      if (fs.exists(indexPath)) spark.read.parquet(indexPath.toString)
+      else MinHashLsh.buildIndex(batch.limit(0), idCol, textCol, k,
+        shingleN, seed)
+    val decisions = MinHashLsh.nearDupIncremental(batch, index, threshold,
+      idCol, textCol, k, bands, shingleN, seed, maxBucket)
+      .localCheckpoint(true) // decisions drive TWO writes; and the index
+                             // append below must not re-read a half-written
+                             // index through a lazy plan
+    val accepted = batch.join(
+      decisions.where(col("status") === "accepted").select(col(idCol)),
+      Seq(idCol))
+    MinHashLsh.buildIndex(accepted, idCol, textCol, k, shingleN, seed)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(indexPath.toString)
+    decisions.withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "decisions").toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    decisions.unpersist()
+    true
+  }
+
   /** Streaming serving of the relation-model DSIR scorer
     * ([[graft.llm.Selection.scoreWithRelation]]): train the model on
     * yesterday's lake ([[graft.llm.Selection.exportModelRelation]]), score

@@ -672,4 +672,71 @@ class StreamingSpec extends SparkTestBase {
       tokensPerPack = 6L, nShards = 4, commitId = "second-feed"))
     assert(spark.read.parquet(streamRoot).count() == afterBatch + 10)
   }
+
+  test("streaming incremental near-dup: stream loop equals the batch " +
+      "loop, replay cannot grow the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.MinHashLsh
+
+    def mkDoc(i: Long, drop: Int = 0): (Long, String) =
+      (i, (0 until 12 - drop).map(j => s"w${(i * 7 + j * 13) % 97}")
+        .mkString(" "))
+    // wave 1: 30 originals; wave 2: 10 near-dups of wave-1 docs (last two
+    // tokens dropped) + 10 fresh docs
+    val wave1 = (0L until 30L).map(mkDoc(_))
+    val wave2 = (0L until 10L).map(i => mkDoc(i, drop = 2))
+      .map { case (i, t) => (i + 1000, t) } ++ (100L until 110L).map(mkDoc(_))
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "neardup-ix").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.nearDupWriter(input.toDF().toDF("doc_id", "text"),
+        root, threshold = 0.3).start()
+    input.addData(wave1: _*); q.processAllAvailable()
+    input.addData(wave2: _*); q.processAllAvailable()
+    q.stop()
+
+    // reference: the same two waves through the BATCH loop
+    val ix1 = MinHashLsh.buildIndex(wave1.toDF("doc_id", "text").limit(0))
+    val d1 = MinHashLsh.nearDupIncremental(wave1.toDF("doc_id", "text"),
+      ix1, threshold = 0.3)
+    val acc1 = wave1.toDF("doc_id", "text").join(
+      d1.where(col("status") === "accepted").select("doc_id"), Seq("doc_id"))
+    val ix2 = ix1.unionByName(MinHashLsh.buildIndex(acc1))
+    val d2 = MinHashLsh.nearDupIncremental(wave2.toDF("doc_id", "text"),
+      ix2, threshold = 0.3)
+    val expected = d1.unionByName(d2).collect().map(_.toSeq).toSet
+
+    val decisions = spark.read.parquet(s"$root/decisions")
+    assert(decisions.drop("batch_id").collect().map(_.toSeq).toSet
+      == expected)
+    // the near-dups were actually caught against the CROSS-batch index
+    assert(decisions.where(col("status") === "dup_of_index" &&
+      col("doc_id") >= 1000).count() > 0)
+    // index holds exactly the accepted docs
+    val ixIds = spark.read.parquet(s"$root/index")
+      .select("doc_id").as[Long].collect().toSet
+    val accIds = decisions.where(col("status") === "accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ixIds == accIds)
+
+    // committed batch id: skipped outright
+    val ixCount = spark.read.parquet(s"$root/index").count()
+    assert(!Ingest.nearDupBatch(wave2.toDF("doc_id", "text"), batchId = 1L,
+      root, threshold = 0.3))
+    assert(spark.read.parquet(s"$root/index").count() == ixCount)
+    // crash-window replay (same docs, uncommitted id): self-healing — all
+    // previously-accepted docs come back dup_of_index at jaccard 1.0 with
+    // match_id == doc_id, and the index does not grow
+    assert(Ingest.nearDupBatch(wave2.toDF("doc_id", "text"), batchId = 99L,
+      root, threshold = 0.3))
+    assert(spark.read.parquet(s"$root/index").count() == ixCount)
+    val replayed = spark.read.parquet(s"$root/decisions")
+      .where(col("batch_id") === 99L)
+    assert(replayed.where(col("status") === "accepted").count() == 0)
+    assert(replayed.where(col("status") === "dup_of_index" &&
+      col("match_id") === col("doc_id") && col("jaccard") === 1.0).count()
+      >= accIds.count(_ >= 100))
+  }
 }
