@@ -49,6 +49,7 @@ object PlanDump {
     "vocab_coverage" -> "Vocabulary-coverage audit: token frequencies are one O(tokens) hash aggregate, top-V is TakeOrderedAndProject (per-partition top-V, V rows merged — never a global sort), and the vocabulary rejoins BROADCAST so the per-doc OOV pass is map-side above the token explode. Raising V grows a broadcast list, not a shuffle.",
     "corpus_pipeline_v2" -> "The five-stage curation capstone as ONE plan: normalization is a stateless regex projection fused into the scans of both split sides; the Gopher gate is a codegen'd filter with no exchange of its own; decontamination pays ONE gram aggregation over the (small) benchmark and a left-anti on the corpus gram overlap; span dedup is the one-hash-agg first-occurrence election plus the per-doc rebuild; and the shard shuffle is a map-side md5 projection + one 4-way exchange + per-shard sorts. No stage materializes between stages; the two O(tokens) relations (benchmark grams, span hashes) are the whole shuffle budget.",
     "props_extract" -> "Semi-structured extraction: ONE schema-pruned JsonToStructs (codegen'd Jackson pass) per row computes the typed field AND the corrupt-record flag map-side, then a single partial+final hash-aggregate pair rolls up the per-type profile — the parse never repeats per metric and malformed rows are counted in the same pass that extracts values.",
+    "corpus_pipeline_v3" -> "The seven-stage capstone = v2's linear per-doc prefix (normalize → Gopher → decontaminate → span-dedup, ONE plan — see corpus_pipeline_v2's dump for its shape) + an EXPLICIT stage boundary (eager localCheckpoint; the cross-doc suffix consumes the prefix repeatedly — the clustering stage iterates and `canon` fans out to selection and the final join — so materializing once is 2.0x on the bench median, and at lake scale it is the stage write every published pipeline performs between per-doc filtering and cross-doc dedup) + the near-dup clustering / DSIR-selection / shard-shuffle suffix, whose dumped plan below therefore starts from the checkpointed prefix scan.",
     "embed_pq" -> "Product quantization: codebooks are a bounded driver artifact (m·ksub·subDim doubles, the IVF-codebook pattern); encoding is ONE map-side projection — m·ksub literal sub-distance expressions per row, no shuffle, no UDF — and the report is the same single pass. The 4-byte-code index is what makes a 100 TB embedding store RAM-resident.",
     "ann_pq" -> "PQ ANN with ADC scoring: the code-only index decodes ONCE per candidate below the broadcast query join (decode inline in the cosine would rebuild it |Q| times), the coarse pass is the broadcast brute scan over reconstructions (right at small |Q|; the IVF cell probe hosts the same codes at corpus scale), and floats are touched only for the per-query shortlist via equi-join — the two-stage skeleton shared with the SQ8 ladder.",
     "bpe_pairs" -> "BPE pair statistics: the corpus appears in exactly one explode + hash aggregation (the word-frequency pass); the char split and adjacent-pair explode then run over the VOCABULARY-sized relation, and the final rank is a window over the alphabet²-sized pair aggregate — corpus bytes never reach the window. The shape every tokenizer-training iteration reuses.",

@@ -487,7 +487,33 @@ object ScaleProbe {
         r
       }
       Seq(run("neardup_incr_ix1", nd), run("neardup_incr_ix2", nd * 2))
-    }
+    } ++ Seq(
+      // BPE training at corpus scale: nd docs x 12 hash-words. The claim:
+      // the corpus appears ONLY in the word-count pass; the 32 merge
+      // iterations run over the bounded frequency dict, so wall time is
+      // the one explode+agg regardless of numMerges.
+      time("bpe_train") {
+        val nd = math.max(n / 16, 1000L)
+        val docsDf = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(4096L)))): _*).as("text"))
+        graft.llm.Bpe.trainBounded(docsDf, numMerges = 32).count()
+      },
+      // PQ encode throughput: n/8 64-dim synthetic vectors through the
+      // full report (driver codebooks + map-side encode/decode/rmse).
+      // The m·ksub argmin is the cost center — the native PqCodes
+      // expression measured 54x over the HOF formulation here (423.6 s
+      // -> 7.9 s at 2.5 M vectors), which is why it exists.
+      time("pq_encode") {
+        val nv = math.max(n / 8, 1000L)
+        val vecs = spark.range(nv).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("id"), j), lit(1000L)) / 500.0 - 1.0))
+            .as("embedding"))
+        graft.llm.Similarity.quantizePqReport(vecs, inDim = 64)
+          .agg(count(col("rmse"))).as[Long].collect()(0)
+      })
 
     val all = (if (only.isEmpty)
         results ++ skewProbe(spark, n) ++ hotCellProbe(spark, n)

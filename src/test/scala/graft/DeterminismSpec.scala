@@ -42,7 +42,12 @@ class DeterminismSpec extends SparkTestBase {
       "ann_ivf_compressed",
       // round 10: min-id/min_by elections and min-label components are
       // partitioning-independent; jaccard verify is exact hash-set algebra
-      "neardup_incremental")
+      "neardup_incremental",
+      // PQ: codebooks train on the deterministic lowest-id sample and
+      // encode/ADC rank with explicit (score, id) tie-breaks; BPE merges:
+      // the argmax pair tie-breaks (count desc, left asc, right asc) and
+      // the word-count relation is partitioning-independent
+      "embed_pq", "ann_pq", "bpe_merges")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

@@ -847,6 +847,19 @@ class LlmSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("native PQ encode equals the HOF reference formulation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = emb.orderBy("vec_id").limit(2048)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val books = Similarity.pqCodebooks(sample, 64, 8, 16, seed = 7L)
+    val both = emb.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books, 64).as("native"),
+      Similarity.pqEncodeHof(col("embedding"), books, 64).as("hof"))
+    assert(both.where(not(col("native") === col("hof"))).count() == 0)
+    assert(both.where(col("native").isNull).count() == 0)
+  }
+
   test("PQ ANN (ADC): recall vs brute, corpus-wide shortlist ≡ brute") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 30)
