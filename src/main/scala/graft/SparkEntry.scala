@@ -850,6 +850,47 @@ object SparkEntry {
         .orderBy("shard", "pos_in_shard")
     }),
 
+    // §2 #49d — UniMax budget allocation (the pass that COMPUTES the
+    // mixture #49b consumes): per-source token mass -> epoch-capped
+    // waterfill of a fixed token budget, closed-form over rank windows
+    // (saturated prefix + common watermark). At sf0.01 the ±15% source
+    // spread straddles the watermark, exercising both branches.
+    "unimax_alloc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.unimaxAlloc(
+          d.select(col("source"), col("text")),
+          "source", size(TextAnalysis.tokens(col("text"))),
+          budget = 50000.0, epochCap = 2.0)
+        .orderBy("source")
+    }),
+
+    // §2 #54d — DoReMi exponentiated-gradient domain weights: per-source
+    // mean excess loss (chars-per-token fertility proxy vs a 0.5
+    // reference) -> 5 EG steps with uniform smoothing. The corpus is
+    // touched once (the per-domain agg); the steps iterate a |domains|-row
+    // frame.
+    "doremi_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Selection.doremiWeights(
+          d.select(col("source"), col("text")),
+          "source",
+          proxyLoss = length(col("text")) /
+            (size(TextAnalysis.tokens(col("text"))) * lit(10.0)),
+          refLoss = lit(0.5), steps = 5, eta = 20.0, smoothing = 0.1)
+        .orderBy("source")
+    }),
+
+    // §2 #57b — cluster-balanced sampling: k-means cell assignment (#56)
+    // capped at 40 survivors per cell by md5(vec_id) rank — the
+    // diversity-preserving cap after clustering (big topic blobs stop
+    // dominating, small cells keep everything).
+    "cluster_sample" -> ((s, dir) =>
+      Sampling.clusterBalancedSample(
+          Similarity.kmeansAssign(embeddingsWithNearDups(s, dir), k = 8)
+            .select(col("vec_id"), col("cluster")),
+          "vec_id", "cluster", perCellCap = 40)
+        .orderBy("vec_id")),
+
     // §2 #48b — semi-structured extraction: typed parse of the JSON props
     // column (one codegen'd schema-pruned Jackson pass per row, malformed
     // rows counted not dropped) + per-type field profile.
@@ -3443,6 +3484,77 @@ object SparkEntry {
         |       round(s.n_kept * 1.0 / sum(s.n_kept) OVER (), 6) + 0.0
         |         AS achieved_frac
         |FROM f JOIN s USING (source) ORDER BY 1""".stripMargin,
+
+    "unimax_alloc" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT source, n_tokens, n_tokens * 2.0 AS capacity FROM t),
+        |w AS (
+        |  SELECT source, n_tokens, capacity,
+        |         row_number() OVER (ORDER BY capacity, source) AS i,
+        |         coalesce(sum(capacity) OVER (ORDER BY capacity, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_prev,
+        |         count(*) OVER () AS s
+        |  FROM c),
+        |g AS (
+        |  SELECT *, capacity * (s - i + 1) + cum_prev <= 50000.0 AS sat
+        |  FROM w),
+        |k AS (
+        |  SELECT *, sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS kk,
+        |         sum(CASE WHEN sat THEN capacity ELSE 0 END) OVER ()
+        |           AS sat_budget
+        |  FROM g),
+        |a AS (
+        |  SELECT source, n_tokens, capacity,
+        |         CASE WHEN sat THEN capacity
+        |              ELSE (50000.0 - sat_budget) / (s - kk) END AS alloc
+        |  FROM k)
+        |SELECT source, n_tokens, capacity,
+        |       round(alloc, 6) + 0.0 AS alloc_tokens,
+        |       round(alloc / n_tokens, 6) + 0.0 AS epochs,
+        |       round(alloc / sum(alloc) OVER (), 6) + 0.0 AS mix_frac
+        |FROM a ORDER BY source""".stripMargin,
+
+    "doremi_weights" -> {
+      // 5 unrolled EG steps: r_{t+1} = 0.9·softmax-step + 0.1·uniform;
+      // generated so the step SQL cannot drift between iterations
+      val step = (i: Int) =>
+        s"""r$i AS (
+           |  SELECT source, excess_loss,
+           |         0.9 * (w * exp(20.0 * excess_loss)) /
+           |           sum(w * exp(20.0 * excess_loss)) OVER () +
+           |         0.1 / count(*) OVER () AS w
+           |  FROM r${i - 1})""".stripMargin
+      s"""WITH d AS (
+         |  SELECT source,
+         |         avg(greatest(len(text) * 1.0 /
+         |           (len(string_split_regex(text, '\\s+')) * 10.0)
+         |           - 0.5, 0)) AS excess_loss
+         |  FROM documents GROUP BY 1),
+         |r0 AS (
+         |  SELECT source, excess_loss, 1.0 / count(*) OVER () AS w
+         |  FROM d),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT source, round(excess_loss, 6) + 0.0 AS excess_loss,
+         |       round(w, 6) + 0.0 AS weight
+         |FROM r5 ORDER BY source""".stripMargin
+    },
+
+    "cluster_sample" ->
+      s"""WITH $SeededEmbCte,
+        |r AS (
+        |  SELECT vec_id, cluster,
+        |         CAST(row_number() OVER (PARTITION BY cluster
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |           AS INTEGER) AS cell_rank
+        |  FROM asg)
+        |SELECT vec_id, cluster, cell_rank FROM r
+        |WHERE cell_rank <= 40 ORDER BY vec_id""".stripMargin,
 
     "props_extract" ->
       """WITH p0 AS (

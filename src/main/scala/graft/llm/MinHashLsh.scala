@@ -133,6 +133,22 @@ object MinHashLsh {
       .select(col("id1"), col("id2"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** [[nearDupPairs]] over a PRE-ENRICHED (idCol, minhash_sig, _sh)
+    * relation — the within-batch pass of [[nearDupIncremental]], where the
+    * signature and shingle-hash maps were already paid for by the
+    * index-check phase and must not be recomputed from text. Same output
+    * contract as [[nearDupPairs]]. */
+  private def nearDupPairsPrepped(prep: DataFrame, threshold: Double,
+                                  idCol: String, k: Int, bands: Int,
+                                  maxBucket: Option[Int]): DataFrame = {
+    val pairs = candidatePairs(prep, idCol, k, bands, maxBucket)
+    val s1 = prep.select(col(idCol).as("id1"), col("_sh").as("_a"))
+    val s2 = prep.select(col(idCol).as("id2"), col("_sh").as("_b"))
+    Dedup.jaccardOnShingles(pairs.join(s1, "id1").join(s2, "id2"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
   /** The near-dup INDEX relation for [[nearDupIncremental]]: one row per
     * accepted doc with its MinHash signature (k longs — band buckets
     * re-derive map-side from it) and its xxhash64 shingle-hash array (the
@@ -177,8 +193,20 @@ object MinHashLsh {
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                          seed: Int = 42,
                          maxBucket: Option[Int] = None): DataFrame = {
-    val signed = withSignature(batch, textCol, k, shingleN, seed)
-    val bb0 = bandBuckets(signed, idCol, k, bands)
+    // The batch's text -> shingles -> (signature, shingle hashes) map is
+    // the expensive per-row pass, and FIVE consumers need its output (band
+    // join, index verify, anti-join, within-batch candidates, within-batch
+    // verify). Compute it ONCE into an id-keyed pinned exchange: every
+    // consumer's subtree contains this identical repartition, so
+    // exchange/stage reuse runs the map a single time and serves all
+    // readers from shuffle files — text never leaves the map stage (the
+    // prep relation carries the id, k longs, and 8-byte shingle hashes).
+    val prep = withSignature(batch, textCol, k, shingleN, seed)
+      .select(col(idCol), col("minhash_sig"),
+        transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
+          .as("_sh"))
+      .repartition(col(idCol))
+    val bb0 = bandBuckets(prep, idCol, k, bands)
       .select(col(idCol).as("batch_id"), col("band"), col("bucket"))
     val ib0 = bandBuckets(index, idCol, k, bands)
       .select(col(idCol).as("index_id"), col("band"), col("bucket"))
@@ -203,10 +231,9 @@ object MinHashLsh {
     }
     val cand = bb.join(ib, Seq("band", "bucket"))
       .select(col("batch_id"), col("index_id")).distinct()
-    // verify: batch shingle hashes from text, index ones from the relation
-    val bSh = batch.select(col(idCol).as("batch_id"),
-      transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
-        .as("_a"))
+    // verify: batch shingle hashes from the prep relation, index ones from
+    // the index relation — no text on either side
+    val bSh = prep.select(col(idCol).as("batch_id"), col("_sh").as("_a"))
     val iSh = index.select(col(idCol).as("index_id"),
       col("shingle_hashes").as("_b"))
     val dupIdx = Dedup.jaccardOnShingles(
@@ -217,10 +244,10 @@ object MinHashLsh {
         min_by(col("jaccard"), col("index_id")).as("jaccard"))
     // docs that cleared the index dedup near-dup-cluster WITHIN the batch;
     // min-id member of each component survives (cluster_id IS the min id)
-    val rest = batch.join(dupIdx.select(col("batch_id").as(idCol)),
+    val rest = prep.join(dupIdx.select(col("batch_id").as(idCol)),
       Seq(idCol), "left_anti")
-    val pairs = nearDupPairs(rest, threshold, idCol, textCol, k, bands,
-      shingleN, seed, maxBucket)
+    val pairs = nearDupPairsPrepped(rest, threshold, idCol, k, bands,
+      maxBucket)
     val comps = Cluster.activeComponents(pairs.select(col("id1"), col("id2")))
     val dupInBatch = comps.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol), lit("dup_in_batch").as("status"),

@@ -76,6 +76,97 @@ object Sampling {
       .where(hashBucket(col(keyCol), buckets) < col("keep_frac") * buckets)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining")
+    * — the pass that COMPUTES the mixture [[mixture]] consumes: given the
+    * observed per-source token mass, a total training BUDGET, and a
+    * per-source EPOCH CAP, allocate the budget as uniformly as possible
+    * across sources without repeating any source more than `epochCap`
+    * times. Temperature sampling needs a hand-tuned exponent and still
+    * over-epochs tail sources; UniMax's waterfill is parameter-free: tiny
+    * sources are fully consumed at the cap, and what remains is split
+    * EQUALLY among the sources that can absorb it.
+    *
+    * The published algorithm is a sequential loop (ascending-capacity
+    * scan, re-computing the fair share as each source saturates). Here it
+    * is the closed form over rank windows: with capacities `c_i = epochCap
+    * · tokens_i` sorted ascending, source i saturates iff even granting
+    * ALL remaining sources `c_i` each still fits the budget —
+    * `c_i·(S−i+1) + Σ_{j<i} c_j ≤ B`. That predicate is monotone in i
+    * (`f(i+1)−f(i) = (S−i)(c_{i+1}−c_i) ≥ 0`), so the saturated set is a
+    * prefix; everyone past it receives the common watermark
+    * `(B − Σ_saturated c) / (S − K)`, which the prefix-failure inequality
+    * guarantees is below their capacity.
+    *
+    * Output: one row per source with its token mass, capacity, allocated
+    * tokens, implied epochs (≤ epochCap by construction), and mixture
+    * share `mix_frac` — the weights a [[mixture]] call then realizes.
+    *
+    * Scale: the corpus appears only in the one per-source token-sum hash
+    * aggregation (map-side partials, |sources| output rows); the waterfill
+    * windows run on that |sources|-row frame, so the single-partition
+    * `Window.partitionBy()` is over dozens of rows, never data. */
+  def unimaxAlloc(df: DataFrame, sourceCol: String, tokenCol: Column,
+                  budget: Double, epochCap: Double = 4.0): DataFrame = {
+    require(budget > 0, s"unimaxAlloc: budget must be positive, got $budget")
+    require(epochCap > 0, s"unimaxAlloc: epochCap must be positive, got $epochCap")
+    val perSrc = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCol).cast("double").as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * epochCap)
+    val ord = Window.partitionBy().orderBy(col("capacity"), col(sourceCol))
+    val all = Window.partitionBy()
+    perSrc
+      .withColumn("_i", row_number().over(ord))
+      .withColumn("_cum_prev", coalesce(
+        sum(col("capacity"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("_s", count(lit(1)).over(all))
+      .withColumn("_sat",
+        col("capacity") * (col("_s") - col("_i") + 1) + col("_cum_prev")
+          <= budget)
+      .withColumn("_k",
+        sum(when(col("_sat"), 1L).otherwise(0L)).over(all))
+      .withColumn("_sat_budget",
+        sum(when(col("_sat"), col("capacity")).otherwise(0.0)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("_sat"), col("capacity"))
+          .otherwise((lit(budget) - col("_sat_budget")) /
+            (col("_s") - col("_k"))))
+      .select(col(sourceCol), col("n_tokens"), col("capacity"),
+        round(col("alloc_tokens"), 6).as("alloc_tokens"),
+        round(col("alloc_tokens") / col("n_tokens"), 6).as("epochs"),
+        round(col("alloc_tokens") / sum(col("alloc_tokens")).over(all), 6)
+          .as("mix_frac"))
+  }
+
+  /** Cluster-balanced sampling — the diversity-preserving cap that
+    * SemDeDup/DCLM-style pipelines run AFTER clustering: at most
+    * `perCellCap` members survive per cluster cell, so giant topic blobs
+    * (boilerplate clusters, SEO farms) stop dominating the mix while
+    * small-topic cells keep everything they have. `assigned` is any
+    * (key, cell) relation — [[graft.llm.Similarity.kmeansAssign]] output
+    * composes directly.
+    *
+    * Within a cell, survivors are chosen by md5(key) rank (key tiebreak),
+    * NOT arrival order — the same determinism contract as [[stratified]]:
+    * identical survivors on every run, engine, and partitioning, and the
+    * md5 rank is an unbiased uniform draw within the cell.
+    *
+    * Scale: one hash exchange on the cell key + a per-cell window; cells
+    * are the parallel unit (k cells ≫ cores for corpus-scale k). A
+    * pathological hot cell serializes its own sort only — the same
+    * hot-cell profile as the clustering that produced the assignment, and
+    * the cap bounds what survives it. */
+  def clusterBalancedSample(assigned: DataFrame, keyCol: String,
+                            cellCol: String, perCellCap: Int): DataFrame = {
+    require(perCellCap > 0, s"clusterBalancedSample: cap must be positive")
+    val w = Window.partitionBy(col(cellCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    assigned.withColumn("cell_rank", row_number().over(w))
+      .where(col("cell_rank") <= perCellCap)
+  }
+
   /** Deterministic global training-order shuffle + shard assignment — the
     * last step before shard egress: a trained model must NOT see the corpus
     * in ingestion order (source- and time-correlated batches destabilize

@@ -312,4 +312,51 @@ object Selection {
         round(sum(col("_nll")) / sum(col("_c")), 6).as("cross_entropy"),
         round(exp(sum(col("_nll")) / sum(col("_c"))), 6).as("ppl"))
   }
+
+  /** DoReMi domain-weight learning ("DoReMi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining", Xie et al. 2023) — the
+    * exponentiated-gradient loop that turns per-domain EXCESS LOSS (how
+    * much worse the proxy model does than the reference on each domain)
+    * into the domain mixture the main run trains on. Domains where the
+    * proxy lags get up-weighted multiplicatively; the uniform-smoothing
+    * term keeps every domain alive.
+    *
+    * Per published update, with α⁰ uniform over the S domains and
+    * `excess_k = mean over domain docs of max(proxyLoss − refLoss, 0)`:
+    *
+    *   α′ = α_t ⊙ exp(η·excess);  α_{t+1} = (1−c)·α′/Σα′ + c/S
+    *
+    * (the full DoReMi re-trains the proxy between steps; this is the
+    * engine half — the weight update over a fixed loss snapshot, the part
+    * a data pipeline owns. With a static snapshot the loop still matters:
+    * the smoothing term makes the fixpoint a genuine T-step iteration,
+    * not a closed-form softmax.)
+    *
+    * Scale: the corpus appears only in the one per-domain mean-excess hash
+    * aggregation; the T update steps are chained projections over that
+    * |domains|-row frame (each normalization a window sum over dozens of
+    * rows), so `steps` is free of corpus cost by construction. */
+  def doremiWeights(df: DataFrame, domainCol: String, proxyLoss: Column,
+                    refLoss: Column, steps: Int = 5, eta: Double = 1.0,
+                    smoothing: Double = 0.1): DataFrame = {
+    require(steps >= 0, "doremiWeights: steps must be >= 0")
+    require(smoothing >= 0 && smoothing < 1,
+      s"doremiWeights: smoothing must be in [0,1), got $smoothing")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val base = df.groupBy(col(domainCol))
+      .agg(avg(greatest(proxyLoss - refLoss, lit(0.0))).as("excess_loss"))
+    var cur = base.withColumn("weight",
+      lit(1.0) / count(lit(1)).over(all))
+    for (_ <- 1 to steps) {
+      cur = cur
+        .withColumn("_u", col("weight") * exp(lit(eta) * col("excess_loss")))
+        .withColumn("weight",
+          lit(1.0 - smoothing) * col("_u") / sum(col("_u")).over(all) +
+            lit(smoothing) / count(lit(1)).over(all))
+        .drop("_u")
+    }
+    cur.select(col(domainCol),
+      round(col("excess_loss"), 6).as("excess_loss"),
+      round(col("weight"), 6).as("weight"))
+  }
 }

@@ -1101,4 +1101,89 @@ class LlmSpec extends SparkTestBase {
     // map-only: no exchange anywhere in the quantization plan
     assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("unimax waterfill: hand-computed mixed regime, saturation cap, " +
+      "budget conservation") {
+    import graft.llm.Sampling
+    // token masses [10, 20, 40, 100] split across two rows per source to
+    // prove the per-source aggregation; epochCap 2 -> capacities
+    // [20, 40, 80, 200], total 340
+    val d = Seq(("a", 4), ("a", 6), ("b", 15), ("b", 5),
+      ("c", 30), ("c", 10), ("d", 60), ("d", 40)).toDF("source", "n_tok")
+    def run(budget: Double) =
+      Sampling.unimaxAlloc(d, "source", col("n_tok"), budget, epochCap = 2.0)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getAs[Double]("alloc_tokens"),
+          r.getAs[Double]("epochs"), r.getAs[Double]("mix_frac")))
+    // B=160: a,b saturate (20·4=80, 40·3+20=140 both <=160); c: 80·2+60=
+    // 220 > 160 -> watermark (160-60)/2 = 50 for c and d
+    assert(run(160.0).toSeq == Seq(
+      ("a", 20.0, 2.0, 0.125), ("b", 40.0, 2.0, 0.25),
+      ("c", 50.0, 1.25, 0.3125), ("d", 50.0, 0.5, 0.3125)))
+    // B >= total capacity: everyone fully consumed at the epoch cap
+    assert(run(400.0).toSeq == Seq(
+      ("a", 20.0, 2.0, round6(20.0 / 340)), ("b", 40.0, 2.0, round6(40.0 / 340)),
+      ("c", 80.0, 2.0, round6(80.0 / 340)), ("d", 200.0, 2.0, round6(200.0 / 340))))
+    // B=60 < 4·c_min: nobody saturates, equal watermark B/S = 15
+    assert(run(60.0).map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 15.0), ("b", 15.0), ("c", 15.0), ("d", 15.0)))
+    // conservation at every regime: sum(alloc) = min(B, total capacity)
+    for (b <- Seq(60.0, 160.0, 400.0))
+      assert(math.abs(run(b).map(_._2).sum - math.min(b, 340.0)) < 1e-6)
+    // epochs never exceed the cap
+    assert(run(400.0).forall(_._3 <= 2.0 + 1e-9))
+  }
+
+  test("doremi weights: hand-computed EG steps, smoothing floor, " +
+      "zero-step = uniform") {
+    import graft.llm.Selection
+    // domain a: proxy == ref (excess 0); domain b: excess = ln 4, so each
+    // EG step multiplies b's unnormalized weight by exactly 4
+    val ln4 = math.log(4.0)
+    val d = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0 + ln4), ("b", 1.0 + ln4))
+      .toDF("domain", "proxy")
+    def run(steps: Int) = Selection.doremiWeights(
+        d, "domain", col("proxy"), lit(1.0),
+        steps = steps, eta = 1.0, smoothing = 0.1)
+      .orderBy("domain").collect()
+      .map(r => r.getAs[Double]("weight"))
+    // step 1: u = [0.5, 2.0], w = 0.9·[0.2, 0.8] + 0.05 = [0.23, 0.77]
+    // step 2: u = [0.23, 3.08], w = [0.9·0.23/3.31 + 0.05, ...]
+    val w1 = run(1); val w2 = run(2)
+    assert(math.abs(w1(0) - 0.23) < 1e-9 && math.abs(w1(1) - 0.77) < 1e-9)
+    assert(math.abs(w2(0) - (0.9 * 0.23 / 3.31 + 0.05)) < 1e-6)
+    assert(math.abs(w2(0) + w2(1) - 1.0) < 1e-6)
+    // steps=0: uniform regardless of loss
+    assert(run(0).toSeq == Seq(0.5, 0.5))
+    // smoothing floor: even a hugely-lagging domain keeps >= c/S
+    val skew = Seq(("a", 1.0), ("b", 51.0)).toDF("domain", "proxy")
+    val ws = Selection.doremiWeights(skew, "domain", col("proxy"), lit(1.0),
+        steps = 8, eta = 1.0, smoothing = 0.1)
+      .orderBy("domain").collect().map(_.getAs[Double]("weight"))
+    assert(ws(0) >= 0.05 - 1e-9 && ws(1) <= 0.95 + 1e-9)
+  }
+
+  test("cluster-balanced sample: per-cell cap, small cells intact, " +
+      "survivors partition-invariant") {
+    import graft.llm.Sampling
+    val asg = spark.range(200).select(col("id").as("vec_id"),
+      when(col("id") < 150, lit(0)).otherwise(lit(1)).as("cluster"))
+    val out = Sampling.clusterBalancedSample(asg, "vec_id", "cluster", 60)
+    val per = out.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per(0) == 60)   // hot cell capped
+    assert(per(1) == 50)   // small cell keeps everything
+    // determinism: identical survivors under a different partitioning
+    val out2 = Sampling.clusterBalancedSample(
+      asg.repartition(17, col("vec_id")), "vec_id", "cluster", 60)
+    assert(out.select("vec_id", "cluster", "cell_rank")
+      .exceptAll(out2.select("vec_id", "cluster", "cell_rank")).count() == 0)
+    assert(out.count() == out2.count())
+    // rank is dense 1..cap within the capped cell
+    assert(out.where(col("cluster") === 0)
+      .agg(max("cell_rank")).collect()(0).getInt(0) == 60)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -234,6 +234,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("nearDupIncremental: the batch prep exchange is computed once and " +
+      "reused by all downstream consumers at runtime") {
+    import graft.llm.MinHashLsh
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(200)
+    val hist = d.where(col("doc_id") % 3 === 0)
+    val batch = d.where(col("doc_id") % 3 =!= 0)
+    val out = MinHashLsh.nearDupIncremental(
+      batch, MinHashLsh.buildIndex(hist), threshold = 0.3)
+    out.collect() // drive to the final adaptive plan
+    val p = out.queryExecution.executedPlan.toString
+    // the signature+shingle-hash map over the batch text is the expensive
+    // per-row pass with five consumers; the id-keyed repartition must be
+    // served from shuffle files after the first materialization
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("relation scoring: distinct-token pre-agg feeds the model equi-join") {
     import graft.llm.Selection
     val d = Tables.documents(spark, sfDir)
