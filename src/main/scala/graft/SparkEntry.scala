@@ -3495,8 +3495,10 @@ object SparkEntry {
         |  SELECT source, n_tokens, n_tokens * 2.0 AS capacity FROM t),
         |w AS (
         |  SELECT source, n_tokens, capacity,
-        |         row_number() OVER (ORDER BY capacity, source) AS i,
-        |         coalesce(sum(capacity) OVER (ORDER BY capacity, source
+        |         row_number() OVER (ORDER BY capacity NULLS FIRST,
+        |           source NULLS FIRST) AS i,
+        |         coalesce(sum(capacity) OVER (ORDER BY capacity NULLS FIRST,
+        |           source NULLS FIRST
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |           AS cum_prev,
         |         count(*) OVER () AS s
@@ -3516,20 +3518,24 @@ object SparkEntry {
         |  FROM k)
         |SELECT source, n_tokens, capacity,
         |       round(alloc, 6) + 0.0 AS alloc_tokens,
-        |       round(alloc / n_tokens, 6) + 0.0 AS epochs,
+        |       round(CASE WHEN n_tokens > 0 THEN alloc / n_tokens
+        |             ELSE 0.0 END, 6) + 0.0 AS epochs,
         |       round(alloc / sum(alloc) OVER (), 6) + 0.0 AS mix_frac
         |FROM a ORDER BY source""".stripMargin,
 
     "doremi_weights" -> {
       // 5 unrolled EG steps: r_{t+1} = 0.9·softmax-step + 0.1·uniform;
       // generated so the step SQL cannot drift between iterations
+      // the max-excess shift mirrors the Scala log-sum-exp guard exactly —
+      // the intermediate floats must match or round(·,6) hash-drifts
       val step = (i: Int) =>
         s"""r$i AS (
            |  SELECT source, excess_loss,
-           |         0.9 * (w * exp(20.0 * excess_loss)) /
-           |           sum(w * exp(20.0 * excess_loss)) OVER () +
-           |         0.1 / count(*) OVER () AS w
-           |  FROM r${i - 1})""".stripMargin
+           |         0.9 * u / sum(u) OVER () + 0.1 / count(*) OVER () AS w
+           |  FROM (SELECT source, excess_loss,
+           |          w * exp(20.0 * (excess_loss
+           |            - max(excess_loss) OVER ())) AS u
+           |        FROM r${i - 1}))""".stripMargin
       s"""WITH d AS (
          |  SELECT source,
          |         avg(greatest(len(text) * 1.0 /

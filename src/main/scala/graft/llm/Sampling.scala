@@ -111,9 +111,16 @@ object Sampling {
     require(budget > 0, s"unimaxAlloc: budget must be positive, got $budget")
     require(epochCap > 0, s"unimaxAlloc: epochCap must be positive, got $epochCap")
     val perSrc = df.groupBy(col(sourceCol))
-      .agg(sum(tokenCol).cast("double").as("n_tokens"))
+      // coalesce: a source whose every token count is null sums to null —
+      // treat it as zero mass so the waterfill stays total
+      .agg(coalesce(sum(tokenCol).cast("double"), lit(0.0)).as("n_tokens"))
       .withColumn("capacity", col("n_tokens") * epochCap)
-    val ord = Window.partitionBy().orderBy(col("capacity"), col(sourceCol))
+    // nulls-first pinned explicitly: Spark's asc default is NULLS FIRST but
+    // ANSI engines (the DuckDB oracle) default to NULLS LAST — a null
+    // source group must rank identically on both sides or the saturation
+    // prefix shifts
+    val ord = Window.partitionBy()
+      .orderBy(col("capacity").asc_nulls_first, col(sourceCol).asc_nulls_first)
     val all = Window.partitionBy()
     perSrc
       .withColumn("_i", row_number().over(ord))
@@ -135,7 +142,11 @@ object Sampling {
             (col("_s") - col("_k"))))
       .select(col(sourceCol), col("n_tokens"), col("capacity"),
         round(col("alloc_tokens"), 6).as("alloc_tokens"),
-        round(col("alloc_tokens") / col("n_tokens"), 6).as("epochs"),
+        // a zero-mass source saturates at capacity 0; its epochs are 0 by
+        // convention, not 0/0 = NaN
+        round(when(col("n_tokens") > 0,
+            col("alloc_tokens") / col("n_tokens"))
+          .otherwise(0.0), 6).as("epochs"),
         round(col("alloc_tokens") / sum(col("alloc_tokens")).over(all), 6)
           .as("mix_frac"))
   }

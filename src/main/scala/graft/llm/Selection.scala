@@ -348,8 +348,13 @@ object Selection {
     var cur = base.withColumn("weight",
       lit(1.0) / count(lit(1)).over(all))
     for (_ <- 1 to steps) {
+      // log-sum-exp shift: exp(eta·excess) overflows to Inf past
+      // eta·excess ≈ 709, turning every weight into NaN via Inf/Inf;
+      // subtracting the max excess first leaves the normalized weights
+      // mathematically unchanged and keeps the exponent ≤ 0
       cur = cur
-        .withColumn("_u", col("weight") * exp(lit(eta) * col("excess_loss")))
+        .withColumn("_u", col("weight") * exp(lit(eta) *
+          (col("excess_loss") - max(col("excess_loss")).over(all))))
         .withColumn("weight",
           lit(1.0 - smoothing) * col("_u") / sum(col("_u")).over(all) +
             lit(smoothing) / count(lit(1)).over(all))

@@ -1134,6 +1134,40 @@ class LlmSpec extends SparkTestBase {
     assert(run(400.0).forall(_._3 <= 2.0 + 1e-9))
   }
 
+  test("unimax waterfill: zero-mass source gets epochs 0, not NaN; " +
+      "null token counts coalesce to zero mass") {
+    import graft.llm.Sampling
+    val d = Seq(("a", Some(10)), ("z", Some(0)), ("n", None))
+      .toDF("source", "n_tok")
+    val r = Sampling.unimaxAlloc(d, "source", col("n_tok"), 100.0,
+        epochCap = 2.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("n_tokens"),
+        r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs")))
+    // zero-capacity sources saturate at 0 and report epochs 0.0 — the
+    // 0/0 division NaN the advice flagged must never surface
+    assert(r.toSeq == Seq(("a", 10.0, 20.0, 2.0), ("n", 0.0, 0.0, 0.0),
+      ("z", 0.0, 0.0, 0.0)))
+    assert(r.forall(t => !t._4.isNaN))
+  }
+
+  test("doremi weights: eta*excess >> 709 stays finite via the " +
+      "log-sum-exp shift") {
+    import graft.llm.Selection
+    // excess 100 at eta 20 -> exp(2000) = Inf unshifted; the max-shift
+    // keeps the dominant domain's exponent at exactly 0
+    val d = Seq(("a", 1.0), ("b", 101.0), ("c", 51.0))
+      .toDF("domain", "proxy")
+    val ws = Selection.doremiWeights(d, "domain", col("proxy"), lit(1.0),
+        steps = 5, eta = 20.0, smoothing = 0.1)
+      .orderBy("domain").collect().map(_.getAs[Double]("weight"))
+    assert(ws.forall(w => !w.isNaN && !w.isInfinite))
+    assert(math.abs(ws.sum - 1.0) < 1e-6)
+    // the hardest domain dominates up to the smoothing floor split
+    // (1e-6 slack: the output column is round(·, 6))
+    assert(ws(1) > 0.9 && ws(0) >= 0.1 / 3 - 1e-6)
+  }
+
   test("doremi weights: hand-computed EG steps, smoothing floor, " +
       "zero-step = uniform") {
     import graft.llm.Selection
