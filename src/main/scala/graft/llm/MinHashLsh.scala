@@ -196,16 +196,22 @@ object MinHashLsh {
     // The batch's text -> shingles -> (signature, shingle hashes) map is
     // the expensive per-row pass, and FIVE consumers need its output (band
     // join, index verify, anti-join, within-batch candidates, within-batch
-    // verify). Compute it ONCE into an id-keyed pinned exchange: every
-    // consumer's subtree contains this identical repartition, so
-    // exchange/stage reuse runs the map a single time and serves all
-    // readers from shuffle files — text never leaves the map stage (the
-    // prep relation carries the id, k longs, and 8-byte shingle hashes).
+    // verify) — spread across SEPARATE actions: the component loop below
+    // materializes its rounds job-by-job, then the final union is one more
+    // job, and exchange reuse only dedupes within a single plan, not
+    // across jobs. cache() (lineage kept — a lost block recomputes) makes
+    // the map pass run once for the whole call; the cached relation is
+    // O(batch) — the id, k longs, and 8-byte shingle hashes, text never
+    // leaves the map stage — i.e. exactly the relation [[buildIndex]]
+    // appends to the index when the batch is accepted. The id-keyed
+    // repartition is kept so the cached scan carries hash partitioning the
+    // id-keyed joins downstream reuse without a fresh exchange.
     val prep = withSignature(batch, textCol, k, shingleN, seed)
       .select(col(idCol), col("minhash_sig"),
         transform(Dedup.shingles(col(textCol), shingleN), s => xxhash64(s))
           .as("_sh"))
       .repartition(col(idCol))
+      .cache()
     val bb0 = bandBuckets(prep, idCol, k, bands)
       .select(col(idCol).as("batch_id"), col("band"), col("bucket"))
     val ib0 = bandBuckets(index, idCol, k, bands)
@@ -236,12 +242,20 @@ object MinHashLsh {
     val bSh = prep.select(col(idCol).as("batch_id"), col("_sh").as("_a"))
     val iSh = index.select(col(idCol).as("index_id"),
       col("shingle_hashes").as("_b"))
+    // cached for the same cross-job reason as prep: the anti-join below,
+    // the component loop's edge chain, AND the final union each read this
+    // relation from a different action, and its upstream contains the one
+    // INDEX-side scan of the call — without the cache the index relation
+    // (corpus-scale, the expensive side) is recomputed once per consumer.
+    // The cached frame itself is O(batch dups): one row per batch doc that
+    // matched the index.
     val dupIdx = Dedup.jaccardOnShingles(
         cand.join(bSh, "batch_id").join(iSh, "index_id"))
       .where(col("jaccard") >= threshold)
       .groupBy(col("batch_id"))
       .agg(min(col("index_id")).as("match_id"),
         min_by(col("jaccard"), col("index_id")).as("jaccard"))
+      .cache()
     // docs that cleared the index dedup near-dup-cluster WITHIN the batch;
     // min-id member of each component survives (cluster_id IS the min id)
     val rest = prep.join(dupIdx.select(col("batch_id").as(idCol)),
