@@ -1914,6 +1914,20 @@ object SparkEntry {
       Dedup.contaminationBloom(d, benchmark, n = 8).orderBy("doc_id")
     }),
 
+    // §2 #39d — Bloom-prefiltered EXACT decontamination: the #39c map-only
+    // corpus pass nominates suspects, the #39b equi-join verifies only
+    // them. No Bloom false negatives + exact confirm => output is
+    // bit-identical to the full exact join, so the 100 TB composition is
+    // hash-checked by the same oracle shape as contamination_ngram —
+    // the approximation affects cost, never the answer.
+    "contamination_bloom_verified" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val benchmark = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.contaminationBloomVerified(d, benchmark, n = 8)
+        .orderBy("test_id")
+    }),
+
     // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
     // quantiles (the sketch path percentile_approx is pinned to these in
     // StatsSessionSpec).
@@ -4220,6 +4234,43 @@ object SparkEntry {
         |         AS share_frac
         |FROM tg JOIN trg ON trg.g = tg.g
         |GROUP BY tg.test_id, tg.n_test_ngrams ORDER BY 1""".stripMargin,
+
+    // identical to the exact equi-join run over the whole corpus: the
+    // Bloom stage only prunes cost, never rows (no false negatives +
+    // exact confirm)
+    "contamination_bloom_verified" ->
+      """WITH bw AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |           CASE WHEN len(w) >= 8 THEN
+        |             list_distinct(list_transform(range(len(w) - 7),
+        |               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                    w[i+7] || ' ' || w[i+8]))
+        |           ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM bw),
+        |csh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 8 THEN
+        |           list_distinct(list_transform(range(len(w) - 7),
+        |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                  w[i+7] || ' ' || w[i+8]))
+        |         ELSE [array_to_string(w, ' ')] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents)),
+        |cg AS (
+        |  SELECT doc_id, len(sh) AS n_test_ngrams, unnest(sh) AS g
+        |  FROM csh)
+        |SELECT cg.doc_id AS test_id,
+        |       CAST(cg.n_test_ngrams AS INTEGER) AS n_test_ngrams,
+        |       CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+        |       round(count(*) * 1.0 / cg.n_test_ngrams, 6) + 0.0
+        |         AS share_frac
+        |FROM cg JOIN bg ON bg.g = cg.g
+        |GROUP BY cg.doc_id, cg.n_test_ngrams ORDER BY 1""".stripMargin,
 
     "daily_quantiles" ->
       """SELECT event_type AS symbol,

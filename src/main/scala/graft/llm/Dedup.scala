@@ -218,6 +218,34 @@ object Dedup {
       .withColumn("flag_frac", round(col("n_flagged") / col("n_ngrams"), 6))
   }
 
+  /** Bloom-prefiltered EXACT decontamination — the full production
+    * composition: [[contaminationBloom]]'s map-only corpus pass nominates
+    * suspects (no join, no corpus-gram shuffle — the 100 TB plan), then
+    * the [[contaminationNgram]] equi-join verifies ONLY the nominated
+    * docs exactly. The Bloom side has no false negatives, so every doc
+    * with a truly shared gram is nominated, and the exact join discards
+    * the fpp-bounded false positives — the output is therefore
+    * BIT-IDENTICAL to running the exact equi-join over the whole corpus
+    * (per corpus doc with ≥1 shared gram: exact shared-gram counts and
+    * share fraction), while the expensive exchange only ever carries the
+    * suspect subset. This is the composition that makes the Bloom pass
+    * safe to deploy: its approximation affects cost, never the answer.
+    *
+    * Scale: corpus text is scanned twice (once map-only under the Bloom
+    * probe, once under the suspect semi-join — a selective scan at
+    * production contamination rates), and the verify exchange is
+    * O(suspect tokens), not O(corpus tokens). */
+  def contaminationBloomVerified(corpus: DataFrame, benchmark: DataFrame,
+                                 n: Int = 8, fpp: Double = 0.001,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val suspects = corpus.join(
+      contaminationBloom(corpus, benchmark, n, fpp, None, idCol, textCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    contaminationNgram(benchmark, suspects, n, idCol, textCol)
+  }
+
   /** Corpus-common-gram (boilerplate / duplicated-span) profiling — the
     * C4-style "remove spans that repeat across the corpus" stage at word
     * n-gram granularity, and the SELF-corpus dual of

@@ -1071,6 +1071,24 @@ class LlmSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("bloom-verified decontamination: bit-identical to the exact join " +
+      "even under a false-positive-heavy filter") {
+    val benchmark = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val exact = Dedup.contaminationNgram(benchmark, docs, n = 8)
+      .orderBy("test_id")
+    // fpp 0.2: the bloom nominates plenty of clean docs; the exact verify
+    // must discard every one of them — equality, not superset
+    for (fpp <- Seq(0.001, 0.2)) {
+      val ver = Dedup.contaminationBloomVerified(docs, benchmark, n = 8,
+          fpp = fpp)
+        .orderBy("test_id")
+      assert(ver.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(ver).count() == 0,
+        s"fpp=$fpp: verified output diverges from the exact twin")
+    }
+  }
+
   test("int8 quantization: hand codes, reconstruction bound, zero vector") {
     val vecs = Seq(
       (1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale 0.01: codes ±127, 64
