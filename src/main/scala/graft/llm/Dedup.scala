@@ -280,6 +280,78 @@ object Dedup {
         round(col("n_common") / col("n_ngrams"), 6))
   }
 
+  /** Repeated n-gram span trimming — the token-grain re-expression of
+    * ExactSubstr dedup ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): instead of dropping whole near-dup
+    * documents, REMOVE every token span that repeats across the corpus,
+    * keeping the unique remainder. A token position is trimmed iff it is
+    * covered by some n-gram (case-folded) occurring at least `minCount`
+    * times corpus-wide (within- and cross-document occurrences both
+    * count, as in the paper's suffix-array formulation). Overlapping and
+    * adjacent duplicated grams fuse into maximal removed spans.
+    *
+    * Output: one row per doc — (idCol, n_tokens, n_spans_removed,
+    * n_removed_tokens, kept_text), where kept_text preserves the original
+    * casing of the surviving tokens.
+    *
+    * Spark-first plan (the suffix array is a single-box construct; this is
+    * the shuffle-algebra equivalent at fixed gram grain): positional grams
+    * hash map-side to 8 bytes; ONE hash aggregation counts gram
+    * occurrences; duplicated-gram starts flow back over an equi-join on
+    * the gram hash and collect per doc (bounded by the doc's own position
+    * count); the trim itself is a per-row interval-union rebuild — no
+    * pairwise document comparison anywhere, exchanges carry hashes and
+    * integer positions, never text. */
+  def repeatedNgramTrim(docs: DataFrame, n: Int = 10, minCount: Int = 2,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"repeatedNgramTrim: n must be >= 2, got $n")
+    require(minCount >= 2, s"repeatedNgramTrim: minCount must be >= 2")
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_w"),
+      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+    // positional grams only for docs long enough to have any (sequence()
+    // would run DESCENDING for start > stop, so the guard is correctness,
+    // not just economy)
+    val pos = base
+      .where(size(col("_lw")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => struct(p.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
+        .as("_g"))
+      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    val dup = pos.groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minCount)
+      .select(col("_gh"))
+    val starts = pos.join(dup, "_gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    val joined = base.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+    // consecutive sorted starts more than n apart open a new removed span;
+    // zip_with pads the shorter tail slice with null, which the filter
+    // drops — exactly the "no successor" case
+    val gaps = zip_with(
+      slice(col("_starts"), lit(2), greatest(size(col("_starts")) - 1, lit(0))),
+      col("_starts"), (a, b) => a - b > n)
+    joined
+      .withColumn("n_tokens", size(col("_w")))
+      .withColumn("_kept", filter(
+        transform(col("_w"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
+        s => !exists(col("_starts"),
+          st => s("p") >= st && s("p") < st + n)))
+      .select(col(idCol), col("n_tokens"),
+        when(size(col("_starts")) === 0, lit(0))
+          .otherwise(lit(1) + size(filter(gaps, g => g)))
+          .cast("int").as("n_spans_removed"),
+        (col("n_tokens") - size(col("_kept"))).cast("int")
+          .as("n_removed_tokens"),
+        concat_ws(" ", transform(col("_kept"), s => s("t"))).as("kept_text"))
+  }
+
   /** Dedup-rate threshold curve — the "measure before you choose τ" sweep
     * a curation run does ahead of near-dup dedup: for each candidate
     * Jaccard threshold, how many near-dup pairs exist and how many

@@ -1071,6 +1071,36 @@ class LlmSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("repeated ngram trim: hand-computed spans — cross-doc, within-doc, " +
+      "case-folded, split spans, untouched docs") {
+    val d = Seq(
+      (1L, "a b c d e f"),                         // dup of doc 2: all gone
+      (2L, "a b c d e f"),
+      (3L, "x y z a b c q w e r t u"),             // shares only "a b c"
+      (4L, "unique tokens only here now friend"),  // untouched
+      (5L, "p q r s p q r s p q r"),               // within-doc repeats
+      (6L, "a b c m1 m2 m3 m4 m5 m6 m7 m8 a b c"), // two separated spans
+      (7L, "A B C d e f")                          // case-folded dup of 1/2
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedNgramTrim(d, n = 3, minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        x.getString(4)))
+    assert(r(0) == ((1L, 6, 1, 6, "")))
+    assert(r(1) == ((2L, 6, 1, 6, "")))
+    // doc 3: "a b c" at pos 4 covers tokens 4-6 only
+    assert(r(2) == ((3L, 12, 1, 3, "x y z q w e r t u")))
+    assert(r(3) == ((4L, 6, 0, 0, "unique tokens only here now friend")))
+    // doc 5: every 3-gram repeats within the doc -> fully trimmed
+    assert(r(4) == ((5L, 11, 1, 11, "")))
+    // doc 6: "a b c" at starts 1 and 12, gap 11 > 3 -> two spans
+    assert(r(5) == ((6L, 14, 2, 6, "m1 m2 m3 m4 m5 m6 m7 m8")))
+    // doc 7: grams case-fold to "a b c"... so the ORIGINAL casing of
+    // surviving tokens is preserved (none survive the dup grams here,
+    // but tokens d e f are covered too: starts 1..4 cover 1..6)
+    assert(r(6) == ((7L, 6, 1, 6, "")))
+  }
+
   test("bloom-verified decontamination: bit-identical to the exact join " +
       "even under a false-positive-heavy filter") {
     val benchmark = docs.where(col("doc_id") % 10 === 0)
