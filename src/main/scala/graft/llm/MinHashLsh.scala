@@ -187,12 +187,44 @@ object MinHashLsh {
     * touching the batch — pinned by LlmSpec. `maxBucket` caps the COMBINED
     * (index + batch) population of a band bucket, the same drop-the-
     * template-family guard as [[candidatePairs]], riding the one
-    * (band, bucket) exchange the join already pins. */
+    * (band, bucket) exchange the join already pins.
+    *
+    * Lifecycle: the call materializes internally (three relations need
+    * block-manager pins across its multiple jobs — the batch prep map, the
+    * index-match relation, and the component loop's final labels), then
+    * RELEASES those pins before returning. The returned frame is an
+    * eagerly-materialized local checkpoint, O(batch) decision rows;
+    * `unpersist()` it when done — the streaming loop
+    * ([[graft.streaming.Ingest.nearDupBatch]]) does exactly that per
+    * micro-batch, so a long-running stream holds at most one batch's
+    * decision blocks at a time instead of accumulating per-batch caches
+    * for the stream's lifetime. */
   def nearDupIncremental(batch: DataFrame, index: DataFrame, threshold: Double,
                          idCol: String = "doc_id", textCol: String = "text",
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                          seed: Int = 42,
                          maxBucket: Option[Int] = None): DataFrame = {
+    val (res, release) = nearDupIncrementalPinned(batch, index, threshold,
+      idCol, textCol, k, bands, shingleN, seed, maxBucket)
+    // eager: run every remaining consumer job while the pins are alive,
+    // then drop the pins — their lineage is severed from the returned
+    // frame by the checkpoint, so the release cannot trigger recompute
+    val out = res.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The lazy plan behind [[nearDupIncremental]] plus a release thunk for
+    * its block-manager pins. Callers (tests auditing the lazy plan) must
+    * run ALL actions over the returned frame BEFORE calling release —
+    * the pins include localCheckpoint blocks whose lineage is truncated,
+    * so an early release fails downstream jobs rather than recomputing. */
+  private[graft] def nearDupIncrementalPinned(
+      batch: DataFrame, index: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      seed: Int = 42,
+      maxBucket: Option[Int] = None): (DataFrame, () => Unit) = {
     // The batch's text -> shingles -> (signature, shingle hashes) map is
     // the expensive per-row pass, and FIVE consumers need its output (band
     // join, index verify, anti-join, within-batch candidates, within-batch
@@ -272,9 +304,18 @@ object MinHashLsh {
       .select(col(idCol), lit("accepted").as("status"),
         lit(null).cast("long").as("match_id"),
         lit(null).cast("double").as("jaccard"))
-    dupIdx.select(col("batch_id").as(idCol),
+    val result = dupIdx.select(col("batch_id").as(idCol),
         lit("dup_of_index").as("status"), col("match_id"), col("jaccard"))
       .unionByName(dupInBatch)
       .unionByName(accepted)
+    val release = () => {
+      prep.unpersist(blocking = false)
+      dupIdx.unpersist(blocking = false)
+      // activeComponents returns its final round as a pinned local
+      // checkpoint; without this the streaming loop leaks one labels
+      // relation per micro-batch on top of the two caches above
+      org.apache.spark.sql.GraftBridge.releasePinned(comps)
+    }
+    (result, release)
   }
 }

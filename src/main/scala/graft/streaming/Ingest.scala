@@ -251,11 +251,14 @@ object Ingest {
       if (fs.exists(indexPath)) spark.read.parquet(indexPath.toString)
       else MinHashLsh.buildIndex(batch.limit(0), idCol, textCol, k,
         shingleN, seed)
+    // nearDupIncremental returns an eagerly-materialized local checkpoint
+    // (and has already released its internal pins), so the two writes
+    // below read settled blocks — the index append cannot re-read a
+    // half-written index through a lazy plan — and the unpersist at the
+    // end of this method is the ONLY cleanup the batch needs: the stream
+    // holds at most one batch's decision blocks at any time
     val decisions = MinHashLsh.nearDupIncremental(batch, index, threshold,
       idCol, textCol, k, bands, shingleN, seed, maxBucket)
-      .localCheckpoint(true) // decisions drive TWO writes; and the index
-                             // append below must not re-read a half-written
-                             // index through a lazy plan
     val accepted = batch.join(
       decisions.where(col("status") === "accepted").select(col(idCol)),
       Seq(idCol))
@@ -267,7 +270,10 @@ object Ingest {
       .parquet(new org.apache.hadoop.fs.Path(indexRoot, "decisions").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
-    decisions.unpersist()
+    // releasePinned, not Dataset.unpersist: the checkpoint blocks are
+    // RDD-persisted directly (LogicalRDD leaf), which CacheManager-based
+    // unpersist does not touch
+    org.apache.spark.sql.GraftBridge.releasePinned(decisions)
     true
   }
 

@@ -241,10 +241,14 @@ class PlanAuditSpec extends SparkTestBase {
       .select(col("doc_id"), col("text")).limit(200)
     val hist = d.where(col("doc_id") % 3 === 0)
     val batch = d.where(col("doc_id") % 3 =!= 0)
-    val out = MinHashLsh.nearDupIncremental(
+    // the lazy Pinned variant: the public API checkpoints eagerly (its
+    // executed plan is just a checkpoint scan), so the exchange-reuse
+    // audit must look at the pre-checkpoint plan
+    val (out, release) = MinHashLsh.nearDupIncrementalPinned(
       batch, MinHashLsh.buildIndex(hist), threshold = 0.3)
     out.collect() // drive to the final adaptive plan
     val p = out.queryExecution.executedPlan.toString
+    release()
     // the signature+shingle-hash map over the batch text is the expensive
     // per-row pass with five consumers; the id-keyed repartition must be
     // served from shuffle files after the first materialization

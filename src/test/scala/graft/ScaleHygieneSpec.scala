@@ -135,6 +135,42 @@ class ScaleHygieneSpec extends SparkTestBase {
       "RegimeEval must unpersist its labeled frame")
   }
 
+  test("nearDupIncremental releases its internal pins; the streaming " +
+      "batch loop leaves the block manager clean after every micro-batch") {
+    GraftSession.releaseCache(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    def words(seed: Int) = (0 until 15).map(i => s"tok${seed}_$i").mkString(" ")
+    def wave(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, words(i % 7))).toDF("doc_id", "text")
+    // batch API: the ONLY surviving blocks are the returned decision
+    // frame's own checkpoint blocks (documented contract); the prep cache,
+    // the index-match cache, and the component loop's final labels must
+    // all be gone already
+    val ix = MinHashLsh.buildIndex(wave(1, 10))
+    val out = MinHashLsh.nearDupIncremental(wave(11, 40), ix, threshold = 0.3)
+    assert(out.count() == 30)
+    val survivors = spark.sparkContext.getPersistentRDDs
+    assert(survivors.size <= 1,
+      s"nearDupIncremental leaked internal pins: ${survivors.keys}")
+    org.apache.spark.sql.GraftBridge.releasePinned(out)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releasePinned(result) must clear the last block")
+    // streaming loop: three micro-batches through nearDupBatch — zero
+    // persisted blocks after EACH batch (this is the path a long-running
+    // stream exercises once per micro-batch, forever)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "neardup-hygiene").toString
+    Seq(wave(1, 20) -> 0L, wave(21, 40) -> 1L, wave(41, 60) -> 2L)
+      .foreach { case (b, id) =>
+        assert(graft.streaming.Ingest.nearDupBatch(b, id, root, threshold = 0.3))
+        assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+          s"micro-batch $id left persisted blocks")
+      }
+    // the loop still deduped across batches while staying clean
+    val dec = spark.read.parquet(s"$root/decisions")
+    assert(dec.where(col("status") === "dup_of_index").count() > 0)
+  }
+
   test("connected components: 200-vertex chain converges within 20 rounds") {
     // one-hop propagation would need ~199 rounds; pointer jumping is O(log d)
     val n = 200
