@@ -54,6 +54,9 @@ object PlanDump {
     "ann_pq" -> "PQ ANN with ADC scoring: the code-only index decodes ONCE per candidate below the broadcast query join (decode inline in the cosine would rebuild it |Q| times), the coarse pass is the broadcast brute scan over reconstructions (right at small |Q|; the IVF cell probe hosts the same codes at corpus scale), and floats are touched only for the per-query shortlist via equi-join — the two-stage skeleton shared with the SQ8 ladder.",
     "bpe_pairs" -> "BPE pair statistics: the corpus appears in exactly one explode + hash aggregation (the word-frequency pass); the char split and adjacent-pair explode then run over the VOCABULARY-sized relation, and the final rank is a window over the alphabet²-sized pair aggregate — corpus bytes never reach the window. The shape every tokenizer-training iteration reuses.",
     "bpe_merges" -> "BPE merge training: the corpus-scale work is the same single word-count aggregation; the merge loop consumes the deterministic frequency-truncated dict (a bounded driver artifact, the published trainer shape — HF tokenizers/SentencePiece train exactly this way) so each of the 32 iterations costs microseconds, not a job. The fully-distributed Bpe.train twin (one pair-count agg + LIMIT-1 argmax + one fold pass per iteration, localCheckpoint-truncated) is the unbounded-vocabulary fallback, pinned equal in BpeSpec.",
+    "repeated_ngram_trim" -> "ExactSubstr dedup at token grain as shuffle algebra: positional 10-grams hash map-side to 8 bytes and ONE hash aggregation nominates duplicated gram hashes; the nominated positions rejoin their docs (suspect docs ship their token array once), rebuild the gram STRINGS, and a string-keyed window count confirms exact duplication — the collision-proofing pass whose exchange is O(suspect positions), not O(corpus grams). Confirmed starts collect per doc (bounded by the doc's own length), fuse into maximal disjoint spans via one array aggregate, and the kept text rebuilds from the spans' complement intervals — O(tokens + spans) per row, linear even on a wall-to-wall self-repeat doc. No pairwise document comparison anywhere; text crosses an exchange only for the suspect subset.",
+    "contamination_bloom_verified" -> "The 100 TB decontamination composition: the corpus-side Bloom probe (see contamination_bloom — map-only, no join) NOMINATES suspect test docs, then the exact 8-gram equi-join runs ONLY over the suspects — the filter has no false negatives, so the composition is provably bit-identical to the full equi-join (LlmSpec pins equality at fpp 0.2) while the verify exchange carries suspect grams instead of the corpus gram stream. The plan shows both stages: the probe's gram-explode -> bloom_might_contain -> per-doc aggregate, and the bounded equi-join above it.",
+    "corpus_pipeline_v4" -> "The eight-stage capstone = v3's shape with the ExactSubstr stage inserted where the published pipelines run it (between exact and fuzzy dedup): the per-doc prefix (normalize → Gopher → decontaminate → span-dedup) materializes at the first stage boundary, the corpus-wide repeated-10-gram trim runs over the survivors and materializes at the second (its output fans out to the iterating clustering loop, the selection LM, and the final join), and the near-dup clustering / DSIR-selection / shard-shuffle suffix consumes the TRIMMED text. Two stage writes, exactly the checkpoints a lake pipeline performs anyway; the dumped plan therefore starts from the second checkpointed scan.",
     "neardup_incremental" -> "Incremental near-dup dedup against the accumulated index: batch signatures and band buckets are map-side codegen projections; the index contributes its k-long signature relation (buckets re-derived map-side — co-located once the lake stores the bucket relation bucketed on (band, bucket)) and its shingle-hash arrays, equi-joined only for candidate ids. Candidates come from the (band, bucket) equi-join, verification is exact hash-set Jaccard over 8-byte xxhash64 arrays, and the within-batch stage reuses the banded self-join + active-set components. Per-batch exchange volume is O(batch + candidates); historical TEXT appears nowhere in the plan — the index relations carry hashes only.")
 
   /** Non-contract plans worth auditing: the scale variants and internal

@@ -297,14 +297,40 @@ object Dedup {
     * Spark-first plan (the suffix array is a single-box construct; this is
     * the shuffle-algebra equivalent at fixed gram grain): positional grams
     * hash map-side to 8 bytes; ONE hash aggregation counts gram
-    * occurrences; duplicated-gram starts flow back over an equi-join on
-    * the gram hash and collect per doc (bounded by the doc's own position
-    * count); the trim itself is a per-row interval-union rebuild — no
-    * pairwise document comparison anywhere, exchanges carry hashes and
-    * integer positions, never text. */
+    * occurrences and NOMINATES duplicated gram hashes; the nominated
+    * positions then rebuild their gram STRINGS (suspect docs only) and an
+    * exact string-grain count CONFIRMS them — a 64-bit collision here
+    * would silently DELETE unique text (unlike the count-only inflation
+    * other xxhash64 uses risk), and at ~1e13 positional grams (100 TB)
+    * birthday collisions are expected, so nomination alone is not enough.
+    * The confirm is provably exact: equal strings hash equal, so EVERY
+    * occurrence of a nominated string is in the suspect set and the
+    * restricted count equals the global one. A per-hash distinct-string
+    * census (partial-agg collapsed, so hot boilerplate grams cost one row
+    * per partition, and the exchange is O(distinct suspect grams)) then
+    * splits hashes into collision-free — where the nomination count is
+    * already exact — and genuinely collided, where per-string counts
+    * decide; only collided positions ever compare strings. Confirmed
+    * starts collect
+    * per doc (bounded by the doc's own position count) and fuse into
+    * maximal disjoint spans; the trim rebuilds the kept text from the
+    * spans' COMPLEMENT intervals — O(tokens + spans) per row, linear even
+    * for a wall-to-wall self-repeated document (one fused span) — no
+    * pairwise document comparison anywhere. */
   def repeatedNgramTrim(docs: DataFrame, n: Int = 10, minCount: Int = 2,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    repeatedNgramTrimHashed(docs, n, minCount, idCol, textCol, xxhash64(_))
+
+  /** [[repeatedNgramTrim]] with the NOMINATION hash injectable — test-only
+    * seam: a deliberately weak hash forces hash collisions so the
+    * exact-string confirm's collided branch (unreachable with real
+    * xxhash64 at test scale) executes and provably restores exact
+    * semantics. Production always nominates with xxhash64. */
+  private[graft] def repeatedNgramTrimHashed(
+      docs: DataFrame, n: Int, minCount: Int,
+      idCol: String, textCol: String,
+      gramHash: Column => Column): DataFrame = {
     require(n >= 2, s"repeatedNgramTrim: n must be >= 2, got $n")
     require(minCount >= 2, s"repeatedNgramTrim: minCount must be >= 2")
     val base = docs.select(col(idCol),
@@ -318,38 +344,99 @@ object Dedup {
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("_lw")) - n + 1),
         p => struct(p.as("pos"),
-          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
+          gramHash(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
         .as("_g"))
       .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
     val dup = pos.groupBy(col("_gh"))
       .agg(count(lit(1)).as("_c"))
       .where(col("_c") >= minCount)
       .select(col("_gh"))
-    val starts = pos.join(dup, "_gh")
+    // exact-string confirm over the nominated subset: suspect docs rebuild
+    // their nominated grams from the token array (the doc ships once per
+    // suspect doc, not once per position)
+    val suspectStarts = pos.join(dup, "_gh")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_sp"))
+    val suspectGram = base.select(col(idCol), col("_lw"))
+      .join(suspectStarts, Seq(idCol))
+      .select(col(idCol), col("_lw"), explode(col("_sp")).as("_pos"))
+      .select(col(idCol), col("_pos"),
+        gramHash(concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))))
+          .as("_gh"),
+        concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))).as("_gram"))
+    // distinct-string census per nominated hash: the partial aggregation
+    // collapses a mega-repeated boilerplate gram map-side, so the
+    // exchange is O(distinct suspect grams), never per-occurrence (a
+    // string-keyed window here would put every occurrence of a hot gram
+    // in one partition)
+    val byGram = suspectGram.groupBy(col("_gh"), col("_gram"))
+      .agg(count(lit(1)).as("_c"))
+    val perHash = byGram.groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_nstr"))
+    // a hash with ONE distinct string among suspects is collision-free:
+    // the suspect set holds EVERY occurrence of that hash, so the
+    // nomination count (>= minCount by construction) IS that string's
+    // exact corpus count. Only genuinely collided hashes (expected ~zero;
+    // the 1e13-gram birthday case) fall through to per-string counts,
+    // and only their positions ever compare strings.
+    val cleanHashes = perHash.where(col("_nstr") === 1).select(col("_gh"))
+    val collidedConfirmed = byGram
+      .join(perHash.where(col("_nstr") > 1).select(col("_gh")), "_gh")
+      .where(col("_c") >= minCount)
+      .select(col("_gh"), col("_gram"))
+    val confirmed = suspectGram
+      .join(cleanHashes, Seq("_gh"), "left_semi")
+      .unionByName(suspectGram
+        .join(collidedConfirmed, Seq("_gh", "_gram"), "left_semi"))
+    val starts = confirmed
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
     val joined = base.join(starts, Seq(idCol), "left")
       .withColumn("_starts",
         coalesce(col("_starts"), array().cast("array<int>")))
-    // consecutive sorted starts more than n apart open a new removed span;
-    // zip_with pads the shorter tail slice with null, which the filter
-    // drops — exactly the "no successor" case
-    val gaps = zip_with(
-      slice(col("_starts"), lit(2), greatest(size(col("_starts")) - 1, lit(0))),
-      col("_starts"), (a, b) => a - b > n)
-    joined
       .withColumn("n_tokens", size(col("_w")))
-      .withColumn("_kept", filter(
-        transform(col("_w"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
-        s => !exists(col("_starts"),
-          st => s("p") >= st && s("p") < st + n)))
+    // fuse the sorted starts into maximal disjoint removed spans [s, e]:
+    // a start within n of its predecessor extends the open span (its gram
+    // overlaps or abuts the previous one), otherwise it opens a new span.
+    // Starts are strictly increasing, so an extending start always moves
+    // the span end forward to st + n - 1.
+    val spans = aggregate(
+      col("_starts"),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, st) => when(
+          size(acc) === 0 || st > element_at(acc, -1)("e") + 1,
+          concat(acc, array(struct(st.as("s"), (st + n - 1).as("e")))))
+        .otherwise(concat(
+          slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("s").as("s"),
+            (st + n - 1).as("e"))))))
+    // the kept tokens are the COMPLEMENT intervals of the removed spans
+    // over [1, n_tokens]: one pass over the (few) spans builds them, one
+    // flatten of slices rebuilds the surviving tokens — O(tokens + spans)
+    // per row, with no per-token membership test
+    val keptIvs = aggregate(
+      col("_spans"),
+      struct(lit(1).as("cur"),
+        array().cast("array<struct<s:int,e:int>>").as("ivs")),
+      (acc, sp) => struct(
+        (sp("e") + 1).as("cur"),
+        when(sp("s") > acc("cur"),
+          concat(acc("ivs"),
+            array(struct(acc("cur").as("s"), (sp("s") - 1).as("e")))))
+          .otherwise(acc("ivs")).as("ivs")),
+      acc => when(acc("cur") <= col("n_tokens"),
+        concat(acc("ivs"),
+          array(struct(acc("cur").as("s"), col("n_tokens").as("e")))))
+        .otherwise(acc("ivs")))
+    joined
+      .withColumn("_spans", spans)
+      .withColumn("_keptw", flatten(transform(keptIvs,
+        iv => slice(col("_w"), iv("s"), iv("e") - iv("s") + 1))))
       .select(col(idCol), col("n_tokens"),
-        when(size(col("_starts")) === 0, lit(0))
-          .otherwise(lit(1) + size(filter(gaps, g => g)))
-          .cast("int").as("n_spans_removed"),
-        (col("n_tokens") - size(col("_kept"))).cast("int")
+        size(col("_spans")).cast("int").as("n_spans_removed"),
+        (col("n_tokens") - size(col("_keptw"))).cast("int")
           .as("n_removed_tokens"),
-        concat_ws(" ", transform(col("_kept"), s => s("t"))).as("kept_text"))
+        concat_ws(" ", col("_keptw")).as("kept_text"))
   }
 
   /** Dedup-rate threshold curve — the "measure before you choose τ" sweep

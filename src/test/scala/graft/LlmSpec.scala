@@ -1101,6 +1101,45 @@ class LlmSpec extends SparkTestBase {
     assert(r(6) == ((7L, 6, 1, 6, "")))
   }
 
+  test("repeated ngram trim: adversarial wall-to-wall self-repeat doc " +
+      "fuses to ONE span (linear rebuild, not per-token × per-start)") {
+    // 10k tokens of period-7 repetition: every 10-gram repeats, so the
+    // duplicated-start set is ≈ the token count — the shape that made the
+    // per-token exists() scan quadratic. Spans must fuse to 1 and the doc
+    // must trim fully; an organic doc alongside survives intact.
+    val repeated = (0 until 10000).map(i => s"w${i % 7}").mkString(" ")
+    val organic = (0 until 500).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, repeated), (2L, organic)).toDF("doc_id", "text")
+    val r = Dedup.repeatedNgramTrim(d, n = 10, minCount = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 10000 && r(0).getInt(2) == 1 &&
+      r(0).getInt(3) == 10000 && r(0).getString(4) == "")
+    assert(r(1).getInt(1) == 500 && r(1).getInt(2) == 0 &&
+      r(1).getInt(3) == 0 && r(1).getString(4) == organic)
+  }
+
+  test("repeated ngram trim: exact-string confirm survives forced hash " +
+      "collisions — a unique doc is never mutilated by a colliding gram") {
+    // weak 1-bucket nomination hash: EVERY gram collides with every other,
+    // so nomination alone would trim all docs to nothing; the exact-string
+    // confirm must restore precisely the xxhash64-path answer
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),      // true dup pair
+      (3L, "unique tokens only here now friend"),    // must survive intact
+      (4L, "m n o p q r s t")                        // must survive intact
+    ).toDF("doc_id", "text")
+    val weak = Dedup.repeatedNgramTrimHashed(d, 3, 2, "doc_id", "text",
+      g => lit(0L) + length(g) * 0L) // constant hash: total collision
+    val real = Dedup.repeatedNgramTrim(d, n = 3, minCount = 2)
+    assert(weak.exceptAll(real).count() == 0 &&
+      real.exceptAll(weak).count() == 0,
+      "collided nomination must not change the exact answer")
+    val kept = weak.orderBy("doc_id").collect()
+    assert(kept(2).getString(4) == "unique tokens only here now friend")
+    assert(kept(3).getString(4) == "m n o p q r s t")
+    assert(kept(0).getString(4) == "" && kept(1).getString(4) == "")
+  }
+
   test("bloom-verified decontamination: bit-identical to the exact join " +
       "even under a false-positive-heavy filter") {
     val benchmark = docs.where(col("doc_id") % 10 === 0)
