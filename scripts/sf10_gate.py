@@ -16,10 +16,14 @@ from pathlib import Path
 from sf1_gate import REPO, run_gate
 
 # The heaviest oracle-backed keys by BENCH_LOCAL medians: composed
-# curation capstones, near-dup clustering, the chained MTF as-of
-# composition, and the recursive dual-engine backtest.
+# curation capstones (v4 adds the repeated-gram trim stage), near-dup
+# clustering, the chained MTF as-of composition, the recursive
+# dual-engine backtest, and the ExactSubstr-style trim on its own (the
+# growing-corpus production scrub whose duplicated-start mass scales
+# with the seeded near-dup replicas).
 HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
-         "span_dedup", "mtf_join", "backtest_dual_engine"}
+         "corpus_pipeline_v4", "span_dedup", "mtf_join",
+         "backtest_dual_engine", "repeated_ngram_trim"}
 
 
 def main() -> int:

@@ -309,6 +309,57 @@ object ScaleProbe {
             regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
         graft.llm.Dedup.contaminationBloom(corpus, benchmark, n = 8).count()
       },
+      // bloom-VERIFIED exact decontamination vs the plain equi-join, both
+      // in the production orientation (small benchmark = gram side, big
+      // corpus = scored side): the claim under test is that the verify
+      // join's corpus-side exchange carries only SUSPECT docs' grams, so
+      // verified ≈ bloom + a benchmark-sized join, not a corpus-sized one
+      time("contamination_join_full") {
+        val nd = math.max(n / 16, 1000L)
+        val corpus = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        val benchmark = corpus.where(col("doc_id") % 16 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Dedup.contaminationNgram(benchmark, corpus, n = 8).count()
+      },
+      time("contamination_bloom_verified") {
+        val nd = math.max(n / 16, 1000L)
+        val corpus = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 4)))): _*).as("text"))
+        val benchmark = corpus.where(col("doc_id") % 16 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+        graft.llm.Dedup.contaminationBloomVerified(corpus, benchmark, n = 8)
+          .count()
+      },
+      // repeated-gram trim at corpus scale: nd docs × 16 unique hash-words,
+      // every 4th doc sharing a 12-token boilerplate tail — the duplicated
+      // mass is HOT (3 pure-boilerplate 10-grams × nd/4 occurrences each),
+      // exactly the shape the per-hash census collapses map-side. The agg
+      // consumes kept_text so the complement-interval rebuild cannot be
+      // pruned out of the timed plan.
+      time("repeated_ngram_trim") {
+        val nd = math.max(n / 16, 1000L)
+        val docsDf = spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 8)))): _*).as("text"))
+          .withColumn("text", when(col("doc_id") % 4 === 0,
+            concat(col("text"),
+              lit(" b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11")))
+            .otherwise(col("text")))
+        val r = graft.llm.Dedup
+          .repeatedNgramTrim(docsDf, n = 10, minCount = 2)
+          .agg(sum(col("n_removed_tokens")).as("rm"),
+            sum(length(col("kept_text"))).as("kl"))
+          .collect()(0)
+        r.getLong(0)
+      },
       time("corpus_pipeline_v2") {
         // the composed curation capstone at corpus scale: normalize ->
         // gopher gate -> 8-gram decontamination vs a 1/16 benchmark ->
