@@ -1891,6 +1891,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #26e — INCREMENTAL repeated n-gram trim: the same seeded corpus
+    // split 2:1 into history and batch; the batch trims against the
+    // history's gram-count index PLUS its own repetition — identical to
+    // the full pass restricted to batch rows (the oracle IS the full-pass
+    // SQL with the batch filter), while history contributes only its
+    // (gram, count) relation, never text.
+    "trim_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val boiler = " please subscribe to our newsletter for daily updates" +
+        " and exclusive offers available today"
+      val seeded = d.withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(boiler)))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      val hist = seeded.where(col("doc_id") % 3 =!= 0)
+      val batch = seeded.where(col("doc_id") % 3 === 0)
+      Dedup.repeatedNgramTrimIncremental(batch,
+          Dedup.buildGramIndex(hist, n = 10), n = 10, minCount = 2)
+        .orderBy("doc_id")
+    }),
+
     // §2 #54 — DSIR importance weights: every document scored by
     // log(p_target/p_raw) under smoothed unigram LMs, the target
     // distribution estimated from the src0/src1 subset (the stand-in
@@ -4177,6 +4199,50 @@ object SparkEntry {
         |       coalesce(array_to_string(
         |         list_transform(kept, s -> s['tok']), ' '), '') AS kept_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // incremental ≡ full pass restricted to the batch rows — the oracle
+    // IS the full-pass computation with the batch filter at the end
+    "trim_incremental" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text ||
+        |                ' please subscribe to our newsletter for daily' ||
+        |                ' updates and exclusive offers available today'
+        |              WHEN doc_id % 5 = 2 THEN text || ' ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |         string_split_regex(lower(text), '\s+') AS lw
+        |  FROM t0),
+        |p AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(lw) - 9),
+        |      i -> {'pos': i + 1,
+        |            'gram': array_to_string(lw[i+1:i+10], ' ')})) AS s
+        |    FROM t WHERE len(lw) >= 10)),
+        |dup AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |       FROM p JOIN dup USING (gram) GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, w,
+        |        coalesce(st.starts, CAST([] AS BIGINT[])) AS starts
+        |      FROM t LEFT JOIN st ON t.doc_id = st.doc_id),
+        |k AS (SELECT doc_id, len(w) AS n_tokens, starts,
+        |        list_filter(list_transform(range(len(w)),
+        |            q -> {'p': q + 1, 'tok': w[CAST(q + 1 AS INTEGER)]}),
+        |          s -> len(list_filter(starts,
+        |            z -> s['p'] >= z AND s['p'] < z + 10)) = 0) AS kept
+        |      FROM j)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(CASE WHEN len(starts) = 0 THEN 0
+        |            ELSE 1 + len(list_filter(range(len(starts) - 1),
+        |              i -> starts[CAST(i + 2 AS INTEGER)]
+        |                   - starts[CAST(i + 1 AS INTEGER)] > 10))
+        |            END AS INTEGER) AS n_spans_removed,
+        |       CAST(n_tokens - len(kept) AS INTEGER) AS n_removed_tokens,
+        |       coalesce(array_to_string(
+        |         list_transform(kept, s -> s['tok']), ' '), '') AS kept_text
+        |FROM k WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
       """WITH train AS (

@@ -391,6 +391,17 @@ object Dedup {
     val starts = confirmed
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    trimAssemble(base, starts, n, idCol)
+  }
+
+  /** The per-row assembly tail shared by [[repeatedNgramTrim]] and
+    * [[repeatedNgramTrimIncremental]]: given the tokenized docs
+    * (idCol, _w, _lw) and the confirmed duplicated-gram starts per doc
+    * (idCol, _starts sorted ascending), fuse starts into maximal disjoint
+    * removed spans and rebuild the kept text from the spans' COMPLEMENT
+    * intervals — O(tokens + spans) per row. */
+  private def trimAssemble(base: DataFrame, starts: DataFrame, n: Int,
+                           idCol: String): DataFrame = {
     val joined = base.join(starts, Seq(idCol), "left")
       .withColumn("_starts",
         coalesce(col("_starts"), array().cast("array<int>")))
@@ -437,6 +448,111 @@ object Dedup {
         (col("n_tokens") - size(col("_keptw"))).cast("int")
           .as("n_removed_tokens"),
         concat_ws(" ", col("_keptw")).as("kept_text"))
+  }
+
+  /** Positional-gram count index for [[repeatedNgramTrimIncremental]]:
+    * one row per distinct case-folded n-gram of the corpus —
+    * (gram_hash, gram, n_occurrences). The gram STRING rides along so the
+    * incremental confirm stays exact across batches (hash-only history
+    * would reintroduce the collision-deletes-text mode the batch path's
+    * census closes); at ~60 bytes/gram the index is a fraction of corpus
+    * bytes and it is the ONLY history the incremental trim ever reads —
+    * historical document text never ships again. In the lake this
+    * relation is stored bucketed on gram_hash so each batch's count merge
+    * and append co-locate. Appending a batch = unionByName with the
+    * batch's own buildGramIndex and re-aggregating (sum n_occurrences per
+    * (gram_hash, gram)) — or writing the batch counts alongside and
+    * letting readers sum, the decisions-log pattern. */
+  def buildGramIndex(docs: DataFrame, n: Int = 10,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"buildGramIndex: n must be >= 2, got $n")
+    docs.select(TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+      .where(size(col("_lw")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => concat_ws(" ", slice(col("_lw"), p, lit(n))))).as("gram"))
+      .groupBy(xxhash64(col("gram")).as("gram_hash"), col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Incremental repeated n-gram trim — the growing-corpus production
+    * shape of [[repeatedNgramTrim]], sibling of [[exactIncremental]] /
+    * [[MinHashLsh.nearDupIncremental]]: each new batch trims against the
+    * accumulated gram-count index ([[buildGramIndex]]) PLUS its own
+    * within-batch repetition, so a batch token is removed iff its
+    * covering gram occurs >= minCount times across history ∪ batch —
+    * exactly the full-pass answer restricted to the batch's rows (pinned
+    * by LlmSpec). Like every incremental dedup here the decisions are
+    * per-batch-final: earlier batches' already-emitted text is not
+    * revisited when later batches repeat it.
+    *
+    * Scale posture: per-batch cost is O(batch tokens) map-side work plus
+    * ONE batch-gram census exchange (partial-agg collapsed — hot
+    * boilerplate costs one row per partition) and one (gram_hash, gram)
+    * equi-join against the index, co-located when the lake stores the
+    * index bucketed; history contributes counts only — no historical
+    * text, no O(corpus) scan beyond the index relation itself. The
+    * string-grain merge keeps the exactness guarantee of the batch
+    * path's census: a hash collision (index gram vs an organic batch
+    * gram) cannot delete unique text because the final confirm matches
+    * on the STRING. */
+  def repeatedNgramTrimIncremental(batch: DataFrame, gramIndex: DataFrame,
+                                   n: Int = 10, minCount: Int = 2,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"repeatedNgramTrimIncremental: n must be >= 2, got $n")
+    require(minCount >= 2, "repeatedNgramTrimIncremental: minCount >= 2")
+    val base = batch.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_w"),
+      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+    // hash-only positional stream (the per-occurrence relation stays
+    // 8-byte-keyed, as in the batch path) ...
+    val pos = base
+      .where(size(col("_lw")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => struct(p.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
+        .as("_g"))
+      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    // ... while the string-grain census is batch-DISTINCT-gram sized
+    val bCensus = base
+      .where(size(col("_lw")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => concat_ws(" ", slice(col("_lw"), p, lit(n))))).as("_gram"))
+      .groupBy(xxhash64(col("_gram")).as("_gh"), col("_gram"))
+      .agg(count(lit(1)).as("_cb"))
+    // merge with the index at STRING grain (sum-aggregated so an
+    // append-only index with multiple rows per gram stays correct), then
+    // the exact duplicated-gram set is a plain threshold on the total
+    val dupStr = bCensus.join(
+        gramIndex.groupBy(col("gram_hash").as("_gh"),
+            col("gram").as("_gram"))
+          .agg(sum(col("n_occurrences")).as("_ci")),
+        Seq("_gh", "_gram"), "left")
+      .where(col("_cb") + coalesce(col("_ci"), lit(0L)) >= minCount)
+      .select(col("_gh"), col("_gram"))
+    // nominate positions by hash (superset under collision), rebuild the
+    // suspect docs' gram strings once, and confirm on the string pair —
+    // identical collision discipline to the batch path
+    val suspectStarts = pos
+      .join(dupStr.select(col("_gh")).distinct(), "_gh")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_sp"))
+    val confirmed = base.select(col(idCol), col("_lw"))
+      .join(suspectStarts, Seq(idCol))
+      .select(col(idCol), col("_lw"), explode(col("_sp")).as("_pos"))
+      .select(col(idCol), col("_pos"),
+        xxhash64(concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))))
+          .as("_gh"),
+        concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))).as("_gram"))
+      .join(dupStr, Seq("_gh", "_gram"), "left_semi")
+    val starts = confirmed
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    trimAssemble(base, starts, n, idCol)
   }
 
   /** Dedup-rate threshold curve — the "measure before you choose τ" sweep

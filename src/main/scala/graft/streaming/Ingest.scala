@@ -277,6 +277,76 @@ object Ingest {
     true
   }
 
+  /** Streaming incremental repeated-gram TRIM — the production loop
+    * around [[graft.llm.Dedup.repeatedNgramTrimIncremental]], completing
+    * the batch+streaming pairing the exact and near-dup incremental
+    * shapes already have: each micro-batch trims against the accumulated
+    * gram-count index at `indexRoot/gram_index`, writes its trimmed rows
+    * to `indexRoot/trimmed`, and appends its OWN gram counts
+    * ([[graft.llm.Dedup.buildGramIndex]]) back to the index so later
+    * batches see this batch's repetition. `foreachBatch` because the
+    * index is cross-batch state (same reasoning as [[nearDupWriter]]).
+    *
+    * Delivery: committed batch ids are skipped outright. The crash window
+    * (index appended, marker missing) is handled by tagging index rows
+    * with their batch_id and having the trim EXCLUDE the current batch's
+    * own rows when reading the index — a replay therefore recomputes
+    * against exactly the pre-crash index view and emits byte-identical
+    * trimmed rows (no double-counting of the batch's own grams, which
+    * would otherwise trim unique text on replay); the index append is
+    * also idempotent under keep-one-per-(gram, batch_id) compaction, and
+    * duplicate identical trimmed rows distinct away (StreamingSpec pins
+    * both). */
+  def repeatedTrimWriter(docs: DataFrame, indexRoot: String, n: Int = 10,
+                         minCount: Int = 2, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        repeatedTrimBatch(batch.toDF(), batchId, indexRoot, n, minCount,
+          idCol, textCol, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[repeatedTrimWriter]]: trim against
+    * the index (minus any of this batch's own replayed rows) → write
+    * trimmed rows → append this batch's gram counts → commit marker.
+    * Returns false (and writes nothing) when the batch id is already
+    * committed. */
+  def repeatedTrimBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                        n: Int = 10, minCount: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        commitId: String = "stream"): Boolean = {
+    import graft.llm.Dedup
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "gram_index")
+    val index =
+      if (fs.exists(indexPath))
+        spark.read.parquet(indexPath.toString)
+          .where(col("batch_id") =!= batchId) // replay: drop own residue
+          .drop("batch_id")
+      else Dedup.buildGramIndex(batch.limit(0), n, idCol, textCol)
+    // the trimmed write is the ONLY consumer of the old-index plan and it
+    // executes before the index append mutates the directory, so no
+    // checkpoint pin is needed — the batch stays block-manager-clean
+    Dedup.repeatedNgramTrimIncremental(batch, index, n, minCount, idCol,
+        textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "trimmed").toString)
+    Dedup.buildGramIndex(batch, n, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(indexPath.toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    true
+  }
+
   /** Streaming serving of the relation-model DSIR scorer
     * ([[graft.llm.Selection.scoreWithRelation]]): train the model on
     * yesterday's lake ([[graft.llm.Selection.exportModelRelation]]), score

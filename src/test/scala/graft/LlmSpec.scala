@@ -1140,6 +1140,50 @@ class LlmSpec extends SparkTestBase {
     assert(kept(0).getString(4) == "" && kept(1).getString(4) == "")
   }
 
+  test("incremental repeated ngram trim ≡ full pass restricted to the " +
+      "batch; history contributes counts only") {
+    // hand case: a cross-history dup, a within-batch self-repeat, an
+    // organic doc — n=3, minCount=2
+    val hist = Seq(
+      (1L, "h1 h2 h3 a b c h4 h5"),
+      (2L, "g1 g2 a b c g3 g4 g5")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x1 x2 x3 a b c x4 x5"), // "a b c" count 3 across hist+batch
+      (11L, "p q r s p q r s p q r"), // within-batch-doc repeats
+      (12L, "u1 u2 u3 u4 u5 u6")      // organic, untouched
+    ).toDF("doc_id", "text")
+    val inc = Dedup.repeatedNgramTrimIncremental(batch,
+      Dedup.buildGramIndex(hist, n = 3), n = 3, minCount = 2)
+    val full = Dedup.repeatedNgramTrim(hist.unionByName(batch),
+        n = 3, minCount = 2)
+      .where(col("doc_id") >= 10L)
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "incremental must equal the full pass on the batch rows")
+    val byId = inc.orderBy("doc_id").collect()
+    assert(byId(0).getString(4) == "x1 x2 x3 x4 x5")
+    assert(byId(2).getString(4) == "u1 u2 u3 u4 u5 u6")
+    // corpus-scale equivalence on the seeded documents table (the
+    // contract key's construction): 2:1 history/batch split at n=10
+    val boiler = " please subscribe to our newsletter for daily updates" +
+      " and exclusive offers available today"
+    val seeded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(boiler)))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+    val h2 = seeded.where(col("doc_id") % 3 =!= 0)
+    val b2 = seeded.where(col("doc_id") % 3 === 0)
+    val inc2 = Dedup.repeatedNgramTrimIncremental(b2,
+      Dedup.buildGramIndex(h2, n = 10), n = 10, minCount = 2)
+    val full2 = Dedup.repeatedNgramTrim(seeded, n = 10, minCount = 2)
+      .where(col("doc_id") % 3 === 0)
+    assert(inc2.exceptAll(full2).count() == 0 &&
+      full2.exceptAll(inc2).count() == 0)
+  }
+
   test("bloom-verified decontamination: bit-identical to the exact join " +
       "even under a false-positive-heavy filter") {
     val benchmark = docs.where(col("doc_id") % 10 === 0)
