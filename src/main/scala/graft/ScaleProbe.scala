@@ -538,6 +538,46 @@ object ScaleProbe {
         r
       }
       Seq(run("neardup_incr_ix1", nd), run("neardup_incr_ix2", nd * 2))
+    } ++ {
+      // incremental repeated-gram trim: FIXED batch vs a pre-built gram
+      // index at 1x and 2x corpus size — the claim: per-batch cost must
+      // not track corpus age, because only MATCHED index grams cross the
+      // merge exchange (build-probe semi filter) and history text appears
+      // nowhere. Half the batch duplicates indexed docs verbatim (their
+      // grams hit the index at combined count 2 -> full trim), half is
+      // fresh and must survive intact.
+      val nd = math.max(n / 16, 1000L)
+      val batchSize = math.max(nd / 8, 500L)
+      def corpusDocs(m: Long) = spark.range(m).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 16).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+            lit(m * 8)))): _*).as("text"))
+      def trimBatch(m: Long) = {
+        val copies = corpusDocs(m).where(col("doc_id") < batchSize / 2)
+          .select((col("doc_id") + m * 10).as("doc_id"), col("text"))
+        val fresh = spark.range(batchSize / 2)
+          .select((col("id") + m * 20).as("doc_id"),
+            concat_ws(" ", (0 until 16).map(i =>
+              concat(lit("f"), pmod(xxhash64(col("id"), lit(100 + i)),
+                lit(m * 8)))): _*).as("text"))
+        copies.unionByName(fresh)
+      }
+      def runTrim(name: String, m: Long): (String, Double) = {
+        if (only.nonEmpty && !only(name)) return name -> -1.0
+        val ix = graft.llm.Dedup.buildGramIndex(corpusDocs(m), n = 10).cache()
+        ix.count()
+        val r = time(name) {
+          graft.llm.Dedup
+            .repeatedNgramTrimIncremental(trimBatch(m), ix, n = 10,
+              minCount = 2)
+            .agg(sum(col("n_removed_tokens")).as("rm"),
+              sum(length(col("kept_text"))).as("kl"))
+            .collect()(0).getLong(0)
+        }
+        ix.unpersist(blocking = true)
+        r
+      }
+      Seq(runTrim("trim_incr_ix1", nd), runTrim("trim_incr_ix2", nd * 2))
     } ++ Seq(
       // BPE training at corpus scale: nd docs x 12 hash-words. The claim:
       // the corpus appears ONLY in the word-count pass; the 32 merge

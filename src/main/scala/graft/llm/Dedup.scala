@@ -524,12 +524,19 @@ object Dedup {
         p => concat_ws(" ", slice(col("_lw"), p, lit(n))))).as("_gram"))
       .groupBy(xxhash64(col("_gram")).as("_gh"), col("_gram"))
       .agg(count(lit(1)).as("_cb"))
-    // merge with the index at STRING grain (sum-aggregated so an
-    // append-only index with multiple rows per gram stays correct), then
-    // the exact duplicated-gram set is a plain threshold on the total
+    // merge with the index at STRING grain: the index side is first
+    // SEMI-FILTERED by the batch's gram hashes (AQE broadcasts the
+    // batch-hash side when it is small — the build-probe shape), so the
+    // merge aggregation and join exchange carry only MATCHED index grams,
+    // not the corpus-distinct-gram relation; sum-aggregated after the
+    // filter so an append-only index with multiple rows per gram stays
+    // correct. The exact duplicated-gram set is then a plain threshold on
+    // the combined total.
     val dupStr = bCensus.join(
-        gramIndex.groupBy(col("gram_hash").as("_gh"),
-            col("gram").as("_gram"))
+        gramIndex
+          .join(bCensus.select(col("_gh").as("gram_hash")).distinct(),
+            Seq("gram_hash"), "left_semi")
+          .groupBy(col("gram_hash").as("_gh"), col("gram").as("_gram"))
           .agg(sum(col("n_occurrences")).as("_ci")),
         Seq("_gh", "_gram"), "left")
       .where(col("_cb") + coalesce(col("_ci"), lit(0L)) >= minCount)
