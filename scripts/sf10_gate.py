@@ -18,12 +18,15 @@ from sf1_gate import REPO, run_gate
 # The heaviest oracle-backed keys by BENCH_LOCAL medians: composed
 # curation capstones (v4 adds the repeated-gram trim stage), near-dup
 # clustering, the chained MTF as-of composition, the recursive
-# dual-engine backtest, and the ExactSubstr-style trim on its own (the
+# dual-engine backtest, the ExactSubstr-style trim on its own (the
 # growing-corpus production scrub whose duplicated-start mass scales
-# with the seeded near-dup replicas).
+# with the seeded near-dup replicas), and one INCREMENTAL growing-corpus
+# key (trim_incremental: batch-vs-index at 100x proves the per-batch
+# cost contract, not just the batch analytics).
 HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          "corpus_pipeline_v4", "span_dedup", "mtf_join",
-         "backtest_dual_engine", "repeated_ngram_trim"}
+         "backtest_dual_engine", "repeated_ngram_trim",
+         "trim_incremental"}
 
 
 def main() -> int:

@@ -2033,6 +2033,57 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // §2 #39e — span-grain decontamination: instead of dropping every
+    // training doc sharing an 8-gram with the eval suite, REMOVE exactly
+    // the matching token spans (trimAssemble's complement-interval
+    // rebuild) and keep the remainder. Benchmark = every 10th doc, so
+    // those docs scrub to empty (full self-overlap) while organic docs
+    // lose only genuinely shared spans; corpus grams never shuffle (the
+    // benchmark (hash, gram) relation broadcasts for both the nomination
+    // and the exact-string confirm).
+    "contamination_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val benchmark = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.contaminationScrub(d, benchmark, n = 8).orderBy("doc_id")
+    }),
+
+    // §2 #26g — cross-source duplicate-overlap matrix: the mixture-design
+    // data card (snapshot-over-snapshot / curated-vs-crawl overlap).
+    // Seeded: every 7th doc's text also appears under the NEXT source id
+    // (mod 20), so adjacent source pairs show real overlap and the rest
+    // pin the zero row.
+    "source_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val copies = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(lit("src"),
+            ((regexp_extract(col("source"), "(\\d+)", 1).cast("int") + 1) % 20)
+              .cast("string")).as("source"),
+          col("text"))
+      Dedup.sourceOverlap(d.unionByName(copies))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // §2 #26g sketch twin — per-source k-slot MinHash signatures in ONE
+    // corpus pass, pairwise slot-agreement estimate over the
+    // |sources|-row frame. No oracle (the estimate is hash-specific);
+    // LlmSpec pins |est − exact| within the 1/sqrt(k) band on the same
+    // seeded frame.
+    "source_overlap_sketch" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val copies = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(lit("src"),
+            ((regexp_extract(col("source"), "(\\d+)", 1).cast("int") + 1) % 20)
+              .cast("string")).as("source"),
+          col("text"))
+      Dedup.sourceOverlapSketch(d.unionByName(copies), k = 128)
+        .orderBy("src_a", "src_b")
+    }),
+
     // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
     // quantiles (the sketch path percentile_approx is pinned to these in
     // StatsSessionSpec).
@@ -4462,6 +4513,75 @@ object SparkEntry {
         |         AS share_frac
         |FROM cg JOIN bg ON bg.g = cg.g
         |GROUP BY cg.doc_id, cg.n_test_ngrams ORDER BY 1""".stripMargin,
+
+    // span-grain decontamination: starts = corpus positions whose exact
+    // 8-gram occurs in the benchmark (every 10th doc); complement-interval
+    // rebuild identical to repeated_ngram_trim's at n=8
+    "contamination_scrub" ->
+      """WITH bw AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(len(w) - 7),
+        |           i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+        |  FROM bw WHERE len(w) >= 8),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |         string_split_regex(lower(text), '\s+') AS lw
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(lw) - 7),
+        |      i -> {'pos': i + 1,
+        |            'gram': array_to_string(lw[i+1:i+8], ' ')})) AS s
+        |    FROM t WHERE len(lw) >= 8)),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |       FROM p JOIN bg USING (gram) GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, w,
+        |        coalesce(st.starts, CAST([] AS BIGINT[])) AS starts
+        |      FROM t LEFT JOIN st ON t.doc_id = st.doc_id),
+        |k AS (SELECT doc_id, len(w) AS n_tokens, starts,
+        |        list_filter(list_transform(range(len(w)),
+        |            q -> {'p': q + 1, 'tok': w[CAST(q + 1 AS INTEGER)]}),
+        |          s -> len(list_filter(starts,
+        |            z -> s['p'] >= z AND s['p'] < z + 8)) = 0) AS kept
+        |      FROM j)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(CASE WHEN len(starts) = 0 THEN 0
+        |            ELSE 1 + len(list_filter(range(len(starts) - 1),
+        |              i -> starts[CAST(i + 2 AS INTEGER)]
+        |                   - starts[CAST(i + 1 AS INTEGER)] > 8))
+        |            END AS INTEGER) AS n_spans_removed,
+        |       CAST(n_tokens - len(kept) AS INTEGER) AS n_removed_tokens,
+        |       coalesce(array_to_string(
+        |         list_transform(kept, s -> s['tok']), ' '), '') AS kept_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // cross-source duplicate-overlap matrix over canonical fingerprints;
+    // the seeded copies mirror the Spark entry's next-source remap
+    "source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(regexp_extract(source, '(\d+)', 1)
+        |           AS INTEGER) + 1) % 20 AS VARCHAR), text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT DISTINCT source AS src,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM d),
+        |s AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1),
+        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+        |              CAST(count(*) AS BIGINT) AS ns
+        |       FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        |       GROUP BY 1, 2)
+        |SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS n_a, sb.n AS n_b,
+        |       CAST(coalesce(sh.ns, 0) AS BIGINT) AS n_shared,
+        |       round(coalesce(sh.ns, 0) * 1.0
+        |         / (sa.n + sb.n - coalesce(sh.ns, 0)), 6) + 0.0 AS jaccard
+        |FROM s sa JOIN s sb ON sa.src < sb.src
+        |LEFT JOIN sh ON sh.src_a = sa.src AND sh.src_b = sb.src
+        |ORDER BY 1, 2""".stripMargin,
 
     "daily_quantiles" ->
       """SELECT event_type AS symbol,

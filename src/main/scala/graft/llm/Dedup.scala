@@ -246,6 +246,75 @@ object Dedup {
     contaminationNgram(benchmark, suspects, n, idCol, textCol)
   }
 
+  /** Span-grain decontamination — the SCRUB alternative to doc-level
+    * removal: instead of dropping every training document that shares an
+    * n-gram with the evaluation suite (which at n=8 can nuke long organic
+    * documents over one quoted sentence), REMOVE exactly the token spans
+    * that match a benchmark n-gram and keep the remainder. A corpus token
+    * position is trimmed iff it is covered by some case-folded n-gram
+    * occurring verbatim in the benchmark; overlapping/adjacent matches
+    * fuse into maximal removed spans (the [[repeatedNgramTrim]] assembly).
+    *
+    * Output: one row per corpus doc — (idCol, n_tokens, n_spans_removed,
+    * n_removed_tokens, kept_text), kept_text preserving original casing.
+    *
+    * Spark-first plan: corpus positional grams reduce map-side to 8-byte
+    * hashes; the benchmark side is SMALL (eval suites are megabytes), so
+    * its distinct (hash, gram) relation broadcasts and the nomination is
+    * a broadcast semi-join — the corpus gram stream never shuffles.
+    * Nominated positions rebuild their gram STRINGS (suspect docs ship
+    * their token array once) and confirm against the broadcast benchmark
+    * grams at string grain — a 64-bit collision would otherwise delete
+    * organic text, the same failure mode [[repeatedNgramTrim]]'s census
+    * closes, but here the benchmark strings are cheap to carry so the
+    * confirm is a direct equi-semi-join on (hash, gram). The only corpus
+    * exchange is the per-suspect-doc start collection, O(matched
+    * positions). At a benchmark too large to broadcast, swap the
+    * nomination side for [[contaminationBloom]]'s filter and keep the
+    * same confirm. */
+  def contaminationScrub(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"contaminationScrub: n must be >= 2, got $n")
+    val base = corpus.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_w"),
+      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+    val pos = base
+      .where(size(col("_lw")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => struct(p.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
+        .as("_g"))
+      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    // exact-length benchmark grams only (a shorter-than-n benchmark doc
+    // can never equal an n-token corpus gram, so it nominates nothing)
+    val benchGrams = benchmark
+      .select(TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+      .where(size(col("_lw")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_lw")) - n + 1),
+        p => concat_ws(" ", slice(col("_lw"), p, lit(n))))).as("_gram"))
+      .distinct()
+      .select(xxhash64(col("_gram")).as("_gh"), col("_gram"))
+    val suspectStarts = pos
+      .join(broadcast(benchGrams.select(col("_gh"))), Seq("_gh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_sp"))
+    val confirmed = base.select(col(idCol), col("_lw"))
+      .join(suspectStarts, Seq(idCol))
+      .select(col(idCol), col("_lw"), explode(col("_sp")).as("_pos"))
+      .select(col(idCol), col("_pos"),
+        xxhash64(concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))))
+          .as("_gh"),
+        concat_ws(" ", slice(col("_lw"), col("_pos"), lit(n))).as("_gram"))
+      .join(broadcast(benchGrams), Seq("_gh", "_gram"), "left_semi")
+    val starts = confirmed
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    trimAssemble(base, starts, n, idCol)
+  }
+
   /** Corpus-common-gram (boilerplate / duplicated-span) profiling — the
     * C4-style "remove spans that repeat across the corpus" stage at word
     * n-gram granularity, and the SELF-corpus dual of
@@ -607,6 +676,95 @@ object Dedup {
       .agg(count(col("id1")).as("n_pairs"),
         countDistinct(col("id2")).as("n_dropped"))
       .orderBy("threshold")
+  }
+
+  /** Cross-source duplicate-overlap matrix — the mixture-design data card
+    * published pipelines compute before weighting sources (e.g. overlap
+    * between CommonCrawl snapshots, or between a curated source and the
+    * web crawl that subsumes it): for every unordered source pair, the
+    * number of distinct canonical-form documents ([[TextAnalysis
+    * .fingerprint]]) present in BOTH, and the Jaccard of the two
+    * fingerprint sets. High overlap means the pair double-counts under
+    * independent per-source sampling weights.
+    *
+    * Spark-first: one fingerprint-keyed aggregation collapses the corpus
+    * to (fingerprint, source-set) — the source set is bounded by
+    * |sources|, so the per-row pair expansion is tiny and map-side — and
+    * the matrix itself is a |sources|²-row frame assembled from broadcast
+    * joins. Document text never crosses an exchange; the single corpus
+    * shuffle carries 16-byte fingerprints. */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val fp = docs
+      .select(col(srcCol).cast("string").as("_src"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col("_fp"))
+      .agg(array_sort(collect_set(col("_src"))).as("_ss"))
+    val sizes = fp.select(explode(col("_ss")).as("_src"))
+      .groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    // unordered pairs from each fingerprint's sorted source set — at most
+    // C(|sources|, 2) structs per fingerprint, built map-side
+    val shared = fp.where(size(col("_ss")) > 1)
+      .select(explode(flatten(transform(col("_ss"), (x, i) =>
+        transform(slice(col("_ss"), i + 2, size(col("_ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sa = sizes.select(col("_src").as("src_a"), col("_n").as("n_a"))
+    val sb = sizes.select(col("_src").as("src_b"), col("_n").as("n_b"))
+    broadcast(sa).join(broadcast(sb), col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+  }
+
+  /** MinHash-sketch twin of [[sourceOverlap]] for the regime where even
+    * the fingerprint-grain aggregation's output is worth avoiding (e.g.
+    * overlap across dozens of 100 TB crawl snapshots, re-estimated per
+    * snapshot): each source folds to a k-slot MinHash signature in ONE
+    * pass (k independent xxhash64 seeds, min per slot — a duplicate
+    * fingerprint cannot move a min, so no distinct is needed), and the
+    * pairwise estimate is the fraction of agreeing slots over the
+    * |sources|-row signature frame. Standard error ~1/sqrt(k); the exact
+    * path stays the oracle-checkable twin (the robust_scale /
+    * dsir_sample_approx pairing). */
+  def sourceOverlapSketch(docs: DataFrame, k: Int = 128,
+                          srcCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"sourceOverlapSketch: k must be >= 1, got $k")
+    val fp = docs.select(col(srcCol).cast("string").as("_src"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    // slot mins via explode + ONE small aggregation rather than k min()
+    // aggregate expressions: the k-wide agg is the same math but its
+    // whole-stage codegen compiles k buffers/expressions (seconds of
+    // Janino for k=128); here the partial agg still collapses each
+    // partition to |sources|·k rows before the exchange
+    val mins = fp
+      .select(col("_src"), explode(transform(
+        sequence(lit(0), lit(k - 1)),
+        j => struct(j.cast("int").as("_j"),
+          xxhash64(col("_fp"), j).as("_h")))).as("_e"))
+      .groupBy(col("_src"), col("_e._j").as("_j"))
+      .agg(min(col("_e._h")).as("_m"))
+    val sig = mins.groupBy(col("_src"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_j"), col("_m")))),
+        x => x.getField("_m")).as("_sig"))
+    val sizes = fp.groupBy(col("_src"))
+      .agg(countDistinct(col("_fp")).as("_n"))
+    val withN = sig.join(broadcast(sizes), "_src")
+    val a = withN.select(col("_src").as("src_a"), col("_n").as("n_a"),
+      col("_sig").as("_sa"))
+    val b = withN.select(col("_src").as("src_b"), col("_n").as("n_b"),
+      col("_sig").as("_sb"))
+    broadcast(a).join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("_sa"), col("_sb"),
+            (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("est_jaccard"))
   }
 
   /** Word n-gram shingles of the case-folded text, distinct — the native

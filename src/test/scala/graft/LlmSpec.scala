@@ -1202,6 +1202,87 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("contamination scrub: hand-computed spans — full match, embedded " +
+      "match, organic, short, case-folded; corpus grams never shuffle") {
+    val benchmark = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),                   // == benchmark: all gone
+      (2L, "x y a b c d e f g h z w"),           // embedded at pos 3
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),    // organic: untouched
+      (4L, "a b c"),                             // shorter than n: untouched
+      (5L, "A B C D E F G H")                    // case-folds to benchmark
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationScrub(corpus, benchmark, n = 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        x.getString(4)))
+    assert(r(0) == ((1L, 8, 1, 8, "")))
+    assert(r(1) == ((2L, 12, 1, 8, "x y z w")))
+    assert(r(2) == ((3L, 10, 0, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    assert(r(3) == ((4L, 3, 0, 0, "a b c")))
+    assert(r(4) == ((5L, 8, 1, 8, "")))
+    // the benchmark side broadcasts: no shuffle of corpus grams, nothing
+    // pairwise
+    val plan = Dedup.contaminationScrub(corpus, benchmark, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("contamination scrub: empty benchmark leaves every doc intact") {
+    val benchmark = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val r = Dedup.contaminationScrub(corpus, benchmark, n = 8).collect()
+    assert(r.length == 1 && r(0).getInt(2) == 0 &&
+      r(0).getString(4) == "a b c d e f g h i j")
+  }
+
+  test("source overlap: hand-computed matrix — within-source duplicates " +
+      "count once, disjoint pairs pin the zero row") {
+    val d = Seq(
+      ("A", "t1 one"), ("A", "t1 one"), ("A", "t2 two"), ("A", "t3 three"),
+      ("A", "t4 four"),
+      ("B", "t3 three"), ("B", "t4 four"), ("B", "t5 five"), ("B", "t6 six"),
+      ("C", "t7 seven")
+    ).toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    val r = Dedup.sourceOverlap(d).orderBy("src_a", "src_b").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))
+    assert(r(0) == (("A", "B", 4L, 4L, 2L, 0.333333)))
+    assert(r(1) == (("A", "C", 4L, 1L, 0L, 0.0)))
+    assert(r(2) == (("B", "C", 4L, 1L, 0L, 0.0)))
+  }
+
+  test("source overlap sketch: slot-agreement estimate tracks the exact " +
+      "Jaccard within the 1/sqrt(k) band on the seeded corpus") {
+    // seed real overlap: every 3rd doc's text also appears under the
+    // next source id, as the contract key does
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val copies = d.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        concat(lit("src"),
+          ((regexp_extract(col("source"), "(\\d+)", 1).cast("int") + 1) % 20)
+            .cast("string")).as("source"),
+        col("text"))
+    val seededSrc = d.unionByName(copies)
+    val exact = Dedup.sourceOverlap(seededSrc)
+      .select(col("src_a"), col("src_b"), col("jaccard"))
+    val est = Dedup.sourceOverlapSketch(seededSrc, k = 128)
+      .select(col("src_a"), col("src_b"), col("est_jaccard"))
+    val joined = exact.join(est, Seq("src_a", "src_b")).collect()
+    assert(joined.nonEmpty)
+    // sizes and pair set must agree exactly; estimates within ~3 se
+    assert(exact.count() == est.count())
+    val maxErr = joined.map(x =>
+      math.abs(x.getDouble(2) - x.getDouble(3))).max
+    assert(maxErr <= 0.27, s"minhash estimate off by $maxErr")
+    // overlapping pairs must estimate clearly above the disjoint ones
+    val overlapping = joined.filter(_.getDouble(2) > 0.1)
+    assert(overlapping.nonEmpty)
+    assert(overlapping.forall(_.getDouble(3) > 0.02))
+  }
+
   test("int8 quantization: hand codes, reconstruction bound, zero vector") {
     val vecs = Seq(
       (1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale 0.01: codes ±127, 64
