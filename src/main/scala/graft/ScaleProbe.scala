@@ -578,7 +578,69 @@ object ScaleProbe {
         r
       }
       Seq(runTrim("trim_incr_ix1", nd), runTrim("trim_incr_ix2", nd * 2))
+    } ++ {
+      // cross-source overlap at corpus scale: nd docs over 20 sources,
+      // every 7th doc's text duplicated into the next source. The claim:
+      // the exact matrix pays ONE fingerprint-grain exchange (O(distinct
+      // docs) 16-byte rows), while the sketch's partial aggregation
+      // collapses each partition to |sources|·k rows before its exchange
+      // — the re-estimate-per-snapshot path when the fingerprint stream
+      // itself is the cost.
+      val nd = math.max(n / 16, 1000L)
+      def srcDocs = {
+        val base = spark.range(nd).select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(20L)).cast("string"))
+            .as("source"),
+          concat_ws(" ", (0 until 16).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+              lit(nd * 8)))): _*).as("text"))
+        val copies = base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + nd * 10).as("doc_id"),
+            concat(lit("src"),
+              pmod(pmod(col("doc_id"), lit(20L)) + 1, lit(20L))
+                .cast("string")).as("source"),
+            col("text"))
+        base.unionByName(copies)
+      }
+      Seq(
+        time("source_overlap_exact") {
+          graft.llm.Dedup.sourceOverlap(srcDocs).count()
+        },
+        time("source_overlap_sketch") {
+          graft.llm.Dedup.sourceOverlapSketch(srcDocs, k = 128).count()
+        })
     } ++ Seq(
+      // span-grain decontamination scrub at corpus scale: benchmark =
+      // nd/256 docs, every 4th corpus doc carries a benchmark doc's
+      // 12-token tail (5 matching 8-gram starts -> one fused 12-token
+      // span). The claim: corpus grams never shuffle (the benchmark
+      // relation broadcasts for nomination AND confirm), so the wall is
+      // the map-side positional-gram pass plus the suspect-only
+      // assembly; the removed-token checksum proves the seeded mass came
+      // out.
+      time("contamination_scrub") {
+        val nd = math.max(n / 16, 1000L)
+        val nb = math.max(nd / 256, 100L)
+        val bench = spark.range(nb).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("b"), pmod(xxhash64(col("id"), lit(500 + i)),
+              lit(nb * 8)))): _*).as("text"))
+        val tail12 = concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("b"), pmod(xxhash64(pmod(col("id"), lit(nb)),
+            lit(500 + i)), lit(nb * 8)))): _*)
+        val corpus = spark.range(nd).select(col("id").as("doc_id"),
+          when(col("id") % 4 === 0,
+            concat_ws(" ",
+              concat_ws(" ", (0 until 16).map(i =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+                  lit(nd * 8)))): _*),
+              tail12))
+            .otherwise(concat_ws(" ", (0 until 16).map(i =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+                lit(nd * 8)))): _*)).as("text"))
+        graft.llm.Dedup.contaminationScrub(corpus, bench, n = 8)
+          .agg(sum(col("n_removed_tokens"))).as[Long].collect()(0)
+      },
       // BPE training at corpus scale: nd docs x 12 hash-words. The claim:
       // the corpus appears ONLY in the word-count pass; the 32 merge
       // iterations run over the bounded frequency dict, so wall time is
