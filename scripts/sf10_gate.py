@@ -30,6 +30,12 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
 
 
 def main() -> int:
+    # cap the oracle engine by default at this scale: an unbounded DuckDB
+    # evaluation of the recursive-CTE capstone oracles at 500K docs draws
+    # the whole 128 GiB box and the OS kills the gate, losing every key's
+    # result (override via GATE_DUCK_MEM)
+    import os
+    os.environ.setdefault("GATE_DUCK_MEM", "60GB")
     args = [a for a in sys.argv[1:]]
     only = {a for a in args if not a.startswith("--")} or HEAVY
     return run_gate(REPO / "target" / "sf10", REPO / "target" / "verify_sf10",
