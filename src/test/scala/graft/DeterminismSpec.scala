@@ -47,7 +47,10 @@ class DeterminismSpec extends SparkTestBase {
       // encode/ADC rank with explicit (score, id) tie-breaks; BPE merges:
       // the argmax pair tie-breaks (count desc, left asc, right asc) and
       // the word-count relation is partitioning-independent
-      "embed_pq", "ann_pq", "bpe_merges")
+      "embed_pq", "ann_pq", "bpe_merges",
+      // round 12: the slot signature is a min over seeded xxhash64 values
+      // — a commutative/associative reduction, partitioning-independent
+      "source_overlap_sketch")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

@@ -224,6 +224,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("contamination scrub: corpus grams never shuffle — broadcast " +
+      "nomination + confirm, one doc-keyed exchange for the starts") {
+    import graft.llm.Dedup
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 10 === 0)
+    val out = Dedup.contaminationScrub(d, bench, n = 8)
+    val p = plan(out)
+    // every hash exchange is either a doc-keyed start collection (bounded
+    // by matched positions) or the benchmark-side gram census — the
+    // corpus positional-gram stream (keyed _gh/_pos) never shuffles: the
+    // nomination and the string confirm both probe BROADCAST relations
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l =>
+      l.contains("doc_id") || l.contains("_gram")), exchanges.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("source overlap: the fingerprint census exchange is reused by all " +
+      "three matrix consumers at runtime") {
+    import graft.llm.Dedup
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val out = Dedup.sourceOverlap(d)
+    out.collect() // drive to the final adaptive plan
+    val p = out.queryExecution.executedPlan.toString
+    // pre-AQE the (fingerprint -> source-set) aggregation subtree feeds
+    // the pair counts and both size relations; at runtime the later
+    // readers must be served from the first's shuffle files, so the
+    // corpus is fingerprint-aggregated once, not three times
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("asof join is union + one window exchange, no range join explosion") {
     import spark.implicits._
     val left = Seq(("A", 5L)).toDF("symbol", "ts")
