@@ -357,6 +357,51 @@ class StreamingSpec extends SparkTestBase {
     assert(noBench.where(col("doc_id") === 3L).count() == 1L)
   }
 
+  test("contamination scrub runs per micro-batch and matches the batch " +
+      "pass (decisions depend only on doc + fixed benchmark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leaked = (1 to 12).map(i => s"leak$i").mkString(" ")
+    val docs = Seq(
+      (1L, "intro words here then " + leaked + " and a clean tail"),
+      (2L, (1 to 20).map(i => s"clean$i").mkString(" ")),
+      (3L, leaked),
+      (4L, (1 to 20).map(i => s"other$i").mkString(" ")))
+    val benchmark = Seq((100L, leaked)).toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("scrub_stream").toString
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.contaminationScrub(df, benchmark, n = 8)
+
+    val input = MemoryStream[(Long, String)]
+    // foreachBatch because the scrub aggregates per doc (start collection)
+    // — but its decisions depend only on the doc and the STATIC benchmark,
+    // so per-batch-final output is identical to the full batch pass
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          stage(b.toDF()).write.mode("append").parquet(outDir)
+          ()
+      }.start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // batch boundaries irrelevant
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir).orderBy("doc_id")
+      .collect().toSeq
+    val batch = stage(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the leaked span is scrubbed wherever it appears; clean docs intact
+    val byId = batch.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(3L).getAs[String]("kept_text") == "")
+    assert(byId(1L).getAs[Int]("n_removed_tokens") == 12)
+    assert(byId(2L).getAs[Int]("n_removed_tokens") == 0)
+  }
+
   test("streaming doc dedup: canonical fingerprint survivors across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
