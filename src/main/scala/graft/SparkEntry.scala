@@ -2084,6 +2084,29 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // §2 #26g3 — INCREMENTAL overlap data card: the same seeded corpus
+    // split 2:1 into history and batch, each folded to a per-source
+    // (MinHash signature, HLL sketch) state, states MERGED (elementwise
+    // slot min + HLL union — both batching-independent), matrix estimated
+    // from the |sources|-row merged state. No oracle (sketch path);
+    // LlmSpec pins merged-state signatures bit-identical to the full
+    // single-pass state and the matrix equal to the full-pass sketch's.
+    "source_overlap_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val copies = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(lit("src"),
+            ((regexp_extract(col("source"), "(\\d+)", 1).cast("int") + 1) % 20)
+              .cast("string")).as("source"),
+          col("text"))
+      val seeded = d.unionByName(copies)
+      val hist = Dedup.sourceOverlapState(seeded.where(col("doc_id") % 3 =!= 0))
+      val batch = Dedup.sourceOverlapState(seeded.where(col("doc_id") % 3 === 0))
+      Dedup.overlapFromState(Dedup.mergeOverlapStates(hist, batch))
+        .orderBy("src_a", "src_b")
+    }),
+
     // §2 #40 — grouped distribution profile: exact per-(symbol, day) value
     // quantiles (the sketch path percentile_approx is pinned to these in
     // StatsSessionSpec).

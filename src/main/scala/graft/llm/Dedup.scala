@@ -729,6 +729,84 @@ object Dedup {
     * |sources|-row signature frame. Standard error ~1/sqrt(k); the exact
     * path stays the oracle-checkable twin (the robust_scale /
     * dsir_sample_approx pairing). */
+  /** Mergeable per-source overlap STATE — the incremental/streaming form
+    * of [[sourceOverlapSketch]]: one row per source holding the k-slot
+    * MinHash signature and a DataSketches HLL sketch of the fingerprint
+    * set. Slot mins merge by elementwise minimum and HLL sketches by
+    * union — both order- and batching-independent — so a growing corpus's
+    * overlap data card refreshes per batch at O(batch) cost: build the
+    * batch's state, [[mergeOverlapStates]] into the stored state,
+    * [[overlapFromState]] over the |sources|-row result. The merged
+    * signature is BIT-IDENTICAL to a full-pass signature (min is
+    * associative and commutative and a duplicate fingerprint cannot move
+    * a min), and HLL union runs the same register-max algebra the
+    * full-pass sketch does, so the refreshed matrix equals the
+    * recompute-from-scratch one without ever rescanning history. */
+  def sourceOverlapState(docs: DataFrame, k: Int = 128,
+                         srcCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"sourceOverlapState: k must be >= 1, got $k")
+    val fp = docs.select(col(srcCol).cast("string").as("_src"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+    val mins = fp
+      .select(col("_src"), explode(transform(
+        sequence(lit(0), lit(k - 1)),
+        j => struct(j.cast("int").as("_j"),
+          xxhash64(col("_fp"), j).as("_h")))).as("_e"))
+      .groupBy(col("_src"), col("_e._j").as("_j"))
+      .agg(min(col("_e._h")).as("_m"))
+    val sig = mins.groupBy(col("_src"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_j"), col("_m")))),
+        x => x.getField("_m")).as("_sig"))
+    val hll = fp.groupBy(col("_src"))
+      .agg(hll_sketch_agg(col("_fp")).as("_hll"))
+    sig.join(hll, "_src")
+  }
+
+  /** Merge overlap state frames (see [[sourceOverlapState]]): elementwise
+    * slot minimum + HLL union per source. A source present in only some
+    * states passes through unchanged — the union handles source sets that
+    * grow over time. Cost is |sources|·k rows per input state, never
+    * corpus-sized. */
+  def mergeOverlapStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeOverlapStates: no states given")
+    val all = states.reduce(_ unionByName _)
+    val sig = all
+      .select(col("_src"), posexplode(col("_sig")).as(Seq("_j", "_m")))
+      .groupBy(col("_src"), col("_j"))
+      .agg(min(col("_m")).as("_mm"))
+      .groupBy(col("_src"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_j"), col("_mm")))),
+        x => x.getField("_mm")).as("_sig"))
+    val hll = all.groupBy(col("_src"))
+      .agg(hll_union_agg(col("_hll")).as("_hll"))
+    sig.join(hll, "_src")
+  }
+
+  /** Overlap matrix from a state frame — pairwise slot agreement over the
+    * |sources|-row state, sizes from the HLL estimate. The whole
+    * computation is broadcast-tiny; rebuilding the card after each batch
+    * costs nothing beyond the batch's own [[sourceOverlapState]] pass. */
+  def overlapFromState(state: DataFrame): DataFrame = {
+    val base = state.select(col("_src"),
+      round(hll_sketch_estimate(col("_hll"))).cast("long").as("_n"),
+      col("_sig"))
+    val k = size(col("_sa"))
+    val a = base.select(col("_src").as("src_a"), col("_n").as("est_n_a"),
+      col("_sig").as("_sa"))
+    val b = base.select(col("_src").as("src_b"), col("_n").as("est_n_b"),
+      col("_sig").as("_sb"))
+    broadcast(a).join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("_sa"), col("_sb"),
+            (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6))
+      .select(col("src_a"), col("src_b"), col("est_n_a"), col("est_n_b"),
+        col("est_jaccard"))
+  }
+
   def sourceOverlapSketch(docs: DataFrame, k: Int = 128,
                           srcCol: String = "source",
                           textCol: String = "text"): DataFrame = {

@@ -49,8 +49,10 @@ class DeterminismSpec extends SparkTestBase {
       // the word-count relation is partitioning-independent
       "embed_pq", "ann_pq", "bpe_merges",
       // round 12: the slot signature is a min over seeded xxhash64 values
-      // — a commutative/associative reduction, partitioning-independent
-      "source_overlap_sketch")
+      // — a commutative/associative reduction, partitioning-independent —
+      // and the HLL registers in the incremental state are per-bucket
+      // maxima, equally order-independent
+      "source_overlap_sketch", "source_overlap_incremental")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

@@ -1253,6 +1253,48 @@ class LlmSpec extends SparkTestBase {
     assert(r(2) == (("B", "C", 4L, 1L, 0L, 0.0)))
   }
 
+  test("source overlap state: merged batch states are bit-identical to " +
+      "the full single-pass state, and the matrix matches the full-pass " +
+      "sketch exactly") {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val full = Dedup.sourceOverlapState(d, k = 64)
+    val merged = Dedup.mergeOverlapStates(
+      Dedup.sourceOverlapState(d.where(col("doc_id") % 3 === 0), k = 64),
+      Dedup.sourceOverlapState(d.where(col("doc_id") % 3 === 1), k = 64),
+      Dedup.sourceOverlapState(d.where(col("doc_id") % 3 === 2), k = 64))
+    // signatures: elementwise min is associative/commutative, so the
+    // merge must reproduce the single-pass slot mins EXACTLY
+    val sigDiff = full.select(col("_src"), col("_sig"))
+      .join(merged.select(col("_src"), col("_sig").as("_sig2")), "_src")
+      .where(col("_sig") =!= col("_sig2"))
+    assert(sigDiff.count() == 0)
+    // the matrix from the merged state equals the matrix from the full
+    // state row for row (HLL union is the same register algebra)
+    val mFull = Dedup.overlapFromState(full)
+    val mMerged = Dedup.overlapFromState(merged)
+    assert(mFull.exceptAll(mMerged).count() == 0 &&
+      mMerged.exceptAll(mFull).count() == 0)
+    // and its estimates agree with the one-shot sketch (identical sigs)
+    val sk = Dedup.sourceOverlapSketch(d, k = 64)
+      .select(col("src_a"), col("src_b"),
+        col("est_jaccard").as("ej_sketch"))
+    val joined = mMerged.join(sk, Seq("src_a", "src_b")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r =>
+      r.getAs[Double]("est_jaccard") == r.getAs[Double]("ej_sketch")))
+    // HLL sizes track the exact per-source distinct counts closely
+    val exact = d.groupBy(col("source").as("src_a"))
+      .agg(countDistinct(
+        graft.llm.TextAnalysis.fingerprint(col("text"))).as("n_exact"))
+    val sizes = mMerged.select(col("src_a"), col("est_n_a")).distinct()
+      .join(exact, "src_a").collect()
+    assert(sizes.nonEmpty)
+    assert(sizes.forall(r => math.abs(
+      r.getAs[Long]("est_n_a") - r.getAs[Long]("n_exact")).toDouble
+        / r.getAs[Long]("n_exact") < 0.05))
+  }
+
   test("source overlap sketch: slot-agreement estimate tracks the exact " +
       "Jaccard within the 1/sqrt(k) band on the seeded corpus") {
     // seed real overlap: every 3rd doc's text also appears under the
