@@ -2,14 +2,48 @@
 """Dev-only harness (mirrors the driver's correctness gate; NOT part of the
 shipped library). Usage:
 
-    python3 scripts/dev_check.py <sfDir> <outDir> [query ...]
+    python3 scripts/dev_check.py <sfDir> <outDir> [--json PATH] [--no-memo]
+                                 [--fast] [query ...]
 
 Reads each <outDir>/<name> parquet dump written by graft.Verify, runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
-sfDir tables, and compares sorted rows/columns."""
+sfDir tables, and compares sorted rows/columns. Keys present in the dump
+but absent from the oracle map are recorded as `no_oracle` rows-only
+entries, so the artifact enumerates the FULL contract surface like the
+driver's CORRECTNESS_r{N}.json does.
+
+Evidence is CRASH-PROOF (round-12 lesson: the whole round's correctness
+artifact came back `{}` because the gate process died once): per-key
+results stream into --json PATH (default <outDir>/correctness_local.json),
+rewritten atomically and flushed after EVERY key, each entry carrying the
+driver's fields (rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) plus per-key `oracle_sec`/`compare_sec` wall-times so a budget blower
+is identifiable from the artifact alone.
+
+DuckDB memory is capped (GATE_DUCK_MEM, default 12GB at dev scale — raise
+for sf1+) so an over-budget recursive-CTE oracle raises a catchable per-key
+error instead of inviting the OOM killer to take down the whole gate.
+
+Shared CTE-prefix MEMOIZATION: the capstone/backtest oracle families
+restate long identical WITH prefixes (corpus_pipeline v2/v3/v4 share 12-13
+CTEs; the backtest/router chain similar). A prefix CTE whose (name, body,
+upstream-chain) appears in >=2 of the queries being run is materialized
+ONCE as a DuckDB temp table and stripped from each query's WITH list.
+Semantically identical: CTEs are pure, remaining references resolve to the
+temp tables, and a CTE shadows a same-named temp table, so a query defining
+its own different `base` is unaffected (verified: no CTE name collides with
+a base table). --no-memo disables it for A/B equivalence checks.
+
+--fast skips keys whose oracle took longer than GATE_FAST_MAX_SEC (default
+5s) in the previous run recorded at --json PATH (marked `skipped_fast`,
+not a failure) — the quick-iteration tier; the full run stays the gate.
+"""
+import hashlib
 import json
-import math
+import os
+import re
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -25,16 +59,20 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> bool:
-    ok = True
-    if list(a.columns) != list(b.columns):
+def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> dict:
+    """Driver-style per-key verdict: rows/schema/hash (value) match flags."""
+    r = {"rows_match": len(a) == len(b),
+         "schema_match": list(a.columns) == list(b.columns),
+         "hash_match": None,
+         "spark_rows": len(a), "oracle_rows": len(b), "err": None}
+    if not r["schema_match"]:
         print(f"[{name}] SCHEMA mismatch: spark={list(a.columns)} oracle={list(b.columns)}")
-        ok = False
-    if len(a) != len(b):
+    if not r["rows_match"]:
         print(f"[{name}] ROWS mismatch: spark={len(a)} oracle={len(b)}")
-        return False
-    if not ok:
-        return False
+    if not (r["rows_match"] and r["schema_match"]):
+        r["hash_match"] = False
+        return r
+    ok = True
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
@@ -51,36 +89,310 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> bool:
             i = bad.idxmax()
             print(f"[{name}] VALUE mismatch col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r} ({int(bad.sum())} rows)")
             ok = False
+    r["hash_match"] = ok
     if ok:
         print(f"[{name}] OK ({len(a)} rows, {len(a.columns)} cols)")
-    return ok
+    return r
+
+
+# ---------------------------------------------------------------- CTE memo
+
+_IDENT = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(")
+
+
+def split_ctes(sql: str):
+    """Parse `WITH [RECURSIVE] n1 AS (...), n2 AS (...) <tail>` into
+    (recursive, [(name, body)...], tail). Returns None when the query has
+    no WITH clause or the scan fails (caller runs the SQL unmodified).
+    The paren balance scan skips ''-escaped string literals."""
+    s = sql.strip()
+    if not s[:4].upper() == "WITH":
+        return None
+    i = 4
+    m = re.match(r"\s*RECURSIVE\b", s[i:], re.I)
+    recursive = bool(m)
+    if m:
+        i += m.end()
+    ctes = []
+    try:
+        while True:
+            m = _IDENT.match(s, i)
+            if not m:
+                return None
+            name, j = m.group(1), m.end()
+            depth, k = 1, j
+            while depth > 0:
+                c = s[k]
+                if c == "'":
+                    k += 1
+                    while True:
+                        if s[k] == "'" and s[k + 1:k + 2] == "'":
+                            k += 2
+                        elif s[k] == "'":
+                            k += 1
+                            break
+                        else:
+                            k += 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                k += 1
+            ctes.append((name, s[j:k - 1]))
+            kk = k
+            while kk < len(s) and s[kk].isspace():
+                kk += 1
+            if kk < len(s) and s[kk] == ",":
+                i = kk + 1
+            else:
+                return (recursive, ctes, s[kk:])
+    except IndexError:
+        return None
+
+
+def _normb(body: str) -> str:
+    return re.sub(r"\s+", " ", body.strip())
+
+
+def _chains(ctes):
+    """Cumulative chain keys: hash of the normalized (name, body) prefix up
+    to and including CTE i — equal keys mean equal temp-table contents."""
+    out, h = [], hashlib.md5()
+    for name, body in ctes:
+        h.update(f"{name}\x00{_normb(body)}\x01".encode())
+        out.append(h.hexdigest())
+    return out
+
+
+def plan_memo(parsed: dict) -> dict:
+    """For each parsed query, the longest CTE prefix where every step's
+    chain key is shared by >=2 of the queries being run AND no prefix CTE
+    references a LATER CTE of its own query (mutual recursion under WITH
+    RECURSIVE cannot be materialized stepwise)."""
+    counts = {}
+    for _, (_, ctes, _) in parsed.items():
+        for ck in _chains(ctes):
+            counts[ck] = counts.get(ck, 0) + 1
+    memo_len = {}
+    for key, (_, ctes, _) in parsed.items():
+        chains = _chains(ctes)
+        later = [n for n, _ in ctes]
+        n = 0
+        for i, (name, body) in enumerate(ctes):
+            if counts[chains[i]] < 2:
+                break
+            fwd = [x for x in later[i + 1:]]
+            if fwd and re.search(r"\b(" + "|".join(map(re.escape, fwd)) + r")\b", body):
+                break
+            n = i + 1
+        memo_len[key] = n
+    return memo_len
+
+
+def ensure_prefix(con, cache: dict, ctes, chains, upto: int) -> int:
+    """Materialize the first `upto` CTEs as temp tables (reusing any whose
+    chain key already matches). Returns how many were newly created."""
+    created = 0
+    for i in range(upto):
+        name, body = ctes[i]
+        if cache.get(name) == chains[i]:
+            continue
+        con.execute(f'DROP TABLE IF EXISTS "{name}"')
+        cache.pop(name, None)
+        if re.search(rf"\b{re.escape(name)}\b", body):
+            # self-recursive: materialize through a recursive wrapper
+            con.execute(f'CREATE TEMP TABLE "{name}" AS '
+                        f"WITH RECURSIVE {name} AS ({body}) SELECT * FROM {name}")
+        else:
+            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+        cache[name] = chains[i]
+        created += 1
+    return created
+
+
+def strip_prefix(parsed_entry, upto: int) -> str:
+    recursive, ctes, tail = parsed_entry
+    rest = ctes[upto:]
+    if not rest:
+        return tail
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ", ".join(f"{n} AS ({b})" for n, b in rest) + " " + tail
+
+
+def staged_sql(con, cache: dict, sql: str):
+    """FULLY stage a WITH-chain oracle: materialize every CTE as a temp
+    table (chain-keyed cache shares identical prefixes across queries) and
+    run only the stripped tail. Semantically identical (CTEs are pure; a
+    remaining CTE shadows a same-named temp table), but each stage's
+    memory releases before the next starts and spills independently — the
+    monolithic ~29-CTE recursive capstone plan can exceed the memory cap
+    while its stages individually fit. Stops at the first CTE with a
+    FORWARD reference (mutual recursion can't materialize stepwise);
+    self-recursive CTEs stage through a recursive wrapper. Returns
+    (sql_to_run, n_staged). Used as the dev-gate's OOM retry path and as
+    the sf1/sf10 gates' default execution mode."""
+    pe = split_ctes(sql)
+    if not pe:
+        return sql, 0
+    _, ctes, _ = pe
+    names = [n for n, _ in ctes]
+    upto = 0
+    for i, (_, body) in enumerate(ctes):
+        fwd = names[i + 1:]
+        if fwd and re.search(r"\b(" + "|".join(map(re.escape, fwd)) + r")\b",
+                             body):
+            break
+        upto = i + 1
+    made = ensure_prefix(con, cache, ctes, _chains(ctes), upto)
+    return strip_prefix(pe, upto), made
+
+
+# ----------------------------------------------------------------- driver
+
+def write_json(path: Path, results: dict) -> None:
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def main() -> int:
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:]]
+    no_memo = "--no-memo" in args
+    fast = "--fast" in args
+    args = [a for a in args if a not in ("--no-memo", "--fast")]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = Path(args[i + 1])
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    if json_path is None:
+        json_path = Path(out_dir, "correctness_local.json")
+
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    prev = {}
+    if fast and json_path.exists():
+        prev = json.loads(json_path.read_text())
+    fast_max = float(os.environ.get("GATE_FAST_MAX_SEC", "5"))
+
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{os.environ.get('GATE_DUCK_MEM', '12GB')}'")
+    # in-memory connections have no default spill location — without one the
+    # memory cap turns an over-budget oracle into a hard error instead of
+    # letting it spill and finish
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    n_ok = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        if only and name not in only:
-            continue
+
+    # full contract surface = every dumped key (rows-only keys included)
+    dumped = sorted(d.name for d in Path(out_dir).iterdir()
+                    if d.is_dir() and not d.name.startswith("_"))
+    keys = [k for k in sorted(set(dumped) | set(oracle))
+            if not only or k in only]
+
+    parsed, memo_len = {}, {}
+    if not no_memo:
+        for k in keys:
+            if k in oracle:
+                pe = split_ctes(oracle[k])
+                if pe:
+                    parsed[k] = pe
+        memo_len = plan_memo(parsed)
+
+    results = {"_meta": {"sf_dir": sf_dir, "out_dir": out_dir,
+                         "memo": not no_memo, "fast": fast,
+                         "duck_mem": os.environ.get("GATE_DUCK_MEM", "12GB"),
+                         "started_unix": time.time(), "n_keys": len(keys)}}
+    cache = {}
+    n_ok = n_fail = n_rows_only = n_skip = 0
+    t_gate = time.time()
+    for name in keys:
+        entry = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": None, "oracle_rows": None, "err": None,
+                 "oracle_sec": None, "compare_sec": None}
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():
             print(f"[{name}] MISSING spark output")
+            entry["err"] = "missing_spark_output"
             n_fail += 1
-            continue
-        a = norm(pd.read_parquet(spark_dir))
-        b = norm(con.sql(sql).df())
-        if compare(a, b, name):
-            n_ok += 1
+        elif name not in oracle:
+            a = pd.read_parquet(spark_dir)
+            entry["spark_rows"] = len(a)
+            entry["err"] = "no_oracle"
+            n_rows_only += 1
+            print(f"[{name}] rows-only ({len(a)} rows)")
+        elif fast and (prev.get(name, {}).get("oracle_sec") or 0) > fast_max:
+            entry["err"] = "skipped_fast"
+            n_skip += 1
+            print(f"[{name}] skipped (--fast: previous oracle took "
+                  f"{prev[name]['oracle_sec']:.1f}s)")
         else:
-            n_fail += 1
-    print(f"== {n_ok} ok / {n_fail} fail ==")
+            try:
+                t0 = time.time()
+                sql = oracle[name]
+                if name in memo_len and memo_len[name] > 0:
+                    _, ctes, _ = parsed[name]
+                    made = ensure_prefix(con, cache, ctes, _chains(ctes),
+                                         memo_len[name])
+                    sql = strip_prefix(parsed[name], memo_len[name])
+                    entry["memo_ctes"] = memo_len[name]
+                    entry["memo_created"] = made
+                b = norm(con.sql(sql).df())
+                entry["oracle_sec"] = round(time.time() - t0, 3)
+                t1 = time.time()
+                a = norm(pd.read_parquet(spark_dir))
+                entry.update(compare(a, b, name))
+                entry["compare_sec"] = round(time.time() - t1, 3)
+                if entry["hash_match"]:
+                    n_ok += 1
+                else:
+                    n_fail += 1
+            except Exception as e:  # duckdb OOM/engine limit: per-key, not fatal
+                retried = False
+                if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
+                    # retry fully STAGED: materialize every CTE stepwise so
+                    # peak memory is one stage's, not the whole plan's
+                    try:
+                        t0 = time.time()
+                        sql2, made = staged_sql(con, cache, oracle[name])
+                        b = norm(con.sql(sql2).df())
+                        entry["oracle_sec"] = round(time.time() - t0, 3)
+                        entry["staged_retry"] = made
+                        t1 = time.time()
+                        a = norm(pd.read_parquet(spark_dir))
+                        entry.update(compare(a, b, name))
+                        entry["compare_sec"] = round(time.time() - t1, 3)
+                        if entry["hash_match"]:
+                            n_ok += 1
+                        else:
+                            n_fail += 1
+                        retried = True
+                    except Exception as e2:  # noqa: BLE001
+                        e = e2
+                if not retried:
+                    entry["err"] = f"oracle_error: {type(e).__name__}: {e}"[:500]
+                    entry["oracle_sec"] = round(time.time() - t0, 3)
+                    print(f"[{name}] ORACLE ERROR: {e}")
+                    n_fail += 1
+        results[name] = entry
+        write_json(json_path, results)  # flush after EVERY key
+
+    results["_meta"]["wall_sec"] = round(time.time() - t_gate, 1)
+    results["_meta"]["n_ok"] = n_ok
+    results["_meta"]["n_fail"] = n_fail
+    results["_meta"]["n_rows_only"] = n_rows_only
+    results["_meta"]["n_skipped_fast"] = n_skip
+    write_json(json_path, results)
+    print(f"== {n_ok} ok / {n_fail} fail / {n_rows_only} rows-only"
+          + (f" / {n_skip} skipped-fast" if n_skip else "")
+          + f" == ({results['_meta']['wall_sec']}s, artifact: {json_path})")
     return 1 if n_fail else 0
 
 

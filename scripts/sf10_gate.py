@@ -20,13 +20,15 @@ from sf1_gate import REPO, run_gate
 # clustering, the chained MTF as-of composition, the recursive
 # dual-engine backtest, the ExactSubstr-style trim on its own (the
 # growing-corpus production scrub whose duplicated-start mass scales
-# with the seeded near-dup replicas), and one INCREMENTAL growing-corpus
-# key (trim_incremental: batch-vs-index at 100x proves the per-batch
-# cost contract, not just the batch analytics).
+# with the seeded near-dup replicas), and BOTH incremental growing-corpus
+# keys (trim_incremental / neardup_incremental: batch-vs-index at 100x
+# proves the per-batch cost contract, not just the batch analytics;
+# neardup_incremental is rows-only here as at driver scale — its
+# ≡-full-pass restriction is LlmSpec-pinned).
 HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          "corpus_pipeline_v4", "span_dedup", "mtf_join",
          "backtest_dual_engine", "repeated_ngram_trim",
-         "trim_incremental"}
+         "trim_incremental", "neardup_incremental"}
 
 
 def main() -> int:

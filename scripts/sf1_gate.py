@@ -20,10 +20,13 @@ import hashlib
 import json
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 import duckdb
 import pandas as pd
+
+from dev_check import staged_sql
 
 REPO = Path(__file__).resolve().parent.parent
 SF1 = REPO / "target" / "sf1.0"
@@ -103,7 +106,20 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
+    if only and ARTIFACT.exists():
+        # partial re-run: merge into the existing artifact, don't clobber
+        # the untouched keys' results
+        results = json.loads(ARTIFACT.read_text())
+
+    def flush():
+        # flushed after EVERY key: a crash/OOM/timeout preserves the keys
+        # already compared (round-12 lesson — never lose a gate run whole)
+        tmp = ARTIFACT.with_suffix(".tmp")
+        tmp.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
+        tmp.replace(ARTIFACT)
+
     n_fail = 0
+    cache = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -111,12 +127,17 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
                "spark_rows": None, "oracle_rows": None, "err": None}
         if name in timings:
             rec["spark_secs"] = timings[name]
+        t0 = time.time()
         try:
             spark_dir = OUT / name
             if not spark_dir.exists():
                 raise FileNotFoundError("missing spark output (query threw)")
             a = norm(pd.read_parquet(spark_dir))
-            b = norm(con.sql(sql).df())
+            run_sql, staged = staged_sql(con, cache, sql)
+            if staged:
+                rec["staged_ctes"] = staged
+            b = norm(con.sql(run_sql).df())
+            rec["oracle_sec"] = round(time.time() - t0, 1)
             rec["spark_rows"], rec["oracle_rows"] = len(a), len(b)
             rec["rows_match"] = len(a) == len(b)
             rec["schema_match"] = list(a.columns) == list(b.columns)
@@ -124,11 +145,14 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
                                  and frame_hash(a) == frame_hash(b))
         except Exception as e:  # noqa: BLE001 - recorded, not swallowed
             rec["err"] = str(e)[:200]
+            rec["oracle_sec"] = round(time.time() - t0, 1)
         results[name] = rec
+        flush()
         ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
         if not ok:
             n_fail += 1
-        print(f"[{name}] {'OK' if ok else 'FAIL ' + json.dumps(rec)}")
+        print(f"[{name}] {'OK' if ok else 'FAIL ' + json.dumps(rec)}"
+              f" ({rec.get('oracle_sec')}s)", flush=True)
     for name in rows_only:
         if only and name not in only:
             continue
@@ -146,13 +170,8 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
             n_fail += 1
             print(f"[{name}] FAIL rows-only: {rec['err']}")
         results[name] = rec
-    if only and ARTIFACT.exists():
-        # partial re-run: merge into the existing artifact, don't clobber
-        # the untouched keys' results
-        merged = json.loads(ARTIFACT.read_text())
-        merged.update(results)
-        results = merged
-    ARTIFACT.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
+        flush()
+    flush()
     n_ok = len(results) - n_fail
     print(f"== {label} gate: {n_ok} ok / {n_fail} fail -> {ARTIFACT} ==")
     return 1 if n_fail else 0

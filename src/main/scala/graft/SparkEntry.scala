@@ -2068,9 +2068,10 @@ object SparkEntry {
 
     // §2 #26g sketch twin — per-source k-slot MinHash signatures in ONE
     // corpus pass, pairwise slot-agreement estimate over the
-    // |sources|-row frame. No oracle (the estimate is hash-specific);
-    // LlmSpec pins |est − exact| within the 1/sqrt(k) band on the same
-    // seeded frame.
+    // |sources|-row frame; sizes are HLL estimates (est_n_a/est_n_b), so
+    // the path has no fingerprint-grain distinct agg at all. No oracle
+    // (the estimate is hash-specific); LlmSpec pins |est − exact| within
+    // the 1/sqrt(k) band on the same seeded frame.
     "source_overlap_sketch" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"))

@@ -719,16 +719,39 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_shared")), 6))
   }
 
-  /** MinHash-sketch twin of [[sourceOverlap]] for the regime where even
-    * the fingerprint-grain aggregation's output is worth avoiding (e.g.
-    * overlap across dozens of 100 TB crawl snapshots, re-estimated per
-    * snapshot): each source folds to a k-slot MinHash signature in ONE
-    * pass (k independent xxhash64 seeds, min per slot — a duplicate
-    * fingerprint cannot move a min, so no distinct is needed), and the
-    * pairwise estimate is the fraction of agreeing slots over the
-    * |sources|-row signature frame. Standard error ~1/sqrt(k); the exact
-    * path stays the oracle-checkable twin (the robust_scale /
-    * dsir_sample_approx pairing). */
+  /** (source, canonical fingerprint) projection shared by the whole
+    * overlap-sketch family — the only columns any sketch path needs;
+    * document text never survives past this select, so nothing downstream
+    * can accidentally shuffle it. */
+  private def sourceFingerprints(docs: DataFrame, srcCol: String,
+                                 textCol: String): DataFrame =
+    docs.select(col(srcCol).cast("string").as("_src"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+
+  /** Per-source k-slot MinHash signature, shared by [[sourceOverlapState]]
+    * and (through it) [[sourceOverlapSketch]] — the full-pass and
+    * incremental signatures must stay BIT-identical (LlmSpec pins merged ≡
+    * full), so there is exactly one copy of this computation.
+    *
+    * Slot mins via explode + ONE small aggregation rather than k min()
+    * aggregate expressions: the k-wide agg is the same math but its
+    * whole-stage codegen compiles k buffers/expressions (seconds of
+    * Janino for k=128); here the partial agg still collapses each
+    * partition to |sources|·k rows before the exchange. A duplicate
+    * fingerprint cannot move a min, so no distinct pass is needed. */
+  private def sourceSignatures(fp: DataFrame, k: Int): DataFrame =
+    fp
+      .select(col("_src"), explode(transform(
+        sequence(lit(0), lit(k - 1)),
+        j => struct(j.cast("int").as("_j"),
+          xxhash64(col("_fp"), j).as("_h")))).as("_e"))
+      .groupBy(col("_src"), col("_e._j").as("_j"))
+      .agg(min(col("_e._h")).as("_m"))
+      .groupBy(col("_src"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_j"), col("_m")))),
+        x => x.getField("_m")).as("_sig"))
+
   /** Mergeable per-source overlap STATE — the incremental/streaming form
     * of [[sourceOverlapSketch]]: one row per source holding the k-slot
     * MinHash signature and a DataSketches HLL sketch of the fingerprint
@@ -741,48 +764,65 @@ object Dedup {
     * associative and commutative and a duplicate fingerprint cannot move
     * a min), and HLL union runs the same register-max algebra the
     * full-pass sketch does, so the refreshed matrix equals the
-    * recompute-from-scratch one without ever rescanning history. */
+    * recompute-from-scratch one without ever rescanning history.
+    *
+    * Same-k contract: every state that will be merged must be built with
+    * the same `k` — [[mergeOverlapStates]] verifies this at execution. */
   def sourceOverlapState(docs: DataFrame, k: Int = 128,
                          srcCol: String = "source",
                          textCol: String = "text"): DataFrame = {
     require(k >= 1, s"sourceOverlapState: k must be >= 1, got $k")
-    val fp = docs.select(col(srcCol).cast("string").as("_src"),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
-    val mins = fp
-      .select(col("_src"), explode(transform(
-        sequence(lit(0), lit(k - 1)),
-        j => struct(j.cast("int").as("_j"),
-          xxhash64(col("_fp"), j).as("_h")))).as("_e"))
-      .groupBy(col("_src"), col("_e._j").as("_j"))
-      .agg(min(col("_e._h")).as("_m"))
-    val sig = mins.groupBy(col("_src"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_j"), col("_m")))),
-        x => x.getField("_m")).as("_sig"))
+    val fp = sourceFingerprints(docs, srcCol, textCol)
     val hll = fp.groupBy(col("_src"))
       .agg(hll_sketch_agg(col("_fp")).as("_hll"))
-    sig.join(hll, "_src")
+    sourceSignatures(fp, k).join(hll, "_src")
   }
 
   /** Merge overlap state frames (see [[sourceOverlapState]]): elementwise
     * slot minimum + HLL union per source. A source present in only some
     * states passes through unchanged — the union handles source sets that
     * grow over time. Cost is |sources|·k rows per input state, never
-    * corpus-sized. */
+    * corpus-sized.
+    *
+    * Enforces the same-k contract: a merge of states built with different
+    * `k` would silently produce ragged signatures (and `overlapFromState`'s
+    * zip_with would null-pad `est_jaccard`), so the global min/max
+    * signature length rides the merge aggregation itself and an
+    * `assert_true` fails the job on mismatch — no extra pass over the
+    * input states, just two more agg buffers and one window over the
+    * |sources|-row result. */
   def mergeOverlapStates(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "mergeOverlapStates: no states given")
     val all = states.reduce(_ unionByName _)
     val sig = all
-      .select(col("_src"), posexplode(col("_sig")).as(Seq("_j", "_m")))
+      .select(col("_src"), size(col("_sig")).as("_k"),
+        posexplode(col("_sig")).as(Seq("_j", "_m")))
       .groupBy(col("_src"), col("_j"))
-      .agg(min(col("_m")).as("_mm"))
+      .agg(min(col("_m")).as("_mm"),
+        min(col("_k")).as("_klo"), max(col("_k")).as("_khi"))
       .groupBy(col("_src"))
       .agg(transform(
         array_sort(collect_list(struct(col("_j"), col("_mm")))),
-        x => x.getField("_mm")).as("_sig"))
+        x => x.getField("_mm")).as("_sig"),
+        min(col("_klo")).as("_klo"), max(col("_khi")).as("_khi"))
+    // cross-source uniformity over the tiny per-source frame: a global
+    // window (one partition — |sources| rows) instead of a second scan.
+    // The partition key is constant-valued but not foldable, so the
+    // optimizer keeps it and WindowExec doesn't log its empty-partition
+    // warning on every streaming merge
+    val g = Window.partitionBy(pmod(xxhash64(col("_src")), lit(1)))
+    val checked = sig
+      .withColumn("_chk", assert_true(
+        min(col("_klo")).over(g) === max(col("_khi")).over(g),
+        concat(lit("mergeOverlapStates: mixed signature lengths across " +
+          "input states (k="), min(col("_klo")).over(g), lit(" vs "),
+          max(col("_khi")).over(g),
+          lit("); build every state with the same k"))))
+      .where(col("_chk").isNull)
+      .drop("_klo", "_khi", "_chk")
     val hll = all.groupBy(col("_src"))
       .agg(hll_union_agg(col("_hll")).as("_hll"))
-    sig.join(hll, "_src")
+    checked.join(hll, "_src")
   }
 
   /** Overlap matrix from a state frame — pairwise slot agreement over the
@@ -793,7 +833,6 @@ object Dedup {
     val base = state.select(col("_src"),
       round(hll_sketch_estimate(col("_hll"))).cast("long").as("_n"),
       col("_sig"))
-    val k = size(col("_sa"))
     val a = base.select(col("_src").as("src_a"), col("_n").as("est_n_a"),
       col("_sig").as("_sa"))
     val b = base.select(col("_src").as("src_b"), col("_n").as("est_n_b"),
@@ -802,48 +841,32 @@ object Dedup {
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("_sa"), col("_sb"),
             (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / k, 6))
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("_sa")), 6))
       .select(col("src_a"), col("src_b"), col("est_n_a"), col("est_n_b"),
         col("est_jaccard"))
   }
 
+  /** MinHash-sketch twin of [[sourceOverlap]] for the regime where even
+    * the fingerprint-grain aggregation's output is worth avoiding (e.g.
+    * overlap across dozens of 100 TB crawl snapshots, re-estimated per
+    * snapshot): each source folds to a k-slot MinHash signature in ONE
+    * pass (k independent xxhash64 seeds, min per slot — a duplicate
+    * fingerprint cannot move a min, so no distinct is needed), and the
+    * pairwise estimate is the fraction of agreeing slots over the
+    * |sources|-row signature frame. Standard error ~1/sqrt(k); the exact
+    * path stays the oracle-checkable twin (the robust_scale /
+    * dsir_sample_approx pairing).
+    *
+    * Per-source sizes are HLL ESTIMATES (`est_n_a`/`est_n_b`) — the same
+    * register algebra the incremental state stores — so the sketch path
+    * carries NO fingerprint-grain distinct aggregation anywhere; callers
+    * who need exact sizes use [[sourceOverlap]]. Implemented literally as
+    * state → matrix, so the full-pass and incremental cards share every
+    * line of scoring code. */
   def sourceOverlapSketch(docs: DataFrame, k: Int = 128,
                           srcCol: String = "source",
-                          textCol: String = "text"): DataFrame = {
-    require(k >= 1, s"sourceOverlapSketch: k must be >= 1, got $k")
-    val fp = docs.select(col(srcCol).cast("string").as("_src"),
-      TextAnalysis.fingerprint(col(textCol)).as("_fp"))
-    // slot mins via explode + ONE small aggregation rather than k min()
-    // aggregate expressions: the k-wide agg is the same math but its
-    // whole-stage codegen compiles k buffers/expressions (seconds of
-    // Janino for k=128); here the partial agg still collapses each
-    // partition to |sources|·k rows before the exchange
-    val mins = fp
-      .select(col("_src"), explode(transform(
-        sequence(lit(0), lit(k - 1)),
-        j => struct(j.cast("int").as("_j"),
-          xxhash64(col("_fp"), j).as("_h")))).as("_e"))
-      .groupBy(col("_src"), col("_e._j").as("_j"))
-      .agg(min(col("_e._h")).as("_m"))
-    val sig = mins.groupBy(col("_src"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_j"), col("_m")))),
-        x => x.getField("_m")).as("_sig"))
-    val sizes = fp.groupBy(col("_src"))
-      .agg(countDistinct(col("_fp")).as("_n"))
-    val withN = sig.join(broadcast(sizes), "_src")
-    val a = withN.select(col("_src").as("src_a"), col("_n").as("n_a"),
-      col("_sig").as("_sa"))
-    val b = withN.select(col("_src").as("src_b"), col("_n").as("n_b"),
-      col("_sig").as("_sb"))
-    broadcast(a).join(broadcast(b), col("src_a") < col("src_b"))
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("_sa"), col("_sb"),
-            (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / k, 6))
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        col("est_jaccard"))
-  }
+                          textCol: String = "text"): DataFrame =
+    overlapFromState(sourceOverlapState(docs, k, srcCol, textCol))
 
   /** Word n-gram shingles of the case-folded text, distinct — the native
     * single-pass expression ([[graft.functions.WordShingles]]); sits twice

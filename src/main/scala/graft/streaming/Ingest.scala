@@ -347,6 +347,64 @@ object Ingest {
     true
   }
 
+  /** Streaming cross-source overlap DATA CARD — the production loop
+    * around [[graft.llm.Dedup.sourceOverlapState]]: each micro-batch
+    * folds to its own per-source (MinHash signature, HLL) state, written
+    * under `stateRoot/state/batch_id=N/`, and the refreshed card
+    * ([[graft.llm.Dedup.overlapFromState]] over the merge of ALL stored
+    * batch states) lands at `stateRoot/card/batch_id=N/`. `foreachBatch`
+    * because the card is cross-batch state (same reasoning as
+    * [[nearDupWriter]]); per-batch cost is O(batch) + a merge over
+    * |sources|·batches tiny state rows — history is never rescanned.
+    *
+    * Delivery: committed batch ids are skipped outright; a crash-window
+    * replay OVERWRITES its own `batch_id=N` state directory, and the
+    * merge algebra is idempotent anyway (elementwise min and HLL
+    * register-max both absorb duplicates), so a replay can neither grow
+    * the state nor move the card (StreamingSpec pins both, plus
+    * stream-state ≡ one-shot full-pass state bit-identically). */
+  def overlapCardWriter(docs: DataFrame, stateRoot: String, k: Int = 128,
+                        srcCol: String = "source", textCol: String = "text",
+                        commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        overlapCardBatch(batch.toDF(), batchId, stateRoot, k, srcCol,
+          textCol, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[overlapCardWriter]]: fold the batch
+    * to its per-source state → overwrite `state/batch_id=N` → merge all
+    * stored states → write the refreshed card → commit marker. Returns
+    * false (and writes nothing) when the batch id is already committed. */
+  def overlapCardBatch(batch: DataFrame, batchId: Long, stateRoot: String,
+                       k: Int = 128, srcCol: String = "source",
+                       textCol: String = "text",
+                       commitId: String = "stream"): Boolean = {
+    import graft.llm.Dedup
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      stateRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
+    // Overwrite of the batch's OWN hive subdirectory: a replay rewrites
+    // the identical per-batch state in place instead of appending residue
+    Dedup.sourceOverlapState(batch, k, srcCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        statePath, s"batch_id=$batchId").toString)
+    val merged = Dedup.mergeOverlapStates(
+      spark.read.parquet(statePath.toString).drop("batch_id"))
+    Dedup.overlapFromState(merged)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        stateRoot, s"card/batch_id=$batchId").toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    true
+  }
+
   /** Streaming serving of the relation-model DSIR scorer
     * ([[graft.llm.Selection.scoreWithRelation]]): train the model on
     * yesterday's lake ([[graft.llm.Selection.exportModelRelation]]), score

@@ -1295,6 +1295,21 @@ class LlmSpec extends SparkTestBase {
         / r.getAs[Long]("n_exact") < 0.05))
   }
 
+  test("source overlap state: merging states built with different k " +
+      "fails loudly instead of silently null-padding the matrix") {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).limit(200)
+    val bad = Dedup.mergeOverlapStates(
+      Dedup.sourceOverlapState(d, k = 64),
+      Dedup.sourceOverlapState(d, k = 32))
+    val e = intercept[Throwable] { bad.collect() }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("mixed signature lengths"),
+      s"expected the same-k assert, got: $msgs")
+  }
+
   test("source overlap sketch: slot-agreement estimate tracks the exact " +
       "Jaccard within the 1/sqrt(k) band on the seeded corpus") {
     // seed real overlap: every 3rd doc's text also appears under the

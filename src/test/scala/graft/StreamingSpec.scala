@@ -850,4 +850,65 @@ class StreamingSpec extends SparkTestBase {
       .select("kept_text").distinct().as[String].collect().toSeq
       == Seq("u1 u2 u3 u4 u5 u6"))
   }
+
+  test("streaming overlap data card: 3-batch stream state is bit-identical " +
+      "to the one-shot full-pass state; replay neither grows the state " +
+      "nor moves the card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Dedup
+
+    // three micro-batches, overlap seeded ACROSS batches: "t3"/"t4" appear
+    // under A in batch 1 and under B in batches 2-3, so the card's A-B row
+    // only becomes visible through the cross-batch merge
+    val waves = Seq(
+      Seq((1L, "A", "t1 one"), (2L, "A", "t2 two"), (3L, "A", "t3 three")),
+      Seq((4L, "B", "t3 three"), (5L, "B", "t5 five"), (6L, "C", "t7 seven")),
+      Seq((7L, "A", "t4 four"), (8L, "B", "t4 four"), (9L, "C", "t8 eight")))
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "overlap-card").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Ingest.overlapCardWriter(
+      input.toDF().toDF("doc_id", "source", "text"), root, k = 16).start()
+    waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+
+    // stream state ≡ one-shot: merged signatures bit-identical, matrix
+    // equal row for row
+    val all = waves.flatten.toDF("doc_id", "source", "text")
+    val oneShot = Dedup.sourceOverlapState(all, k = 16)
+    val streamed = Dedup.mergeOverlapStates(
+      spark.read.parquet(s"$root/state").drop("batch_id"))
+    val sigDiff = oneShot.select(col("_src"), col("_sig"))
+      .join(streamed.select(col("_src"), col("_sig").as("_sig2")), "_src")
+      .where(col("_sig") =!= col("_sig2"))
+    assert(sigDiff.count() == 0)
+    assert(oneShot.count() == streamed.count())
+    val mOne = Dedup.overlapFromState(oneShot)
+    val card = spark.read.parquet(s"$root/card/batch_id=2")
+    assert(mOne.exceptAll(card).count() == 0 &&
+      card.exceptAll(mOne).count() == 0)
+    // the cross-batch A-B overlap is on the card with both shared docs
+    assert(card.where(col("src_a") === "A" && col("src_b") === "B" &&
+      col("est_jaccard") > 0).count() == 1)
+    // committed batch id: skipped outright
+    val w2 = waves(1).toDF("doc_id", "source", "text")
+    assert(!Ingest.overlapCardBatch(w2, batchId = 1L, root, k = 16))
+    // crash-window replay: drop batch 1's marker and re-run — the replay
+    // overwrites its own batch_id=1 state dir (no growth) and the merge
+    // algebra is idempotent, so the refreshed card is unchanged
+    val stateRows = spark.read.parquet(s"$root/state").count()
+    val marker = new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/1")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(Ingest.overlapCardBatch(w2, batchId = 1L, root, k = 16))
+    assert(spark.read.parquet(s"$root/state").count() == stateRows)
+    val cardReplay = spark.read.parquet(s"$root/card/batch_id=1")
+    val mergedNow = Dedup.overlapFromState(Dedup.mergeOverlapStates(
+      spark.read.parquet(s"$root/state").drop("batch_id")))
+    assert(cardReplay.exceptAll(mergedNow).count() == 0 &&
+      mergedNow.exceptAll(cardReplay).count() == 0)
+  }
 }
