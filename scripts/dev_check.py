@@ -24,15 +24,19 @@ DuckDB memory is capped (GATE_DUCK_MEM, default 12GB at dev scale — raise
 for sf1+) so an over-budget recursive-CTE oracle raises a catchable per-key
 error instead of inviting the OOM killer to take down the whole gate.
 
-Shared CTE-prefix MEMOIZATION: the capstone/backtest oracle families
-restate long identical WITH prefixes (corpus_pipeline v2/v3/v4 share 12-13
-CTEs; the backtest/router chain similar). A prefix CTE whose (name, body,
-upstream-chain) appears in >=2 of the queries being run is materialized
-ONCE as a DuckDB temp table and stripped from each query's WITH list.
-Semantically identical: CTEs are pure, remaining references resolve to the
-temp tables, and a CTE shadows a same-named temp table, so a query defining
-its own different `base` is unaffected (verified: no CTE name collides with
-a base table). --no-memo disables it for A/B equivalence checks.
+STAGED oracle execution (default): every WITH-chain oracle runs as a
+sequence of CTE-at-a-time temp-table materializations plus a stripped
+tail, with a chain-keyed cache sharing identical prefixes across queries
+(the capstone/backtest families restate long identical WITH prefixes —
+corpus_pipeline v2/v3/v4 share 12-13 CTEs). Semantically identical: CTEs
+are pure, remaining references resolve to the temp tables, and a CTE
+shadows a same-named temp table, so a query defining its own different
+`base` is unaffected (verified: no CTE name collides with a base table).
+It is also both the memory fix and the speed fix: DuckDB's monolithic
+evaluation of the 40-CTE recursive capstone oracle needs >12GB and ~10
+minutes at sf0.01 (OOM under the cap), while the same query staged runs
+in ~1s under the cap, hash-identical. --no-memo disables staging for A/B
+equivalence checks.
 
 --fast skips keys whose oracle took longer than GATE_FAST_MAX_SEC (default
 5s) in the previous run recorded at --json PATH (marked `skipped_fast`,
@@ -97,12 +101,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> dict:
 
 # ---------------------------------------------------------------- CTE memo
 
-_IDENT = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(")
+_IDENT = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^()]*\))?\s+AS\s*\(")
 
 
 def split_ctes(sql: str):
-    """Parse `WITH [RECURSIVE] n1 AS (...), n2 AS (...) <tail>` into
-    (recursive, [(name, body)...], tail). Returns None when the query has
+    """Parse `WITH [RECURSIVE] n1 AS (...), n2(cols) AS (...) <tail>` into
+    (recursive, [(name, col_alias, body)...], tail) — col_alias is '' or
+    the literal '(id, root)' column list. Returns None when the query has
     no WITH clause or the scan fails (caller runs the SQL unmodified).
     The paren balance scan skips ''-escaped string literals."""
     s = sql.strip()
@@ -119,7 +125,7 @@ def split_ctes(sql: str):
             m = _IDENT.match(s, i)
             if not m:
                 return None
-            name, j = m.group(1), m.end()
+            name, alias, j = m.group(1), m.group(2) or "", m.end()
             depth, k = 1, j
             while depth > 0:
                 c = s[k]
@@ -139,7 +145,7 @@ def split_ctes(sql: str):
                 elif c == ")":
                     depth -= 1
                 k += 1
-            ctes.append((name, s[j:k - 1]))
+            ctes.append((name, alias, s[j:k - 1]))
             kk = k
             while kk < len(s) and s[kk].isspace():
                 kk += 1
@@ -156,59 +162,52 @@ def _normb(body: str) -> str:
 
 
 def _chains(ctes):
-    """Cumulative chain keys: hash of the normalized (name, body) prefix up
-    to and including CTE i — equal keys mean equal temp-table contents."""
+    """Cumulative chain keys: hash of the normalized (name, alias, body)
+    prefix up to and including CTE i — equal keys mean equal temp-table
+    contents."""
     out, h = [], hashlib.md5()
-    for name, body in ctes:
-        h.update(f"{name}\x00{_normb(body)}\x01".encode())
+    for name, alias, body in ctes:
+        h.update(f"{name}\x00{_normb(alias)}\x00{_normb(body)}\x01".encode())
         out.append(h.hexdigest())
     return out
 
 
-def plan_memo(parsed: dict) -> dict:
-    """For each parsed query, the longest CTE prefix where every step's
-    chain key is shared by >=2 of the queries being run AND no prefix CTE
-    references a LATER CTE of its own query (mutual recursion under WITH
-    RECURSIVE cannot be materialized stepwise)."""
-    counts = {}
-    for _, (_, ctes, _) in parsed.items():
-        for ck in _chains(ctes):
-            counts[ck] = counts.get(ck, 0) + 1
-    memo_len = {}
-    for key, (_, ctes, _) in parsed.items():
-        chains = _chains(ctes)
-        later = [n for n, _ in ctes]
-        n = 0
-        for i, (name, body) in enumerate(ctes):
-            if counts[chains[i]] < 2:
-                break
-            fwd = [x for x in later[i + 1:]]
-            if fwd and re.search(r"\b(" + "|".join(map(re.escape, fwd)) + r")\b", body):
-                break
-            n = i + 1
-        memo_len[key] = n
-    return memo_len
-
-
-def ensure_prefix(con, cache: dict, ctes, chains, upto: int) -> int:
-    """Materialize the first `upto` CTEs as temp tables (reusing any whose
-    chain key already matches). Returns how many were newly created."""
+def ensure_prefix(con, cache: dict, ctes, chains, upto: int):
+    """Materialize up to the first `upto` CTEs as temp tables (reusing any
+    whose chain key already matches). A CTE referencing a LATER CTE of its
+    own query (mutual recursion) fails to bind — staging stops there and
+    the remainder stays inline, which is exact where a textual forward-
+    reference scan false-positives on column names. Before creating, any
+    cached temp table whose name collides with one of THIS query's CTEs
+    under a different chain is dropped, so a forward reference can never
+    silently bind to a stale table. Returns (staged_depth, n_created)."""
+    qchain = {name: chains[i] for i, (name, _, _) in enumerate(ctes)}
+    for name, ck in list(cache.items()):
+        if name in qchain and qchain[name] != ck:
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            cache.pop(name, None)
     created = 0
     for i in range(upto):
-        name, body = ctes[i]
+        name, alias, body = ctes[i]
         if cache.get(name) == chains[i]:
             continue
-        con.execute(f'DROP TABLE IF EXISTS "{name}"')
-        cache.pop(name, None)
-        if re.search(rf"\b{re.escape(name)}\b", body):
-            # self-recursive: materialize through a recursive wrapper
-            con.execute(f'CREATE TEMP TABLE "{name}" AS '
-                        f"WITH RECURSIVE {name} AS ({body}) SELECT * FROM {name}")
+        self_rec = re.search(rf"\b{re.escape(name)}\b", body)
+        if alias or self_rec:
+            # column alias and/or self-recursion: materialize through a
+            # (recursive-tolerant) wrapper preserving the declared columns
+            stmt = (f'CREATE TEMP TABLE "{name}" AS WITH RECURSIVE '
+                    f"{name}{alias} AS ({body}) SELECT * FROM {name}")
         else:
-            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+            stmt = f'CREATE TEMP TABLE "{name}" AS {body}'
+        try:
+            con.execute(stmt)
+        except duckdb.Error as e:
+            if isinstance(e, (duckdb.BinderException, duckdb.CatalogException)):
+                return i, created  # forward reference: stop staging here
+            raise
         cache[name] = chains[i]
         created += 1
-    return created
+    return upto, created
 
 
 def strip_prefix(parsed_entry, upto: int) -> str:
@@ -217,7 +216,7 @@ def strip_prefix(parsed_entry, upto: int) -> str:
     if not rest:
         return tail
     kw = "WITH RECURSIVE " if recursive else "WITH "
-    return kw + ", ".join(f"{n} AS ({b})" for n, b in rest) + " " + tail
+    return kw + ", ".join(f"{n}{a} AS ({b})" for n, a, b in rest) + " " + tail
 
 
 def staged_sql(con, cache: dict, sql: str):
@@ -227,25 +226,17 @@ def staged_sql(con, cache: dict, sql: str):
     remaining CTE shadows a same-named temp table), but each stage's
     memory releases before the next starts and spills independently — the
     monolithic ~29-CTE recursive capstone plan can exceed the memory cap
-    while its stages individually fit. Stops at the first CTE with a
-    FORWARD reference (mutual recursion can't materialize stepwise);
-    self-recursive CTEs stage through a recursive wrapper. Returns
-    (sql_to_run, n_staged). Used as the dev-gate's OOM retry path and as
-    the sf1/sf10 gates' default execution mode."""
+    while its stages individually fit. Staging stops at the first CTE that
+    fails to BIND (true forward reference / mutual recursion); column-
+    aliased and self-recursive CTEs stage through a recursive wrapper.
+    Returns (sql_to_run, n_staged). Used as the dev-gate's OOM retry path
+    and as the sf1/sf10 gates' default execution mode."""
     pe = split_ctes(sql)
     if not pe:
         return sql, 0
     _, ctes, _ = pe
-    names = [n for n, _ in ctes]
-    upto = 0
-    for i, (_, body) in enumerate(ctes):
-        fwd = names[i + 1:]
-        if fwd and re.search(r"\b(" + "|".join(map(re.escape, fwd)) + r")\b",
-                             body):
-            break
-        upto = i + 1
-    made = ensure_prefix(con, cache, ctes, _chains(ctes), upto)
-    return strip_prefix(pe, upto), made
+    depth, made = ensure_prefix(con, cache, ctes, _chains(ctes), len(ctes))
+    return strip_prefix(pe, depth), made
 
 
 # ----------------------------------------------------------------- driver
@@ -297,14 +288,6 @@ def main() -> int:
     keys = [k for k in sorted(set(dumped) | set(oracle))
             if not only or k in only]
 
-    parsed, memo_len = {}, {}
-    if not no_memo:
-        for k in keys:
-            if k in oracle:
-                pe = split_ctes(oracle[k])
-                if pe:
-                    parsed[k] = pe
-        memo_len = plan_memo(parsed)
 
     results = {"_meta": {"sf_dir": sf_dir, "out_dir": out_dir,
                          "memo": not no_memo, "fast": fast,
@@ -337,13 +320,10 @@ def main() -> int:
             try:
                 t0 = time.time()
                 sql = oracle[name]
-                if name in memo_len and memo_len[name] > 0:
-                    _, ctes, _ = parsed[name]
-                    made = ensure_prefix(con, cache, ctes, _chains(ctes),
-                                         memo_len[name])
-                    sql = strip_prefix(parsed[name], memo_len[name])
-                    entry["memo_ctes"] = memo_len[name]
-                    entry["memo_created"] = made
+                if not no_memo:
+                    sql, staged = staged_sql(con, cache, sql)
+                    if staged:
+                        entry["staged_ctes"] = staged
                 b = norm(con.sql(sql).df())
                 entry["oracle_sec"] = round(time.time() - t0, 3)
                 t1 = time.time()
@@ -355,32 +335,10 @@ def main() -> int:
                 else:
                     n_fail += 1
             except Exception as e:  # duckdb OOM/engine limit: per-key, not fatal
-                retried = False
-                if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
-                    # retry fully STAGED: materialize every CTE stepwise so
-                    # peak memory is one stage's, not the whole plan's
-                    try:
-                        t0 = time.time()
-                        sql2, made = staged_sql(con, cache, oracle[name])
-                        b = norm(con.sql(sql2).df())
-                        entry["oracle_sec"] = round(time.time() - t0, 3)
-                        entry["staged_retry"] = made
-                        t1 = time.time()
-                        a = norm(pd.read_parquet(spark_dir))
-                        entry.update(compare(a, b, name))
-                        entry["compare_sec"] = round(time.time() - t1, 3)
-                        if entry["hash_match"]:
-                            n_ok += 1
-                        else:
-                            n_fail += 1
-                        retried = True
-                    except Exception as e2:  # noqa: BLE001
-                        e = e2
-                if not retried:
-                    entry["err"] = f"oracle_error: {type(e).__name__}: {e}"[:500]
-                    entry["oracle_sec"] = round(time.time() - t0, 3)
-                    print(f"[{name}] ORACLE ERROR: {e}")
-                    n_fail += 1
+                entry["err"] = f"oracle_error: {type(e).__name__}: {e}"[:500]
+                entry["oracle_sec"] = round(time.time() - t0, 3)
+                print(f"[{name}] ORACLE ERROR: {e}")
+                n_fail += 1
         results[name] = entry
         write_json(json_path, results)  # flush after EVERY key
 
