@@ -28,7 +28,10 @@ from sf1_gate import REPO, run_gate
 HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          "corpus_pipeline_v4", "span_dedup", "mtf_join",
          "backtest_dual_engine", "repeated_ngram_trim",
-         "trim_incremental", "neardup_incremental"}
+         "trim_incremental", "neardup_incremental",
+         # round-13 additions: the mixture-design data card and the
+         # span-grain decontamination scrub, both oracle-backed at 100x
+         "source_overlap", "contamination_scrub"}
 
 
 def main() -> int:
