@@ -537,7 +537,40 @@ object ScaleProbe {
         ix.unpersist(blocking = true)
         r
       }
-      Seq(run("neardup_incr_ix1", nd), run("neardup_incr_ix2", nd * 2))
+      // the LlmSpec ≡-restriction property AT SCALE: the incremental
+      // path's dup_of_index set must equal the full-pass pair scan's
+      // batch-docs-matched-to-history set on the same million-doc corpus
+      // (identical blocking seeds + identical hash-set Jaccard). A
+      // disagreement FAILS the probe run, so BASELINE.md's incremental
+      // numbers carry correctness evidence at the scale they're measured.
+      def equivProbe(name: String, m: Long): (String, Double) = {
+        if (only.nonEmpty && !only(name)) return name -> -1.0
+        val hist = idxDocs(m)
+        val batch = batchOf(m)
+        val ix = graft.llm.MinHashLsh.buildIndex(hist).cache()
+        ix.count()
+        val r = time(name) {
+          val out = graft.llm.MinHashLsh.nearDupIncremental(batch, ix, 0.3)
+          val dupIdx = out.where(col("status") === "dup_of_index")
+            .select("doc_id")
+          val crossMatched = graft.llm.MinHashLsh
+            .nearDupPairs(hist.unionByName(batch), 0.3)
+            .where(col("id1") < m && col("id2") >= m * 10)
+            .select(col("id2").as("doc_id")).distinct()
+          val extra = dupIdx.exceptAll(crossMatched).count()
+          val missed = crossMatched.exceptAll(dupIdx).count()
+          require(extra == 0 && missed == 0,
+            s"incremental != full-pass restriction at $m docs: " +
+              s"extra=$extra missed=$missed")
+          val matched = dupIdx.count()
+          org.apache.spark.sql.GraftBridge.releasePinned(out)
+          matched
+        }
+        ix.unpersist(blocking = true)
+        r
+      }
+      Seq(run("neardup_incr_ix1", nd), run("neardup_incr_ix2", nd * 2),
+        equivProbe("neardup_incr_equiv", nd))
     } ++ {
       // incremental repeated-gram trim: FIXED batch vs a pre-built gram
       // index at 1x and 2x corpus size — the claim: per-batch cost must
