@@ -29,9 +29,11 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          "corpus_pipeline_v4", "span_dedup", "mtf_join",
          "backtest_dual_engine", "repeated_ngram_trim",
          "trim_incremental", "neardup_incremental",
-         # round-13 additions: the mixture-design data card and the
-         # span-grain decontamination scrub, both oracle-backed at 100x
-         "source_overlap", "contamination_scrub"}
+         # round-13 additions: the mixture-design data card (exact oracle-
+         # backed; sketch/incremental twins rows-only as at driver scale)
+         # and the span-grain decontamination scrub
+         "source_overlap", "source_overlap_sketch",
+         "source_overlap_incremental", "contamination_scrub"}
 
 
 def main() -> int:
