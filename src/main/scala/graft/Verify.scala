@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Crash-evident by construction (the round-12 lesson applied to the
+  * Spark side): `oracle_sql.json` is written BEFORE any query runs — a
+  * dump that dies mid-run leaves every completed key comparable — and
+  * `_verify_status.json` is rewritten atomically after EVERY key with
+  * its ok/error and wall-time, so a partial dump records exactly how far
+  * it got and what it cost. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -16,20 +23,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // wall-time per query (plan+execute+write) so scale gates can
-        // report Spark-side cost without a separate bench pass
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,6 +38,37 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    def flushStatus(): Unit = {
+      val body = status.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/_verify_status.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(s"$outDir/_verify_status.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // wall-time per query (plan+execute+write) so scale gates can
+        // report Spark-side cost without a separate bench pass
+        // Locale.ROOT: a comma-decimal default locale would emit invalid
+        // JSON (the same trap Bench hit in round 9)
+        val secs = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box((System.nanoTime() - t0) / 1e9))
+        System.err.println(s"[verify] $name ok in ${secs}s")
+        status(name) = s"""{"ok": true, "secs": $secs}"""
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        status(name) = s"""{"ok": false, "error": ${q(msg.take(400))}}"""
+      }
+      flushStatus()
+    }
     spark.stop()
   }
 }
