@@ -1518,7 +1518,11 @@ object SparkEntry {
       val contaminated = Dedup.contaminationNgram(benchmark, gated, n = 8)
         .where(col("share_frac") >= 0.3)
         .select(col("test_id").as("doc_id"))
+      // stage boundary (same rationale as v3/v4): spanDedup consumes its
+      // input twice internally (span census + rebuild join), so the
+      // regex-heavy decontaminated prefix materializes once
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val deduped = Dedup.spanDedup(clean).where(col("kept_text") =!= "")
       Sampling.shardShuffle(deduped, "doc_id", nShards = 4, seed = "v2")
         .select(col("doc_id"), col("shard"), col("pos_in_shard"),
@@ -1551,15 +1555,22 @@ object SparkEntry {
             n = 8)
           .where(col("share_frac") >= 0.3)
           .select(col("test_id").as("doc_id"))
+      // first stage boundary: `clean` (the decontaminated per-doc prefix)
+      // is consumed TWICE by the span stage's single plan (spanDedup input
+      // + the source re-join), so without a materialization the
+      // regex-heavy normalize/gopher/8-gram prefix re-evaluates per
+      // reference inside one action (measured 3.4 -> 0.5+1.9 s warm at
+      // sf0.1 for the combined prefix+span stages)
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      // stage boundary: everything above is a linear per-doc pipeline;
-      // everything below consumes it repeatedly (the clustering stage
-      // iterates, and `canon` fans out to selection AND the final join).
-      // Materialize ONCE — at lake scale this is the stage write between
-      // the per-doc prefix and the cross-doc suffix that every published
-      // pipeline performs anyway; without it the 4-stage prefix would
-      // re-evaluate per consumer (measured 2.0x on the bench median,
-      // 18.7 -> 9.3 s at sf0.1).
+        .localCheckpoint(true)
+      // second stage boundary: everything above is a linear per-doc
+      // pipeline; everything below consumes it repeatedly (the clustering
+      // stage iterates, and `canon` fans out to selection AND the final
+      // join). Materialize ONCE — at lake scale these are the stage
+      // writes between the per-doc prefix and the cross-doc suffix that
+      // every published pipeline performs anyway; without them the
+      // 4-stage prefix would re-evaluate per consumer (measured 2.0x on
+      // the bench median, 18.7 -> 9.3 s at sf0.1).
       val span = Dedup.spanDedup(clean.select("doc_id", "text"))
         .where(col("kept_text") =!= "")
         .join(clean.select("doc_id", "source"), "doc_id")
@@ -1606,9 +1617,11 @@ object SparkEntry {
             n = 8)
           .where(col("share_frac") >= 0.3)
           .select(col("test_id").as("doc_id"))
+      // same stage boundaries as v3: the decontaminated prefix
+      // materializes once before its double consumption in the span
+      // stage, and the span output once before the trim suffix
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      // same stage boundary as v3: the linear per-doc prefix materializes
-      // once before the cross-doc suffix
+        .localCheckpoint(true)
       val span = Dedup.spanDedup(clean.select("doc_id", "text"))
         .where(col("kept_text") =!= "")
         .join(clean.select("doc_id", "source"), "doc_id")
