@@ -17,7 +17,11 @@ object Verify {
     // dev-only: extra args restrict the dump to the named queries (the
     // driver always passes exactly two args -> full dump)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default raised 4 -> 16 (round 13): the driver's correctness step runs
+    // this main on a 32-core box without setting SPARK_GRAFT_CPUS, and the
+    // full 151-key dump's wall was the likeliest budget blower in the
+    // round-12 evidence loss; sf0.01 data is tiny, so threads are free
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
