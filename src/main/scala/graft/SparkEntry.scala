@@ -2094,7 +2094,10 @@ object SparkEntry {
             ((regexp_extract(col("source"), "(\\d+)", 1).cast("int") + 1) % 20)
               .cast("string")).as("source"),
           col("text"))
-      Dedup.sourceOverlapSketch(d.unionByName(copies), k = 128)
+      // materialized once for the state's documented two-pass scan, as in
+      // the incremental key below
+      Dedup.sourceOverlapSketch(d.unionByName(copies).localCheckpoint(true),
+          k = 128)
         .orderBy("src_a", "src_b")
     }),
 
