@@ -105,12 +105,53 @@ _IDENT = re.compile(
     r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^()]*\))?\s+AS\s*\(")
 
 
+def _strip_comments(sql: str):
+    """Remove `--` line comments and `/* */` block comments OUTSIDE string
+    literals (tracking ''-escaped quotes), so an apostrophe in a comment
+    can't desync the CTE scan's literal tracking and a comment between CTE
+    list items can't truncate the list. Returns None on an unterminated
+    literal/block comment (caller runs the SQL unmodified)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while True:
+                if j >= n:
+                    return None
+                if sql[j] == "'" and sql[j + 1:j + 2] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            out.append(sql[i:j])
+            i = j
+        elif c == "-" and sql[i + 1:i + 2] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif c == "/" and sql[i + 1:i + 2] == "*":
+            k = sql.find("*/", i + 2)
+            if k < 0:
+                return None
+            i = k + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def split_ctes(sql: str):
     """Parse `WITH [RECURSIVE] n1 AS (...), n2(cols) AS (...) <tail>` into
     (recursive, [(name, col_alias, body)...], tail) — col_alias is '' or
-    the literal '(id, root)' column list. Returns None when the query has
-    no WITH clause or the scan fails (caller runs the SQL unmodified).
-    The paren balance scan skips ''-escaped string literals."""
+    the literal '(id, root)' column list. Comments are stripped first (see
+    [[_strip_comments]]). Returns None when the query has no WITH clause
+    or the scan fails (caller runs the SQL unmodified). The paren balance
+    scan skips ''-escaped string literals."""
+    sql = _strip_comments(sql)
+    if sql is None:
+        return None
     s = sql.strip()
     if not s[:4].upper() == "WITH":
         return None
@@ -189,6 +230,12 @@ def ensure_prefix(con, cache: dict, ctes, chains, upto: int):
     created = 0
     for i in range(upto):
         name, alias, body = ctes[i]
+        if name.lower() in (t.lower() for t in TABLES):
+            # a CTE named like a base table would, once materialized as a
+            # temp table, shadow the table VIEW for every later query on
+            # this connection (temp schema wins DuckDB name resolution) —
+            # enforce the no-collision invariant instead of assuming it
+            return i, created
         if cache.get(name) == chains[i]:
             continue
         self_rec = re.search(rf"\b{re.escape(name)}\b", body)
@@ -289,10 +336,15 @@ def main() -> int:
             if not only or k in only]
 
 
-    results = {"_meta": {"sf_dir": sf_dir, "out_dir": out_dir,
-                         "memo": not no_memo, "fast": fast,
-                         "duck_mem": os.environ.get("GATE_DUCK_MEM", "12GB"),
-                         "started_unix": time.time(), "n_keys": len(keys)}}
+    results = {}
+    if only and json_path.exists():
+        # partial re-run: merge into the existing artifact instead of
+        # clobbering the other keys' committed verdicts (sf1_gate pattern)
+        results = json.loads(json_path.read_text())
+    results["_meta"] = {"sf_dir": sf_dir, "out_dir": out_dir,
+                        "memo": not no_memo, "fast": fast,
+                        "duck_mem": os.environ.get("GATE_DUCK_MEM", "12GB"),
+                        "started_unix": time.time(), "n_keys": len(keys)}
     cache = {}
     n_ok = n_fail = n_rows_only = n_skip = 0
     t_gate = time.time()
@@ -306,13 +358,28 @@ def main() -> int:
             entry["err"] = "missing_spark_output"
             n_fail += 1
         elif name not in oracle:
-            a = pd.read_parquet(spark_dir)
-            entry["spark_rows"] = len(a)
-            entry["err"] = "no_oracle"
-            n_rows_only += 1
-            print(f"[{name}] rows-only ({len(a)} rows)")
+            # wrapped like the oracle branch: one truncated/half-written
+            # dump dir must cost one key's record, never the rest of the
+            # gate loop; and 0 rows FAILS, as in the sf1/sf10 gates — an
+            # operator regressed to an empty frame is a red key, not a pass
+            try:
+                entry["spark_rows"] = len(pd.read_parquet(spark_dir))
+                entry["err"] = "no_oracle"
+                if entry["spark_rows"] == 0:
+                    n_fail += 1
+                    print(f"[{name}] FAIL rows-only: 0 rows")
+                else:
+                    n_rows_only += 1
+                    print(f"[{name}] rows-only ({entry['spark_rows']} rows)")
+            except Exception as e:  # noqa: BLE001
+                entry["err"] = f"no_oracle; read failed: {str(e)[:150]}"
+                n_fail += 1
+                print(f"[{name}] FAIL rows-only: {entry['err']}")
         elif fast and (prev.get(name, {}).get("oracle_sec") or 0) > fast_max:
+            # keep the recorded slow timing so the NEXT --fast run still
+            # knows to skip (a None would make the skip one-shot)
             entry["err"] = "skipped_fast"
+            entry["oracle_sec"] = prev[name]["oracle_sec"]
             n_skip += 1
             print(f"[{name}] skipped (--fast: previous oracle took "
                   f"{prev[name]['oracle_sec']:.1f}s)")

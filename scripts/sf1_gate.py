@@ -26,7 +26,7 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-from dev_check import staged_sql
+from dev_check import staged_sql, write_json
 
 REPO = Path(__file__).resolve().parent.parent
 SF1 = REPO / "target" / "sf1.0"
@@ -113,10 +113,9 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
 
     def flush():
         # flushed after EVERY key: a crash/OOM/timeout preserves the keys
-        # already compared (round-12 lesson — never lose a gate run whole)
-        tmp = ARTIFACT.with_suffix(".tmp")
-        tmp.write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
-        tmp.replace(ARTIFACT)
+        # already compared (round-12 lesson — never lose a gate run whole);
+        # dev_check's fsync'd atomic writer, not a second implementation
+        write_json(ARTIFACT, results)
 
     n_fail = 0
     cache = {}
@@ -178,6 +177,12 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
 
 
 def main() -> int:
+    # cap + spill by default, as in sf10_gate: staged temp tables persist
+    # for the whole gate run (the prefix cache is the point), so an
+    # uncapped connection's footprint grows monotonically across ~128 keys
+    # and a late OOM-kill would lose the run the per-key flush protects
+    import os
+    os.environ.setdefault("GATE_DUCK_MEM", "60GB")
     args = [a for a in sys.argv[1:]]
     return run_gate(SF1, OUT, ARTIFACT, reps=10, label="sf1.0",
                     skip_verify="--skip-verify" in args,
