@@ -839,6 +839,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // §2 #49e — per-stratum top-fraction keep (the FineWeb-style adaptive
+    // threshold: the best 40% of EACH source by raw length, ties to the
+    // lowest id, ceil so every non-empty source keeps at least one doc) —
+    // the curation rule that stops one low-quality source's absolute bar
+    // from starving a high-quality one.
+    "source_quantile_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Sampling.topFractionPerStratum(d, "source", col("n_chars"), frac = 0.4)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("stratum_rank"), col("n_stratum"))
+        .orderBy("source", "stratum_rank")
+    }),
+
+    // §2 #49f — temperature-scaled source mixture (the multilingual
+    // exponential-smoothing rule, α = 0.3): raw token share → p^α
+    // renormalized, with the up/down-sampling factor and the expected
+    // token allocation at a 1M-token budget. One hash agg to |sources|
+    // rows; the third standard mixture recipe next to UniMax (#49d) and
+    // DoReMi (#54d).
+    "mixture_temperature" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.temperatureWeights(
+          d.select(col("source"), col("text")), "source",
+          massCol = size(TextAnalysis.tokens(col("text"))),
+          alpha = 0.3, budget = 1000000.0)
+        .orderBy("source")
+    }),
+
     // §2 #49c — deterministic global training-order shuffle: md5(seed:key)
     // sort key -> shard (top 32 hash bits mod n) + position within shard.
     // Reproducible across runs/engines/partitionings (orderBy(rand()) is
@@ -1150,6 +1179,25 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // §2 #26h — exact dedup electing the BEST raw rendition per canonical
+    // fingerprint (the published survivor rule: duplicates under the
+    // case/whitespace-insensitive hash differ in raw form — keep the
+    // longest, ties to the lowest id). Seeds two raw-variant families
+    // (uppercased twins and whitespace-inflated twins) so the election is
+    // exercised in both directions; one hash agg, argmax-as-max-of-struct.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupUp = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          upper(col("text")).as("text"))
+      val dupWs = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit(" "), regexp_replace(col("text"), " ", "  ")).as("text"))
+      Dedup.exactKeepBest(d.unionByName(dupUp).unionByName(dupWs),
+          quality = length(col("text")))
+        .orderBy("fingerprint")
+    }),
+
     // §2 #26b — span-grain exact dedup (RefinedWeb/Dolma line-dedup, at
     // sentence grain): every distinct sentence keeps its corpus-wide first
     // occurrence, documents rebuilt from surviving spans — the
@@ -1437,6 +1485,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #34e — character-entropy gibberish signal: per-doc code-point
+    // count, distinct code points and Shannon entropy (bits/char) in ONE
+    // native JVM pass (graft.functions.CharEntropy — the HOF form is
+    // O(distinct·len), the corpus-grain explode form shuffles; this is
+    // map-only), with the two-sided plausibility gate (near-zero =
+    // repeated-char padding, implausibly high = base64/binary spill).
+    "char_entropy" -> ((s, dir) => {
+      TextAnalysis.withEntropy(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_cp"), col("n_distinct_cp"),
+          col("entropy_bits"), col("pass_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #34b — Gopher quality rules: the published word-level document
     // filters (word-count bounds, mean-word-length bounds, symbol-to-word
     // ratio, alphabetic-word fraction) as one stateless projection with
@@ -1675,6 +1737,19 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // §2 #36b — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    // the MOSS algorithm): 3-gram hashes, window w=4, per-window minimum
+    // (rightmost on ties) selected via the integer key hash·2^21 − pos so
+    // the election is plain int64 math on both engines. Every shared run
+    // of w+k−1 = 6 tokens between two docs shares a fingerprint at ~2/(w+1)
+    // the density of the full gram table — the tractable local-similarity
+    // sketch. Map-only HOF algebra (no explode until the winnowed set).
+    "winnow_fingerprint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.winnowFingerprints(d, k = 3, w = 4)
+        .orderBy("doc_id", "pos")
     }),
 
     // §2 #37 — multimodal payload + typed metadata (decode stage is the
@@ -3736,6 +3811,39 @@ object SparkEntry {
         |             ELSE 0.0 END, 6) + 0.0 AS epochs,
         |       round(alloc / sum(alloc) OVER (), 6) + 0.0 AS mix_frac
         |FROM a ORDER BY source""".stripMargin,
+
+    "source_quantile_filter" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC)
+        |           AS stratum_rank,
+        |         count(*) OVER (PARTITION BY source) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       CAST(stratum_rank AS BIGINT) AS stratum_rank,
+        |       CAST(n_stratum AS BIGINT) AS n_stratum
+        |FROM r WHERE stratum_rank <= ceil(0.4 * n_stratum)
+        |ORDER BY source, stratum_rank""".stripMargin,
+
+    "mixture_temperature" ->
+      """WITH c AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT source, n,
+        |         n / sum(n) OVER () AS p_raw,
+        |         power(n / sum(n) OVER (), 0.3) AS pa
+        |  FROM c),
+        |t AS (SELECT source, n, p_raw, pa / sum(pa) OVER () AS p_temp FROM p)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |       round(p_raw, 6) + 0.0 AS p_raw,
+        |       round(p_temp, 6) + 0.0 AS p_temp,
+        |       round(CASE WHEN p_raw > 0 THEN p_temp / p_raw END, 6) + 0.0
+        |         AS upsample_factor,
+        |       round(p_temp * 1000000.0, 2) + 0.0 AS expected_tokens
+        |FROM t ORDER BY source""".stripMargin,
 
     "doremi_weights" -> {
       // 5 unrolled EG steps: r_{t+1} = 0.9·softmax-step + 0.1·uniform;
@@ -5823,6 +5931,30 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "dedup_keep_best" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text)
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ' ' || replace(text, ' ', '  ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (
+        |  SELECT doc_id, len(text) AS q,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fingerprint
+        |  FROM all_docs),
+        |r AS (
+        |  SELECT fingerprint, doc_id, q,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |                            ORDER BY q DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY fingerprint) AS n
+        |  FROM fp)
+        |SELECT fingerprint, CAST(n AS BIGINT) AS n_copies,
+        |       doc_id AS keep_id, CAST(q AS DOUBLE) + 0.0 AS keep_quality
+        |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
     "span_dedup" ->
       """WITH sp AS (
         |  SELECT doc_id,
@@ -6103,6 +6235,30 @@ object SparkEntry {
         |             * least(1.0, stop_ratio * 4.0), 6) AS quality_score
         |FROM u ORDER BY 1""".stripMargin,
 
+    // entropy via the subtraction form log2(N) − Σ n·log2(n) / N — the
+    // exact identity the Spark expression computes (never −0.0); the pass
+    // flag tests the UNROUNDED value on both engines
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE len(text) > 0),
+        |cc AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+        |  FROM ch GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_cp,
+        |         log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
+        |  FROM cc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(d.text) AS BIGINT) AS n_cp,
+        |       e.n_distinct_cp,
+        |       round(e.h, 6) + 0.0 AS entropy_bits,
+        |       CASE WHEN e.h >= 1.5 AND e.h <= 6.0 THEN 1 ELSE 0 END
+        |         AS pass_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
@@ -6118,6 +6274,42 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |         AS fingerprint
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // the winnowing election runs on the SAME integer keys hash·2^21 − pos
+    // the Spark side uses, so (min hash, rightmost pos) is plain int64
+    // arithmetic on both engines; 2^21 is a power of two, making the
+    // decode's double division exact
+    "winnow_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(w) - 2),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |k AS (
+        |  SELECT doc_id, g,
+        |         list_transform(range(len(g)), i ->
+        |           CAST(CAST('0x' || substr(md5(g[i+1]), 1, 8) AS UBIGINT)
+        |                AS BIGINT) * 2097152 - i) AS ks
+        |  FROM g WHERE len(g) > 0),
+        |m AS (
+        |  SELECT doc_id, g,
+        |         list_distinct(list_transform(
+        |           range(greatest(len(ks) - 4, 0) + 1),
+        |           s -> list_min(ks[s+1:s+4]))) AS sel
+        |  FROM k),
+        |u AS (SELECT doc_id, g, unnest(sel) AS key FROM m),
+        |dec AS (
+        |  SELECT doc_id, g, key,
+        |         (key + 2097151) // 2097152 AS gram_hash
+        |  FROM u)
+        |SELECT doc_id,
+        |       CAST(gram_hash * 2097152 - key AS BIGINT) AS pos,
+        |       CAST(gram_hash AS BIGINT) AS gram_hash,
+        |       g[CAST(gram_hash * 2097152 - key AS INTEGER) + 1] AS gram
+        |FROM dec ORDER BY doc_id, pos""".stripMargin,
 
     "wav_meta" ->
       """WITH m AS (

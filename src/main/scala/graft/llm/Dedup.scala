@@ -79,6 +79,34 @@ object Dedup {
     fp.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact dedup electing the BEST representative per duplicate group
+    * rather than the lowest id — the survivor rule the published corpus
+    * pipelines actually ship (duplicates under a canonical fingerprint
+    * differ in raw form: casing, whitespace, truncation; keeping the
+    * longest raw rendition preserves the most content, and C4/Dolma-style
+    * cleanups keep the best-scoring copy). `quality` is any row-local
+    * numeric column expression (defaults to raw char count); ties break to
+    * the lowest id so the election is total and reproducible.
+    *
+    * Scale: ONE hash aggregation — the election rides `max(struct(quality,
+    * −id, payload…))`, whose partial aggregation collapses each duplicate
+    * group map-side (the classic argmax-as-max-of-struct; no window, no
+    * per-group sort, no second join to fetch the winner's payload). Same
+    * one-shuffle posture as [[exact]]. */
+  def exactKeepBest(docs: DataFrame, quality: Column,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    fp.groupBy(col("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        max(struct(quality.cast("double").as("q"),
+          (-col(idCol)).as("_negid"))).as("_best"))
+      .select(col("fingerprint"), col("n_copies"),
+        (-col("_best._negid")).cast("long").as("keep_id"),
+        col("_best.q").as("keep_quality"))
+  }
+
   /** Incremental exact dedup — the production shape where a corpus grows by
     * batches (daily crawls) and each new batch dedups against the
     * accumulated fingerprint INDEX, not the full historical text: elect

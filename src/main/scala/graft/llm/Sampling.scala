@@ -224,4 +224,63 @@ object Sampling {
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
       .drop("_skey")
   }
+
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-domain mixture rule (mBERT/XLM-R/mT5 exponential smoothing:
+    * sample source s with probability `p_s^α / Σ p_j^α` where `p_s` is the
+    * source's raw mass share and `α ∈ (0, 1]` flattens the distribution;
+    * α = 1 is proportional sampling, α → 0 is uniform). Emits the mixture
+    * audit per source: raw mass, raw share, temperature share, the
+    * up/down-sampling factor vs raw, and the expected token allocation at
+    * `budget`. Complements [[unimaxAlloc]] (hard epoch caps) and
+    * [[graft.llm.Selection.doremiWeights]] (learned weights) as the third
+    * standard mixture recipe.
+    *
+    * Scale: one hash aggregation to |sources| rows, then |sources|-local
+    * window math — the corpus is touched once. */
+  def temperatureWeights(df: DataFrame, sourceCol: String, massCol: Column,
+                         alpha: Double, budget: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureWeights: alpha in (0,1], got $alpha")
+    require(budget > 0, s"temperatureWeights: budget must be positive, got $budget")
+    val all = Window.partitionBy()
+    df.groupBy(col(sourceCol))
+      .agg(coalesce(sum(massCol).cast("double"), lit(0.0)).as("n_tokens"))
+      .withColumn("p_raw", col("n_tokens") / sum(col("n_tokens")).over(all))
+      .withColumn("_pa", pow(col("p_raw"), alpha))
+      .withColumn("p_temp", col("_pa") / sum(col("_pa")).over(all))
+      .select(col(sourceCol), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("p_temp"), 6).as("p_temp"),
+        // a zero-mass source has p_raw = 0 ⇒ factor undefined (null)
+        round(when(col("p_raw") > 0, col("p_temp") / col("p_raw")), 6)
+          .as("upsample_factor"),
+        round(col("p_temp") * budget, 2).as("expected_tokens"))
+  }
+
+  /** Per-stratum top-fraction keep — the adaptive-threshold curation rule
+    * (FineWeb-style: rather than one global quality cutoff, keep the best
+    * `frac` of EACH source/dump, so a high-quality source isn't starved by
+    * a low-quality one sharing the same absolute bar). Ranking is on
+    * (`score` desc, id asc) so ties at the boundary resolve identically on
+    * every engine; a stratum with n rows keeps `ceil(frac·n)` (at least
+    * one survivor per non-empty stratum). Emits kept rows with their
+    * in-stratum rank and the stratum size for the audit trail.
+    *
+    * Scale: one shuffle on the stratum key + per-stratum sort — with
+    * strata in the thousands (dumps × domains) the window IS the parallel
+    * unit. When a single stratum dwarfs memory, swap the exact rank for a
+    * `percentile_approx(score, 1−frac)` threshold + broadcast join (the
+    * [[graft.operators.Stats.robustScale]] useApprox pattern); the exact
+    * path is the oracle-checkable contract. */
+  def topFractionPerStratum(df: DataFrame, stratumCol: String,
+                            score: Column, frac: Double,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(frac > 0 && frac <= 1, s"topFractionPerStratum: frac in (0,1], got $frac")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(score.desc, col(idCol).asc)
+    val n = Window.partitionBy(col(stratumCol))
+    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(n))
+      .where(col("stratum_rank") <= ceil(lit(frac) * col("n_stratum")))
+  }
 }

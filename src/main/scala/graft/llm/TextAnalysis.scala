@@ -124,6 +124,87 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Per-doc character-distribution stats: code-point count, distinct
+    * code-point count, Shannon entropy in bits/char (struct column; see
+    * [[graft.functions.CharEntropy]]). One native JVM pass per row —
+    * map-only at any scale. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.functions.CharEntropy(GraftBridge.expression(text)))
+  }
+
+  /** [[charEntropy]] applied to a document frame, with the two-sided
+    * plausibility gate quality pipelines run on it: near-zero entropy is
+    * repeated-char padding / keyboard mash, implausibly high entropy is
+    * base64/binary spill. Bounds follow the usual web-filter defaults
+    * (natural-language text sits ~3.5–5 bits/char; the gate is
+    * deliberately loose). Empty docs have undefined entropy → fail. */
+  def withEntropy(docs: DataFrame, textCol: String = "text",
+                  minBits: Double = 1.5, maxBits: Double = 6.0): DataFrame =
+    docs
+      .withColumn("_ce", charEntropy(col(textCol)))
+      .withColumn("n_cp", col("_ce.n_chars"))
+      .withColumn("n_distinct_cp", col("_ce.n_distinct_chars"))
+      .withColumn("entropy_bits", round(col("_ce.entropy_bits"), 6))
+      .withColumn("pass_entropy", coalesce(
+        (col("_ce.entropy_bits") >= minBits &&
+          col("_ce.entropy_bits") <= maxBits).cast("int"), lit(0)))
+      .drop("_ce")
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS local fingerprinting algorithm): hash every word `k`-gram,
+    * slide a window of `w` consecutive gram hashes, and in each window
+    * select the MINIMUM hash (rightmost position on ties, per the paper);
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprints. Guarantees every shared run of `w + k − 1` tokens
+    * between two documents shares at least one fingerprint, at ~2/(w+1)
+    * the density of the full gram set — the sketch that makes
+    * fingerprint-join dedup/plagiarism detection tractable when the full
+    * gram table would dominate the corpus.
+    *
+    * Determinism across engines/partitionings: the gram hash is the first
+    * 8 md5 hex digits (not xxhash64), and window selection happens on the
+    * encoded key `hash·2^21 − pos` whose integer order realizes
+    * (min hash, rightmost pos) with plain int64 comparisons — the same
+    * arithmetic an ANSI oracle can run. Docs shorter than `k` tokens have
+    * no grams and are absent; docs with fewer than `w` grams winnow their
+    * single short window.
+    *
+    * Scale: pure per-row HOF algebra over the token array (no explode
+    * until the final fingerprint set, which is ~2/(w+1)·grams), map-only,
+    * streaming-safe; the output is the join key for a corpus-grain
+    * fingerprint index. Position cap: the encoding reserves 21 bits for
+    * pos, so docs are capped at 2^21−1 grams (a 2M-token doc is not a
+    * document; chunk first). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k,w must be >= 1")
+    val grams = ngrams(col(textCol), k)
+    // encoded selection keys: hash(gram_i)·2^21 − i, one per gram
+    val keys = transform(sequence(lit(0), size(col("_g")) - 1),
+      i => conv(substring(md5(element_at(col("_g"), i + 1)), 1, 8), 16, 10)
+        .cast("long") * lit(2097152L) - i.cast("long"))
+    // per window start s: min key over the w-slice (clamped at the end;
+    // a doc with fewer than w grams winnows one short window)
+    val mins = transform(sequence(lit(0), greatest(size(col("_k")) - w, lit(0))),
+      s => array_min(slice(col("_k"), s + 1, lit(w))))
+    docs
+      .select(col(idCol), grams.as("_g"))
+      .where(size(col("_g")) > 0)
+      .withColumn("_k", keys)
+      .withColumn("_m", array_distinct(mins))
+      .select(col(idCol), explode(col("_m")).as("_sel"), col("_g"))
+      // decode (hash, pos) from the encoded key: pos ∈ [0, 2^21) ⇒
+      // hash = ceil(key / 2^21), pos = hash·2^21 − key
+      .withColumn("gram_hash",
+        floor((col("_sel") + lit(2097151L)) / lit(2097152L)).cast("long"))
+      .withColumn("pos", (col("gram_hash") * lit(2097152L) - col("_sel")).cast("long"))
+      .withColumn("gram", element_at(col("_g"), (col("pos") + 1).cast("int")))
+      .select(col(idCol), col("pos"), col("gram_hash"), col("gram"))
+  }
+
   /** C4-style text normalization — the cleanup projection that runs before
     * any fingerprinting/tokenizing stage on raw web extractions: strip
     * markup tags, unescape the basic HTML entities, blank control

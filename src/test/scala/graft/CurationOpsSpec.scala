@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-13 curation additions: char entropy, keep-best exact dedup,
+  * winnowing fingerprints, per-stratum top-fraction keep, temperature
+  * mixture weights. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  // ---------------------------------------------------------------- entropy
+
+  test("char entropy: hand-computed values, empty doc, flags") {
+    val d = Seq(
+      (1L, "aabbbb"),        // H = log2(6) - (2·1 + 4·2)/6 = 0.918296…
+      (2L, "aaaa"),          // single symbol: exactly 0.0 (and not -0.0)
+      (3L, ""),              // no code points: null entropy, fails gate
+      (4L, "abcdefgh"))      // 8 distinct: exactly 3 bits
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withEntropy(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_cp") == 6L)
+    assert(r1.getAs[Long]("n_distinct_cp") == 2L)
+    assert(math.abs(r1.getAs[Double]("entropy_bits") - 0.918296) < 1e-9)
+    val h2 = out(1).getAs[Double]("entropy_bits")
+    assert(h2 == 0.0 && !(1.0 / h2 < 0), "entropy of a constant doc must be +0.0")
+    assert(out(1).getAs[Int]("pass_entropy") == 0)
+    assert(out(2).getAs[Long]("n_cp") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("entropy_bits")))
+    assert(out(2).getAs[Int]("pass_entropy") == 0)
+    assert(out(3).getAs[Double]("entropy_bits") == 3.0)
+    assert(out(3).getAs[Int]("pass_entropy") == 1)
+  }
+
+  test("char entropy counts code points, not UTF-16 units") {
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16
+    val d = Seq((1L, "𝄞a")).toDF("doc_id", "text")
+    val r = TextAnalysis.withEntropy(d).collect()(0)
+    assert(r.getAs[Long]("n_cp") == 2L)
+    assert(r.getAs[Long]("n_distinct_cp") == 2L)
+    assert(r.getAs[Double]("entropy_bits") == 1.0)
+  }
+
+  test("char entropy is order-independent (pure function of the multiset)") {
+    val d = Seq((1L, "the quick brown fox"), (2L, "fox brown quick the"))
+      .toDF("doc_id", "text")
+    val hs = TextAnalysis.withEntropy(d).select("entropy_bits")
+      .as[Double].collect()
+    assert(hs(0) == hs(1))
+  }
+
+  // ---------------------------------------------------------- keep-best
+
+  test("exactKeepBest elects the longest raw rendition, ties to lowest id") {
+    val d = Seq(
+      (1L, "Hello World"),        // canonical twin of 2,3 — shortest
+      (2L, "hello    world"),     // whitespace-inflated: longest → wins
+      (3L, "HELLO WORLD"),        // same length as 1 → loses to longer 2
+      (7L, "unique doc"),
+      (8L, "TIE a"), (9L, "tie A")) // equal length: lowest id 8 wins
+      .toDF("doc_id", "text")
+    val out = Dedup.exactKeepBest(d, quality = length(col("text")))
+    val byKeep = out.collect().map(r =>
+      r.getAs[Long]("keep_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("keep_quality")))).toMap
+    assert(byKeep.keySet == Set(2L, 7L, 8L))
+    assert(byKeep(2L) == ((3L, 14.0)))
+    assert(byKeep(7L) == ((1L, 10.0)))
+    assert(byKeep(8L) == ((2L, 5.0)))
+  }
+
+  test("exactKeepBest agrees with exact on group structure") {
+    val withDup = docs.unionByName(
+      docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          upper(col("text")).as("text")))
+    val a = Dedup.exact(withDup).select("fingerprint", "n_copies")
+    val b = Dedup.exactKeepBest(withDup, length(col("text")))
+      .select("fingerprint", "n_copies")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  // ---------------------------------------------------------- winnowing
+
+  test("winnowing: hand-checked guarantee and density on a tiny doc") {
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(d, k = 3, w = 4)
+      .orderBy("pos").collect()
+    // 8 grams, 5 windows; every window [s, s+3] must contain a selected pos
+    val poss = out.map(_.getAs[Long]("pos")).toSeq
+    assert(poss == poss.sorted && poss.distinct == poss)
+    (0 to 4).foreach { s =>
+      assert(poss.exists(p => p >= s && p <= s + 3),
+        s"window at $s has no fingerprint")
+    }
+    // selected grams are real grams at their positions
+    out.foreach { r =>
+      val toks = "a b c d e f g h i j".split(" ")
+      val p = r.getAs[Long]("pos").toInt
+      assert(r.getAs[String]("gram") == toks.slice(p, p + 3).mkString(" "))
+    }
+    // density ~ 2/(w+1): far fewer than all 8 grams
+    assert(out.length >= 2 && out.length <= 5)
+  }
+
+  test("winnowing guarantee: shared 6-token run ⇒ shared fingerprint hash") {
+    // w + k − 1 = 6: any 6-token run shared by two docs must share ≥1 hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(d, k = 3, w = 4)
+    val h1 = fp.where(col("doc_id") === 1).select("gram_hash").as[Long].collect().toSet
+    val h2 = fp.where(col("doc_id") === 2).select("gram_hash").as[Long].collect().toSet
+    assert(h1.intersect(h2).nonEmpty)
+  }
+
+  test("winnowing: short docs (< k tokens absent, < w grams one window)") {
+    val d = Seq((1L, "just two"), (2L, "exactly three tokens here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(d, k = 3, w = 4)
+    assert(out.where(col("doc_id") === 1).count() == 0)
+    // doc 2: 4 tokens → 2 grams < w → ONE short window → exactly 1 fingerprint
+    assert(out.where(col("doc_id") === 2).count() == 1)
+  }
+
+  test("winnowing is partition-invariant") {
+    val a = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+    val b = TextAnalysis.winnowFingerprints(docs.repartition(17), k = 3, w = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  // ------------------------------------------------- per-stratum top-frac
+
+  test("topFractionPerStratum keeps ceil(frac·n) best per stratum") {
+    val d = (1 to 10).map(i => (i.toLong, "s1", i * 10)) ++
+      Seq((100L, "s2", 5), (101L, "s2", 7), (102L, "s2", 7))
+    val df = d.toDF("doc_id", "source", "n_chars")
+    val out = Sampling.topFractionPerStratum(df, "source", col("n_chars"),
+      frac = 0.4).orderBy("source", "stratum_rank").collect()
+    // s1: 10 rows → keep 4, the largest n_chars (100, 90, 80, 70)
+    val s1 = out.filter(_.getAs[String]("source") == "s1")
+    assert(s1.map(_.getAs[Int]("n_chars")).toSeq == Seq(100, 90, 80, 70))
+    // s2: 3 rows → ceil(1.2) = 2; tie at 7 breaks to lower id 101
+    val s2 = out.filter(_.getAs[String]("source") == "s2")
+    assert(s2.map(_.getAs[Long]("doc_id")).toSeq == Seq(101L, 102L))
+    assert(s2.map(_.getAs[Long]("n_stratum")).toSeq == Seq(3L, 3L))
+  }
+
+  test("topFractionPerStratum frac=1 keeps everything") {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = Sampling.topFractionPerStratum(base, "source",
+      col("n_chars"), frac = 1.0)
+    assert(out.count() == base.count())
+  }
+
+  // ------------------------------------------------- temperature mixture
+
+  test("temperatureWeights: α=1 is proportional, α→0 flattens") {
+    val d = Seq(("a", 900L), ("b", 90L), ("c", 10L)).toDF("source", "mass")
+    val p1 = Sampling.temperatureWeights(d, "source", col("mass"),
+      alpha = 1.0, budget = 1000.0).orderBy("source").collect()
+    assert(p1.map(_.getAs[Double]("p_temp")).toSeq == Seq(0.9, 0.09, 0.01))
+    assert(p1.map(_.getAs[Double]("upsample_factor")).forall(_ == 1.0))
+    val p03 = Sampling.temperatureWeights(d, "source", col("mass"),
+      alpha = 0.3, budget = 1000.0).orderBy("source").collect()
+    val shares = p03.map(_.getAs[Double]("p_temp"))
+    // flattening: the dominant source shrinks, the tail grows
+    assert(shares(0) < 0.9 && shares(2) > 0.01)
+    assert(math.abs(shares.sum - 1.0) < 1e-6)
+    // expected tokens sum to the budget
+    assert(math.abs(p03.map(_.getAs[Double]("expected_tokens")).sum - 1000.0) < 0.1)
+    // upsampling direction: tail up, head down
+    assert(p03(0).getAs[Double]("upsample_factor") < 1.0)
+    assert(p03(2).getAs[Double]("upsample_factor") > 1.0)
+  }
+
+  test("temperatureWeights: zero-mass source gets zero share, null factor") {
+    val d = Seq(("a", Some(100L)), ("b", None)).toDF("source", "mass")
+    val out = Sampling.temperatureWeights(d, "source", col("mass"),
+      alpha = 0.5, budget = 100.0).orderBy("source").collect()
+    assert(out(1).getAs[Double]("p_temp") == 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("upsample_factor")))
+    assert(out(0).getAs[Double]("p_temp") == 1.0)
+  }
+
+  // ------------------------------------------------------------- hygiene
+
+  test("new ops leave no persisted blocks and no cartesian products") {
+    // suites share the session sequentially; another suite may legitimately
+    // have a live relation cache (e.g. exportModelRelation's vocabulary
+    // pin) — assert OUR ops add nothing, not global emptiness
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val w = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+    assertNoCartesian(w)
+    w.count()
+    val kb = Dedup.exactKeepBest(docs, length(col("text")))
+    assertNoCartesian(kb)
+    kb.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"new ops persisted blocks: $added")
+  }
+}
