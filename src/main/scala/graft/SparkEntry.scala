@@ -1752,6 +1752,17 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // §2 #36c — winnowing candidate pairs (the MOSS index join): docs
+    // sharing ≥2 distinct selected hashes pair up, df-capped (hashes in
+    // >10 docs are boilerplate and excluded from blocking — a blocking
+    // choice, same posture as the MinHash band join, never all-pairs),
+    // with the containment estimate n_shared/min(|fp|). Seeded truncation
+    // near-dups (the #27 set) must surface as pairs.
+    "winnow_candidates" -> ((s, dir) =>
+      Dedup.winnowCandidates(docsWithNearDups(s, dir),
+          k = 3, w = 4, maxDf = 10, minShared = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // §2 #37 — multimodal payload + typed metadata (decode stage is the
     // batched stub covered by MultimodalSpec).
     "multimodal_meta" -> ((s, dir) => {
@@ -6310,6 +6321,54 @@ object SparkEntry {
         |       CAST(gram_hash AS BIGINT) AS gram_hash,
         |       g[CAST(gram_hash * 2097152 - key AS INTEGER) + 1] AS gram
         |FROM dec ORDER BY doc_id, pos""".stripMargin,
+
+    "winnow_candidates" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(
+        |           string_split_regex(text, '\s+')[1:greatest(
+        |             len(string_split_regex(text, '\s+')) - 2, 0)], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM all_docs),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(w) - 2),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |k AS (
+        |  SELECT doc_id, g,
+        |         list_transform(range(len(g)), i ->
+        |           CAST(CAST('0x' || substr(md5(g[i+1]), 1, 8) AS UBIGINT)
+        |                AS BIGINT) * 2097152 - i) AS ks
+        |  FROM g WHERE len(g) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(greatest(len(ks) - 4, 0) + 1),
+        |           s -> (list_min(ks[s+1:s+4]) + 2097151) // 2097152)) AS hs
+        |  FROM k),
+        |fp AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM m),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+        |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 10),
+        |kept AS (SELECT doc_id, h FROM fp JOIN rare USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |       CAST(sa.nfp AS BIGINT) AS n_fp_a,
+        |       CAST(sb.nfp AS BIGINT) AS n_fp_b,
+        |       round(p.n_shared * 1.0 / least(sa.nfp, sb.nfp), 6) + 0.0
+        |         AS est_containment
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "wav_meta" ->
       """WITH m AS (

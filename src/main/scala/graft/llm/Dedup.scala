@@ -107,6 +107,54 @@ object Dedup {
         col("_best.q").as("keep_quality"))
   }
 
+  /** Near-dup candidate generation over WINNOWING fingerprints
+    * ([[TextAnalysis.winnowFingerprints]]) — the MOSS index-join step:
+    * documents sharing ≥ `minShared` distinct selected gram hashes become
+    * a candidate pair, with an estimated containment
+    * `n_shared / min(|fp_a|, |fp_b|)` for ranking. The winnowing guarantee
+    * makes this a RECALL statement: any two docs sharing a run of
+    * w+k−1 tokens share ≥1 fingerprint, so `minShared = 1` catches every
+    * such pair and higher values trade recall for precision.
+    *
+    * Scale: the same posture as the MinHash band join — fingerprints
+    * equi-join on the 8-byte gram hash, never all-pairs; hashes whose
+    * document frequency exceeds `maxDf` are EXCLUDED as boilerplate
+    * before the join (the standard df-cap that stops a hot shared footer
+    * from exploding one bucket into B² pairs; the cap is a blocking
+    * choice, not an approximation of some exact answer — published
+    * pipelines drop head grams for the same reason). Exchanges carry
+    * (hash, id) pairs; the pair aggregation is one shuffle keyed on the
+    * (a, b) pair. */
+  def winnowCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
+                       maxDf: Int = 10, minShared: Int = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(maxDf >= 2, s"winnowCandidates: maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"winnowCandidates: minShared >= 1, got $minShared")
+    val fp = TextAnalysis.winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("gram_hash")).distinct()
+    // per-doc fingerprint counts BEFORE the df cap: containment
+    // denominators describe the docs, not the blocking choice
+    val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("_nfp"))
+    val rare = fp.groupBy(col("gram_hash")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf)
+      .select("gram_hash")
+    val kept = fp.join(rare, Seq("gram_hash"))
+    val pairs = kept.select(col("gram_hash"), col(idCol).as("_a"))
+      .join(kept.select(col("gram_hash"), col(idCol).as("_b")), Seq("gram_hash"))
+      .where(col("_a") < col("_b"))
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col(idCol).as("_a"), col("_nfp").as("n_fp_a")), "_a")
+      .join(sizes.select(col(idCol).as("_b"), col("_nfp").as("n_fp_b")), "_b")
+      .select(col("_a").as("doc_a"), col("_b").as("doc_b"),
+        col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        round(col("n_shared") / least(col("n_fp_a"), col("n_fp_b")), 6)
+          .as("est_containment"))
+  }
+
   /** Incremental exact dedup — the production shape where a corpus grows by
     * batches (daily crawls) and each new batch dedups against the
     * accumulated fingerprint INDEX, not the full historical text: elect

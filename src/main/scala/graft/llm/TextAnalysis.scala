@@ -171,15 +171,33 @@ object TextAnalysis {
     * no grams and are absent; docs with fewer than `w` grams winnow their
     * single short window.
     *
-    * Scale: pure per-row HOF algebra over the token array (no explode
-    * until the final fingerprint set, which is ~2/(w+1)·grams), map-only,
-    * streaming-safe; the output is the join key for a corpus-grain
-    * fingerprint index. Position cap: the encoding reserves 21 bits for
-    * pos, so docs are capped at 2^21−1 grams (a 2M-token doc is not a
-    * document; chunk first). */
+    * Scale: ONE native JVM pass per row ([[graft.functions.WinnowFingerprints]]
+    * — O(tokens·w)), map-only, streaming-safe, no explode until the
+    * winnowed set (~2/(w+1)·grams); the output is the join key for a
+    * corpus-grain fingerprint index. Position cap: the encoding reserves
+    * 21 bits for pos, so docs are capped at 2^21−1 grams — the expression
+    * throws beyond it (a 2M-token doc is not a document; chunk first). */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val fps = GraftBridge.column(graft.functions.WinnowFingerprints(
+      GraftBridge.expression(col(textCol)), k, w))
+    docs
+      .select(col(idCol), explode(fps).as("_fp"))
+      .select(col(idCol), col("_fp.pos").as("pos"),
+        col("_fp.gram_hash").as("gram_hash"), col("_fp.gram").as("gram"))
+  }
+
+  /** HOF reference formulation of [[winnowFingerprints]], kept ONLY for
+    * the native/HOF equivalence test — do not use in pipelines: Catalyst's
+    * CollapseProject inlines the gram array into every transform lambda
+    * that references it, so this plan re-evaluates the full gram array per
+    * gram index and per window — O(n³) per document (76 s for the sf0.01
+    * dump where the native pass takes 0.4 s). */
+  def winnowFingerprintsHof(docs: DataFrame, k: Int = 3, w: Int = 4,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k,w must be >= 1")
     val grams = ngrams(col(textCol), k)
     // encoded selection keys: hash(gram_i)·2^21 − i, one per gram

@@ -131,10 +131,70 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out.where(col("doc_id") === 2).count() == 1)
   }
 
+  test("native winnowing ≡ the HOF reference formulation") {
+    // the HOF form is the semantic spec (and O(n³) under CollapseProject —
+    // why the native expression exists); small corpus keeps it affordable
+    val small = docs.limit(30)
+    val a = TextAnalysis.winnowFingerprints(small, k = 3, w = 4)
+    val b = TextAnalysis.winnowFingerprintsHof(small, k = 3, w = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("winnowing throws past the 2^21-gram position budget") {
+    val big = Seq((1L, (1 to 2097155).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.winnowFingerprints(big).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("winnowing is partition-invariant") {
     val a = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
     val b = TextAnalysis.winnowFingerprints(docs.repartition(17), k = 3, w = 4)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("winnowCandidates surfaces seeded truncation near-dups") {
+    val toks = split(col("text"), "\\s+")
+    val seeded = docs.unionByName(docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0))))
+          .as("text")))
+    val cand = Dedup.winnowCandidates(seeded, k = 3, w = 4,
+      maxDf = 10, minShared = 2)
+    assertNoCartesian(cand)
+    val pairs = cand.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    // every seeded variant long enough to matter must pair with its source
+    val expected = docs.where(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), "\\s+")) >= 12)
+      .select("doc_id").as[Long].collect()
+    expected.foreach { id =>
+      assert(pairs.contains((id, id + 1000000)),
+        s"seeded variant of $id not surfaced")
+    }
+    // containment is a valid ratio and high for the truncation variants
+    val cont = cand.where(col("doc_b") === col("doc_a") + 1000000)
+      .select("est_containment").as[Double].collect()
+    assert(cont.nonEmpty && cont.forall(c => c > 0 && c <= 1.0))
+  }
+
+  test("winnowCandidates df cap excludes boilerplate hashes from blocking") {
+    // 12 IDENTICAL docs (the pathological shared-footer corpus): every
+    // fingerprint sits in 12 > maxDf=10 docs -> excluded -> zero pairs
+    // instead of a C(12,2) bucket explosion
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = (1 to 12).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val cand = Dedup.winnowCandidates(d, k = 3, w = 4, maxDf = 10,
+      minShared = 1)
+    assert(cand.count() == 0)
+    // raising the cap to 12 restores all C(12,2) = 66 pairs
+    val open = Dedup.winnowCandidates(d, k = 3, w = 4, maxDf = 12,
+      minShared = 1)
+    assert(open.count() == 66)
+    assert(open.select("est_containment").as[Double].collect()
+      .forall(_ == 1.0))
   }
 
   // ------------------------------------------------- per-stratum top-frac
