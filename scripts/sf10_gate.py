@@ -33,7 +33,11 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # backed; sketch/incremental twins rows-only as at driver scale)
          # and the span-grain decontamination scrub
          "source_overlap", "source_overlap_sketch",
-         "source_overlap_incremental", "contamination_scrub"}
+         "source_overlap_incremental", "contamination_scrub",
+         # round-13 continuation: the winnowing fingerprint index and its
+         # df-capped candidate join — the new blocking family's 100x
+         # hash evidence (both exact oracle-backed)
+         "winnow_fingerprint", "winnow_candidates"}
 
 
 def main() -> int:

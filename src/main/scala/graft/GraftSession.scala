@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   *   this to ~2-3× total cores; AQE coalesces the excess either way)
   * - AQE on: runtime skew-join splitting and partition coalescing are the
   *   first line of defense at 100 TB
+  * - coalescePartitions.parallelismFirst stays at its TRUE default
+  *   deliberately (a measured choice, not an omission): the Spark docs
+  *   recommend false for production, but size-based coalescing targets
+  *   BYTES, and this engine's hot operators are compute-dense per byte
+  *   (regex/backtest scans, connected-components rounds, fingerprint
+  *   joins) — a graft.PerfLab A/B at sf0.1 measured false as a wash on
+  *   overhead-dominated keys and 9-16% WORSE on backtest_trades /
+  *   dedup_clusters / winnow_candidates (total +4.9%), because 64 MB
+  *   advisory partitions serialize CPU-bound stages
   * - nanosAsLong: the testdata's TIMESTAMP(NANOS) columns surface as LONG
   *   (see [[graft.sources.Tables]])
   * - UTC session timezone: bar bucketing must be timezone-stable

@@ -642,6 +642,33 @@ object ScaleProbe {
         time("source_overlap_sketch") {
           graft.llm.Dedup.sourceOverlapSketch(srcDocs, k = 128).count()
         })
+    } ++ {
+      // winnowing + char entropy at corpus grain: nd docs x 24 hash-words
+      // (~200 MB text at n=20M). The claims: both are map-only single
+      // passes (the native expressions exist because the HOF winnow plan
+      // was O(n³)/doc under CollapseProject — 76 s for a 500-doc dump);
+      // the candidate join after the df cap is pair-bounded by the seeded
+      // variants, never all-pairs.
+      val nd = math.max(n / 16, 1000L)
+      def wdocs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+            lit(nd)))): _*).as("text"))
+      Seq(
+        time("char_entropy") {
+          graft.llm.TextAnalysis.withEntropy(wdocs)
+            .agg(count(col("entropy_bits"))).as[Long].collect()(0)
+        },
+        time("winnow_fingerprint") {
+          graft.llm.TextAnalysis.winnowFingerprints(wdocs).count()
+        },
+        time("winnow_candidates") {
+          val variants = wdocs.where(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + nd * 10).as("doc_id"),
+              regexp_replace(col("text"), " \\S+ \\S+$", "").as("text"))
+          graft.llm.Dedup.winnowCandidates(
+            wdocs.unionByName(variants), minShared = 2).count()
+        })
     } ++ Seq(
       // span-grain decontamination scrub at corpus scale: benchmark =
       // nd/256 docs, every 4th corpus doc carries a benchmark doc's

@@ -131,8 +131,14 @@ object Dedup {
                        textCol: String = "text"): DataFrame = {
     require(maxDf >= 2, s"winnowCandidates: maxDf must be >= 2, got $maxDf")
     require(minShared >= 1, s"winnowCandidates: minShared >= 1, got $minShared")
+    // the fingerprint relation fans out to FOUR consumers (per-doc sizes,
+    // the df census, both self-join sides): pin one hash-keyed exchange
+    // so every consumer reads the same shuffle files (ReusedExchange —
+    // the repo's compute-once-no-blocks pattern; a lake deployment would
+    // store this relation bucketed on gram_hash instead)
     val fp = TextAnalysis.winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol), col("gram_hash")).distinct()
+      .repartition(col("gram_hash"))
     // per-doc fingerprint counts BEFORE the df cap: containment
     // denominators describe the docs, not the blocking choice
     val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("_nfp"))
