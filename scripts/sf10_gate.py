@@ -34,10 +34,11 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # and the span-grain decontamination scrub
          "source_overlap", "source_overlap_sketch",
          "source_overlap_incremental", "contamination_scrub",
-         # round-13 continuation: the winnowing fingerprint index and its
-         # df-capped candidate join — the new blocking family's 100x
-         # hash evidence (both exact oracle-backed)
-         "winnow_fingerprint", "winnow_candidates"}
+         # round-13 continuation: the winnowing fingerprint index, its
+         # df-capped candidate join, and the O(batch) incremental loop —
+         # the new blocking family's 100x hash evidence (all exact
+         # oracle-backed)
+         "winnow_fingerprint", "winnow_candidates", "winnow_incremental"}
 
 
 def main() -> int:

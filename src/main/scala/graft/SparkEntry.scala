@@ -1763,6 +1763,28 @@ object SparkEntry {
           k = 3, w = 4, maxDf = 10, minShared = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // §2 #36d — incremental winnowing candidates: a batch of truncation
+    // variants (+1M, last-2-tokens dropped, every 5th doc) pairs against
+    // the fingerprint INDEX of the accepted corpus (docs % 7 != 0) plus
+    // within-batch — history enters through one hash-set semi filter,
+    // O(batch + matched), never O(index). Oracle = the full-pass
+    // construction over index ∪ batch restricted to batch-involving
+    // pairs (doc_b >= 1M ⇔ ≥1 batch side, since batch ids sort last).
+    "winnow_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fpIndex = TextAnalysis
+        .winnowFingerprints(d.where(col("doc_id") % 7 =!= 0))
+        .select(col("doc_id"), col("gram_hash")).distinct()
+      val toks = split(col("text"), "\\s+")
+      val batch = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ",
+            slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
+      Dedup.winnowCandidatesIncremental(batch, fpIndex,
+          k = 3, w = 4, maxDf = 10, minShared = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // §2 #37 — multimodal payload + typed metadata (decode stage is the
     // batched stub covered by MultimodalSpec).
     "multimodal_meta" -> ((s, dir) => {
@@ -6368,6 +6390,59 @@ object SparkEntry {
         |FROM pairs p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the incremental oracle is the FULL-PASS construction over
+    // index ∪ batch restricted to batch-involving pairs — the same
+    // restriction-form oracle trim_incremental uses; batch ids (+1M)
+    // sort above every index id, so doc_b >= 1M ⇔ ≥1 batch side
+    "winnow_incremental" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(
+        |           string_split_regex(text, '\s+')[1:greatest(
+        |             len(string_split_regex(text, '\s+')) - 2, 0)], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM all_docs),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(w) - 2),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |k AS (
+        |  SELECT doc_id, g,
+        |         list_transform(range(len(g)), i ->
+        |           CAST(CAST('0x' || substr(md5(g[i+1]), 1, 8) AS UBIGINT)
+        |                AS BIGINT) * 2097152 - i) AS ks
+        |  FROM g WHERE len(g) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(greatest(len(ks) - 4, 0) + 1),
+        |           s -> (list_min(ks[s+1:s+4]) + 2097151) // 2097152)) AS hs
+        |  FROM k),
+        |fp AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM m),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+        |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 10),
+        |kept AS (SELECT doc_id, h FROM fp JOIN rare USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |       CAST(sa.nfp AS BIGINT) AS n_fp_a,
+        |       CAST(sb.nfp AS BIGINT) AS n_fp_b,
+        |       round(p.n_shared * 1.0 / least(sa.nfp, sb.nfp), 6) + 0.0
+        |         AS est_containment
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE p.doc_b >= 1000000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "wav_meta" ->

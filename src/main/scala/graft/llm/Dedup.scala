@@ -161,6 +161,73 @@ object Dedup {
           .as("est_containment"))
   }
 
+  /** Incremental winnowing candidates — the growing-corpus production
+    * shape of [[winnowCandidates]] (the 26c/26e/27c pattern): a new batch
+    * generates candidate pairs against the accumulated FINGERPRINT INDEX
+    * — the DISTINCT (doc_id, gram_hash) relation derived from
+    * [[TextAnalysis.winnowFingerprints]] (distinct because the same hash
+    * can be selected at several positions; the census and sizes count
+    * hash-set membership), which a lake stores bucketed on gram_hash —
+    * plus within-batch pairs, without ever rescanning historical text. Emits exactly the
+    * full-pass pairs that involve ≥1 batch doc (CurationOpsSpec pins the
+    * ≡-restriction).
+    *
+    * Scale contract (per-batch cost is O(batch + matched), independent of
+    * corpus age): the index contributes rows through ONE left-semi filter
+    * on the batch's hash set before anything aggregates, so the df census
+    * and the pair join see only matched index rows; the df cap counts the
+    * COMBINED batch+index population per hash — identical to the full
+    * pass for every hash the batch mentions (hashes the batch doesn't
+    * carry cannot form batch pairs). Candidate-doc sizes for containment
+    * are fetched by a second semi-join keyed on the candidate doc ids —
+    * O(candidate docs' index rows), co-located under doc_id bucketing. */
+  def winnowCandidatesIncremental(newDocs: DataFrame, fpIndex: DataFrame,
+                                  k: Int = 3, w: Int = 4,
+                                  maxDf: Int = 10, minShared: Int = 2,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    require(maxDf >= 2, s"winnowCandidatesIncremental: maxDf >= 2, got $maxDf")
+    require(minShared >= 1, s"winnowCandidatesIncremental: minShared >= 1")
+    val batchFp = TextAnalysis.winnowFingerprints(newDocs, k, w, idCol, textCol)
+      .select(col(idCol), col("gram_hash")).distinct()
+      .repartition(col("gram_hash"))
+    // history enters ONLY through the batch's hash set (build-probe semi
+    // filter — the trim_incremental shape): O(matched) rows, never O(index)
+    val idxMatched = fpIndex
+      .join(batchFp.select("gram_hash").distinct(), Seq("gram_hash"), "left_semi")
+      .select(col(idCol), col("gram_hash"))
+    val all = batchFp.withColumn("_in_batch", lit(1))
+      .unionByName(idxMatched.withColumn("_in_batch", lit(0)))
+    val rare = all.groupBy(col("gram_hash")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("gram_hash")
+    val kept = all.join(rare, Seq("gram_hash"))
+    val pairs = kept
+      .select(col("gram_hash"), col(idCol).as("_a"), col("_in_batch").as("_ba"))
+      .join(kept.select(col("gram_hash"), col(idCol).as("_b"),
+        col("_in_batch").as("_bb")), Seq("gram_hash"))
+      .where(col("_a") < col("_b") && (col("_ba") === 1 || col("_bb") === 1))
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    // containment denominators: batch docs from the batch pass, index docs
+    // from the index restricted to candidate ids (a lake co-locates this
+    // probe under doc_id bucketing)
+    val batchSizes = batchFp.groupBy(col(idCol)).agg(count(lit(1)).as("_nfp"))
+    val candIds = pairs.select(col("_a").as(idCol))
+      .unionByName(pairs.select(col("_b").as(idCol))).distinct()
+    val idxSizes = fpIndex.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nfp"))
+    val sizes = batchSizes.unionByName(idxSizes)
+      .groupBy(col(idCol)).agg(max(col("_nfp")).as("_nfp"))
+    pairs
+      .join(sizes.select(col(idCol).as("_a"), col("_nfp").as("n_fp_a")), "_a")
+      .join(sizes.select(col(idCol).as("_b"), col("_nfp").as("n_fp_b")), "_b")
+      .select(col("_a").as("doc_a"), col("_b").as("doc_b"),
+        col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        round(col("n_shared") / least(col("n_fp_a"), col("n_fp_b")), 6)
+          .as("est_containment"))
+  }
+
   /** Incremental exact dedup — the production shape where a corpus grows by
     * batches (daily crawls) and each new batch dedups against the
     * accumulated fingerprint INDEX, not the full historical text: elect

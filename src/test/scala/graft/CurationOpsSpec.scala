@@ -197,6 +197,24 @@ class CurationOpsSpec extends SparkTestBase {
       .forall(_ == 1.0))
   }
 
+  test("winnowCandidatesIncremental ≡ full pass restricted to batch pairs") {
+    val toks = split(col("text"), "\\s+")
+    val index = docs.where(col("doc_id") % 7 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(0))))
+          .as("text"))
+    val fpIndex = TextAnalysis.winnowFingerprints(index)
+      .select(col("doc_id"), col("gram_hash")).distinct()
+    val incr = Dedup.winnowCandidatesIncremental(batch, fpIndex,
+      maxDf = 10, minShared = 2)
+    val full = Dedup.winnowCandidates(index.unionByName(batch),
+        maxDf = 10, minShared = 2)
+      .where(col("doc_b") >= 1000000L)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+    assert(incr.count() > 0, "seeded variants must produce candidates")
+  }
+
   // ------------------------------------------------- per-stratum top-frac
 
   test("topFractionPerStratum keeps ceil(frac·n) best per stratum") {
