@@ -1768,8 +1768,9 @@ object SparkEntry {
     // the fingerprint INDEX of the accepted corpus (docs % 7 != 0) plus
     // within-batch — history enters through one hash-set semi filter,
     // O(batch + matched), never O(index). Oracle = the full-pass
-    // construction over index ∪ batch restricted to batch-involving
-    // pairs (doc_b >= 1M ⇔ ≥1 batch side, since batch ids sort last).
+    // construction over index ∪ batch restricted to pairs whose ids sit
+    // in the explicit batch id set (NOT an id threshold — the scale
+    // gates' replica ids exceed the +1M offset).
     "winnow_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fpIndex = TextAnalysis
@@ -6394,17 +6395,22 @@ object SparkEntry {
 
     // the incremental oracle is the FULL-PASS construction over
     // index ∪ batch restricted to batch-involving pairs — the same
-    // restriction-form oracle trim_incremental uses; batch ids (+1M)
-    // sort above every index id, so doc_b >= 1M ⇔ ≥1 batch side
+    // restriction-form oracle trim_incremental uses; the batch side is
+    // identified by membership in the EXPLICIT batch id set (an id
+    // threshold would misclassify at the 10×/100× gates, whose replica
+    // ids exceed the +1M offset)
     "winnow_incremental" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(
         |           string_split_regex(text, '\s+')[1:greatest(
         |             len(string_split_regex(text, '\s+')) - 2, 0)], ' ')
+        |           AS text
         |  FROM documents WHERE doc_id % 5 = 0),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM batch),
         |t AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         |  FROM all_docs),
@@ -6442,7 +6448,8 @@ object SparkEntry {
         |FROM pairs p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
-        |WHERE p.doc_b >= 1000000
+        |WHERE p.doc_a IN (SELECT doc_id FROM batch)
+        |   OR p.doc_b IN (SELECT doc_id FROM batch)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "wav_meta" ->

@@ -208,9 +208,11 @@ class CurationOpsSpec extends SparkTestBase {
       .select(col("doc_id"), col("gram_hash")).distinct()
     val incr = Dedup.winnowCandidatesIncremental(batch, fpIndex,
       maxDf = 10, minShared = 2)
+    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
     val full = Dedup.winnowCandidates(index.unionByName(batch),
         maxDf = 10, minShared = 2)
-      .where(col("doc_b") >= 1000000L)
+      .where(col("doc_a").isin(batchIds.toSeq: _*) ||
+        col("doc_b").isin(batchIds.toSeq: _*))
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
     assert(incr.count() > 0, "seeded variants must produce candidates")
   }
