@@ -24,7 +24,13 @@ object PerfLab {
 
     def timeKey(s: SparkSession, key: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(key)(s, sfDir).count()
+      // noop-format write, not count(): count() lets Catalyst prune the
+      // final projections and eliminate the trailing orderBy sort, so the
+      // A/B would time a REDUCED plan rather than the contract query the
+      // gates execute (the verify harness materializes every output
+      // column to parquet; noop is the same consumption shape minus IO)
+      SparkEntry.queries(key)(s, sfDir)
+        .write.format("noop").mode("overwrite").save()
       GraftSession.releaseCache(s)
       (System.nanoTime() - t0) / 1e9
     }

@@ -1773,9 +1773,15 @@ object SparkEntry {
     // gates' replica ids exceed the +1M offset).
     "winnow_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // materialize the index ONCE (the capstones' stage-boundary
+      // pattern): the operator consumes it twice (hash-set semi filter +
+      // candidate-sizes probe), and production reads a STORED lake
+      // relation here — without the checkpoint the native winnow pass
+      // over 6/7 of the corpus executes once per consumer (r13 verdict)
       val fpIndex = TextAnalysis
         .winnowFingerprints(d.where(col("doc_id") % 7 =!= 0))
         .select(col("doc_id"), col("gram_hash")).distinct()
+        .localCheckpoint(true)
       val toks = split(col("text"), "\\s+")
       val batch = d.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),

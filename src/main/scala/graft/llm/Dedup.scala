@@ -180,7 +180,19 @@ object Dedup {
     * pass for every hash the batch mentions (hashes the batch doesn't
     * carry cannot form batch pairs). Candidate-doc sizes for containment
     * are fetched by a second semi-join keyed on the candidate doc ids —
-    * O(candidate docs' index rows), co-located under doc_id bucketing. */
+    * O(candidate docs' index rows), co-located under doc_id bucketing.
+    *
+    * Contract: `newDocs` ids must be DISJOINT from `fpIndex` ids (batches
+    * get fresh ids before pairing — the same contract as every
+    * incremental loop here). A collision is detected in-plan and fails
+    * the job (see the sizes aggregation below), not resolved arbitrarily.
+    *
+    * Deployment note: `fpIndex` is consumed TWICE (the hash-set semi
+    * filter and the candidate-sizes probe). In production the index is a
+    * STORED lake relation, so both probes ride the stored files; when
+    * deriving the index from text in-flight (as the contract query
+    * does), materialize it first (localCheckpoint / write) or the
+    * winnowing pass over the history side runs once per consumer. */
   def winnowCandidatesIncremental(newDocs: DataFrame, fpIndex: DataFrame,
                                   k: Int = 3, w: Int = 4,
                                   maxDf: Int = 10, minShared: Int = 2,
@@ -217,8 +229,23 @@ object Dedup {
       .unionByName(pairs.select(col("_b").as(idCol))).distinct()
     val idxSizes = fpIndex.join(candIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("_nfp"))
+    // id-disjointness contract enforced IN the plan: a batch doc_id that
+    // collides with an index doc_id would double-count shared hashes in
+    // the df census, lose its self-pair under _a < _b, and leave this
+    // union ambiguous — each side aggregates to ≤1 row per id, so a
+    // candidate id with TWO rows here is exactly such a collision and the
+    // job fails loud instead of resolving it arbitrarily (the
+    // mergeOverlapStates assert pattern; zero extra passes — the check
+    // rides the aggregation the sizes join needs anyway)
     val sizes = batchSizes.unionByName(idxSizes)
-      .groupBy(col(idCol)).agg(max(col("_nfp")).as("_nfp"))
+      .groupBy(col(idCol))
+      .agg(max(col("_nfp")).as("_nfp"), count(lit(1)).as("_nsides"))
+      .withColumn("_chk", assert_true(col("_nsides") === 1,
+        concat(lit("winnowCandidatesIncremental: doc id "), col(idCol),
+          lit(" appears in BOTH newDocs and fpIndex — batch and index id" +
+            " spaces must be disjoint (re-id the batch before pairing)"))))
+      .where(col("_chk").isNull)
+      .select(col(idCol), col("_nfp"))
     pairs
       .join(sizes.select(col(idCol).as("_a"), col("_nfp").as("n_fp_a")), "_a")
       .join(sizes.select(col(idCol).as("_b"), col("_nfp").as("n_fp_b")), "_b")

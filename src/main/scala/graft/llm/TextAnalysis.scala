@@ -139,7 +139,16 @@ object TextAnalysis {
     * repeated-char padding / keyboard mash, implausibly high entropy is
     * base64/binary spill. Bounds follow the usual web-filter defaults
     * (natural-language text sits ~3.5–5 bits/char; the gate is
-    * deliberately loose). Empty docs have undefined entropy → fail. */
+    * deliberately loose). Empty docs have undefined entropy → fail.
+    *
+    * The `_ce` struct is referenced ~6 times below, but the O(len)
+    * CharEntropy pass still runs ONCE per row: CollapseProject only
+    * inlines a multiply-referenced alias when the producing expression is
+    * cheap (attribute/literal-grade), and a custom expression is not — so
+    * the optimized plan keeps a dedicated Project computing `_ce` with
+    * the consumers reading struct fields above it (verified in the dumped
+    * plan; PlanAuditSpec pins exactly one char_entropy call site so a
+    * future optimizer change can't silently multiply the pass). */
   def withEntropy(docs: DataFrame, textCol: String = "text",
                   minBits: Double = 1.5, maxBits: Double = 6.0): DataFrame =
     docs

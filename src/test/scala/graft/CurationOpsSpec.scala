@@ -217,6 +217,29 @@ class CurationOpsSpec extends SparkTestBase {
     assert(incr.count() > 0, "seeded variants must produce candidates")
   }
 
+  test("winnowCandidatesIncremental fails loud on a batch/index id collision") {
+    // same doc id on both sides, sharing grams so they become candidates:
+    // the df census double-counts shared hashes, the self-pair vanishes
+    // under _a < _b, and the sizes union turns ambiguous — the in-plan
+    // assert must kill the job rather than resolve it arbitrarily
+    val hist = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    // batch id 1 collides with hist id 1 AND pairs with hist doc 2 (shared
+    // gram run), so the colliding id reaches the sizes union
+    val batch = Seq((1L, "one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    val fpIndex = TextAnalysis.winnowFingerprints(hist)
+      .select(col("doc_id"), col("gram_hash")).distinct()
+    val e = intercept[Exception] {
+      Dedup.winnowCandidatesIncremental(batch, fpIndex,
+        maxDf = 10, minShared = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("BOTH newDocs and fpIndex")), e)
+  }
+
   // ------------------------------------------------- per-stratum top-frac
 
   test("topFractionPerStratum keeps ceil(frac·n) best per stratum") {

@@ -292,6 +292,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("char entropy: the O(len) native pass is computed once per row, " +
+      "not once per consuming field") {
+    import graft.llm.TextAnalysis
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // withEntropy references the _ce struct ~6 times; CollapseProject must
+    // NOT inline the non-cheap CharEntropy expression into each consumer
+    // (it only inlines cheap producers) — pin exactly ONE call site in the
+    // optimized plan so an optimizer change can't silently multiply the
+    // per-row pass (r13 ADVICE item, adjudicated: plan keeps a dedicated
+    // Project computing _ce with field reads above it)
+    val p = TextAnalysis.withEntropy(d).queryExecution.optimizedPlan.toString
+    assert(countOccurrences(p, "char_entropy(") == 1, p)
+  }
+
   test("relation scoring: distinct-token pre-agg feeds the model equi-join") {
     import graft.llm.Selection
     val d = Tables.documents(spark, sfDir)
