@@ -1198,6 +1198,36 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // §2 #26i — URL-grain keep-best dedup: crawl records of the same page
+    // under cosmetically different addresses (scheme/host case, default
+    // ports, tracking params, param order, trailing slash, fragments)
+    // collapse on the canonicalized URL, keeping the best-quality copy.
+    // URLs are built deterministically from doc_id (3 docs per canonical
+    // group, every messiness axis varied by residue) — the same
+    // build-then-parse pattern as the PNG/WAV/JPEG container keys.
+    "url_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      val grp = floor(col("doc_id") / 3).cast("long")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+        when(col("doc_id") % 3 === 0, "Data.Example.COM")
+          .otherwise("data.example.com"),
+        when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+        lit("/corpus/doc-"), grp,
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?id="), grp, lit("&v=2&utm_source=feed")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?v=2&utm_source=feed&id="), grp))
+          .otherwise(concat(lit("?utm_medium=rss&id="), grp, lit("&v=2"))),
+        when(col("doc_id") % 6 === 0, concat(lit("#sec-"), col("doc_id")))
+          .otherwise(""))
+      Dedup.urlKeepBest(d.withColumn("url", url), col("url"),
+          quality = col("n_chars"))
+        .orderBy("canonical_url")
+    }),
+
     // §2 #26b — span-grain exact dedup (RefinedWeb/Dolma line-dedup, at
     // sentence grain): every distinct sentence keeps its corpus-wide first
     // occurrence, documents rebuilt from surviving spans — the
@@ -1206,6 +1236,38 @@ object SparkEntry {
       Dedup.spanDedup(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy("doc_id")),
+
+    // §2 #26b2 — incremental span-grain dedup with the Bloom-prefiltered
+    // history probe (Dolma's paragraph-dedup production shape): documents
+    // gain paragraph structure (12-token sentences + a shared boilerplate
+    // footer on every 3rd doc), a batch (docs %5==0, ids +1M, each with a
+    // unique tail paragraph) dedups against the history span-hash index
+    // (docs %7!=0) — the Bloom probe nominates map-only, an exact
+    // semi-join verifies only the suspects, so the output is bit-identical
+    // to the exact batch-vs-index join (oracle checks exactly that).
+    "span_dedup_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), "\\s+")
+      val para = array_join(transform(
+        sequence(lit(0), greatest(
+          floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+        c => concat_ws(" ", slice(toks, c * 12 + 1, lit(12)))), ". ")
+      val pd = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(para, lit(". shared boilerplate footer zz")))
+          .otherwise(para).as("text"))
+      val hist = pd.where(col("doc_id") % 7 =!= 0)
+      val batch = pd.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(". batch unique "), col("doc_id"),
+            lit(" tail")).as("text"))
+      // the span-hash index is the STORED lake relation in production;
+      // materialize once here (three consumers: size count, Bloom build,
+      // exact-verify probe)
+      val idx = Dedup.spanHashes(hist).localCheckpoint(true)
+      Dedup.spanDedupIncremental(batch, idx, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
 
     // §2 #29 — n-gram Jaccard verification over an explicit pair list
     // (consecutive doc ids).
@@ -5994,6 +6056,104 @@ object SparkEntry {
         |SELECT fingerprint, CAST(n AS BIGINT) AS n_copies,
         |       doc_id AS keep_id, CAST(q AS DOUBLE) + 0.0 AS keep_quality
         |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
+    "url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'Data.Example.COM'
+        |             ELSE 'data.example.com' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/corpus/doc-' || (doc_id // 3)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?id=' || (doc_id // 3) || '&v=2&utm_source=feed'
+        |             WHEN doc_id % 3 = 1
+        |             THEN '?v=2&utm_source=feed&id=' || (doc_id // 3)
+        |             ELSE '?utm_medium=rss&id=' || (doc_id // 3) || '&v=2'
+        |        END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || doc_id ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_chars, url,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)='))),
+        |      '&') AS qq
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, n_chars, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(regexp_replace(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?.*$', ''),
+        |        '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1)),
+        |      '^(http://[^/:]+):80$', '\1'), '^(https://[^/:]+):443$', '\1')
+        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         trim(url), '#.*$', ''), '\?.*$', ''),
+        |         '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', ''), '/+$', '')
+        |    || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+        |      AS canonical_url
+        |  FROM q),
+        |g AS (
+        |  SELECT canonical_url, count(*) AS n, count(DISTINCT url) AS nr
+        |  FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT canonical_url, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM c)
+        |SELECT r.canonical_url, CAST(g.n AS BIGINT) AS n_copies,
+        |       CAST(g.nr AS BIGINT) AS n_raw_forms,
+        |       r.doc_id AS keep_id,
+        |       CAST(r.n_chars AS DOUBLE) + 0.0 AS keep_quality
+        |FROM r JOIN g USING (canonical_url)
+        |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+
+    "span_dedup_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |para AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(((len(w) - 1) // 12) + 1),
+        |      c -> array_to_string(list_slice(w, c * 12 + 1, c * 12 + 12),
+        |                           ' ')), '. ') AS t
+        |  FROM toks),
+        |pd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN t || '. shared boilerplate footer zz' ELSE t END AS text
+        |  FROM para),
+        |hist AS (SELECT doc_id, text FROM pd WHERE doc_id % 7 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         text || '. batch unique ' || doc_id || ' tail' AS text
+        |  FROM pd WHERE doc_id % 5 = 0),
+        |hh AS (
+        |  SELECT DISTINCT lower(trim(s)) AS k
+        |  FROM (SELECT unnest(string_split_regex(text, '\. ')) AS s
+        |        FROM hist)),
+        |sp AS (
+        |  SELECT doc_id, generate_subscripts(p, 1) - 1 AS pos,
+        |         unnest(p) AS span
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS p
+        |        FROM batch)),
+        |flag AS (
+        |  SELECT doc_id, pos, span,
+        |         lower(trim(span)) IN (SELECT k FROM hh) AS in_hist,
+        |         row_number() OVER (PARTITION BY lower(trim(span))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM sp)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN (NOT in_hist) AND rn = 1 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN (NOT in_hist) AND rn = 1 THEN span
+        |                      END, '. ' ORDER BY pos), '') AS kept_text
+        |FROM flag GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "span_dedup" ->
       """WITH sp AS (

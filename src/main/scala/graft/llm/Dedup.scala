@@ -71,6 +71,121 @@ object Dedup {
           x => x.getField("_span")), joinSep).as("kept_text"))
   }
 
+  /** URL-grain dedup electing the best rendition per CANONICAL URL — the
+    * Dolma/CCNet recipe for crawl snapshots: the same page is fetched
+    * under cosmetically different addresses (scheme/host case, default
+    * ports, fragments, tracking parameters, parameter order, trailing
+    * slashes), and content-grain dedup misses re-renders whose bytes
+    * drifted between fetches. Groups on
+    * [[TextAnalysis.canonicalizeUrl]] and keeps the best copy
+    * (`quality` desc, ties to the lowest id — the [[exactKeepBest]]
+    * election).
+    *
+    * Output: (canonical_url, n_copies, n_raw_forms, keep_id,
+    * keep_quality) — `n_raw_forms` counts distinct raw spellings so a
+    * data card can report how much the canonicalization actually
+    * collapsed.
+    *
+    * Scale: canonicalization is a map-side projection; the election is
+    * ONE hash aggregation on the canonical key whose argmax-as-max-of-
+    * struct collapses groups map-side (no window, no winner-fetch join);
+    * the exact distinct-raw-form count rides the same aggregation and is
+    * bounded by the group size (duplicate cardinality, not corpus
+    * cardinality). */
+  def urlKeepBest(docs: DataFrame, url: Column, quality: Column,
+                  idCol: String = "doc_id"): DataFrame = {
+    docs.withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
+      .withColumn("_raw_url", url)
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("_raw_url")).as("n_raw_forms"),
+        max(struct(quality.cast("double").as("q"),
+          (-col(idCol)).as("_negid"))).as("_best"))
+      .select(col("canonical_url"), col("n_copies"), col("n_raw_forms"),
+        (-col("_best._negid")).cast("long").as("keep_id"),
+        col("_best.q").as("keep_quality"))
+  }
+
+  /** Incremental span-grain exact dedup with a BLOOM-prefiltered history
+    * probe — Dolma's paragraph-dedup production shape for a growing
+    * corpus: each new batch keeps only spans (paragraphs/sentences) whose
+    * canonical hash is (a) NOT in the accumulated history index and
+    * (b) the first occurrence within the batch (the [[spanDedup]] rule
+    * restricted to a batch against frozen history). Output schema is
+    * [[spanDedup]]'s: (idCol, n_spans, n_removed, kept_text).
+    *
+    * The 100 TB plan is the 39d nominate-verify composition at span
+    * grain: the history hash set compresses to a Bloom filter (MBs at any
+    * corpus age; built here from `seenSpanHashes` via a distributed
+    * tree-aggregate — production PERSISTS the filter as mergeable state
+    * and unions per-batch increments instead of rebuilding), the batch
+    * pass probes it MAP-ONLY ([[graft.functions.BloomMightContain]]), and
+    * only the nominated suspect hashes touch the index in an exact
+    * semi-join — no false negatives from the filter, so the composition
+    * is bit-identical to the exact batch-vs-index join while the verify
+    * exchange carries only the contamination-rate-bounded suspect set
+    * (false positives cost a probe row, never an answer). Within-batch
+    * election and the doc rebuild are O(batch), independent of corpus
+    * age — the 26c/26e/27c daily-cost contract at span grain.
+    *
+    * `seenSpanHashes` carries one `span_hash` column: xxhash64 of
+    * lower(trim(span)) — [[spanHashes]] derives it from historical docs,
+    * a lake stores it bucketed on the hash. */
+  def spanDedupIncremental(newDocs: DataFrame, seenSpanHashes: DataFrame,
+                           fpp: Double = 0.01, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           sepRegex: String = "\\. ",
+                           joinSep: String = ". "): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val spans = newDocs.select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_span")))
+      .withColumn("_h", xxhash64(lower(trim(col("_span")))))
+    // an empty history index dedups nothing historically (and
+    // stat.bloomFilter NPEs on an empty frame) — one index-side count
+    // either way; production reads the persisted filter's item count
+    val nItems = seenSpanHashes.count()
+    val withHist =
+      if (nItems == 0L) spans.withColumn("_hist", lit(null).cast("boolean"))
+      else {
+        val bloom = seenSpanHashes.stat
+          .bloomFilter("span_hash", math.max(nItems, 1L), fpp)
+        val nominated = GraftBridge.column(graft.functions.BloomMightContain(
+          GraftBridge.expression(col("_h")), bloom))
+        // exact verify of the nominated hashes only: the semi probe's
+        // build side is the suspect hash set, so the index contributes
+        // O(matched) rows — never a corpus-age-sized exchange
+        val suspect = spans.where(nominated).select(col("_h")).distinct()
+        val histHit = seenSpanHashes.select(col("span_hash").as("_h"))
+          .join(suspect, Seq("_h"), "left_semi").distinct()
+        spans.join(histHit.withColumn("_hist", lit(true)), Seq("_h"), "left")
+      }
+    val first = withHist.groupBy(col("_h"))
+      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
+        .as("_first"))
+    withHist
+      .join(first, Seq("_h"))
+      .withColumn("_keep", col("_hist").isNull &&
+        col(idCol) === col("_first._fid") && col("_pos") === col("_first._fpos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_pos"), col("_span"))))),
+          x => x.getField("_span")), joinSep).as("kept_text"))
+  }
+
+  /** The distinct span-hash relation of a document frame — what a lake
+    * appends to the history index after each [[spanDedupIncremental]]
+    * batch (store bucketed on `span_hash`). */
+  def spanHashes(docs: DataFrame, textCol: String = "text",
+                 sepRegex: String = "\\. "): DataFrame =
+    docs.select(explode(split(col(textCol), sepRegex)).as("_s"))
+      .select(xxhash64(lower(trim(col("_s")))).as("span_hash"))
+      .distinct()
+
   /** Survivor view: drop all but the lowest-id row per fingerprint. */
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

@@ -124,6 +124,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** URL canonicalization — the key function under URL-grain dedup (the
+    * Dolma/CCNet-style pass that collapses crawl records of the same page
+    * fetched under cosmetically different addresses). Deterministic rule
+    * set, each step standard canonicalization practice:
+    *
+    *  1. trim surrounding whitespace;
+    *  2. strip the fragment (`#…` — client-side only, never reaches the
+    *     server);
+    *  3. lowercase the scheme and authority (`scheme://host:port` — both
+    *     case-insensitive per RFC 3986; path/query case is PRESERVED,
+    *     they are case-sensitive);
+    *  4. drop explicit default ports (`http://…:80`, `https://…:443`);
+    *  5. strip trailing slashes from the path (`/a/` ≡ `/a`, `/` ≡ empty);
+    *  6. drop tracking query parameters (`utm_*`, `gclid`, `fbclid`,
+    *     `ref`, `mc_cid`, `mc_eid`) and SORT the survivors, so parameter
+    *     order doesn't split a group (`?b=2&a=1` ≡ `?a=1&b=2`); an
+    *     all-tracking query drops its `?` entirely.
+    *
+    * Pure per-row column algebra (regex + array HOFs over a short
+    * string), map-only and streaming-safe at any scale; every rule is
+    * reproducible in ANSI-ish SQL so the dedup it keys is
+    * oracle-checkable. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u1 = regexp_replace(trim(url), "#.*$", "")
+    val base = regexp_replace(u1, "\\?.*$", "")
+    val query = regexp_extract(u1, "\\?(.*)$", 1)
+    val hostPort = lower(regexp_extract(base,
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*)", 1))
+    val path = regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", "")
+    val hostPort2 = regexp_replace(
+      regexp_replace(hostPort, "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val path2 = regexp_replace(path, "/+$", "")
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)=")))
+    val q2 = array_join(kept, "&")
+    concat(hostPort2, path2, when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
   /** Per-doc character-distribution stats: code-point count, distinct
     * code-point count, Shannon entropy in bits/char (struct column; see
     * [[graft.functions.CharEntropy]]). One native JVM pass per row —

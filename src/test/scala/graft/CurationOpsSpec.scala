@@ -240,6 +240,98 @@ class CurationOpsSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("BOTH newDocs and fpIndex")), e)
   }
 
+  // ---------------------------------------------------------- url dedup
+
+  test("canonicalizeUrl: hand-checked rule battery") {
+    val cases = Seq(
+      // scheme+host case-fold, default http port, trailing slash,
+      // tracking param, fragment — path case preserved
+      ("HTTP://Example.COM:80/A/b/?x=1&utm_source=z#frag",
+        "http://example.com/A/b?x=1"),
+      // https default port + param sorting
+      ("https://example.com:443/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+      // bare root slash ≡ no path
+      ("https://example.com/", "https://example.com"),
+      // NON-default port preserved
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      // all-tracking query drops its '?'
+      ("http://a.com/x?utm_source=1&fbclid=2&gclid=3&ref=4", "http://a.com/x"),
+      // no query/fragment: passthrough with slash collapse
+      ("https://a.com/x//", "https://a.com/x"),
+      // whitespace trim
+      ("  https://a.com/x  ", "https://a.com/x"))
+    val df = cases.toDF("url", "expected")
+      .withColumn("got", TextAnalysis.canonicalizeUrl(col("url")))
+    val bad = df.where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("urlKeepBest: canonical groups collapse, best quality wins, ties to" +
+      " the lowest id") {
+    val d = Seq(
+      (1L, "https://A.com/p?utm_source=x", 10.0),
+      (2L, "HTTPS://a.COM/p/", 30.0),
+      (3L, "https://a.com:443/p#top", 30.0), // quality tie with 2 → keep 2
+      (4L, "https://b.com/q", 5.0))
+      .toDF("doc_id", "url", "quality")
+    val out = Dedup.urlKeepBest(d, col("url"), col("quality"))
+      .orderBy("canonical_url").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("canonical_url") == "https://a.com/p")
+    assert(out(0).getAs[Long]("n_copies") == 3L)
+    assert(out(0).getAs[Long]("n_raw_forms") == 3L)
+    assert(out(0).getAs[Long]("keep_id") == 2L)
+    assert(out(0).getAs[Double]("keep_quality") == 30.0)
+    assert(out(1).getAs[Long]("keep_id") == 4L)
+  }
+
+  // ------------------------------------------ incremental span dedup
+
+  private def paraDocs = {
+    val toks = split(col("text"), "\\s+")
+    val para = array_join(transform(
+      sequence(lit(0), greatest(
+        floor((size(toks) - 1) / 12).cast("int"), lit(0))),
+      c => concat_ws(" ", slice(toks, c * 12 + 1, lit(12)))), ". ")
+    docs.select(col("doc_id"), para.as("text"))
+  }
+
+  test("spanDedupIncremental ≡ full spanDedup restricted to batch docs") {
+    val hist = paraDocs.where(col("doc_id") % 7 =!= 0)
+    val batch = paraDocs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(". tail "), col("doc_id")).as("text"))
+    val idx = Dedup.spanHashes(hist)
+    val incr = Dedup.spanDedupIncremental(batch, idx)
+    // batch ids are strictly above history ids, so the full-pass
+    // min-(id,pos) election gives history unconditional precedence —
+    // exactly the frozen-history semantics the incremental op implements
+    val full = Dedup.spanDedup(hist.unionByName(batch))
+      .where(col("doc_id") >= 1000000)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+    val rows = incr.collect()
+    assert(rows.nonEmpty && rows.exists(_.getAs[Long]("n_removed") > 0))
+  }
+
+  test("spanDedupIncremental: Bloom fpp cannot change the answer, only " +
+      "the verify load (nominate-verify exactness)") {
+    val hist = paraDocs.where(col("doc_id") % 7 =!= 0).limit(60)
+    val batch = paraDocs.where(col("doc_id") % 5 === 0).limit(40)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val idx = Dedup.spanHashes(hist)
+    val loose = Dedup.spanDedupIncremental(batch, idx, fpp = 0.4)
+    val tight = Dedup.spanDedupIncremental(batch, idx, fpp = 1e-6)
+    assert(loose.exceptAll(tight).isEmpty && tight.exceptAll(loose).isEmpty)
+  }
+
+  test("spanDedupIncremental: empty history index ≡ within-batch spanDedup") {
+    val batch = paraDocs.where(col("doc_id") % 5 === 0).limit(30)
+    val empty = Dedup.spanHashes(paraDocs.where(lit(false)))
+    val incr = Dedup.spanDedupIncremental(batch, empty)
+    val full = Dedup.spanDedup(batch)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
   // ------------------------------------------------- per-stratum top-frac
 
   test("topFractionPerStratum keeps ceil(frac·n) best per stratum") {
