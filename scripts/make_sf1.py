@@ -36,16 +36,42 @@ COPY (
 ) TO '{DST}/events.parquet' (FORMAT PARQUET)
 """)
 
+# At REPS > 10 every doc gains more near-replicas than the winnowing
+# family's df cap (maxDf=10), so EVERY shared gram hash is boilerplate by
+# construction and winnow_candidates/winnow_incremental emit 0 pairs on
+# both engines — a vacuous cap-agreement check (round-13 verdict). The
+# probe population fixes that: for a ~1% doc subset (doc_id % 97 = 0),
+# five near-copies whose token stream is DISJOINT from the main corpus
+# (every token suffixed 'p') and which differ only in a trailing ' zp<r>'
+# token — shared-prefix gram df = 5 <= cap, so the keys emit real,
+# hash-checked pairs at 100x. Probe ids sit at +2e9 (above the largest
+# replica id ~991M at REPS=100) and keep the base residue mod 10M, so the
+# contract queries' %5/%7 splits and +1M batch offsets stay
+# collision-free (the id algebra the winnow oracle fix fa6bbec relies on).
+probe_sql = ""
+if REPS > 10:
+    probe_sql = f"""
+  UNION ALL
+  SELECT doc_id + 2000000000 + r.r * 10000000 AS doc_id,
+         regexp_replace(text, '(\\S+)', '\\1p', 'g') || ' zp' || r.r AS text,
+         lang, source,
+         len(regexp_replace(text, '(\\S+)', '\\1p', 'g') || ' zp' || r.r)
+           AS n_chars
+  FROM '{SRC}/documents.parquet', range(5) r(r)
+  WHERE doc_id % 97 = 0"""
+
 con.execute(f"""
 COPY (
-  SELECT doc_id + r.r * 10000000 AS doc_id,
-         CASE WHEN r.r = 0 THEN text
-              ELSE text || ' zrep' || r.r END AS text,
-         lang, source,
-         CASE WHEN r.r = 0 THEN n_chars
-              ELSE n_chars + len(' zrep' || r.r) END AS n_chars
-  FROM '{SRC}/documents.parquet', range({REPS}) r(r)
-  ORDER BY doc_id
+  SELECT * FROM (
+    SELECT doc_id + r.r * 10000000 AS doc_id,
+           CASE WHEN r.r = 0 THEN text
+                ELSE text || ' zrep' || r.r END AS text,
+           lang, source,
+           CASE WHEN r.r = 0 THEN n_chars
+                ELSE n_chars + len(' zrep' || r.r) END AS n_chars
+    FROM '{SRC}/documents.parquet', range({REPS}) r(r)
+    {probe_sql}
+  ) ORDER BY doc_id
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
 """)
 

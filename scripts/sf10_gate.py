@@ -37,8 +37,15 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # round-13 continuation: the winnowing fingerprint index, its
          # df-capped candidate join, and the O(batch) incremental loop —
          # the new blocking family's 100x hash evidence (all exact
-         # oracle-backed)
-         "winnow_fingerprint", "winnow_candidates", "winnow_incremental"}
+         # oracle-backed); round 14 adds an under-the-df-cap probe
+         # population to the sf10 corpus (make_sf1.py REPS>10) so the
+         # candidate/incremental keys emit REAL pairs at 100x instead of
+         # the vacuous 0-row cap agreement of round 13
+         "winnow_fingerprint", "winnow_candidates", "winnow_incremental",
+         # round 14: the Bloom-prefiltered incremental paragraph dedup —
+         # span grain like span_dedup, plus the nominate-verify exactness
+         # claim is worth 100x hash evidence
+         "span_dedup_bloom"}
 
 
 def main() -> int:

@@ -65,9 +65,30 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
         subprocess.run([sys.executable, str(REPO / "scripts" / "make_sf1.py"),
                         "/root/testdata/sf0.1", str(sf_dir), str(reps)],
                        check=True)
+    # window self-report (the Bench harness's contention guard, lifted
+    # here after round 13's phantom 4x "regression": identical code+data
+    # measured 271s/154s/114s within 15 minutes on this box, so a
+    # spark_secs without its window is uninterpretable — every refreshed
+    # entry now carries loadavg/steal so a judge can compare walls without
+    # re-running the A/B/A experiment)
+    def loadavg_1m():
+        try:
+            return float(Path("/proc/loadavg").read_text().split()[0])
+        except Exception:  # noqa: BLE001
+            return -1.0
+
+    def steal_ticks():
+        try:
+            f = Path("/proc/stat").read_text().splitlines()[0].split()
+            return int(f[8]) if len(f) > 8 else -1
+        except Exception:  # noqa: BLE001
+            return -1
+
     timings = {}
+    window = None
     if not skip_verify:
         print(f"[{label}] running graft.Verify on {sf_dir} ...")
+        load0, steal0, t0 = loadavg_1m(), steal_ticks(), time.time()
         proc = subprocess.run(
             ["sbt", "-batch",
              f"runMain graft.Verify {sf_dir} {out}" +
@@ -76,6 +97,15 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
             env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32",
                  "SPARK_DRIVER_MEM": "48g"},
             capture_output=True, text=True)
+        window = {"loadavg_start": load0, "loadavg_end": loadavg_1m(),
+                  "steal_ticks": max(steal_ticks() - steal0, -1),
+                  "verify_wall_secs": round(time.time() - t0, 1),
+                  # one shared Verify JVM, one rep per key: spark_secs is
+                  # SMOKE (the first key absorbs warm-up) — use Bench
+                  # medians for measurement, per the verify recipe
+                  "jvm_reps": 1,
+                  "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime())}
         sys.stdout.write(proc.stdout[-4000:])
         for line in proc.stderr.splitlines():
             # Verify prints "[verify] <name> ok in <t>s" per query
@@ -126,6 +156,10 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
                "spark_rows": None, "oracle_rows": None, "err": None}
         if name in timings:
             rec["spark_secs"] = timings[name]
+            # per-entry window provenance: partial re-runs merge into the
+            # existing artifact, so a run-level stamp alone would lie
+            # about entries refreshed in an earlier window
+            rec["window"] = window
         t0 = time.time()
         try:
             spark_dir = OUT / name
