@@ -347,6 +347,77 @@ object Ingest {
     true
   }
 
+  /** Streaming incremental span-grain (paragraph) dedup — the production
+    * loop around [[graft.llm.Dedup.spanDedupIncremental]] (Dolma's
+    * bloom-paragraph pass as a growing-corpus stream): each micro-batch
+    * keeps only spans that are (a) not in the accumulated span-hash index
+    * at `indexRoot/span_index` and (b) first-occurrence within the batch,
+    * writes its rebuilt docs to `indexRoot/deduped`, and appends its own
+    * span hashes back to the index so later batches see this batch's
+    * paragraphs. `foreachBatch` because the index is cross-batch state
+    * (same reasoning as [[nearDupWriter]]); per-batch cost is O(batch)
+    * plus the Bloom build over the index — which production replaces with
+    * a PERSISTED mergeable filter unioned per batch instead of rebuilt
+    * (the operator doc spells out the swap).
+    *
+    * Delivery: committed batch ids are skipped outright. The crash window
+    * (index appended, marker missing) is handled exactly like
+    * [[repeatedTrimWriter]]: index rows are tagged with their batch_id
+    * and the read EXCLUDES the current batch's own rows — a replay
+    * therefore dedups against the pre-crash index view and emits
+    * byte-identical rows (without the exclusion the batch's own hashes
+    * would be "history" and the replay would wipe every span); appended
+    * duplicate rows distinct away under keep-one-per-(hash, batch_id)
+    * compaction. */
+  def spanDedupWriter(docs: DataFrame, indexRoot: String,
+                      fpp: Double = 0.01, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        spanDedupBatch(batch.toDF(), batchId, indexRoot, fpp, idCol,
+          textCol, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[spanDedupWriter]]: dedup against the
+    * index (minus any of this batch's own replayed rows) → write rebuilt
+    * docs → append this batch's span hashes → commit marker. Returns
+    * false (and writes nothing) when the batch id is already committed. */
+  def spanDedupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                     fpp: Double = 0.01, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     commitId: String = "stream"): Boolean = {
+    import graft.llm.Dedup
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "span_index")
+    val index =
+      if (fs.exists(indexPath))
+        spark.read.parquet(indexPath.toString)
+          .where(col("batch_id") =!= batchId) // replay: drop own residue
+          .select("span_hash")
+      else Dedup.spanHashes(batch.limit(0), textCol)
+    // the deduped write is the ONLY consumer of the old-index plan and it
+    // executes before the index append mutates the directory (the
+    // operator's Bloom build also runs its index actions here), so no
+    // checkpoint pin is needed — the batch stays block-manager-clean
+    Dedup.spanDedupIncremental(batch, index, fpp, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "deduped").toString)
+    Dedup.spanHashes(batch, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(indexPath.toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    true
+  }
+
   /** Streaming cross-source overlap DATA CARD — the production loop
     * around [[graft.llm.Dedup.sourceOverlapState]]: each micro-batch
     * folds to its own per-source (MinHash signature, HLL) state, written

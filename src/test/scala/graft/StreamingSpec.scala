@@ -851,6 +851,64 @@ class StreamingSpec extends SparkTestBase {
       == Seq("u1 u2 u3 u4 u5 u6"))
   }
 
+  test("streaming incremental span dedup: stream loop equals the batch " +
+      "loop; crash-window replay is byte-identical (the batch's own " +
+      "hashes must not masquerade as history)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Dedup
+
+    val wave1 = Seq(
+      (1L, "aa bb. cc dd. ee ff"),
+      (2L, "cc dd. gg hh"))           // "cc dd" dups within wave 1
+    val wave2 = Seq(
+      (11L, "ee ff. ii jj"),          // caught ONLY via the index
+      (12L, "kk ll. kk ll"))          // within-doc repeat
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "span-ix").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.spanDedupWriter(input.toDF().toDF("doc_id", "text"),
+        root).start()
+    input.addData(wave1: _*); q.processAllAvailable()
+    input.addData(wave2: _*); q.processAllAvailable()
+    q.stop()
+
+    // reference: the same two waves through the batch operator
+    val w1 = wave1.toDF("doc_id", "text")
+    val w2 = wave2.toDF("doc_id", "text")
+    val d1 = Dedup.spanDedupIncremental(w1, Dedup.spanHashes(w1.limit(0)))
+    val d2 = Dedup.spanDedupIncremental(w2, Dedup.spanHashes(w1))
+    val expected = d1.unionByName(d2).collect().map(_.toSeq).toSet
+
+    val deduped = spark.read.parquet(s"$root/deduped")
+    assert(deduped.drop("batch_id").collect().map(_.toSeq).toSet == expected)
+    // the cross-batch catch actually happened: doc 11 lost "ee ff"
+    assert(deduped.where(col("doc_id") === 11L)
+      .select("kept_text").as[String].collect().head == "ii jj")
+    // within-batch rule still active: doc 12 keeps one "kk ll"
+    assert(deduped.where(col("doc_id") === 12L)
+      .select("kept_text").as[String].collect().head == "kk ll")
+    // committed batch id: skipped outright
+    val n0 = deduped.count()
+    assert(!Ingest.spanDedupBatch(w2, batchId = 1L, root))
+    assert(spark.read.parquet(s"$root/deduped").count() == n0)
+    // crash-window replay: remove batch 1's marker and re-run — the index
+    // read excludes batch 1's own rows, so the batch's own span hashes
+    // cannot masquerade as history (which would wipe every span on
+    // replay) and the rows come back byte-identical
+    val marker = new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/1")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(Ingest.spanDedupBatch(w2, batchId = 1L, root))
+    val after = spark.read.parquet(s"$root/deduped")
+    assert(after.count() == n0 + wave2.size)
+    assert(after.drop("batch_id").distinct().collect().map(_.toSeq).toSet
+      == expected,
+      "replayed rows must be byte-identical to the originals")
+  }
+
   test("streaming overlap data card: 3-batch stream state is bit-identical " +
       "to the one-shot full-pass state; replay neither grows the state " +
       "nor moves the card") {
