@@ -12,12 +12,20 @@ import org.apache.spark.sql.SparkSession
   * - coalescePartitions.parallelismFirst stays at its TRUE default
   *   deliberately (a measured choice, not an omission): the Spark docs
   *   recommend false for production, but size-based coalescing targets
-  *   BYTES, and this engine's hot operators are compute-dense per byte
+  *   BYTES while this engine's hot operators are compute-dense per byte
   *   (regex/backtest scans, connected-components rounds, fingerprint
-  *   joins) — a graft.PerfLab A/B at sf0.1 measured false as a wash on
-  *   overhead-dominated keys and 9-16% WORSE on backtest_trades /
-  *   dedup_clusters / winnow_candidates (total +4.9%), because 64 MB
-  *   advisory partitions serialize CPU-bound stages
+  *   joins). Round-13's PerfLab A/B (count()-consumed) measured false
+  *   9-16% worse on the compute-dense keys; re-measured in round 14
+  *   under the honest full-plan shape (noop write — projections + final
+  *   sort execute), the penalty is smaller and MIXED per key
+  *   (backtest_trades +6.0%, dedup_clusters +5.6%, winnow_candidates
+  *   −7.6%, tf_aggregate −9.7%; TOTAL +0.9% — a wash at bench scale).
+  *   The default stays TRUE because bench-scale inputs cannot show the
+  *   case where size-based coalescing pays (post-shuffle partitions far
+  *   above the 64 MB advisory), and under-parallelizing CPU-bound
+  *   stages is the asymmetric risk on a 32-core box; a cluster deploy
+  *   at real bytes/partition should re-run graft.PerfLab and decide on
+  *   its own data
   * - nanosAsLong: the testdata's TIMESTAMP(NANOS) columns surface as LONG
   *   (see [[graft.sources.Tables]])
   * - UTC session timezone: bar bucketing must be timezone-stable
