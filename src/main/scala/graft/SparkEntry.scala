@@ -1489,6 +1489,16 @@ object SparkEntry {
           tau = 0.95)
         .orderBy("vec_id")),
 
+    // §2 #57c — SSL-prototype pruning (Sorscher et al. 2022): rank every
+    // vector by cosine to its (1-Lloyd-iteration) cluster centroid, drop
+    // the most prototypical 25% of each cell and flag the least
+    // prototypical 10% as outliers. One map-only assignment pass + one
+    // window shuffle on cluster; verdict-frame output like semantic_dedup.
+    "prototype_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(embeddingsWithNearDups(s, dir), k = 8,
+          pruneFrac = 0.25, outlierFrac = 0.10, refineIters = 1)
+        .orderBy("vec_id")),
+
     // §2 #26b — composed corpus-cleaning pipeline: exact-dedup survivors
     // (lowest id per canonical form) that pass quality and language gates —
     // the LLM training-data filter chain as one declarative plan.
@@ -1609,6 +1619,14 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         vocabSize = 10)
         .orderBy("doc_id")),
+
+    // §2 #35c — tokenizer fertility audit per (lang, source): the
+    // multilingual tokenizer-parity data card (mT5/XLM-R/BLOOM fertility
+    // tables — subwords/word and bytes/subword by language drive vocab
+    // and mixture decisions). One low-cardinality hash aggregation.
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir))
+        .orderBy("lang", "source")),
 
     // §2 #33b — C4-style text normalization on a seeded messy wrap (markup
     // tags, entities, a control char, ragged whitespace): strip -> unescape
@@ -2335,6 +2353,16 @@ object SparkEntry {
       TextAnalysis.ngramCmsProfile(Tables.documents(s, dir), n = 2, k = 20)
         .orderBy(col("exact_count").desc, col("ngram").asc)
     }),
+
+    // §2 #41e — EXACT corpus heavy hitters via CMS-nominate → exact
+    // confirm (the 39d nominate-verify pattern at vocabulary grain): the
+    // output is exactly the tokens with true freq >= 200 and their exact
+    // counts — hash-identical to a naive full-vocabulary groupBy — while
+    // the exact aggregation's exchange carries only CMS-suspect tokens,
+    // never the web-scale distinct vocabulary.
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), minCount = 200L)
+        .orderBy(col("cnt").desc, col("token").asc)),
 
     // §2 #41c — BPE pair statistics: the exact first-iteration view of
     // tokenizer training — char-grain adjacent-pair frequencies over the
@@ -4684,6 +4712,46 @@ object SparkEntry {
         |         AS kept
         |FROM av LEFT JOIN p USING (vec_id) ORDER BY 1""".stripMargin,
 
+    // same 1-Lloyd-iteration chain as embed_kmeans_lloyd, then the
+    // per-cell prototypicality window: rank by 6dp sim DESC, id ASC
+    "prototype_prune" ->
+      s"""WITH $SeededEmbCte,
+        |ex AS (
+        |  SELECT a.cluster,
+        |         unnest(list_transform(range(len(e.v)),
+        |           i -> struct_pack(pos := i, x := e.v[i+1])),
+        |           recursive := true)
+        |  FROM asg a JOIN e USING (vec_id)),
+        |m AS (SELECT cluster, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT ct.cell, coalesce(mm.v1, ct.cv) AS cv
+        |  FROM cent ct LEFT JOIN (
+        |    SELECT cluster AS cell, list(cx ORDER BY pos) AS v1
+        |    FROM m GROUP BY 1) mm USING (cell)),
+        |sims1 AS (
+        |  SELECT e.vec_id, c.cell,
+        |         round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+        |  FROM e CROSS JOIN c1 c),
+        |best1 AS (SELECT vec_id, max(sim) AS best FROM sims1 GROUP BY 1),
+        |l AS (
+        |  SELECT s.vec_id, CAST(min(s.cell) AS INTEGER) AS cluster,
+        |         max(s.sim) AS centroid_sim
+        |  FROM sims1 s JOIN best1 b ON b.vec_id = s.vec_id AND s.sim = b.best
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT vec_id, cluster, centroid_sim,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY centroid_sim DESC, vec_id) AS proto_rank,
+        |         count(*) OVER (PARTITION BY cluster) AS n_cell
+        |  FROM l)
+        |SELECT vec_id, cluster, centroid_sim + 0.0 AS centroid_sim,
+        |       CAST(proto_rank AS BIGINT) AS proto_rank,
+        |       CAST(n_cell AS BIGINT) AS n_cell,
+        |       CAST(CASE WHEN proto_rank <= ceil(0.25 * n_cell)
+        |                   OR proto_rank > n_cell - floor(0.10 * n_cell)
+        |            THEN 0 ELSE 1 END AS INTEGER) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     "contamination_ngram" ->
       """WITH t AS (
         |  SELECT doc_id + 2000000 AS test_id, text
@@ -4856,6 +4924,21 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the naive full-vocabulary plan: the engine's CMS-nominated exact
+    // confirm must be hash-identical to it (CMS never underestimates)
+    "heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tk),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tk GROUP BY 1)
+        |SELECT token, cnt,
+        |       round(CAST(cnt AS DOUBLE) / n_total, 6) + 0.0 AS share
+        |FROM c, n WHERE cnt >= 200
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     "bpe_pairs" ->
       """WITH w AS (
@@ -6468,6 +6551,34 @@ object SparkEntry {
         |                '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', ' \1 ', 'g'),
         |              '\s+'), x -> x <> '')) AS INTEGER) AS n_bpeish_tokens
         |FROM documents ORDER BY 1""".stripMargin,
+
+    // length() = characters, strlen() = bytes in DuckDB (Spark: length /
+    // octet_length); the BPE-ish pre-split regex is token_count's
+    "tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '')) AS w,
+        |         len(list_filter(string_split_regex(
+        |             regexp_replace(text,
+        |               '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', ' \1 ', 'g'),
+        |             '\s+'), x -> x <> '')) AS s,
+        |         length(text) AS c, strlen(text) AS b
+        |  FROM documents)
+        |SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS n_words,
+        |       CAST(sum(s) AS BIGINT) AS n_subwords,
+        |       CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(sum(b) AS BIGINT) AS n_bytes,
+        |       round(CAST(sum(s) AS DOUBLE) / sum(w), 6) + 0.0 AS fertility,
+        |       round(CAST(sum(c) AS DOUBLE) / sum(s), 6) + 0.0
+        |         AS chars_per_subword,
+        |       round(CAST(sum(b) AS DOUBLE) / sum(s), 6) + 0.0
+        |         AS bytes_per_subword,
+        |       round(CAST(sum(s) AS DOUBLE) / count(*), 6) + 0.0
+        |         AS subwords_per_doc
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

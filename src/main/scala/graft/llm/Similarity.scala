@@ -466,6 +466,61 @@ object Similarity {
         col("n_dups_prev").isNull.cast("int").as("kept"))
   }
 
+  /** SSL-prototype data pruning ("Beyond neural scaling laws: beating
+    * power law scaling via data pruning", Sorscher et al. 2022, the
+    * self-supervised metric; the same shape drives D4's diversification
+    * stage): cluster the embedding corpus with k-means, score each example
+    * by its cosine similarity to its cluster centroid (high = prototypical
+    * / easy, low = marginal / hard), and in the data-abundant regime DROP
+    * the most prototypical fraction of every cluster — the paper's central
+    * result is that easy examples are the redundant ones when data is
+    * plentiful. `outlierFrac` additionally flags the LEAST prototypical
+    * tail (noise/ambiguous examples — the paper prunes hard examples in
+    * the data-scarce regime; web pipelines use the same tail as a garbage
+    * filter). Returns a verdict frame — every input row with
+    * (cluster, centroid_sim, proto_rank, n_cell, kept) — so a pipeline
+    * keeps `kept = 1` and an audit can see exactly why each drop happened,
+    * the [[semanticDedup]] output convention.
+    *
+    * `refineIters` Lloyd iterations refine the deterministic lowest-id
+    * codebook before scoring (iters=0 scores against the raw init);
+    * rank is by 6dp-rounded sim DESC then id ASC, so elections are
+    * engine-stable and oracle-checkable end to end.
+    *
+    * Scale: assignment is the map-only fused-codebook pass ([[kmeansLloyd]]
+    * — per iteration one combinable (cell,pos) aggregation whose result is
+    * the only driver state); ranking is ONE shuffle on `cluster` with a
+    * per-cell sort — cells are O(corpus/k) with k corpus-proportional
+    * (SemDeDup uses ~50k cells at web scale), and this window is O(c log c)
+    * per cell, NOT pairwise, so it tolerates far larger cells than the
+    * O(c²) dedup join. A memory-dwarfing hot cell swaps the exact rank for
+    * a per-cell approx_percentile sim threshold (the
+    * [[graft.llm.Sampling.sourceQuantileFilter]] trade — rank error moves
+    * the boundary, never the order). */
+  def prototypePrune(vecs: DataFrame, k: Int = 8, pruneFrac: Double = 0.25,
+                     outlierFrac: Double = 0.0, refineIters: Int = 1,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(pruneFrac >= 0 && pruneFrac <= 1, "pruneFrac must be in [0,1]")
+    require(outlierFrac >= 0 && outlierFrac + pruneFrac <= 1,
+      "pruneFrac + outlierFrac must be <= 1")
+    val a =
+      if (refineIters == 0) kmeansAssign(vecs, k, idCol, vecCol)
+      else kmeansLloyd(vecs, k, refineIters, idCol, vecCol)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("centroid_sim").desc, col(idCol).asc)
+    val wc = Window.partitionBy(col("cluster"))
+    val nCell = count(lit(1)).over(wc)
+    val rank = row_number().over(w)
+    // ceil/floor on n_cell as DOUBLE: identical semantics in DuckDB, and
+    // the boundary is a count, never a float comparison on sims
+    val pruned = rank <= ceil(lit(pruneFrac) * nCell.cast("double"))
+    val outlier = rank > nCell - floor(lit(outlierFrac) * nCell.cast("double"))
+    a.select(col(idCol), col("cluster"), col("centroid_sim"),
+      rank.cast("long").as("proto_rank"), nCell.as("n_cell"),
+      (!pruned && !outlier).cast("int").as("kept"))
+  }
+
   /** Achlioptas sign random projection — the dimensionality-reduction rung
     * of the embedding memory ladder (with [[quantizeInt8]] below it): a
     * Johnson-Lindenstrauss transform with entries ±1/√outDim, which

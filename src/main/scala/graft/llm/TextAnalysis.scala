@@ -386,6 +386,91 @@ object TextAnalysis {
       .drop("_gh")
   }
 
+  /** Corpus heavy hitters — EXACT frequent tokens via a Count-Min-sketch
+    * nominate → exact confirm, the same nominate-verify exactness pattern
+    * as the Bloom-verified decontamination: answers "which tokens appear
+    * at least `minCount` times corpus-wide, with exact counts" without
+    * ever shuffling the full distinct-token vocabulary (billions of rows
+    * at web scale — the thing a naive groupBy ships).
+    *
+    * Pass 1 folds the token stream into ONE mergeable CMS (map-side
+    * partial sketches, a d×w-counter driver artifact — Cormode &
+    * Muthukrishnan 2005). Pass 2 probes the sketch map-side
+    * ([[graft.functions.CmsEstimate]], codegen'd): CMS never
+    * underestimates, so `est >= minCount` keeps every true heavy hitter —
+    * the exact count-and-filter then runs on the SUSPECT stream only, and
+    * its exchange carries the (bounded) false positives instead of the
+    * vocabulary. Output is exactly the tokens with true freq >= minCount,
+    * each with its exact count and corpus share — hash-identical to the
+    * naive plan (TextAnalysisSpec pins ≡), while the heavy exchange
+    * shrinks from |vocab| to |suspects| (eps controls the overshoot:
+    * width 2/eps counters bound the expected overestimate by eps·N).
+    *
+    * Two token-stream scans vs one is the documented trade: scans are
+    * cheap map work reading one column; the vocabulary-grain exchange is
+    * the 100 TB bottleneck this removes. */
+  def heavyHitters(docs: DataFrame, minCount: Long, eps: Double = 1e-4,
+                   confidence: Double = 0.99, seed: Int = 42,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.select(
+        explode(filter(tokens(lower(col(textCol))), t => t =!= ""))
+          .as("token"))
+      .withColumn("_th", xxhash64(col("token")))
+    val cms = toks.stat.countMinSketch(col("_th"), eps, confidence, seed)
+    val est = GraftBridge.column(
+      graft.functions.CmsEstimate(GraftBridge.expression(col("_th")), cms))
+    val total = toks.agg(count(lit(1)).as("_n_total"))
+    toks
+      .where(est >= minCount)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / col("_n_total"), 6).as("share"))
+  }
+
+  /** Tokenizer fertility audit — the multilingual tokenizer-parity data
+    * card (the fertility tables of mT5 / XLM-R / BLOOM: subword-per-word
+    * and bytes-per-subword by language tell you which languages a
+    * tokenizer taxes, which drives mixture and vocab decisions). Per
+    * (lang, source): document/word/subword/char/byte volumes under the
+    * whitespace word tokenizer and the BPE-ish pre-tokenizer, plus
+    * fertility = subwords/word, chars and bytes per subword, and mean
+    * subwords per doc.
+    *
+    * Scale: per-row token counting is pure codegen'd column algebra; the
+    * rollup is ONE hash aggregation on a low-cardinality key — map-side
+    * partials collapse to |lang×source| rows, nothing else moves. */
+  def tokenizerFertility(docs: DataFrame, langCol: String = "lang",
+                         sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val words = size(filter(tokens(col(textCol)), t => t =!= ""))
+    val subwords = size(tokensBpeIsh(col(textCol)))
+    docs
+      .select(col(langCol), col(sourceCol),
+        words.cast("long").as("_w"), subwords.cast("long").as("_s"),
+        length(col(textCol)).cast("long").as("_c"),
+        octet_length(col(textCol)).cast("long").as("_b"))
+      .groupBy(col(langCol), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_s")).as("n_subwords"),
+        sum(col("_c")).as("n_chars"),
+        sum(col("_b")).as("n_bytes"),
+        round(sum(col("_s")).cast("double") / sum(col("_w")), 6)
+          .as("fertility"),
+        round(sum(col("_c")).cast("double") / sum(col("_s")), 6)
+          .as("chars_per_subword"),
+        round(sum(col("_b")).cast("double") / sum(col("_s")), 6)
+          .as("bytes_per_subword"),
+        round(sum(col("_s")).cast("double") / count(lit(1)), 6)
+          .as("subwords_per_doc"))
+  }
+
   /** Per-document repetition profile over word n-grams (the Gopher-style
     * repetitive-content quality filter): total vs distinct n-grams,
     * repetition ratio 1 − distinct/total, and the share of the single most

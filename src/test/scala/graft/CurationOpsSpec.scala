@@ -387,6 +387,110 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("p_temp") == 1.0)
   }
 
+  // -------------------------------------------------- heavy hitters (r14)
+
+  test("heavyHitters ≡ naive full-vocabulary plan (nominate-verify exactness)") {
+    val d = Seq(
+      (1L, "a a a b b c"), (2L, "A b! b! c d"), (3L, "a c c c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(d, minCount = 3L)
+      .orderBy(desc("cnt"), asc("token")).collect()
+    // lower-cased whitespace tokens: a×5 (A lower-cases), b×2, b!×2, c×5, d×1
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("c", 5L)))
+    // share rides the TOTAL token stream (15), not the heavy subset
+    assert(got.forall(r => math.abs(r.getAs[Double]("share") - 5.0 / 15) < 1e-6))
+  }
+
+  test("heavyHitters stays exact under a collision-heavy sketch (wide eps)") {
+    // eps=0.9 → width 3: every token collides with others in the CMS, the
+    // nominate stage passes nearly everything — the exact confirm must
+    // still emit exactly the true heavy hitters
+    val d = Seq(
+      (1L, "x x x x y y z w v u t s r q p o"), (2L, "y z z x"))
+      .toDF("doc_id", "text")
+    val loose = TextAnalysis.heavyHitters(d, minCount = 3L, eps = 0.9)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tight = TextAnalysis.heavyHitters(d, minCount = 3L, eps = 1e-4)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(loose == Seq(("x", 5L), ("y", 3L), ("z", 3L)))
+    assert(loose == tight)
+  }
+
+  // ------------------------------------------------ prototype prune (r14)
+
+  test("prototypePrune: per-cell counts, rank order, and verdict algebra") {
+    // two well-separated 2-D clusters, 5 vectors each; ids 1 and 2 are the
+    // deterministic codebook init and sit one per cluster
+    val a = Seq(1L -> Array(1.0, 0.0), 3L -> Array(1.0, 0.05),
+      5L -> Array(1.0, 0.1), 7L -> Array(1.0, 0.2), 9L -> Array(1.0, 0.4))
+    val b = Seq(2L -> Array(0.0, 1.0), 4L -> Array(0.05, 1.0),
+      6L -> Array(0.1, 1.0), 8L -> Array(0.2, 1.0), 10L -> Array(0.4, 1.0))
+    val d = (a ++ b).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.prototypePrune(d, k = 2,
+      pruneFrac = 0.4, outlierFrac = 0.2, refineIters = 1)
+    assertNoCartesian(out)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    val byCell = rows.groupBy(_.getAs[Int]("cluster"))
+    assert(byCell.size == 2 && byCell.values.forall(_.length == 5))
+    for ((_, cell) <- byCell) {
+      // ranks are a permutation of 1..n_cell, n_cell is right everywhere
+      assert(cell.map(_.getAs[Long]("proto_rank")).sorted.toSeq == (1L to 5L))
+      assert(cell.forall(_.getAs[Long]("n_cell") == 5L))
+      // ceil(0.4·5)=2 pruned head + floor(0.2·5)=1 outlier tail → 2 kept
+      val kept = cell.filter(_.getAs[Int]("kept") == 1)
+        .map(_.getAs[Long]("proto_rank")).sorted.toSeq
+      assert(kept == Seq(3L, 4L))
+      // rank 1 = most prototypical (highest centroid sim)
+      val sims = cell.sortBy(_.getAs[Long]("proto_rank"))
+        .map(_.getAs[Double]("centroid_sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("prototypePrune: refineIters=0 scores against the raw init codebook") {
+    val d = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)), (4L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.prototypePrune(d, k = 2, pruneFrac = 0.5,
+      outlierFrac = 0.0, refineIters = 0).collect()
+    // under the raw init, ids 1 and 2 ARE the centroids: sim 1.0, rank 1,
+    // and with pruneFrac=0.5 (ceil(1)=1 of 2) exactly they get pruned
+    val protos = out.filter(_.getAs[Double]("centroid_sim") == 1.0)
+    assert(protos.map(_.getAs[Long]("vec_id")).sorted.toSeq == Seq(1L, 2L))
+    assert(protos.forall(_.getAs[Int]("kept") == 0))
+    assert(out.filter(_.getAs[Int]("kept") == 1)
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  // -------------------------------------------- tokenizer fertility (r14)
+
+  test("tokenizerFertility: hand-computed volumes, multibyte bytes vs chars") {
+    val d = Seq(
+      // "héllo, world" → words 2; bpe-ish: héllo → h + é? é is non-ASCII →
+      // punctuation class [^a-zA-Z0-9\s] → tokens: h, é, llo, ',', world = 5
+      (1L, "héllo, world", "fr", "s1"),
+      (2L, "ab cd", "fr", "s1"),   // 2 words, 2 subwords
+      (3L, "x1y", "en", "s2"))     // 1 word; bpe-ish: x,1,y = 3 subwords
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.tokenizerFertility(d).orderBy("lang", "source")
+      .collect()
+    assert(out.length == 2)
+    val en = out(0); val fr = out(1)
+    assert(en.getAs[Long]("n_docs") == 1L && en.getAs[Long]("n_words") == 1L
+      && en.getAs[Long]("n_subwords") == 3L)
+    assert(en.getAs[Long]("n_chars") == 3L && en.getAs[Long]("n_bytes") == 3L)
+    assert(en.getAs[Double]("fertility") == 3.0)
+    assert(fr.getAs[Long]("n_docs") == 2L && fr.getAs[Long]("n_words") == 4L)
+    assert(fr.getAs[Long]("n_subwords") == 7L)
+    // é is 2 bytes in UTF-8: chars 12+5=17, bytes 13+5=18
+    assert(fr.getAs[Long]("n_chars") == 17L && fr.getAs[Long]("n_bytes") == 18L)
+    assert(math.abs(fr.getAs[Double]("fertility") - 7.0 / 4) < 1e-9)
+    assert(math.abs(fr.getAs[Double]("bytes_per_subword") - 18.0 / 7) < 1e-6)
+  }
+
   // ------------------------------------------------------------- hygiene
 
   test("new ops leave no persisted blocks and no cartesian products") {
