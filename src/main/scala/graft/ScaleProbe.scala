@@ -669,6 +669,55 @@ object ScaleProbe {
           graft.llm.Dedup.winnowCandidates(
             wdocs.unionByName(variants), minShared = 2).count()
         })
+    } ++ {
+      // round-14 curation ops at corpus grain: nd docs × 24 words over a
+      // 100k hash-word vocabulary, 20 sources × 5 langs. Claims: the
+      // heavy-hitter confirm's exchange carries only CMS suspects (vocab
+      // 100k, heavy set ~top-1%); fertility is one low-cardinality agg;
+      // the LPT rank never funnels through a single-task global window;
+      // weighted sampling is map-only + one top-k; the divergence card's
+      // pair explosion is token-grain × 190 pairs, never corpus-grain.
+      val nd = math.max(n / 16, 1000L)
+      def pdocs = spark.range(nd).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+        concat(lit("l"), pmod(col("id"), lit(5L))).as("lang"),
+        concat_ws(" ", (0 until 24).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+            lit(100000L)))): _*).as("text"))
+      Seq(
+        time("heavy_hitters") {
+          // expected freq/word = nd·24/100k; threshold at 3x the mean
+          val t = math.max(nd * 24 / 100000 * 3, 2L)
+          TextAnalysis.heavyHitters(pdocs, minCount = t)
+            .agg(count(col("share"))).as[Long].collect()(0)
+        },
+        time("tokenizer_fertility") {
+          TextAnalysis.tokenizerFertility(pdocs)
+            .agg(count(col("fertility"))).as[Long].collect()(0)
+        },
+        time("pack_shards_lpt") {
+          TextAnalysis.packShardsLpt(pdocs, nShards = 1024)
+            .agg(count(col("shard"))).as[Long].collect()(0)
+        },
+        time("weighted_sample") {
+          graft.llm.Sampling.weightedSample(
+            pdocs.withColumn("w", length(col("text")).cast("double")),
+            "doc_id", col("w"), k = 1000).count()
+        },
+        time("source_divergence") {
+          graft.llm.Curation.sourceDivergence(pdocs)
+            .agg(count(col("js"))).as[Long].collect()(0)
+        },
+        time("prototype_prune") {
+          val nv = math.max(n / 8, 1000L)
+          val vecs = spark.range(nv).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), j =>
+              (pmod(xxhash64(col("id"), j), lit(1000L)) / 500.0 - 1.0))
+              .as("embedding"))
+          graft.llm.Similarity.prototypePrune(vecs, k = 64,
+              pruneFrac = 0.25, outlierFrac = 0.10, refineIters = 1)
+            .agg(sum(col("kept"))).as[Long].collect()(0)
+        })
     } ++ Seq(
       // span-grain decontamination scrub at corpus scale: benchmark =
       // nd/256 docs, every 4th corpus doc carries a benchmark doc's

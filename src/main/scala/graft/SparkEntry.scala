@@ -797,6 +797,15 @@ object SparkEntry {
         .orderBy("shard", "doc_id")
     }),
 
+    // §2 #50b2 — LPT/snake shard packing (Graham 1969): token-balanced
+    // training shards via a boustrophedon deal over the (n_tokens DESC,
+    // id) rank — the rank computed DISTRIBUTED (histogram offsets +
+    // within-length window), never a single-task global window.
+    "pack_shards_lpt" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.packShardsLpt(d, nShards = 8).orderBy("lpt_rank")
+    }),
+
     // §2 #51 — per-doc top-k terms by smoothed TF-IDF (keyword extraction).
     "tfidf_topk" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -809,6 +818,16 @@ object SparkEntry {
     // §2 #49 — deterministic stratified sampling / dataset mixing: md5-hash
     // bucket membership (reproducible across engines, runs, partitionings;
     // map-only), per-stratum mix weights.
+    // §2 #49g — exact-k weighted sampling without replacement (Efraimidis
+    // & Spirakis 2006): keep the k rows with the largest md5-derived
+    // ln(u)/w election key (6dp-rounded, ties to id — engine-stable).
+    // Map-only key derivation + ONE distributed top-k, no shuffle.
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), k = 50)
+        .orderBy(col("sample_key").desc, col("doc_id"))),
+
     "stratified_sample" -> ((s, dir) => {
       val fr = Map("click" -> 0.30, "view" -> 0.10, "purchase" -> 1.0,
         "signup" -> 0.55)
@@ -1592,6 +1611,14 @@ object SparkEntry {
       Curation.dataCard(Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), col("text")))
         .orderBy("source")),
+
+    // §2 #34f — pairwise source-divergence card (Kilgarriff 2001 corpus
+    // comparison): add-α-smoothed unigram KL/JS per source pair over the
+    // pair's union vocabulary — the quantitative redundancy/diversity
+    // signal for mixture design (doc-grain complement: source_overlap).
+    "source_divergence" -> ((s, dir) =>
+      Curation.sourceDivergence(Tables.documents(s, dir), alpha = 0.5)
+        .orderBy("src_a", "src_b")),
 
     // §2 #26c — incremental exact dedup: a new crawl batch elects its
     // within-batch survivors, then anti-joins the HISTORICAL fingerprint
@@ -3844,6 +3871,27 @@ object SparkEntry {
         |         AS pack_id
         |FROM c ORDER BY 1, 2""".stripMargin,
 
+    // the naive single-window rank; the engine's histogram-offset rank
+    // must agree exactly
+    "pack_shards_lpt" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |              x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+        |              AS BIGINT) AS lpt_rank
+        |  FROM d)
+        |SELECT doc_id, n_tokens, lpt_rank,
+        |       CAST((lpt_rank - 1) // 8 AS BIGINT) AS pack_round,
+        |       CAST(CASE WHEN ((lpt_rank - 1) // 8) % 2 = 0
+        |                 THEN (lpt_rank - 1) % 8
+        |                 ELSE 7 - (lpt_rank - 1) % 8 END AS INTEGER)
+        |         AS shard
+        |FROM r ORDER BY lpt_rank""".stripMargin,
+
     "tfidf_topk" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3863,6 +3911,19 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, rank, term, tf, df, round(tfidf, 6) AS tfidf
         |FROM rk WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    // u from md5 exactly as the engine derives it (13 hex digits = 52
+    // bits, +1 keeps u in (0,1]); 6dp election key, ties to doc_id
+    "weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         round(ln((CAST(CAST('0x' ||
+        |                 substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |               AS UBIGINT) AS DOUBLE) + 1.0)
+        |               / 4503599627370496.0) / n_chars, 6) AS sample_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, sample_key + 0.0 AS sample_key
+        |FROM d ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
 
     "stratified_sample" ->
       """WITH f AS (
@@ -5787,6 +5848,48 @@ object SparkEntry {
         |       round(avg(is_dup), 6) + 0.0 AS dup_rate,
         |       round(avg(pass_gopher), 6) + 0.0 AS gopher_pass_rate
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical term algebra to the engine (same smoothing, same
+    // (p_a+p_b)/2 midpoint form) so the 6dp sums agree bit-for-bit
+    "source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |ct AS (SELECT source, token, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM ct GROUP BY 1),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b
+        |       FROM tot a, tot b WHERE a.source < b.source),
+        |ptk AS (
+        |  SELECT p.src_a, p.src_b, t.token,
+        |         coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        |  FROM pr p
+        |  CROSS JOIN (SELECT DISTINCT token FROM ct) t
+        |  LEFT JOIN ct ca ON ca.source = p.src_a AND ca.token = t.token
+        |  LEFT JOIN ct cb ON cb.source = p.src_b AND cb.token = t.token
+        |  WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0),
+        |v AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS v_union,
+        |             CAST(sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0
+        |                  END) AS BIGINT) AS v_shared
+        |      FROM ptk GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT k.src_a, k.src_b, v.v_union, v.v_shared,
+        |         (k.c_a + 0.5) / (ta.n + 0.5 * v.v_union) AS p_a,
+        |         (k.c_b + 0.5) / (tb.n + 0.5 * v.v_union) AS p_b
+        |  FROM ptk k
+        |  JOIN v USING (src_a, src_b)
+        |  JOIN tot ta ON ta.source = k.src_a
+        |  JOIN tot tb ON tb.source = k.src_b)
+        |SELECT src_a, src_b, max(v_union) AS v_union,
+        |       max(v_shared) AS v_shared,
+        |       round(sum(p_a * log2(p_a / p_b)), 6) + 0.0 AS kl_ab,
+        |       round(sum(p_b * log2(p_b / p_a)), 6) + 0.0 AS kl_ba,
+        |       round(sum(p_a * log2(p_a / ((p_a + p_b) / 2)) / 2
+        |             + p_b * log2(p_b / ((p_a + p_b) / 2)) / 2), 6) + 0.0
+        |         AS js
+        |FROM tm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ichimoku" ->
       s"""$H1Cte,

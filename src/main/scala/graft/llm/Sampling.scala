@@ -283,4 +283,40 @@ object Sampling {
       .withColumn("n_stratum", count(lit(1)).over(n))
       .where(col("stratum_rank") <= ceil(lit(frac) * col("n_stratum")))
   }
+
+  /** Weighted sampling WITHOUT replacement, exact-k (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): draw u_i ∈ (0, 1]
+    * per row and keep the k rows with the largest u_i^(1/w_i) —
+    * equivalently the largest ln(u_i)/w_i, the numerically-stable form
+    * used here — which selects each row with probability proportional to
+    * its weight among the remaining rows, the exact semantics of
+    * sequential weighted draws. The curation use: "give me exactly k
+    * documents, preferring high quality/length" without the availability
+    * cap of [[mixture]] or the per-stratum quotas of [[stratified]].
+    *
+    * Determinism: u_i derives from md5(seed:key) (52 mantissa bits →
+    * (0, 1], zero excluded so ln is finite), and the election key is
+    * ROUNDED to 6dp with ties broken by id — the same
+    * round-before-elect rule as the k-means argmax, so the winner set is
+    * reproducible across runs, engines, and partitionings (the last-ulp
+    * ln() drift between libm implementations cannot flip an election
+    * except at an exact 6dp tie, where the id tiebreak decides).
+    *
+    * Scale: map-only key derivation + ONE distributed top-k (TakeOrdered:
+    * per-partition heaps, never a global sort); non-positive weights
+    * raise rather than silently skewing the draw. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                     seed: String = "ws"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val checkedW = when(weight.isNull || weight <= 0,
+        raise_error(lit("weightedSample: weights must be positive non-null")))
+      .otherwise(weight.cast("double"))
+    // 13 hex digits = 52 bits; +1 maps 0 → 2^-52, keeping u in (0, 1]
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+        col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double") + 1.0) /
+      math.pow(2.0, 52)
+    df.withColumn("sample_key", round(log(u) / checkedW, 6))
+      .orderBy(col("sample_key").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -558,6 +558,54 @@ object TextAnalysis {
         ((col("cum_tokens") - col(nTokensCol)) / tokensPerPack).cast("long"))
   }
 
+  /** LPT / snake shard packing — the load-balancing alternative to
+    * [[packShards]]'s stable-mod rule: sort units by token count
+    * DESCENDING and deal them boustrophedon ("snake draft") across the
+    * shards — round r assigns ranks rn..rn+n−1 left-to-right when r is
+    * even, right-to-left when odd, so every shard gets one unit per round
+    * and the per-round direction flip cancels the within-round size skew.
+    * This is the longest-processing-time-first family (Graham 1969 — LPT
+    * keeps makespan ≤ 4/3 · OPT; the snake deal is its fixed-assignment
+    * form, standard for static batch/shard balancing) — use it when shard
+    * token-mass balance matters more than [[packShards]]'s
+    * stable-under-growth ids (e.g. equal-work training shards).
+    *
+    * The global (n_tokens DESC, id ASC) rank is computed DISTRIBUTED —
+    * never a partition-less window (which Spark executes as ONE task
+    * holding the corpus): (1) a token-count histogram (bounded by the
+    * number of distinct lengths, ≤ max doc length), (2) cumulative
+    * offsets via a window over that bounded histogram only, (3) a
+    * within-length rank partitioned by n_tokens, (4) rank = offset +
+    * within-rank; the snake shard is then per-row arithmetic. Cost: one
+    * histogram agg + one broadcast + one n_tokens-key window. */
+  def packShardsLpt(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val d = docs.select(col(idCol),
+      size(filter(tokens(col(textCol)), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val hist = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("_c"))
+    // offsets over the HISTOGRAM: bounded rows, the only global window
+    val wOff = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("_offset", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .drop("_c")
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col(idCol).asc)
+    val ranked = d
+      .withColumn("_rin", row_number().over(wIn).cast("long"))
+      .join(broadcast(off), Seq("n_tokens"))
+      .withColumn("lpt_rank", col("_offset") + col("_rin"))
+    val roundIdx = floor((col("lpt_rank") - 1) / nShards).cast("long")
+    val posInRound = pmod(col("lpt_rank") - 1, lit(nShards)).cast("long")
+    val shard = when(pmod(roundIdx, lit(2)) === 0, posInRound)
+      .otherwise(lit(nShards - 1) - posInRound)
+    ranked.select(col(idCol), col("n_tokens"), col("lpt_rank"),
+      roundIdx.as("pack_round"), shard.cast("int").as("shard"))
+  }
+
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * keyword extraction / LM-corpus vocabulary weighting. Two hash
     * aggregations (term frequency, document frequency), the corpus size as

@@ -491,6 +491,92 @@ class CurationOpsSpec extends SparkTestBase {
     assert(math.abs(fr.getAs[Double]("bytes_per_subword") - 18.0 / 7) < 1e-6)
   }
 
+  // ------------------------------------------------- LPT packing (r14)
+
+  test("packShardsLpt: snake deal, distributed rank ≡ naive, balance") {
+    // 8 docs with token counts 8..1 (ids break the 4/4 tie pair)
+    val d = (1 to 8).map(i => (i.toLong, ("w " * (9 - i)).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packShardsLpt(d, nShards = 3)
+      .orderBy("lpt_rank").collect()
+    // rank follows tokens desc (id 1 has 8 tokens -> rank 1)
+    assert(out.map(_.getAs[Long]("lpt_rank")).toSeq == (1L to 8L))
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == (1L to 8L))
+    // snake: round 0 → 0,1,2; round 1 → 2,1,0; round 2 → 0,1
+    assert(out.map(_.getAs[Int]("shard")).toSeq ==
+      Seq(0, 1, 2, 2, 1, 0, 0, 1))
+    // the deal balances token mass: sums are 8+3+2=13, 7+4+1=12, 6+5=11
+    val sums = out.groupBy(_.getAs[Int]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(sums == Map(0 -> 13L, 1 -> 12L, 2 -> 11L))
+  }
+
+  test("packShardsLpt ties rank by id within equal token counts") {
+    val d = Seq((10L, "a b"), (3L, "c d"), (7L, "e f g"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packShardsLpt(d, nShards = 2)
+      .orderBy("lpt_rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 3L, 10L))
+  }
+
+  // ------------------------------------------- source divergence (r14)
+
+  test("sourceDivergence: hand-computed KL/JS, zero divergence on twins") {
+    val d = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"),   // s1 ≡ s2
+      (3L, "c c c c", "s3"))                       // s3 disjoint
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Curation.sourceDivergence(d, alpha = 0.5)
+      .orderBy("src_a", "src_b").collect()
+    assert(out.length == 3)
+    val twin = out(0) // (s1, s2)
+    assert(twin.getAs[Long]("v_union") == 2L &&
+      twin.getAs[Long]("v_shared") == 2L)
+    assert(twin.getAs[Double]("kl_ab") == 0.0 &&
+      twin.getAs[Double]("js") == 0.0)
+    // (s1, s3): union {a,b,c}, nothing shared; hand-computed smoothed
+    // dists over V=3, α=0.5: p1 = (2.5, 1.5, 0.5)/4.5; p3 = (.5,.5,4.5)/5.5
+    val x = out(1)
+    assert(x.getAs[Long]("v_union") == 3L && x.getAs[Long]("v_shared") == 0L)
+    val p1 = Seq(2.5 / 4.5, 1.5 / 4.5, 0.5 / 4.5)
+    val p3 = Seq(0.5 / 5.5, 0.5 / 5.5, 4.5 / 5.5)
+    def lg2(v: Double) = math.log(v) / math.log(2)
+    val kl = p1.zip(p3).map { case (p, q) => p * lg2(p / q) }.sum
+    val js = p1.zip(p3).map { case (p, q) =>
+      p * lg2(p / ((p + q) / 2)) / 2 + q * lg2(q / ((p + q) / 2)) / 2 }.sum
+    assert(math.abs(x.getAs[Double]("kl_ab") - kl) < 1e-5)
+    assert(math.abs(x.getAs[Double]("js") - js) < 1e-5)
+    // JS is symmetric: (s2, s3) must equal (s1, s3)
+    assert(out(2).getAs[Double]("js") == x.getAs[Double]("js"))
+  }
+
+  // --------------------------------------------- weighted sample (r14)
+
+  test("weightedSample: k >= n keeps all; dominant weight always wins") {
+    val d = Seq((1L, 10.0), (2L, 10.0), (3L, 1e9), (4L, 10.0))
+      .toDF("doc_id", "w")
+    val all = Sampling.weightedSample(d, "doc_id", col("w"), k = 10)
+    assert(all.count() == 4)
+    // w=1e9 ⇒ key = ln(u)/1e9 ≈ 0⁻, strictly above any w=10 key
+    val top = Sampling.weightedSample(d, "doc_id", col("w"), k = 1).collect()
+    assert(top.head.getAs[Long]("doc_id") == 3L)
+  }
+
+  test("weightedSample is partitioning-invariant and rejects bad weights") {
+    val d = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
+      .toDF("doc_id", "w")
+    val a = Sampling.weightedSample(d.repartition(1), "doc_id", col("w"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(d.repartition(16), "doc_id", col("w"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 20)
+    val bad = Seq((1L, 0.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "doc_id", col("w"), 1).collect()
+    }
+    assert(e.getMessage.contains("weights must be positive"))
+  }
+
   // ------------------------------------------------------------- hygiene
 
   test("new ops leave no persisted blocks and no cartesian products") {
