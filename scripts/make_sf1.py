@@ -41,22 +41,29 @@ COPY (
 # construction and winnow_candidates/winnow_incremental emit 0 pairs on
 # both engines — a vacuous cap-agreement check (round-13 verdict). The
 # probe population fixes that: for a ~1% doc subset (doc_id % 97 = 0),
-# five near-copies whose token stream is DISJOINT from the main corpus
-# (every token suffixed 'p') and which differ only in a trailing ' zp<r>'
-# token — shared-prefix gram df = 5 <= cap, so the keys emit real,
-# hash-checked pairs at 100x. Probe ids sit at +2e9 (above the largest
-# replica id ~991M at REPS=100) and keep the base residue mod 10M, so the
-# contract queries' %5/%7 splits and +1M batch offsets stay
-# collision-free (the id algebra the winnow oracle fix fa6bbec relies on).
+# five near-copies whose token stream is unique PER BASE DOC (every token
+# suffixed 'q<base_id>' — a constant suffix is NOT enough: the base corpus
+# draws from a ~31-word vocabulary, so constant-suffixed grams repeat
+# across different bases and their df blows past the cap anyway, the
+# round-14 first-attempt failure) and which differ only in a trailing
+# ' zp<r>' token — each base's shared-prefix grams have df exactly 5 <=
+# cap, so the keys emit real, hash-checked pairs at 100x. Probe ids sit
+# at +2e9 (above the largest replica id ~991M at REPS=100) and keep the
+# base residue mod 10M, so the contract queries' %5/%7 splits and +1M
+# batch offsets stay collision-free (the id algebra the winnow oracle
+# fix fa6bbec relies on).
 probe_sql = ""
 if REPS > 10:
     probe_sql = f"""
   UNION ALL
   SELECT doc_id + 2000000000 + r.r * 10000000 AS doc_id,
-         regexp_replace(text, '(\\S+)', '\\1p', 'g') || ' zp' || r.r AS text,
+         regexp_replace(text, '(\\S+)',
+                        '\\1q' || CAST(doc_id AS VARCHAR), 'g')
+           || ' zp' || r.r AS text,
          lang, source,
-         len(regexp_replace(text, '(\\S+)', '\\1p', 'g') || ' zp' || r.r)
-           AS n_chars
+         len(regexp_replace(text, '(\\S+)',
+                            '\\1q' || CAST(doc_id AS VARCHAR), 'g')
+             || ' zp' || r.r) AS n_chars
   FROM '{SRC}/documents.parquet', range(5) r(r)
   WHERE doc_id % 97 = 0"""
 

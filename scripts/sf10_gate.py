@@ -45,7 +45,17 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # round 14: the Bloom-prefiltered incremental paragraph dedup —
          # span grain like span_dedup, plus the nominate-verify exactness
          # claim is worth 100x hash evidence
-         "span_dedup_bloom"}
+         "span_dedup_bloom",
+         # round 14 continuation: the four document-grain round-14 keys
+         # (prototype_prune is excluded deliberately — make_sf1 copies
+         # embeddings unreplicated, so an sf10 run would re-measure sf0.1).
+         # heavy_hitters proves the CMS-nominate exchange claim at a 27M-
+         # token stream; pack_shards_lpt proves the histogram-offset rank
+         # against DuckDB's naive single window at 500K rows; url_dedup's
+         # argmax election and source_divergence's token-grain pair
+         # explosion get their 100x hash evidence
+         "heavy_hitters", "pack_shards_lpt", "url_dedup",
+         "source_divergence", "url_dedup_incremental"}
 
 
 def main() -> int:

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
@@ -55,6 +55,29 @@ object SparkEntry {
         concat_ws(" ",
           slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
     d.unionByName(aug)
+  }
+
+  /** Synthetic crawl URL for `doc_id` (shared by the url_dedup /
+    * url_dedup_incremental contract keys and their oracles): every 3-doc
+    * group shares one canonical address behind raw-form noise — scheme/
+    * host case, default port, trailing slash, tracking params in varying
+    * order, fragments. */
+  private def synthUrl: Column = {
+    val grp = floor(col("doc_id") / 3).cast("long")
+    concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+      when(col("doc_id") % 3 === 0, "Data.Example.COM")
+        .otherwise("data.example.com"),
+      when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+      lit("/corpus/doc-"), grp,
+      when(col("doc_id") % 5 === 0, "/").otherwise(""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?id="), grp, lit("&v=2&utm_source=feed")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?v=2&utm_source=feed&id="), grp))
+        .otherwise(concat(lit("?utm_medium=rss&id="), grp, lit("&v=2"))),
+      when(col("doc_id") % 6 === 0, concat(lit("#sec-"), col("doc_id")))
+        .otherwise(""))
   }
 
   /** embeddings ∪ seeded near-dups (every 5th vector, position-dependent
@@ -1227,23 +1250,33 @@ object SparkEntry {
     "url_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"))
-      val grp = floor(col("doc_id") / 3).cast("long")
-      val url = concat(
-        when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
-        when(col("doc_id") % 3 === 0, "Data.Example.COM")
-          .otherwise("data.example.com"),
-        when(col("doc_id") % 4 === 0, ":443").otherwise(""),
-        lit("/corpus/doc-"), grp,
-        when(col("doc_id") % 5 === 0, "/").otherwise(""),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("?id="), grp, lit("&v=2&utm_source=feed")))
-          .when(col("doc_id") % 3 === 1,
-            concat(lit("?v=2&utm_source=feed&id="), grp))
-          .otherwise(concat(lit("?utm_medium=rss&id="), grp, lit("&v=2"))),
-        when(col("doc_id") % 6 === 0, concat(lit("#sec-"), col("doc_id")))
-          .otherwise(""))
-      Dedup.urlKeepBest(d.withColumn("url", url), col("url"),
+      Dedup.urlKeepBest(d.withColumn("url", synthUrl), col("url"),
           quality = col("n_chars"))
+        .orderBy("canonical_url")
+    }),
+
+    // §2 #26i2 — incremental URL-grain keep-best dedup (the growing-crawl
+    // upsert): history = docs %3!=0 builds the per-URL index (2 raw copies
+    // per address), the batch brings each group's third copy (%3==0,
+    // original ids — 'kept' or 'improved' depending on the election) plus
+    // re-fetches at fresh addresses (%5==0 shifted +1M — 'new'). The
+    // election is a commutative monoid, so the merged rows are EXACTLY
+    // the full-pass keep-best over history ∪ batch restricted to
+    // batch-touched URLs — the oracle checks the production upsert
+    // itself, no restriction caveat.
+    "url_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      val hist = d.where(col("doc_id") % 3 =!= 0)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("n_chars")))
+      val index = Dedup.urlKeepBest(hist.withColumn("url", synthUrl),
+          col("url"), quality = col("n_chars"))
+        .select(col("canonical_url"), col("n_copies"), col("keep_id"),
+          col("keep_quality"))
+      Dedup.urlKeepBestIncremental(batch.withColumn("url", synthUrl),
+          index, col("url"), quality = col("n_chars"))
         .orderBy("canonical_url")
     }),
 
@@ -6297,6 +6330,85 @@ object SparkEntry {
         |       CAST(r.n_chars AS DOUBLE) + 0.0 AS keep_quality
         |FROM r JOIN g USING (canonical_url)
         |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+
+    // the production upsert IS the full pass restricted to batch URLs
+    // (keep-best is a commutative monoid), so the oracle computes the
+    // union election + the history-only election and derives status
+    "url_dedup_incremental" ->
+      """WITH ad AS (
+        |  SELECT doc_id, n_chars, 0 AS is_hist
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars, 0
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 1
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |u AS (
+        |  SELECT doc_id, n_chars, is_hist,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'Data.Example.COM'
+        |             ELSE 'data.example.com' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/corpus/doc-' || (doc_id // 3)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?id=' || (doc_id // 3) || '&v=2&utm_source=feed'
+        |             WHEN doc_id % 3 = 1
+        |             THEN '?v=2&utm_source=feed&id=' || (doc_id // 3)
+        |             ELSE '?utm_medium=rss&id=' || (doc_id // 3) || '&v=2'
+        |        END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || doc_id ELSE '' END)
+        |      AS url
+        |  FROM ad),
+        |q AS (
+        |  SELECT doc_id, n_chars, is_hist, url,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)='))),
+        |      '&') AS qq
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, n_chars, is_hist,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(regexp_replace(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?.*$', ''),
+        |        '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1)),
+        |      '^(http://[^/:]+):80$', '\1'), '^(https://[^/:]+):443$', '\1')
+        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         trim(url), '#.*$', ''), '\?.*$', ''),
+        |         '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', ''), '/+$', '')
+        |    || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+        |      AS canonical_url
+        |  FROM q),
+        |g AS (
+        |  SELECT canonical_url, count(*) AS n, sum(is_hist) AS nh
+        |  FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT canonical_url, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM c),
+        |rh AS (
+        |  SELECT canonical_url, doc_id AS hid, n_chars AS hq,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM c WHERE is_hist = 1),
+        |bu AS (SELECT DISTINCT canonical_url FROM c WHERE is_hist = 0)
+        |SELECT r.canonical_url, CAST(g.n AS BIGINT) AS n_copies,
+        |       r.doc_id AS keep_id,
+        |       CAST(r.n_chars AS DOUBLE) + 0.0 AS keep_quality,
+        |       CASE WHEN g.nh = 0 THEN 'new'
+        |            WHEN h.hid = r.doc_id AND h.hq = r.n_chars THEN 'kept'
+        |            ELSE 'improved' END AS status
+        |FROM r
+        |JOIN g USING (canonical_url)
+        |JOIN bu USING (canonical_url)
+        |LEFT JOIN (SELECT canonical_url, hid, hq FROM rh WHERE rn = 1) h
+        |  USING (canonical_url)
+        |WHERE r.rn = 1 ORDER BY canonical_url""".stripMargin,
 
     "span_dedup_bloom" ->
       """WITH toks AS (

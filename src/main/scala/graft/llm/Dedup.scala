@@ -107,6 +107,58 @@ object Dedup {
         col("_best.q").as("keep_quality"))
   }
 
+  /** Incremental URL-grain keep-best dedup — the growing-crawl production
+    * shape of [[urlKeepBest]]: a new fetch batch elects its within-batch
+    * best per canonical URL (ONE hash agg), then merges against the
+    * accumulated per-URL index through ONE left join keyed on the BATCH's
+    * URL set — O(batch) daily cost independent of corpus age, and the
+    * index never ships text. Because the keep-best election is a
+    * commutative monoid (max of (quality, −id) structs; copy counts add),
+    * the merged rows are EXACTLY the full-pass [[urlKeepBest]] over
+    * history ∪ batch restricted to batch-touched URLs — no restriction
+    * caveat, the oracle checks the actual production upsert. (The one
+    * full-pass column the mergeable state drops is the exact
+    * `n_raw_forms` audit — a distinct count is not a monoid; a lake that
+    * wants it stores an HLL sketch per URL, the
+    * [[sourceOverlapIncremental]] trade.)
+    *
+    * Output per batch-touched canonical URL: merged (n_copies, keep_id,
+    * keep_quality) plus `status` — 'new' (URL unseen), 'improved' (a
+    * batch copy won the election), 'kept' (the stored winner stands) —
+    * the rows a lake UPSERTs into the index ([[graft.operators.Lake]]
+    * merge-write, the #6 shape).
+    *
+    * `urlIndex` carries (canonical_url, n_copies, keep_id, keep_quality)
+    * — [[urlKeepBest]]'s own output schema minus the raw-form audit, so
+    * the loop composes with itself. */
+  def urlKeepBestIncremental(newDocs: DataFrame, urlIndex: DataFrame,
+                             url: Column, quality: Column,
+                             idCol: String = "doc_id"): DataFrame = {
+    val batch = newDocs
+      .withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("_bn"),
+        max(struct(quality.cast("double").as("q"),
+          (-col(idCol)).as("_negid"))).as("_bb"))
+    val hist = urlIndex.select(col("canonical_url"),
+      col("n_copies").as("_hn"), col("keep_id").as("_hid"),
+      col("keep_quality").as("_hq"))
+    // greatest() ignores the null history struct on unseen URLs, so the
+    // merge expression IS the monoid's fold — no special-casing 'new'
+    val hStruct = when(col("_hid").isNotNull,
+      struct(col("_hq").as("q"), (-col("_hid")).as("_negid")))
+    batch.join(hist, Seq("canonical_url"), "left")
+      .withColumn("_best", greatest(col("_bb"), hStruct))
+      .select(col("canonical_url"),
+        (coalesce(col("_hn"), lit(0L)) + col("_bn")).as("n_copies"),
+        (-col("_best._negid")).cast("long").as("keep_id"),
+        col("_best.q").as("keep_quality"),
+        when(col("_hid").isNull, "new")
+          .when(col("_best._negid") === -col("_hid") &&
+            col("_best.q") === col("_hq"), "kept")
+          .otherwise("improved").as("status"))
+  }
+
   /** Incremental span-grain exact dedup with a BLOOM-prefiltered history
     * probe — Dolma's paragraph-dedup production shape for a growing
     * corpus: each new batch keeps only spans (paragraphs/sentences) whose

@@ -285,6 +285,62 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("keep_id") == 4L)
   }
 
+  test("urlKeepBestIncremental: status semantics and merged election") {
+    val hist = Seq(
+      (1L, "https://a.com/p", 10.0), (2L, "https://a.com/p/", 30.0),
+      (3L, "https://b.com/q", 20.0))
+      .toDF("doc_id", "url", "quality")
+    val index = Dedup.urlKeepBest(hist, col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    val batch = Seq(
+      (11L, "HTTPS://A.com/p#x", 25.0),  // loses to id 2 (30.0) → kept
+      (12L, "https://b.com/q?utm_source=z", 99.0), // wins → improved
+      (13L, "https://c.com/r", 7.0))     // unseen address → new
+      .toDF("doc_id", "url", "quality")
+    val out = Dedup.urlKeepBestIncremental(batch, index, col("url"),
+      col("quality")).orderBy("canonical_url").collect()
+    assert(out.map(_.getAs[String]("status")).toSeq ==
+      Seq("kept", "improved", "new"))
+    // merged counts: history copies + batch copies
+    assert(out(0).getAs[Long]("n_copies") == 3L &&
+      out(0).getAs[Long]("keep_id") == 2L)
+    assert(out(1).getAs[Long]("n_copies") == 2L &&
+      out(1).getAs[Long]("keep_id") == 12L &&
+      out(1).getAs[Double]("keep_quality") == 99.0)
+    assert(out(2).getAs[Long]("n_copies") == 1L &&
+      out(2).getAs[Long]("keep_id") == 13L)
+  }
+
+  test("urlKeepBestIncremental composes: two increments ≡ one batch") {
+    val hist = Seq((1L, "https://a.com/p", 10.0))
+      .toDF("doc_id", "url", "quality")
+    val b1 = Seq((11L, "https://a.com/p", 50.0), (12L, "https://d.com/s", 5.0))
+      .toDF("doc_id", "url", "quality")
+    val b2 = Seq((21L, "https://a.com/p", 40.0), (22L, "https://d.com/s", 9.0))
+      .toDF("doc_id", "url", "quality")
+    val idx0 = Dedup.urlKeepBest(hist, col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    // state after b1 = idx0 rows overridden by b1's merged rows
+    val idx1 = Dedup.urlKeepBestIncremental(b1, idx0, col("url"),
+        col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .unionByName(idx0.join(
+        Dedup.urlKeepBestIncremental(b1, idx0, col("url"), col("quality"))
+          .select("canonical_url"),
+        Seq("canonical_url"), "left_anti"))
+    val twoStep = Dedup.urlKeepBestIncremental(b2, idx1, col("url"),
+        col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .collect().map(_.toSeq).toSet
+    val oneStep = Dedup.urlKeepBestIncremental(b1.unionByName(b2), idx0,
+        col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .collect().map(_.toSeq).toSet
+    // every URL b2 touches reports the same merged row either way
+    assert(twoStep == oneStep.filter(r =>
+      Set("https://a.com/p", "https://d.com/s").contains(r.head.toString)))
+  }
+
   // ------------------------------------------ incremental span dedup
 
   private def paraDocs = {
