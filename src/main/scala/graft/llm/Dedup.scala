@@ -159,6 +159,23 @@ object Dedup {
           .otherwise("improved").as("status"))
   }
 
+  /** Fold per-batch URL-index DELTA states into one index relation — the
+    * commutative-monoid merge that makes [[urlKeepBestIncremental]] and
+    * the streaming loop exact: copy counts ADD, the winner is the MAX of
+    * (quality, −id) structs, so any grouping/order of deltas folds to the
+    * same index as one full-pass [[urlKeepBest]] (minus the non-monoid
+    * raw-form audit). ONE hash aggregation on canonical_url; delta states
+    * are per-URL rows, so the fold is index-grain, never corpus-grain. */
+  def mergeUrlIndex(states: DataFrame): DataFrame =
+    states
+      .groupBy(col("canonical_url"))
+      .agg(sum(col("n_copies")).as("n_copies"),
+        max(struct(col("keep_quality").as("q"),
+          (-col("keep_id")).as("_negid"))).as("_best"))
+      .select(col("canonical_url"), col("n_copies"),
+        (-col("_best._negid")).cast("long").as("keep_id"),
+        col("_best.q").as("keep_quality"))
+
   /** Incremental span-grain exact dedup with a BLOOM-prefiltered history
     * probe — Dolma's paragraph-dedup production shape for a growing
     * corpus: each new batch keeps only spans (paragraphs/sentences) whose

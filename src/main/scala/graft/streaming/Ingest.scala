@@ -418,6 +418,76 @@ object Ingest {
     true
   }
 
+  /** Streaming URL-grain keep-best dedup loop — the production shape of
+    * [[graft.llm.Dedup.urlKeepBestIncremental]] for a continuous crawl:
+    * each micro-batch's decisions (new/improved/kept per touched address)
+    * land under `stateRoot/decisions/batch_id=N/`, and the batch's OWN
+    * within-batch election is stored as a per-batch index DELTA under
+    * `stateRoot/state/batch_id=N/`. The queryable index is the
+    * commutative-monoid fold of all deltas
+    * ([[graft.llm.Dedup.mergeUrlIndex]]) — identical to one full-pass
+    * [[graft.llm.Dedup.urlKeepBest]] over everything ingested, which is
+    * what makes this loop exact rather than approximate.
+    *
+    * Delivery: committed batch ids are skipped outright; a crash-window
+    * replay OVERWRITES its own `batch_id=N` subdirectories (decisions and
+    * delta both), and the prior-index fold reads deltas with
+    * `batch_id =!= N`, so the replay recomputes byte-identical decisions
+    * against exactly the pre-batch index (StreamingSpec pins stream ≡
+    * batch loop and replay identity). Per-batch cost is O(batch) + an
+    * index-grain fold — history text is never rescanned. */
+  def urlDedupWriter(docs: DataFrame, stateRoot: String,
+                     urlCol: String = "url", qualityCol: String = "quality",
+                     idCol: String = "doc_id",
+                     commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        urlDedupBatch(batch.toDF(), batchId, stateRoot, urlCol, qualityCol,
+          idCol, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[urlDedupWriter]]: fold the prior
+    * deltas (excluding this batch's own residue) → incremental decisions
+    * → overwrite `decisions/batch_id=N` and the batch's `state/batch_id=N`
+    * delta → commit marker. Returns false when already committed. */
+  def urlDedupBatch(batch: DataFrame, batchId: Long, stateRoot: String,
+                    urlCol: String = "url", qualityCol: String = "quality",
+                    idCol: String = "doc_id",
+                    commitId: String = "stream"): Boolean = {
+    import graft.llm.Dedup
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      stateRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
+    val prior =
+      if (fs.exists(statePath))
+        Dedup.mergeUrlIndex(spark.read.parquet(statePath.toString)
+          .where(col("batch_id") =!= batchId)) // replay: drop own residue
+      else
+        Dedup.urlKeepBest(batch.limit(0), col(urlCol), col(qualityCol),
+          idCol).select("canonical_url", "n_copies", "keep_id",
+          "keep_quality")
+    // decisions execute against the PRIOR index before the delta append
+    // mutates the state directory; own-subdir overwrite keeps replays
+    // residue-free (the overlapCardBatch pattern)
+    Dedup.urlKeepBestIncremental(batch, prior, col(urlCol),
+        col(qualityCol), idCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        stateRoot, s"decisions/batch_id=$batchId").toString)
+    Dedup.urlKeepBest(batch, col(urlCol), col(qualityCol), idCol)
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        statePath, s"batch_id=$batchId").toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    true
+  }
+
   /** Streaming cross-source overlap DATA CARD — the production loop
     * around [[graft.llm.Dedup.sourceOverlapState]]: each micro-batch
     * folds to its own per-source (MinHash signature, HLL) state, written

@@ -909,6 +909,66 @@ class StreamingSpec extends SparkTestBase {
       "replayed rows must be byte-identical to the originals")
   }
 
+  test("streaming URL dedup loop: decisions equal the batch operator, the " +
+      "folded delta index equals one full pass, and a crash-window replay " +
+      "is byte-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Dedup
+
+    val wave1 = Seq(
+      (1L, "https://a.com/p", 10.0), (2L, "https://a.com/p/", 30.0),
+      (3L, "https://b.com/q", 20.0))
+    val wave2 = Seq(
+      (11L, "HTTPS://A.com/p#x", 25.0),              // loses to id 2
+      (12L, "https://b.com/q?utm_source=z", 99.0),   // improves
+      (13L, "https://c.com/r", 7.0))                 // new address
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "url-ix").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val q = Ingest.urlDedupWriter(
+      input.toDF().toDF("doc_id", "url", "quality"), root).start()
+    input.addData(wave1: _*); q.processAllAvailable()
+    input.addData(wave2: _*); q.processAllAvailable()
+    q.stop()
+
+    val w1 = wave1.toDF("doc_id", "url", "quality")
+    val w2 = wave2.toDF("doc_id", "url", "quality")
+    val idxCols = Seq("canonical_url", "n_copies", "keep_id", "keep_quality")
+    val idx0 = Dedup.urlKeepBest(w1, col("url"), col("quality"))
+      .select(idxCols.map(col): _*)
+    val expected2 = Dedup.urlKeepBestIncremental(w2, idx0, col("url"),
+      col("quality")).collect().map(_.toSeq).toSet
+
+    val decisions = spark.read.parquet(s"$root/decisions")
+    assert(decisions.where(col("batch_id") === 1).drop("batch_id")
+      .collect().map(_.toSeq).toSet == expected2)
+    // the monoid fold of the stored deltas IS the full-pass index
+    val folded = Dedup.mergeUrlIndex(
+      spark.read.parquet(s"$root/state").drop("batch_id"))
+    val full = Dedup.urlKeepBest(w1.unionByName(w2), col("url"),
+      col("quality")).select(idxCols.map(col): _*)
+    assert(folded.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    // committed batch id: skipped outright
+    assert(!Ingest.urlDedupBatch(w2, 1L, root))
+    // crash-window replay: decisions recompute byte-identical against the
+    // pre-batch index (own delta excluded from the fold), no residue
+    val marker = new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/1")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(Ingest.urlDedupBatch(w2, 1L, root))
+    assert(spark.read.parquet(s"$root/decisions")
+      .where(col("batch_id") === 1).drop("batch_id")
+      .collect().map(_.toSeq).toSet == expected2)
+    assert(Dedup.mergeUrlIndex(
+        spark.read.parquet(s"$root/state").drop("batch_id"))
+      .collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+  }
+
   test("streaming overlap data card: 3-batch stream state is bit-identical " +
       "to the one-shot full-pass state; replay neither grows the state " +
       "nor moves the card") {
