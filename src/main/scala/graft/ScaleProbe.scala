@@ -686,9 +686,20 @@ object ScaleProbe {
             lit(100000L)))): _*).as("text"))
       Seq(
         time("heavy_hitters") {
-          // expected freq/word = nd·24/100k; threshold at 3x the mean
+          // a 2% hot-token mass over 100 ids rides the uniform 100k-word
+          // stream (every 50th position) — under a uniform-only corpus a
+          // 3x-mean threshold nominates NOTHING (Poisson(mean) never
+          // reaches 3x over 100k tokens) and the probe would measure an
+          // empty confirm; the hot set makes ~100 true heavy hitters
+          val hot = pdocs.withColumn("text",
+            concat_ws(" ", (0 until 24).map(i =>
+              when(pmod(xxhash64(col("doc_id"), lit(100 + i)), lit(50L)) === 0,
+                concat(lit("h"), pmod(xxhash64(col("doc_id"), lit(200 + i)),
+                  lit(100L))))
+                .otherwise(concat(lit("w"), pmod(xxhash64(col("doc_id"),
+                  lit(i)), lit(100000L))))): _*))
           val t = math.max(nd * 24 / 100000 * 3, 2L)
-          TextAnalysis.heavyHitters(pdocs, minCount = t)
+          TextAnalysis.heavyHitters(hot, minCount = t)
             .agg(count(col("share"))).as[Long].collect()(0)
         },
         time("tokenizer_fertility") {
