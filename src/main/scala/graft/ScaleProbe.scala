@@ -698,7 +698,11 @@ object ScaleProbe {
                   lit(100L))))
                 .otherwise(concat(lit("w"), pmod(xxhash64(col("doc_id"),
                   lit(i)), lit(100000L))))): _*))
-          val t = math.max(nd * 24 / 100000 * 3, 2L)
+          // one rational step: the old `nd * 24 / 100000 * 3` truncated
+          // to 0 for nd < ~4167 and clamped to 2, making the probe
+          // measure a near-full-vocabulary confirm instead of the
+          // suspects-only exchange (round-14 ADVICE)
+          val t = math.max(nd * 24 * 3 / 100000, 2L)
           TextAnalysis.heavyHitters(hot, minCount = t)
             .agg(count(col("share"))).as[Long].collect()(0)
         },

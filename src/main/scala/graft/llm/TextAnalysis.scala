@@ -406,9 +406,13 @@ object TextAnalysis {
     * shrinks from |vocab| to |suspects| (eps controls the overshoot:
     * width 2/eps counters bound the expected overestimate by eps·N).
     *
-    * Two token-stream scans vs one is the documented trade: scans are
-    * cheap map work reading one column; the vocabulary-grain exchange is
-    * the 100 TB bottleneck this removes. */
+    * EXACTLY two token-stream scans (pass 1 builds the sketch, pass 2
+    * confirms) — the corpus-wide token total for the share denominator
+    * rides the sketch itself (`CountMinSketch.totalCount` counts every
+    * update, so it IS the pass-1 token count; no third scan, the
+    * round-14 advisory). Scans are cheap map work reading one column;
+    * the vocabulary-grain exchange is the 100 TB bottleneck this
+    * removes. */
   def heavyHitters(docs: DataFrame, minCount: Long, eps: Double = 1e-4,
                    confidence: Double = 0.99, seed: Int = 42,
                    textCol: String = "text"): DataFrame = {
@@ -421,15 +425,14 @@ object TextAnalysis {
     val cms = toks.stat.countMinSketch(col("_th"), eps, confidence, seed)
     val est = GraftBridge.column(
       graft.functions.CmsEstimate(GraftBridge.expression(col("_th")), cms))
-    val total = toks.agg(count(lit(1)).as("_n_total"))
+    val nTotal = cms.totalCount()
     toks
       .where(est >= minCount)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-      .crossJoin(broadcast(total))
       .select(col("token"), col("cnt"),
-        round(col("cnt").cast("double") / col("_n_total"), 6).as("share"))
+        round(col("cnt").cast("double") / lit(nTotal), 6).as("share"))
   }
 
   /** Tokenizer fertility audit — the multilingual tokenizer-parity data

@@ -341,6 +341,72 @@ class CurationOpsSpec extends SparkTestBase {
       Set("https://a.com/p", "https://d.com/s").contains(r.head.toString)))
   }
 
+  // --------------------------------- packed election key (round 15)
+
+  test("packed election ≡ struct reference: ties, negative/NaN/±0.0 and" +
+      " null qualities elect identically") {
+    import spark.implicits._
+    val docs = Seq[(Long, String, Option[Double])](
+      (1L, "http://A.com/x?utm_source=z", Some(5.0)),   // tie with 2 → 2 loses (higher id)
+      (2L, "http://a.com/x", Some(5.0)),
+      (3L, "http://a.com/x#frag", Some(4.0)),
+      (4L, "https://b.com/", Some(-3.5)),
+      (5L, "https://b.com", Some(Double.NaN)),           // NaN greatest (Spark double order)
+      (6L, "https://c.com/q", Some(0.0)),
+      (7L, "https://c.com/q", Some(-0.0)),               // -0.0 < 0.0 → 6 wins
+      (8L, "https://d.com/n", None),                     // all-null-q group
+      (9L, "https://d.com/n", None),                     //   → lowest id wins, q null
+      (10L, "https://e.com/m", None),                    // null loses to any value
+      (11L, "https://e.com/m", Some(-1e300)))
+      .toDF("doc_id", "url", "quality")
+    val packed = Dedup.urlKeepBest(docs, col("url"), col("quality"))
+    val ref = Dedup.urlKeepBestStructRef(docs, col("url"), col("quality"))
+    assert(packed.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(packed).count() == 0,
+      packed.orderBy("canonical_url").collect().mkString("\n") + "\n----\n" +
+        ref.orderBy("canonical_url").collect().mkString("\n"))
+    val textDocs = docs.withColumn("text", col("url"))
+    val p2 = Dedup.exactKeepBest(textDocs, col("quality"))
+    val r2 = Dedup.exactKeepBestStructRef(textDocs, col("quality"))
+    assert(p2.exceptAll(r2).count() == 0 && r2.exceptAll(p2).count() == 0)
+  }
+
+  test("packed election: merge/incremental agree with the full pass and" +
+      " the winner's quality round-trips exactly") {
+    import spark.implicits._
+    val all = Seq(
+      (1L, "https://a.com/p", 0.1 + 0.2),  // non-representable double
+      (2L, "https://a.com/p/", 0.3),       // 0.3 ≠ 0.1+0.2 at the last ulp
+      (3L, "https://b.com/q", 1e-17),
+      (4L, "https://b.com/q#f", 2e-17))
+      .toDF("doc_id", "url", "quality")
+    val fullIdx = Dedup.urlKeepBest(all, col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    val h = all.where(col("doc_id") <= 2)
+    val b = all.where(col("doc_id") > 2)
+    val parts = Dedup.urlKeepBest(h, col("url"), col("quality"))
+      .unionByName(Dedup.urlKeepBest(b, col("url"), col("quality")))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    val merged = Dedup.mergeUrlIndex(parts)
+    assert(merged.exceptAll(fullIdx).count() == 0 &&
+      fullIdx.exceptAll(merged).count() == 0)
+    // exact bit round-trip: 0.1+0.2 must come back as exactly 0.1+0.2
+    val q = fullIdx.where(col("canonical_url") === "https://a.com/p")
+      .select("keep_quality").as[Double].collect()(0)
+    assert(q == 0.1 + 0.2 && q != 0.3)
+  }
+
+  test("packed election rejects negative ids loudly") {
+    import spark.implicits._
+    val bad = Seq((-1L, "https://a.com/p", 1.0)).toDF("doc_id", "url", "quality")
+    val e = intercept[Exception] {
+      Dedup.urlKeepBest(bad, col("url"), col("quality")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative")), e.toString)
+  }
+
   // ------------------------------------------ incremental span dedup
 
   private def paraDocs = {

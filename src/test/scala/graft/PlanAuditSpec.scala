@@ -324,4 +324,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Join"), p)
   }
+
+  test("keep-best elections hash-aggregate: no SortAggregate anywhere in " +
+      "the url_dedup / exact-keep-best / merge family") {
+    import graft.llm.Dedup
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        concat(lit("https://ex.com/"), col("doc_id") % 500).as("url"),
+        length(col("text")).as("quality"))
+    val idx = Dedup.urlKeepBest(d, col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    for (df <- Seq(
+        Dedup.urlKeepBest(d, col("url"), col("quality")),
+        Dedup.urlKeepBestIncremental(d, idx, col("url"), col("quality")),
+        Dedup.mergeUrlIndex(idx),
+        Dedup.exactKeepBest(d, col("quality")))) {
+      val p = plan(df)
+      // the packed DECIMAL(38,0) election key has a mutable aggregation
+      // buffer, so the argmax plans as HashAggregate with map-side
+      // partials — the struct form's SortAggregate fallback (an
+      // O(n log n) per-task sort on the group key) must never come back
+      assert(!p.contains("SortAggregate"), p)
+      assert(p.contains("HashAggregate"), p)
+    }
+  }
 }
