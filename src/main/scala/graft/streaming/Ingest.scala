@@ -435,26 +435,104 @@ object Ingest {
     * `batch_id =!= N`, so the replay recomputes byte-identical decisions
     * against exactly the pre-batch index (StreamingSpec pins stream ≡
     * batch loop and replay identity). Per-batch cost is O(batch) + an
-    * index-grain fold — history text is never rescanned. */
+    * index-grain fold — history text is never rescanned.
+    *
+    * Compaction (`compactEvery` > 0): the naive loop re-folds EVERY
+    * stored delta each micro-batch, so per-batch fold input (and the
+    * state directory's file count) grows with stream age forever — fine
+    * for a bounded backfill, wrong for a continuous crawl. With
+    * compaction on, once `compactEvery` live deltas accumulate the loop
+    * folds base ∪ deltas(≤ this batch) into a VERSIONED base
+    * `compacted/upto=N` (its own commit marker under
+    * `_compaction_marks/`; the previous base and folded deltas are
+    * best-effort deleted only AFTER the marker commits), and every later
+    * fold reads base(K) + deltas(batch_id > K) only — per-batch input
+    * bounded by |URL index| + compactEvery deltas, file count bounded by
+    * compactEvery + 1. Crash-safety is read-side: the fold always takes
+    * the NEWEST COMMITTED base and ignores deltas ≤ its K, so a crash
+    * between base write, marker, and deletions can only leave ignored
+    * leftovers, never double-count (the `n_copies` sum is not
+    * idempotent, so the >K filter — not deletion — carries correctness).
+    * A replayed batch can never have been folded into a committed base:
+    * its own commit marker lands before compaction starts, and committed
+    * ids are skipped outright. StreamingSpec pins compacted ≡
+    * uncompacted ≡ one full-pass [[graft.llm.Dedup.urlKeepBest]], with
+    * replay identity across a compaction boundary. */
   def urlDedupWriter(docs: DataFrame, stateRoot: String,
                      urlCol: String = "url", qualityCol: String = "quality",
                      idCol: String = "doc_id",
-                     commitId: String = "stream"): DataStreamWriter[Row] =
+                     commitId: String = "stream",
+                     compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         urlDedupBatch(batch.toDF(), batchId, stateRoot, urlCol, qualityCol,
-          idCol, commitId)
+          idCol, commitId, compactEvery)
         ()
       }
 
+  private val urlIndexCols = Seq("canonical_url", "n_copies", "keep_id",
+    "keep_quality")
+
+  /** Newest committed compacted-base id under `stateRoot`, or -1. */
+  private def committedBaseId(fs: org.apache.hadoop.fs.FileSystem,
+                              stateRoot: String, commitId: String): Long = {
+    val marks = new org.apache.hadoop.fs.Path(
+      stateRoot, s"_compaction_marks/$commitId")
+    if (!fs.exists(marks)) -1L
+    else fs.listStatus(marks).map(_.getPath.getName.toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The queryable URL index of a [[urlDedupWriter]] state directory:
+    * the monoid fold of the newest COMMITTED compacted base plus every
+    * newer delta — exactly one full-pass
+    * [[graft.llm.Dedup.urlKeepBest]] over everything ingested,
+    * whatever the compaction state (StreamingSpec pins compacted ≡
+    * uncompacted ≡ full pass). */
+  def urlIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       stateRoot: String,
+                       commitId: String = "stream"): DataFrame = {
+    import graft.llm.Dedup
+    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseK = committedBaseId(fs, stateRoot, commitId)
+    val hasDeltas = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
+    val deltas =
+      if (hasDeltas) spark.read.parquet(statePath.toString)
+        .where(col("batch_id") > baseK)
+        .select(urlIndexCols.map(col): _*)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("canonical_url", StringType),
+            StructField("n_copies", LongType),
+            StructField("keep_id", LongType),
+            StructField("keep_quality", DoubleType))))
+      }
+    val parts =
+      if (baseK >= 0) {
+        val base = spark.read.parquet(new org.apache.hadoop.fs.Path(
+          stateRoot, s"compacted/upto=$baseK").toString)
+          .select(urlIndexCols.map(col): _*)
+        if (hasDeltas) base.unionByName(deltas) else base
+      } else deltas
+    Dedup.mergeUrlIndex(parts)
+  }
+
   /** One idempotent micro-batch of [[urlDedupWriter]]: fold the prior
-    * deltas (excluding this batch's own residue) → incremental decisions
-    * → overwrite `decisions/batch_id=N` and the batch's `state/batch_id=N`
-    * delta → commit marker. Returns false when already committed. */
+    * index (newest committed compacted base + later deltas, excluding
+    * this batch's own residue) → incremental decisions → overwrite
+    * `decisions/batch_id=N` and the batch's `state/batch_id=N` delta →
+    * commit marker → (optionally) compact. Returns false when already
+    * committed. */
   def urlDedupBatch(batch: DataFrame, batchId: Long, stateRoot: String,
                     urlCol: String = "url", qualityCol: String = "quality",
                     idCol: String = "doc_id",
-                    commitId: String = "stream"): Boolean = {
+                    commitId: String = "stream",
+                    compactEvery: Int = 0): Boolean = {
     import graft.llm.Dedup
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
@@ -462,14 +540,31 @@ object Ingest {
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
     val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
-    val prior =
-      if (fs.exists(statePath))
-        Dedup.mergeUrlIndex(spark.read.parquet(statePath.toString)
-          .where(col("batch_id") =!= batchId)) // replay: drop own residue
-      else
-        Dedup.urlKeepBest(batch.limit(0), col(urlCol), col(qualityCol),
-          idCol).select("canonical_url", "n_copies", "keep_id",
-          "keep_quality")
+    val baseK = committedBaseId(fs, stateRoot, commitId)
+    def basePath(k: Long) = new org.apache.hadoop.fs.Path(
+      stateRoot, s"compacted/upto=$k")
+    val empty = Dedup.urlKeepBest(batch.limit(0), col(urlCol),
+      col(qualityCol), idCol).select(urlIndexCols.map(col): _*)
+    // deltas newer than the committed base; partition pruning keeps the
+    // scan to exactly those dirs (leftover ≤K deltas from a crashed
+    // deletion are EXCLUDED here — that filter, not the deletion, is
+    // what makes the non-idempotent n_copies sum safe)
+    // a fully-compacted state dir can be EMPTY (every delta deleted) —
+    // parquet schema inference fails on it, so gate on dir contents
+    val hasDeltas = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
+    val liveDeltas =
+      if (hasDeltas)
+        spark.read.parquet(statePath.toString)
+          .where(col("batch_id") > baseK &&
+            col("batch_id") =!= batchId) // replay: drop own residue
+          .select(urlIndexCols.map(col): _*)
+      else empty
+    val baseRows =
+      if (baseK >= 0) spark.read.parquet(basePath(baseK).toString)
+        .select(urlIndexCols.map(col): _*)
+      else empty
+    val prior = Dedup.mergeUrlIndex(baseRows.unionByName(liveDeltas))
     // decisions execute against the PRIOR index before the delta append
     // mutates the state directory; own-subdir overwrite keeps replays
     // residue-free (the overlapCardBatch pattern)
@@ -479,12 +574,43 @@ object Ingest {
       .parquet(new org.apache.hadoop.fs.Path(
         stateRoot, s"decisions/batch_id=$batchId").toString)
     Dedup.urlKeepBest(batch, col(urlCol), col(qualityCol), idCol)
-      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .select(urlIndexCols.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
         statePath, s"batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+
+    if (compactEvery > 0) {
+      val deltaIds = fs.listStatus(statePath)
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+        .filter(k => k > baseK && k <= batchId)
+      if (deltaIds.length >= compactEvery) {
+        // fold base + every delta through this batch into the new base;
+        // versioned dir + marker-after-write makes any crash window safe
+        val folded = Dedup.mergeUrlIndex(baseRows.unionByName(
+          spark.read.parquet(statePath.toString)
+            .where(col("batch_id") > baseK && col("batch_id") <= batchId)
+            .select(urlIndexCols.map(col): _*)))
+        folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(basePath(batchId).toString)
+        val mark = new org.apache.hadoop.fs.Path(
+          stateRoot, s"_compaction_marks/$commitId/$batchId")
+        val mo = fs.create(mark, true)
+        try mo.write(Array.emptyByteArray) finally mo.close()
+        // space reclamation only — readers never look below the marker
+        deltaIds.foreach { k =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            statePath, s"batch_id=$k"), true)
+        }
+        if (baseK >= 0) {
+          fs.delete(basePath(baseK), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            stateRoot, s"_compaction_marks/$commitId/$baseK"), false)
+        }
+      }
+    }
     true
   }
 

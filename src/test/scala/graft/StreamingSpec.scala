@@ -969,6 +969,80 @@ class StreamingSpec extends SparkTestBase {
       full.collect().map(_.toSeq).toSet)
   }
 
+  test("streaming URL dedup compaction: compacted loop ≡ uncompacted loop " +
+      "≡ one full pass; deltas reclaimed; replay across the compaction " +
+      "boundary is byte-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Dedup
+
+    val waves = Seq(
+      Seq((1L, "https://a.com/p", 10.0), (2L, "https://a.com/p/", 30.0)),
+      Seq((11L, "HTTPS://A.com/p#x", 25.0), (12L, "https://b.com/q", 9.0)),
+      Seq((21L, "https://b.com/q?utm_source=z", 99.0),
+        (22L, "https://c.com/r", 7.0)))
+
+    def runStream(compactEvery: Int): String = {
+      val root = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"url-cx$compactEvery").toString
+      val input = MemoryStream[(Long, String, Double)]
+      val q = Ingest.urlDedupWriter(
+        input.toDF().toDF("doc_id", "url", "quality"), root,
+        compactEvery = compactEvery).start()
+      waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+      q.stop()
+      root
+    }
+    val plainRoot = runStream(0)
+    val compactRoot = runStream(2)
+
+    // decisions identical per batch whatever the compaction cadence
+    val dPlain = spark.read.parquet(s"$plainRoot/decisions")
+      .collect().map(_.toSeq).toSet
+    val dCompact = spark.read.parquet(s"$compactRoot/decisions")
+      .collect().map(_.toSeq).toSet
+    assert(dPlain == dCompact)
+
+    // snapshot ≡ uncompacted fold ≡ one full pass
+    val full = Dedup.urlKeepBest(
+        waves.flatten.toDF("doc_id", "url", "quality"),
+        col("url"), col("quality"))
+      .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+      .collect().map(_.toSeq).toSet
+    assert(Ingest.urlIndexSnapshot(spark, plainRoot)
+      .collect().map(_.toSeq).toSet == full)
+    assert(Ingest.urlIndexSnapshot(spark, compactRoot)
+      .collect().map(_.toSeq).toSet == full)
+
+    // compaction actually ran and reclaimed: a committed base exists and
+    // only deltas NEWER than it remain on disk
+    val fs = new org.apache.hadoop.fs.Path(compactRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(new org.apache.hadoop.fs.Path(
+      compactRoot, "_compaction_marks/stream")).map(_.getPath.getName.toLong)
+    assert(marks.nonEmpty)
+    val k = marks.max
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(
+        compactRoot, "state")).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(leftover.forall(_ > k), leftover.mkString(","))
+
+    // crash-window replay of the batch AFTER the compaction boundary:
+    // prior fold = committed base + later deltas minus own residue →
+    // byte-identical decisions, snapshot unmoved
+    val replayId = k + 1
+    val w = waves(replayId.toInt).toDF("doc_id", "url", "quality")
+    val marker = new org.apache.hadoop.fs.Path(
+      compactRoot, s"_committed_batches/stream/$replayId")
+    fs.delete(marker, false)
+    assert(Ingest.urlDedupBatch(w, replayId, compactRoot, compactEvery = 2))
+    assert(spark.read.parquet(s"$compactRoot/decisions")
+      .collect().map(_.toSeq).toSet == dPlain)
+    assert(Ingest.urlIndexSnapshot(spark, compactRoot)
+      .collect().map(_.toSeq).toSet == full)
+  }
+
   test("streaming overlap data card: 3-batch stream state is bit-identical " +
       "to the one-shot full-pass state; replay neither grows the state " +
       "nor moves the card") {
