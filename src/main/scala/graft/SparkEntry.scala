@@ -1636,6 +1636,25 @@ object SparkEntry {
           col("pass_alpha_frac"), col("pass_gopher"))
         .orderBy("doc_id")),
 
+    // §2 #34g — line-grain quality rules (RefinedWeb line-wise
+    // corrections): documents gain line structure (sentences → lines,
+    // plus deterministic nav-bullet / SHOUTING-header / numeric-counter
+    // lines on doc_id strata), each line is flagged independently
+    // (bullet/ellipsis/short/upper/numeric), and the doc verdict is
+    // char-weighted drop-or-clean. Explode + ONE doc-grain hash agg.
+    "line_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "\\. ", "\n"),
+          when(col("doc_id") % 3 === 0, lit("\n- click here..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\nBREAKING NEWS UPDATE"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n1 2 3 45"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.lineQualityRules(d).orderBy("doc_id")
+    }),
+
     // §2 #34d — per-source curation data card: doc/char/token volumes,
     // corpus-wide exact-dup rate (non-first fingerprint occurrences),
     // Gopher pass rate. Map-side metrics + one fingerprint agg/join +
@@ -6705,6 +6724,66 @@ object SparkEntry {
         |            AND coalesce(alpha_frac >= 0.8, false) AS INTEGER)
         |         AS pass_gopher
         |FROM m ORDER BY 1""".stripMargin,
+
+    "line_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '\. ', chr(10), 'g')
+        |         || CASE WHEN doc_id % 3 = 0
+        |                 THEN chr(10) || '- click here...' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0
+        |                 THEN chr(10) || 'BREAKING NEWS UPDATE' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |                 THEN chr(10) || '1 2 3 45' ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS line
+        |  FROM (SELECT doc_id, string_split_regex(text, '\n') AS pieces
+        |        FROM d)),
+        |fl AS (
+        |  SELECT doc_id, pos, line,
+        |         CAST(length(line) AS BIGINT) AS chars,
+        |         CASE WHEN regexp_matches(trim(line), '^[-*•]')
+        |              THEN 1 ELSE 0 END AS fb,
+        |         CASE WHEN regexp_matches(trim(line), '(\.\.\.|…)$')
+        |              THEN 1 ELSE 0 END AS fe,
+        |         CASE WHEN len(list_filter(
+        |                string_split_regex(trim(line), '\s+'),
+        |                x -> x <> '')) < 3 THEN 1 ELSE 0 END AS fs,
+        |         CASE WHEN length(regexp_replace(line, '[^A-Za-z]', '', 'g')) > 0
+        |               AND CAST(length(regexp_replace(line, '[^A-Z]', '', 'g'))
+        |                        AS DOUBLE)
+        |                   / length(regexp_replace(line, '[^A-Za-z]', '', 'g'))
+        |                   > 0.6
+        |              THEN 1 ELSE 0 END AS fu,
+        |         CASE WHEN regexp_matches(trim(line), '^[0-9\s.,;:%()\-]+$')
+        |               AND regexp_matches(trim(line), '[0-9]')
+        |              THEN 1 ELSE 0 END AS fn
+        |  FROM ln),
+        |f2 AS (
+        |  SELECT *, CASE WHEN fb + fe + fs + fu + fn > 0 THEN 1 ELSE 0 END
+        |              AS flag
+        |  FROM fl)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(fb) AS BIGINT) AS n_bullet,
+        |       CAST(sum(fe) AS BIGINT) AS n_ellipsis,
+        |       CAST(sum(fs) AS BIGINT) AS n_short,
+        |       CAST(sum(fu) AS BIGINT) AS n_upper,
+        |       CAST(sum(fn) AS BIGINT) AS n_numeric,
+        |       CAST(sum(flag) AS BIGINT) AS n_flagged,
+        |       round(coalesce(
+        |         CAST(sum(CASE WHEN flag = 1 THEN chars END) AS DOUBLE)
+        |           / nullif(sum(chars), 0), 0.0), 6) + 0.0
+        |         AS flagged_char_frac,
+        |       CAST(round(coalesce(
+        |         CAST(sum(CASE WHEN flag = 1 THEN chars END) AS DOUBLE)
+        |           / nullif(sum(chars), 0), 0.0), 6) <= 0.5 AS INTEGER)
+        |         AS keep_doc,
+        |       coalesce(string_agg(CASE WHEN flag = 0 THEN line END,
+        |                           chr(10) ORDER BY pos), '') AS kept_text
+        |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "quality_score" ->
       """WITH t AS (

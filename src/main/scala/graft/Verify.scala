@@ -42,6 +42,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fail-loud start/done banners: if the driver's artifact comes back
+    // empty again, its log shows whether this main ever ran, how far it
+    // got, and under which pid (concurrent sbt invocations racing the
+    // build lock are the leading suspect for rounds 12-14's `{}`)
+    System.err.println(s"[verify] START pid=${ProcessHandle.current().pid()}" +
+      s" sfDir=$sfDir outDir=$outDir" +
+      s" keys=${SparkEntry.queries.size}${if (only.nonEmpty) s" only=${only.size}" else ""}")
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
     def flushStatus(): Unit = {
       val body = status.map { case (k, v) => s"${q(k)}: $v" }
@@ -58,14 +65,19 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // row count from the WRITTEN parquet (footer metadata — no
+        // re-execution), so the per-key status is independently
+        // comparable even if the driver's own DuckDB step dies (its
+        // artifact came back `{}` in rounds 12-14)
+        val rows = spark.read.parquet(s"$outDir/$name").count()
         // wall-time per query (plan+execute+write) so scale gates can
         // report Spark-side cost without a separate bench pass
         // Locale.ROOT: a comma-decimal default locale would emit invalid
         // JSON (the same trap Bench hit in round 9)
         val secs = String.format(java.util.Locale.ROOT, "%.2f",
           Double.box((System.nanoTime() - t0) / 1e9))
-        System.err.println(s"[verify] $name ok in ${secs}s")
-        status(name) = s"""{"ok": true, "secs": $secs}"""
+        System.err.println(s"[verify] $name ok in ${secs}s ($rows rows)")
+        status(name) = s"""{"ok": true, "secs": $secs, "rows": $rows}"""
       } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")
@@ -73,6 +85,9 @@ object Verify {
       }
       flushStatus()
     }
+    val nOk = status.valuesIterator.count(_.contains("\"ok\": true"))
+    System.err.println(
+      s"[verify] DONE $nOk ok / ${status.size - nOk} fail / ${status.size} keys")
     spark.stop()
   }
 }

@@ -69,6 +69,87 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Line-grain quality rules — the RefinedWeb "line-wise corrections"
+    * pass (Penedo et al. 2023 §3.1.3) that doc-grain [[gopherRules]]
+    * cannot express: real web text fails line by line (nav bullets,
+    * truncated teasers ending in "…", SHOUTING headers, bare counters,
+    * too-short fragments), so each line is flagged independently and the
+    * DOCUMENT verdict is char-weighted — drop the doc when flagged lines
+    * carry more than `maxFlaggedFrac` of its characters, otherwise keep
+    * it with the flagged lines removed (the published remove-or-drop
+    * policy).
+    *
+    * Per-line rules (each also reported as a per-doc count so a data
+    * card can audit which rule fires): bullet start (`-`/`*`/`•` after
+    * trim), ellipsis/… end, short line (< `minLineWords` words),
+    * mostly-uppercase line (upper/alpha > `maxUpperFrac`, alpha > 0),
+    * numeric-only line (digits/punctuation/space with ≥1 digit).
+    *
+    * Output per doc: (idCol, n_lines, n_bullet, n_ellipsis, n_short,
+    * n_upper, n_numeric, n_flagged, flagged_char_frac, keep_doc,
+    * kept_text) — kept_text rejoins unflagged lines in original order.
+    *
+    * Edge semantics (CurationOpsSpec battery): an empty doc is one
+    * empty line — flagged short, but 0 of 0 chars → flagged_char_frac
+    * 0.0, keep_doc 1, kept_text '' (the empty line is removed); an
+    * all-flagged doc keeps nothing and keep_doc reflects the char
+    * fraction only.
+    *
+    * Scale: explode is map-side; flags are per-line column algebra
+    * (codegen'd regex/length primitives, no UDF); the doc rollup is ONE
+    * hash aggregation on the doc id whose state is bounded by the doc's
+    * own line count (the [[Dedup.spanDedup]] rebuild pattern) — one
+    * exchange, corpus-linear. */
+  def lineQualityRules(docs: DataFrame, minLineWords: Int = 3,
+                       maxUpperFrac: Double = 0.6,
+                       maxFlaggedFrac: Double = 0.5,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       sepRegex: String = "\\n",
+                       joinSep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_line")))
+    val t = trim(col("_line"))
+    val words = size(filter(split(t, "\\s+"), x => x =!= ""))
+    val alpha = length(regexp_replace(col("_line"), "[^A-Za-z]", ""))
+    val upper = length(regexp_replace(col("_line"), "[^A-Z]", ""))
+    val fBullet = t.rlike("^[-*•]")
+    val fEllipsis = t.rlike("(\\.\\.\\.|…)$")
+    val fShort = words < minLineWords
+    val fUpper = alpha > 0 &&
+      upper.cast("double") / alpha.cast("double") > maxUpperFrac
+    val fNumeric = t.rlike("^[0-9\\s.,;:%()\\-]+$") && t.rlike("[0-9]")
+    val flagged = fBullet || fEllipsis || fShort || fUpper || fNumeric
+    lines
+      .select(col(idCol), col("_pos"), col("_line"),
+        length(col("_line")).cast("long").as("_chars"),
+        fBullet.cast("int").as("_fb"), fEllipsis.cast("int").as("_fe"),
+        fShort.cast("int").as("_fs"), fUpper.cast("int").as("_fu"),
+        fNumeric.cast("int").as("_fn"), flagged.cast("int").as("_flag"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("_fb")).as("n_bullet"),
+        sum(col("_fe")).as("n_ellipsis"),
+        sum(col("_fs")).as("n_short"),
+        sum(col("_fu")).as("n_upper"),
+        sum(col("_fn")).as("n_numeric"),
+        sum(col("_flag")).as("n_flagged"),
+        // char-weighted verdict: 0-char docs define the frac as 0.0
+        round(coalesce(
+          sum(when(col("_flag") === 1, col("_chars"))).cast("double") /
+            when(sum(col("_chars")) =!= 0, sum(col("_chars"))).cast("double"),
+          lit(0.0)), 6).as("flagged_char_frac"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_flag") === 0,
+            struct(col("_pos"), col("_line"))))),
+          x => x.getField("_line")), joinSep).as("kept_text"))
+      .withColumn("keep_doc",
+        (col("flagged_char_frac") <= maxFlaggedFrac).cast("int"))
+      .select(col(idCol), col("n_lines"), col("n_bullet"), col("n_ellipsis"),
+        col("n_short"), col("n_upper"), col("n_numeric"), col("n_flagged"),
+        col("flagged_char_frac"), col("keep_doc"), col("kept_text"))
+  }
+
   private val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
   private val StopwordsFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
   private val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")

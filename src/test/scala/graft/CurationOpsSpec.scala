@@ -341,6 +341,45 @@ class CurationOpsSpec extends SparkTestBase {
       Set("https://a.com/p", "https://d.com/s").contains(r.head.toString)))
   }
 
+  // --------------------------------- line-grain quality rules (round 15)
+
+  test("lineQualityRules: per-rule flags, char-weighted verdict, cleaned " +
+      "text; empty and all-flagged docs behave") {
+    import spark.implicits._
+    val docs = Seq(
+      // healthy doc with one bullet line removed, doc kept
+      (1L, "this is a perfectly normal sentence here\n- nav bullet\nanother decent line of text"),
+      // all-flagged: SHOUTING + short + ellipsis → dropped, nothing kept
+      (2L, "ALL CAPS HEADER LINE\nhi\nread the rest..."),
+      // numeric-only line + mixed
+    // note: '7 42' is numeric AND short
+      (3L, "7 42\nwords enough to pass all the rules fine"),
+      // empty doc: one empty line, short-flagged, 0/0 chars → kept, ''
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineQualityRules(docs)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_lines") == 3 && d1.getAs[Long]("n_bullet") == 1
+      && d1.getAs[Long]("n_flagged") == 1)
+    assert(d1.getAs[Int]("keep_doc") == 1)
+    assert(d1.getAs[String]("kept_text") ==
+      "this is a perfectly normal sentence here\nanother decent line of text")
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_upper") == 1 && d2.getAs[Long]("n_short") >= 1
+      && d2.getAs[Long]("n_ellipsis") == 1)
+    assert(d2.getAs[Long]("n_flagged") == 3 &&
+      d2.getAs[Double]("flagged_char_frac") == 1.0)
+    assert(d2.getAs[Int]("keep_doc") == 0 && d2.getAs[String]("kept_text") == "")
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_numeric") == 1 && d3.getAs[Long]("n_flagged") == 1)
+    assert(d3.getAs[Int]("keep_doc") == 1)
+    val d4 = out(3)
+    assert(d4.getAs[Long]("n_lines") == 1 && d4.getAs[Long]("n_short") == 1)
+    assert(d4.getAs[Double]("flagged_char_frac") == 0.0 &&
+      d4.getAs[Int]("keep_doc") == 1 && d4.getAs[String]("kept_text") == "")
+  }
+
   // --------------------------------- packed election key (round 15)
 
   test("packed election ≡ struct reference: ties, negative/NaN/±0.0 and" +
