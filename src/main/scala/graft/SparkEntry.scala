@@ -1489,6 +1489,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2 #32d — IVF × PQ composed (faiss IVFADC, the layout faiss ships
+    // at corpus scale): cell-probe on the k-means coarse quantizer, ADC
+    // coarse scan over the m-byte PQ codes only (query stays float),
+    // exact float re-rank of the shortlist via equi-join. Model training
+    // — no SQL oracle; LlmSpec pins recall vs brute, full-probe ≡ ann_pq,
+    // and the no-cartesian cell-keyed plan; DeterminismSpec pins
+    // partitioning stability.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKIvfPq(e.repartition(32), e.where(col("vec_id") < 30),
+          k = 5, inDim = 64, m = 8, ksub = 16, nCells = 16, nProbe = 8,
+          shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #30 — embedding cosine near-dup via hyperplane-LSH buckets on the
     // seeded corpus.
     "embed_neardup" -> ((s, dir) => {

@@ -245,6 +245,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF × PQ composed with asymmetric-distance scoring — the index
+    * layout faiss actually ships at corpus scale (IVFADC, Jégou et al.
+    * 2011): the index holds, per candidate, its coarse CELL (nearest
+    * spherical-k-means centroid in the original space) plus its m-byte
+    * PQ code — and nothing else; a query probes its `nProbe` nearest
+    * cells, ADC-scores ONLY those cells' code reconstructions against
+    * its full-precision float self (the asymmetric distance — queries
+    * are never quantized), keeps a per-query `shortlist`, and only
+    * shortlist rows re-join the float vectors for the exact re-rank.
+    * Cell-pruning bounds candidate volume (~nProbe/nCells of the
+    * corpus), PQ bounds bytes per scanned candidate (m·log2(ksub) BITS
+    * vs 8·dim float bytes) — multiplicative, exactly the
+    * [[annTopKIvfCompressed]] argument with the deeper-compression rung
+    * ([[quantizePqReport]]'s 64× store shrink vs SQ8's 8×).
+    *
+    * Scale: both codebooks (coarse cells + PQ sub-books) are bounded
+    * driver artifacts trained on the deterministic lowest-id sample (the
+    * faiss recipe); index build is one map-only pass (native codegen'd
+    * [[graft.functions.PqCodes]]/PqDecode); the probe join is broadcast
+    * (queries small) keyed on cell; floats are touched for
+    * O(|Q|·shortlist) rows via equi-join only. Coarse scores round to
+    * 6dp (ties to lower neighbor id) so shortlist membership is
+    * partitioning-stable. Rows-only contract key; LlmSpec pins recall
+    * vs brute, full-probe ≡ [[annTopKPq]] (cell-pruning a no-op when
+    * every cell is probed), and the no-cartesian plan. */
+  def annTopKIvfPq(candidates: DataFrame, queries: DataFrame, k: Int,
+                   inDim: Int, m: Int = 8, ksub: Int = 16, nCells: Int = 16,
+                   nProbe: Int = 4, shortlist: Int = 50, seed: Long = 7L,
+                   sampleN: Int = 2048, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      return annTopKBrute(candidates, queries, k, idCol, vecCol)
+    val centers = sphericalKMeans(sample, nCells, seed)
+    val books = pqCodebooks(sample, inDim, m, ksub, seed)
+
+    // the compressed index: (cell, id, code reconstruction) — no floats;
+    // decode ONCE per candidate, map-only
+    val index = cv
+      .withColumn("cell", nearestCells(centers, col("_cv"), 1)(0))
+      .withColumn("_codes", pqEncode(col("_cv"), books, inDim))
+      .withColumn("_dec", pqDecode(col("_codes"), books))
+      .select(col("neighbor_id"), col("cell"), col("_dec"))
+
+    // query: float self (ADC never quantizes the query) + nProbe cells
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val probed = qv
+      .withColumn("_cells", nearestCells(centers, col("_qv"), nProbe))
+      .select(col("query_id"), col("_qv"), explode(col("_cells")).as("cell"))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_psim").desc, col("neighbor_id").asc)
+    val short = broadcast(probed).join(index, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_psim", round(cos(col("_qv"), col("_dec")), 6))
+      .withColumn("_prank", row_number().over(wCoarse))
+      .where(col("_prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: floats touched ONLY for shortlist rows
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Driver-local spherical k-means (cosine Lloyd's) over a sample:
     * deterministic seeding, assignment by max cosine, centroids re-normalized
     * each round. Microseconds at codebook scale; the distributed work stays

@@ -52,7 +52,10 @@ class DeterminismSpec extends SparkTestBase {
       // — a commutative/associative reduction, partitioning-independent —
       // and the HLL registers in the incremental state are per-bucket
       // maxima, equally order-independent
-      "source_overlap_sketch", "source_overlap_incremental")
+      "source_overlap_sketch", "source_overlap_incremental",
+      // round 15: IVFADC composes the two codebooks above — both driver
+      // artifacts off the lowest-id sample — with (score, id) tie-breaks
+      "ann_ivf_pq")
 
   /** Execute a contract key and collect its rows under a deterministic
     * total order (all columns, left to right). */

@@ -912,6 +912,35 @@ class LlmSpec extends SparkTestBase {
     assert(full == ladder)
   }
 
+  test("IVF-PQ composed ANN (IVFADC): recall vs brute, full-probe ≡ PQ " +
+      "ladder, cell-keyed plan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 30)
+    val brute = Similarity.annTopKBrute(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val df = Similarity.annTopKIvfPq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, nCells = 16, nProbe = 8, shortlist = 100)
+    assertNoCartesian(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val comp = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(comp).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall vs brute: $recall")
+    // probing EVERY cell makes cell-pruning a no-op: the composed index
+    // must then reproduce annTopKPq (same sub-codebooks, same ADC coarse
+    // scores, same shortlist window) exactly
+    val full = Similarity.annTopKIvfPq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, nCells = 8, nProbe = 8, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    val ladder = Similarity.annTopKPq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, shortlist = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    assert(full == ladder)
+  }
+
   test("CMS ngram profile: est >= exact, eps-bounded overshoot, determinism") {
     val prof = TextAnalysis.ngramCmsProfile(docs, n = 2, k = 20,
       eps = 0.001, confidence = 0.99)
