@@ -1976,6 +1976,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37f — perceptual near-dup over the binary payload column
+    // (dHash): docs %10==0 gain a twin (id +1M) whose payload carries
+    // three in-place point edits — bytes differ, "pixels" barely do —
+    // and the dHash + Hamming-banded join (the SimHash band machinery)
+    // must pair them without ever going all-pairs. Rows-only;
+    // MultimodalSpec pins seeded recall and the no-cartesian plan.
+    "perceptual_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          overlay(overlay(overlay(col("text"), lit("Q"), lit(5)),
+            lit("x"), greatest(length(col("text")) / 2, lit(1))),
+            lit("!"), greatest(length(col("text")) - 3, lit(1))).as("text"))
+      val withP = Multimodal.withPayload(d.unionByName(twins))
+      Multimodal.perceptualNearDup(withP, maxHamming = 10)
+        .orderBy("id1", "id2")
+    }),
+
     // §2 #37c — REAL PNG container round-trip: build a signature+IHDR-
     // faithful payload (big-endian dims via unhex(lpad(hex))), then parse
     // it back with actual PNG header parsing (magic check + fixed IHDR

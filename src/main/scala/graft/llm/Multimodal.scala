@@ -267,6 +267,41 @@ object Multimodal {
         lit(w).as("width"), lit(h).as("height")))
   }
 
+  /** 64-bit perceptual dHash of the binary payload — the image near-dup
+    * fingerprint (block-mean 9×8 grid + horizontal gradient signs; the
+    * block-mean sampler is the deterministic resize stub, the gradient
+    * hash is the real dHash algebra — see [[graft.functions.DHash64]]).
+    * Map-only native codegen; empty payloads hash to null and therefore
+    * never pair. */
+  def withDHash(withPayloads: DataFrame,
+                payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    withPayloads.withColumn("dhash", GraftBridge.column(
+      graft.functions.DHash64(GraftBridge.expression(col(payloadCol)))))
+  }
+
+  /** Perceptual near-duplicate pairs over the binary payload column — the
+    * image-dedup pass of a multimodal curation pipeline (CLIP-era corpora
+    * dedup screenshots/resaves/crops whose BYTES differ but whose pixels
+    * barely do): [[withDHash]] fingerprints map-side, then the
+    * Hamming-banded candidate join is EXACTLY the text SimHash machinery
+    * ([[SimHash.nearDupPairsOnFingerprint]] — 4×16-bit band chunks,
+    * equi-join per chunk, exact bit_count(XOR) ≤ `maxHamming` verify,
+    * optional `maxBucket` hot-chunk guard). Never all-pairs: candidates
+    * only ever meet through band-chunk equality, the same 100 TB posture
+    * as every near-dup operator here.
+    *
+    * Output: (id1, id2, fp1, fp2, hamming) for pairs within
+    * `maxHamming` bits. */
+  def perceptualNearDup(withPayloads: DataFrame, maxHamming: Int = 10,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        maxBucket: Option[Int] = None): DataFrame =
+    SimHash.nearDupPairsOnFingerprint(
+      withDHash(withPayloads, payloadCol)
+        .select(col(idCol), col("dhash")),
+      maxHamming, idCol, "dhash", maxBucket)
+
   /** Batched per-partition "decode" over the binary payload — the real
     * plumbing (schema, batching, partition-parallel, no shuffle) with the
     * codec stubbed. */

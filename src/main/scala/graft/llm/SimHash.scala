@@ -66,17 +66,30 @@ object SimHash {
     * [[MinHashLsh.candidatePairs]]). */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxBucket: Option[Int] = None): DataFrame = {
+                   maxBucket: Option[Int] = None): DataFrame =
+    nearDupPairsOnFingerprint(
+      withFingerprint(docs, textCol).select(col(idCol), col("simhash")),
+      maxHamming, idCol, "simhash", maxBucket)
+
+  /** The Hamming-banded candidate join over ANY 64-bit fingerprint
+    * relation (idCol, fpCol) — shared by text SimHash and the
+    * perceptual dHash ([[Multimodal.perceptualNearDup]]): 4×16-bit band
+    * chunks, equi-join per chunk, exact bit_count(XOR) verify. Same
+    * hot-bucket `maxBucket` guard and recall trade as
+    * [[MinHashLsh.candidatePairs]]. */
+  def nearDupPairsOnFingerprint(fps: DataFrame, maxHamming: Int,
+                                idCol: String, fpCol: String,
+                                maxBucket: Option[Int]): DataFrame = {
     // compute-once without caching: the explicit repartition on the join
     // keys pins a shuffle exchange that is canonically identical under both
     // self-join sides, so exchange/stage reuse runs the fingerprint map
     // stage once and serves both readers from shuffle files — no
     // block-manager residue, fault-tolerant via lineage
-    val fps = withFingerprint(docs, textCol).select(col(idCol), col("simhash"))
-    val banded0 = fps.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), bandChunk(col("simhash"), b).as("chunk"))
-      }: _*)).as("_b"))
+    val banded0 = fps.select(col(idCol), col(fpCol).as("simhash"))
+      .select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), bandChunk(col("simhash"), b).as("chunk"))
+        }: _*)).as("_b"))
       .select(col(idCol), col("simhash"), col("_b.band").as("band"), col("_b.chunk").as("chunk"))
       .repartition(col("band"), col("chunk"))
     val banded = maxBucket.fold(banded0) { cap =>

@@ -391,6 +391,47 @@ class LlmSpec extends SparkTestBase {
       meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 16)
   }
 
+  test("perceptual dHash: deterministic, local-edit tolerant, null on " +
+      "empty payloads") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 12
+    val edited = base.updated(5, 'Q').updated(200, 'x') // in-place edits
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Multimodal.withDHash(Multimodal.withPayload(docs))
+      .select("doc_id", "dhash").orderBy("doc_id").collect()
+    val h1 = out(0).getAs[Long]("dhash")
+    assert(h1 == out(1).getAs[Long]("dhash"), "identical payloads, same hash")
+    val h3 = out(2).getAs[Long]("dhash")
+    // two point edits perturb at most a few block means → few bit flips
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 10,
+      s"local edit flipped ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+    assert(out(3).isNullAt(out(3).fieldIndex("dhash")), "empty payload → null")
+  }
+
+  test("perceptual near-dup: seeded in-place-edit twins recovered via the " +
+      "Hamming-banded join, no cartesian") {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val twins = d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        overlay(overlay(overlay(col("text"), lit("Q"), lit(5)),
+          lit("x"), greatest(length(col("text")) / 2, lit(1))),
+          lit("!"), greatest(length(col("text")) - 3, lit(1))).as("text"))
+    val nSeeded = twins.count()
+    val withP = Multimodal.withPayload(d.unionByName(twins))
+    val pairs = Multimodal.perceptualNearDup(withP, maxHamming = 10)
+    assertNoCartesian(pairs)
+    val found = pairs.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val seeded = d.where(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).map(i => (i, i + 1000000L))
+    val hit = seeded.count(found.contains)
+    // every seeded pair differs in ≤3 blocks of the 9×8 grid → within
+    // the Hamming budget; demand high recall of the seeded population
+    val recall = hit.toDouble / nSeeded
+    assert(recall >= 0.9, s"seeded perceptual recall: $recall ($hit/$nSeeded)")
+  }
+
   test("shard packing: greedy token-budget packs, stable shards, straddle rule") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
