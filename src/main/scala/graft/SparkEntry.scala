@@ -843,7 +843,8 @@ object SparkEntry {
     // map-only), per-stratum mix weights.
     // §2 #49g — exact-k weighted sampling without replacement (Efraimidis
     // & Spirakis 2006): keep the k rows with the largest md5-derived
-    // ln(u)/w election key (6dp-rounded, ties to id — engine-stable).
+    // ln(u)/w election key (ln(u) 9dp-rounded BEFORE the IEEE-exact
+    // weight division — scale-invariant resolution; ties to id).
     // Map-only key derivation + ONE distributed top-k, no shuffle.
     "weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(
@@ -4005,7 +4006,7 @@ object SparkEntry {
         |         round(ln((CAST(CAST('0x' ||
         |                 substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
         |               AS UBIGINT) AS DOUBLE) + 1.0)
-        |               / 4503599627370496.0) / n_chars, 6) AS sample_key
+        |               / 4503599627370496.0), 9) / n_chars AS sample_key
         |  FROM documents)
         |SELECT doc_id, n_chars, sample_key + 0.0 AS sample_key
         |FROM d ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,

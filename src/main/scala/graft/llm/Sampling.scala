@@ -295,12 +295,18 @@ object Sampling {
     * cap of [[mixture]] or the per-stratum quotas of [[stratified]].
     *
     * Determinism: u_i derives from md5(seed:key) (52 mantissa bits →
-    * (0, 1], zero excluded so ln is finite), and the election key is
-    * ROUNDED to 6dp with ties broken by id — the same
-    * round-before-elect rule as the k-means argmax, so the winner set is
-    * reproducible across runs, engines, and partitionings (the last-ulp
-    * ln() drift between libm implementations cannot flip an election
-    * except at an exact 6dp tie, where the id tiebreak decides).
+    * (0, 1], zero excluded so ln is finite), and the NUMERATOR ln(u) is
+    * rounded to 9dp BEFORE the weight division, ties broken by id. The
+    * rounding lives in u-space (ln(u) spans [-36, 0] whatever the
+    * weights), so its absolute 1e-9 grid is always far below the key's
+    * own spread and the division by w — IEEE-exact and bit-identical
+    * across engines — preserves full relative resolution at ANY weight
+    * scale. (The previous 6dp round of the QUOTIENT compressed large-
+    * weight keys into a handful of grid values, letting the id tiebreak
+    * — not the weights — decide elections: systematic low-id bias, the
+    * round-14 ADVICE item.) The last-ulp ln() drift between libm
+    * implementations cannot flip an election except at an exact 9dp
+    * tie, where the id tiebreak decides.
     *
     * Scale: map-only key derivation + ONE distributed top-k (TakeOrdered:
     * per-partition heaps, never a global sort); non-positive weights
@@ -315,7 +321,7 @@ object Sampling {
     val u = (conv(substring(md5(concat_ws(":", lit(seed),
         col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double") + 1.0) /
       math.pow(2.0, 52)
-    df.withColumn("sample_key", round(log(u) / checkedW, 6))
+    df.withColumn("sample_key", round(log(u), 9) / checkedW)
       .orderBy(col("sample_key").desc, col(keyCol).asc)
       .limit(k)
   }
