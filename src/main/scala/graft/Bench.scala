@@ -46,17 +46,23 @@ object Bench {
     }
     val loadStart = loadAvg1m
     val stealStart = stealTicks
-    // NaN = the run crashed; a time-to-failure must not pose as a timing
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // NaN = the run crashed; a time-to-failure must not pose as a timing.
+    // Per-rep STEAL delta rides along (round-14 verdict item: a mid-sweep
+    // hypervisor storm poisoned one alphabetic stretch of keys and the
+    // artifact's total could not localize it — with per-query steal the
+    // storm keys are mechanically separable from real regressions).
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val g0 = gcMs
+      val s0 = stealTicks
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       val dg = gcMs - g0
+      val ds = if (s0 < 0) -1L else math.max(stealTicks - s0, 0L)
       // block-manager hygiene between queries: one query's cached /
       // checkpointed blocks must not build memory pressure for the next
       try { GraftSession.releaseCache(spark) } catch { case _: Throwable => }
-      (if (ok) dt else Double.NaN, dg)
+      (if (ok) dt else Double.NaN, dg, ds)
     }
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while iterating
     // on one operator; the driver sets no env so the full surface runs there
@@ -76,7 +82,10 @@ object Bench {
           if (s.size % 2 == 1) s(s.size / 2)
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-      (name, med, runs.map(_._2).sum / reps)
+      // steal is summed over reps: any nonzero value marks a window the
+      // median could not fully launder
+      (name, med, runs.map(_._2).sum / reps,
+        if (runs.exists(_._3 < 0)) -1L else runs.map(_._3).sum)
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would emit
     // '0,123' and corrupt the JSON
@@ -96,13 +105,18 @@ object Bench {
       "dedup_canonical", "exact_dedup", "ann_topk", "backtest_trades",
       "minhash_lsh", "dedup_clusters", "corpus_pipeline", "semantic_dedup",
       "dsir_sample", "ml_filter", "param_sweep_3d")
-    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val byName = results.map { case (k, v, _, _) => k -> v }.toMap
     val qs = headline.filter(byName.contains)
       .map(k => s"\"" + k + "\":" + f3(byName(k))).mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val gcTotal = results.map(_._3).sum
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}"""
+    // per-query steal ticks (sum over reps) — artifact-only, so a storm
+    // window is attributable key by key without bloating the stdout line
+    val stealFull = results
+      .map { case (k, _, _, s) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"steal_per_query":$stealFull,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_ticks":$stealDelta,"gc_ms_total":$gcTotal}"""
     // Full per-query map lands next to the build; an absolute path so a
     // CWD-relative launch can't scatter it. If the write fails the stdout
     // line must not advertise a stale/missing file — fall back to inlining
