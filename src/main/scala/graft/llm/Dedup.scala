@@ -39,6 +39,17 @@ object Dedup {
     GraftBridge.column(graft.functions.ElectionQuality(
       GraftBridge.expression(key)))
 
+  /** The (doc id, span position) first-occurrence key packed into one
+    * DECIMAL(38,0) — same HashAggregate-not-SortAggregate reasoning as
+    * [[electionKey]], pure column algebra (no custom expression needed:
+    * both components are non-negative integers, so `id·2^32 + pos` is
+    * lexicographic as long as pos < 2^32 — a span index within one
+    * document). The election compares packed keys directly (min +
+    * equality), never decoding. */
+  private def spanFirstKey(id: Column, pos: Column): Column =
+    id.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(4294967296L) + pos
+
   /** Exact dedup on the canonical-form fingerprint: one survivor per hash
     * (lowest id), with the duplicate count. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
@@ -62,11 +73,13 @@ object Dedup {
     * Output: (idCol, n_spans, n_removed, kept_text) — kept_text is ''
     * (never null) when every span was removed.
     *
-    * Scale: one span explode (map-side), ONE hash aggregation keyed on
-    * the 8-byte span hash to elect first occurrences (min (id, pos)
-    * struct — a combinable agg, never a posting list), one equi-join back
-    * on the hash, and a per-doc rebuild aggregation whose buffer is one
-    * document's spans. Exchanges carry hashes and (id, pos) pairs, never
+    * Scale: one span explode (map-side), ONE genuinely hash-planned
+    * aggregation keyed on the 8-byte span hash to elect first
+    * occurrences (min over the packed [[spanFirstKey]] — a combinable
+    * primitive-buffer agg, never a posting list, never the struct
+    * form's SortAggregate fallback), one equi-join back on the hash,
+    * and a per-doc rebuild aggregation whose buffer is one document's
+    * spans. Exchanges carry hashes and packed (id, pos) keys, never
     * span text, except the final rebuild which carries each doc's own
     * surviving spans once. Canonicalization for matching is
     * lower(trim(span)); reconstruction uses the original span text. */
@@ -77,12 +90,11 @@ object Dedup {
         posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_span")))
       .withColumn("_h", xxhash64(lower(trim(col("_span")))))
     val first = spans.groupBy(col("_h"))
-      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
-        .as("_first"))
+      .agg(min(spanFirstKey(col(idCol), col("_pos"))).as("_first"))
     spans
       .join(first, Seq("_h"))
       .withColumn("_keep",
-        col(idCol) === col("_first._fid") && col("_pos") === col("_first._fpos"))
+        spanFirstKey(col(idCol), col("_pos")) === col("_first"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -276,12 +288,11 @@ object Dedup {
         spans.join(histHit.withColumn("_hist", lit(true)), Seq("_h"), "left")
       }
     val first = withHist.groupBy(col("_h"))
-      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
-        .as("_first"))
+      .agg(min(spanFirstKey(col(idCol), col("_pos"))).as("_first"))
     withHist
       .join(first, Seq("_h"))
       .withColumn("_keep", col("_hist").isNull &&
-        col(idCol) === col("_first._fid") && col("_pos") === col("_first._fpos"))
+        spanFirstKey(col(idCol), col("_pos")) === col("_first"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),

@@ -334,11 +334,16 @@ class PlanAuditSpec extends SparkTestBase {
         length(col("text")).as("quality"))
     val idx = Dedup.urlKeepBest(d, col("url"), col("quality"))
       .select("canonical_url", "n_copies", "keep_id", "keep_quality")
+    val hist = d.where(col("doc_id") % 7 === 0)
     for (df <- Seq(
         Dedup.urlKeepBest(d, col("url"), col("quality")),
         Dedup.urlKeepBestIncremental(d, idx, col("url"), col("quality")),
         Dedup.mergeUrlIndex(idx),
-        Dedup.exactKeepBest(d, col("quality")))) {
+        Dedup.exactKeepBest(d, col("quality")),
+        // first-occurrence elections: the packed (id, pos) decimal key
+        Dedup.spanDedup(d.select(col("doc_id"), col("text"))),
+        Dedup.spanDedupIncremental(d.select(col("doc_id"), col("text")),
+          Dedup.spanHashes(hist.select(col("doc_id"), col("text")))))) {
       val p = plan(df)
       // the packed DECIMAL(38,0) election key has a mutable aggregation
       // buffer, so the argmax plans as HashAggregate with map-side
