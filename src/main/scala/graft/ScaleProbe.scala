@@ -58,6 +58,15 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // dev: `runMain graft.ScaleProbe election [n]` isolates the keep-best
+    // election A/B (packed DECIMAL HashAggregate vs struct SortAggregate)
+    if (args.contains("election")) {
+      val res = electionProbe(spark, n)
+      val hq = res.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_probe_rows_per_sec","n":$n,"ops":$hq}""")
+      spark.stop()
+      return
+    }
 
     val bars = spark.range(n).select(
         concat(lit("S"), pmod(col("id"), lit(64))).as("symbol"),
@@ -817,6 +826,73 @@ object ScaleProbe {
     *      (the quantity that predicts pair count) with no conf tuning —
     *      the production knob.
     */
+  /** Keep-best election A/B (round-15 verdict item): the SAME
+    * URL-keep-best query with the election key as (a) the packed
+    * DECIMAL(38,0) primitive (HashAggregate, the shipped form) and
+    * (b) the max(struct(q, −id)) reference (SortAggregate fallback) —
+    * interleaved b/a/b/a in one JVM so JIT/IO warm-up cancels, medians
+    * reported. The synthesized frame has ~8 copies per canonical URL so
+    * the aggregation (not the canonicalization projection, shared by
+    * both) dominates. */
+  private def electionProbe(spark: org.apache.spark.sql.SparkSession,
+                            n: Long): Seq[(String, Double)] = {
+    import spark.implicits._
+    val nd = math.max(n / 4, 100000L)
+    val docs = spark.range(nd).select(col("id").as("doc_id"),
+      concat(lit("https://Example.com/path/"),
+        pmod(xxhash64(col("id")), lit(nd / 8)),
+        lit("?utm_source=probe&v='"),
+        pmod(col("id"), lit(3)), lit("'")).as("url"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000L)).as("quality"))
+    def run(fn: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn.agg(count(lit(1))).as[Long].collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val reps = 3
+    val pairs = (0 until reps).map { _ =>
+      val s = run(graft.llm.Dedup.urlKeepBestStructRef(
+        docs, col("url"), col("quality")))
+      val p = run(graft.llm.Dedup.urlKeepBest(
+        docs, col("url"), col("quality")))
+      (s, p)
+    }
+    val sMed = med(pairs.map(_._1))
+    val pMed = med(pairs.map(_._2))
+    println(f"[probe] url_elect_struct: $sMed%.2f s median, ${nd / sMed / 1e6}%.2f M rows/s")
+    println(f"[probe] url_elect_packed: $pMed%.2f s median, ${nd / pMed / 1e6}%.2f M rows/s (${sMed / pMed}%.2fx vs struct)")
+
+    // raw-aggregation A/B: the same election with the canonicalization
+    // projection (regex + param-sort HOF, shared by both variants and
+    // dominant end-to-end) taken out of the frame — this is the
+    // SortAggregate → HashAggregate delta itself
+    import org.apache.spark.sql.GraftBridge
+    val keyed = spark.range(nd).select(
+      pmod(xxhash64(col("id")), lit(nd / 8)).cast("string").as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000L)).cast("double").as("q"),
+      col("id"))
+    def runAgg(best: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      keyed.groupBy(col("k")).agg(best.as("b"))
+        .agg(count(lit(1))).as[Long].collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val packedKey = GraftBridge.column(graft.functions.ElectionPack(
+      GraftBridge.expression(col("q")), GraftBridge.expression(col("id"))))
+    val aggPairs = (0 until reps).map { _ =>
+      val s = runAgg(max(struct(col("q"), (-col("id")).as("n"))))
+      val p = runAgg(max(packedKey))
+      (s, p)
+    }
+    val asMed = med(aggPairs.map(_._1))
+    val apMed = med(aggPairs.map(_._2))
+    println(f"[probe] elect_agg_struct: $asMed%.2f s median, ${nd / asMed / 1e6}%.2f M rows/s")
+    println(f"[probe] elect_agg_packed: $apMed%.2f s median, ${nd / apMed / 1e6}%.2f M rows/s (${asMed / apMed}%.2fx vs struct)")
+    Seq("url_elect_struct" -> nd / sMed, "url_elect_packed" -> nd / pMed,
+      "elect_agg_struct" -> nd / asMed, "elect_agg_packed" -> nd / apMed)
+  }
+
   private def hotCellProbe(spark: org.apache.spark.sql.SparkSession,
                            n: Long): Seq[(String, Double)] = {
     import spark.implicits._
