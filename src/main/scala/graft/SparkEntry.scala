@@ -1368,6 +1368,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #37g — incremental perceptual dedup (the growing-image-corpus
+    // production shape): history (docs %5 != 0) builds the 8-byte dHash
+    // index; the batch carries in-place-edited twins of history docs
+    // (→ dup_of_index), within-batch twin pairs (→ dup_in_batch), fresh
+    // docs (→ accepted) and an empty payload (→ unhashable). Rows-only;
+    // LlmSpec pins incremental ≡ full-pass restriction.
+    "perceptual_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val hist = d.where(col("doc_id") % 5 =!= 0)
+      val editTwin = overlay(overlay(col("text"), lit("Q"), lit(5)),
+        lit("!"), greatest(length(col("text")) - 3, lit(1)))
+      val batch = d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), editTwin.as("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh-"), col("doc_id")).as("text")))
+        .unionByName(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh-"), col("doc_id"), lit("?"))
+              .as("text")))
+        .unionByName(s.range(1).select(lit(9999999L).as("doc_id"),
+          lit("").as("text")))
+      val index = Multimodal.buildDHashIndex(Multimodal.withPayload(hist))
+      Multimodal.perceptualNearDupIncremental(
+          Multimodal.withPayload(batch), index, maxHamming = 10)
+        .orderBy("doc_id")
+    }),
+
     // §2 #28 — SimHash 64-bit fingerprints + banded near-dup pairs.
     "simhash" -> ((s, dir) => {
       SimHash.nearDupPairs(docsWithNearDups(s, dir), maxHamming = 12)

@@ -302,6 +302,112 @@ object Multimodal {
         .select(col(idCol), col("dhash")),
       maxHamming, idCol, "dhash", maxBucket)
 
+  /** The perceptual INDEX relation for [[perceptualNearDupIncremental]]:
+    * one row per accepted image with its 64-bit dHash — 8 bytes/doc, a
+    * vanishing fraction of payload bytes, and every later batch dedups
+    * against it without touching historical payloads (the
+    * [[MinHashLsh.buildIndex]] contract at image grain). Empty payloads
+    * (null hash) are excluded — nothing to fingerprint, nothing to
+    * match. In the lake layout this relation is stored bucketed on the
+    * band chunks so each batch's candidate join co-locates. */
+  def buildDHashIndex(withPayloads: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame =
+    withDHash(withPayloads, payloadCol)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"))
+
+  /** Incremental perceptual dedup — the growing-image-corpus production
+    * shape (daily crawl batches against the accumulated [[buildDHashIndex]]
+    * relation), the image twin of [[MinHashLsh.nearDupIncremental]].
+    * Returns one row per batch doc: (idCol, status, match_id, hamming)
+    * with status ∈ {dup_of_index, dup_in_batch, accepted, unhashable};
+    * match_id is the min matching index id (with that pair's Hamming
+    * distance) for dup_of_index, the cluster survivor for dup_in_batch
+    * (hamming null — membership may be transitive), null otherwise;
+    * empty payloads report `unhashable` rather than silently passing as
+    * accepted. The accepted rows are what gets appended to the corpus
+    * AND (via [[buildDHashIndex]]) to the index.
+    *
+    * Scale posture: the dHash map pass is O(batch); candidates come from
+    * 16-bit band-chunk equi-joins (batch × index, then batch × batch for
+    * the survivors) with `maxBucket` capping the COMBINED population of
+    * a chunk (the drop-the-template-family guard, riding the join's own
+    * exchange); verification is one bit_count per candidate pair.
+    * Historical payloads appear nowhere — the index ships 8-byte hashes.
+    * Decisions are bit-identical to a full [[perceptualNearDup]] pass
+    * over history ∪ batch restricted to pairs touching the batch (LlmSpec
+    * pins it). */
+  def perceptualNearDupIncremental(batch: DataFrame, dhashIndex: DataFrame,
+                                   maxHamming: Int = 10,
+                                   idCol: String = "doc_id",
+                                   payloadCol: String = "payload",
+                                   maxBucket: Option[Int] = None): DataFrame = {
+    val fps = withDHash(batch, payloadCol)
+      .select(col(idCol), col("dhash"))
+    val hashable = fps.where(col("dhash").isNotNull)
+    def chunks(df: DataFrame, id: String, as: String) =
+      df.select(col(id).as(as), col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            SimHash.bandChunk(col("dhash"), b).as("chunk"))
+        }: _*)).as("_b"))
+        .select(col(as), col("dhash").as(s"_fp_$as"),
+          col("_b.band").as("band"), col("_b.chunk").as("chunk"))
+    val bb0 = chunks(hashable, idCol, "batch_id")
+    val ib0 = chunks(dhashIndex, idCol, "index_id")
+    // combined-population cap over the tagged union's single exchange
+    val (bb, ib) = maxBucket match {
+      case None => (bb0, ib0)
+      case Some(cap) =>
+        val u = bb0.select(col("batch_id").as("_id"),
+            col("_fp_batch_id").as("_fp"), col("band"), col("chunk"),
+            lit(true).as("_isBatch"))
+          .unionByName(ib0.select(col("index_id").as("_id"),
+            col("_fp_index_id").as("_fp"), col("band"), col("chunk"),
+            lit(false).as("_isBatch")))
+          .repartition(col("band"), col("chunk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))
+        val capped = u.withColumn("_bc", count(lit(1)).over(w))
+          .where(col("_bc") <= cap).drop("_bc")
+        (capped.where(col("_isBatch")).select(col("_id").as("batch_id"),
+           col("_fp").as("_fp_batch_id"), col("band"), col("chunk")),
+         capped.where(!col("_isBatch")).select(col("_id").as("index_id"),
+           col("_fp").as("_fp_index_id"), col("band"), col("chunk")))
+    }
+    val dupIdx = bb.join(ib, Seq("band", "chunk"))
+      .select(col("batch_id"), col("index_id"),
+        bit_count(col("_fp_batch_id").bitwiseXOR(col("_fp_index_id")))
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("batch_id"))
+      .agg(min(col("index_id")).as("match_id"),
+        min_by(col("hamming"), col("index_id")).as("hamming"))
+    // survivors of the index pass near-dup-cluster WITHIN the batch;
+    // the min-id member of each component survives
+    val rest = hashable.join(
+      dupIdx.select(col("batch_id").as(idCol)), Seq(idCol), "left_anti")
+    val pairs = SimHash.nearDupPairsOnFingerprint(rest, maxHamming,
+      idCol, "dhash", maxBucket)
+    val comps = Cluster.activeComponents(pairs.select(col("id1"), col("id2")))
+    val dupInBatch = comps.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol), lit("dup_in_batch").as("status"),
+        col("cluster_id").as("match_id"),
+        lit(null).cast("int").as("hamming"))
+    val dupOfIndex = dupIdx.select(col("batch_id").as(idCol),
+      lit("dup_of_index").as("status"), col("match_id"),
+      col("hamming").cast("int").as("hamming"))
+    val decided = dupOfIndex.unionByName(dupInBatch)
+    val accepted = fps.join(decided.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        when(col("dhash").isNull, "unhashable").otherwise("accepted")
+          .as("status"),
+        lit(null).cast("long").as("match_id"),
+        lit(null).cast("int").as("hamming"))
+    decided.unionByName(accepted)
+  }
+
   /** Batched per-partition "decode" over the binary payload — the real
     * plumbing (schema, batching, partition-parallel, no shuffle) with the
     * codec stubbed. */

@@ -277,6 +277,80 @@ object Ingest {
     true
   }
 
+  /** Streaming perceptual image-dedup loop — the production shape of
+    * [[graft.llm.Multimodal.perceptualNearDupIncremental]] for a
+    * continuous multimodal crawl: each micro-batch dedups its payloads
+    * against the accumulated dHash index at `indexRoot/index` (8
+    * bytes/image — historical payloads are never re-read), writes its
+    * decisions under `decisions/batch_id=N/`, and appends the ACCEPTED
+    * images' hashes ([[graft.llm.Multimodal.buildDHashIndex]]) back to
+    * the index. `foreachBatch` because the index is cross-batch state
+    * (same reasoning as [[nearDupWriter]]).
+    *
+    * Delivery: committed batch ids are skipped outright; index rows are
+    * batch_id-tagged and the dedup EXCLUDES the current batch's own rows
+    * when reading the index (the [[trimWriter]] pattern), so a
+    * crash-window replay (index appended, marker missing) recomputes
+    * against exactly the pre-batch index view — its own residue cannot
+    * masquerade as history and flag the whole batch dup_of_index — and
+    * own-subdir decision overwrite keeps the log residue-free
+    * (StreamingSpec pins stream ≡ batch loop and replay identity). */
+  def perceptualDedupWriter(docs: DataFrame, indexRoot: String,
+                            maxHamming: Int = 10, idCol: String = "doc_id",
+                            payloadCol: String = "payload",
+                            maxBucket: Option[Int] = None,
+                            commitId: String = "stream"): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        perceptualDedupBatch(batch.toDF(), batchId, indexRoot, maxHamming,
+          idCol, payloadCol, maxBucket, commitId)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[perceptualDedupWriter]]: dedup
+    * against the index (own residue excluded) → overwrite
+    * `decisions/batch_id=N` → append accepted hashes → commit marker.
+    * Returns false (and writes nothing) when already committed. */
+  def perceptualDedupBatch(batch: DataFrame, batchId: Long,
+                           indexRoot: String, maxHamming: Int = 10,
+                           idCol: String = "doc_id",
+                           payloadCol: String = "payload",
+                           maxBucket: Option[Int] = None,
+                           commitId: String = "stream"): Boolean = {
+    import graft.llm.Multimodal
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "index")
+    val index =
+      if (fs.exists(indexPath))
+        spark.read.parquet(indexPath.toString)
+          .where(col("batch_id") =!= batchId) // replay: drop own residue
+          .select(col(idCol), col("dhash"))
+      else Multimodal.buildDHashIndex(batch.limit(0), idCol, payloadCol)
+    val decisions = Multimodal.perceptualNearDupIncremental(batch, index,
+      maxHamming, idCol, payloadCol, maxBucket)
+    // decisions execute (write) BEFORE the index append mutates the
+    // directory the plan reads — the own-subdir overwrite keeps replays
+    // residue-free (the urlDedupBatch pattern)
+    decisions.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+    val acceptedIds = spark.read.parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+      .where(col("status") === "accepted").select(col(idCol))
+    Multimodal.buildDHashIndex(batch.join(acceptedIds, Seq(idCol)),
+        idCol, payloadCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(indexPath.toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    true
+  }
+
   /** Streaming incremental repeated-gram TRIM — the production loop
     * around [[graft.llm.Dedup.repeatedNgramTrimIncremental]], completing
     * the batch+streaming pairing the exact and near-dup incremental

@@ -432,6 +432,52 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.9, s"seeded perceptual recall: $recall ($hit/$nSeeded)")
   }
 
+  test("perceptualNearDupIncremental: dup_of_index ≡ full-pass restriction," +
+      " statuses exercised, replay cannot grow the corpus") {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val hist = d.where(col("doc_id") % 5 =!= 0)
+    val editTwin = overlay(overlay(col("text"), lit("Q"), lit(5)),
+      lit("!"), greatest(length(col("text")) - 3, lit(1)))
+    val batch = d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), editTwin.as("text"))
+      .unionByName(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh"), col("doc_id")).as("text")))
+      .unionByName(spark.range(1).select(lit(9999999L).as("doc_id"),
+        lit("").as("text")))
+    val histP = llm.Multimodal.withPayload(hist)
+    val batchP = llm.Multimodal.withPayload(batch)
+    val index = llm.Multimodal.buildDHashIndex(histP)
+    val out = llm.Multimodal.perceptualNearDupIncremental(batchP, index,
+      maxHamming = 10)
+    // dup_of_index docs are EXACTLY the batch docs with a full-pass pair
+    // to a history doc: identical fingerprints, identical band machinery
+    val full = llm.Multimodal.perceptualNearDup(
+      histP.unionByName(batchP).select(col("doc_id"), col("payload")),
+      maxHamming = 10)
+    val crossMatched = full
+      .where(col("id1") < 1000000L && col("id2") >= 1000000L)
+      .select(col("id2").as("doc_id")).distinct()
+    val dupIdx = out.where(col("status") === "dup_of_index").select("doc_id")
+    assert(dupIdx.exceptAll(crossMatched).count() == 0)
+    assert(crossMatched.exceptAll(dupIdx).count() == 0)
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("dup_of_index", 0L) > 0, byStatus.toString)
+    assert(byStatus.getOrElse("accepted", 0L) > 0, byStatus.toString)
+    assert(byStatus.getOrElse("unhashable", 0L) == 1, byStatus.toString)
+    // replay against index ∪ accepted: every hashable doc matches the
+    // index (itself at hamming 0) — the corpus cannot grow on retry
+    val accepted = batchP.join(
+      out.where(col("status") === "accepted").select("doc_id"), Seq("doc_id"))
+    val out2 = llm.Multimodal.perceptualNearDupIncremental(batchP,
+      index.unionByName(llm.Multimodal.buildDHashIndex(accepted)),
+      maxHamming = 10)
+    assert(out2.where(col("status") === "accepted").count() == 0)
+    assert(out2.where(col("status") === "dup_of_index" &&
+      col("hamming") === 0).count() >= accepted.count())
+  }
+
   test("shard packing: greedy token-budget packs, stable shards, straddle rule") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")

@@ -1043,6 +1043,60 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet == full)
   }
 
+  test("streaming perceptual dedup loop: decisions equal the batch " +
+      "operator, accepted hashes join the index, replay is byte-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+
+    val base = "the quick brown fox jumps over the lazy dog " * 12
+    val wave1 = Seq((1L, base), (2L, base + "second image payload here"))
+    // 11: in-place twin of 1 (dup_of_index); 12: fresh; 13: empty
+    val wave2 = Seq(
+      (11L, base.updated(5, 'Q').updated(200, 'x')),
+      (12L, "completely different payload bytes " * 14),
+      (13L, ""))
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "perc-ix").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.perceptualDedupWriter(
+      input.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")),
+      root).start()
+    input.addData(wave1: _*); q.processAllAvailable()
+    input.addData(wave2: _*); q.processAllAvailable()
+    q.stop()
+
+    val w1 = wave1.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val w2 = wave2.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val expected2 = Multimodal.perceptualNearDupIncremental(
+        w2, Multimodal.buildDHashIndex(w1), maxHamming = 10)
+      .collect().map(_.toSeq).toSet
+    val decisions2 = spark.read.parquet(s"$root/decisions/batch_id=1")
+    assert(decisions2.collect().map(_.toSeq).toSet == expected2)
+    // the index holds exactly the accepted hashes of both waves
+    val idx = spark.read.parquet(s"$root/index")
+    val acc1 = Multimodal.perceptualNearDupIncremental(
+        w1, Multimodal.buildDHashIndex(w1.limit(0)), maxHamming = 10)
+      .where(col("status") === "accepted").count()
+    assert(idx.where(col("batch_id") === 0).count() == acc1)
+    val acc2 = expected2.count(_.contains("accepted"))
+    assert(idx.where(col("batch_id") === 1).count() == acc2.toLong)
+    // committed batch id: skipped outright
+    assert(!Ingest.perceptualDedupBatch(w2, 1L, root))
+    // crash-window replay: own index residue excluded → byte-identical
+    val marker = new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/1")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(Ingest.perceptualDedupBatch(w2, 1L, root))
+    assert(spark.read.parquet(s"$root/decisions/batch_id=1")
+      .collect().map(_.toSeq).toSet == expected2)
+  }
+
   test("streaming overlap data card: 3-batch stream state is bit-identical " +
       "to the one-shot full-pass state; replay neither grows the state " +
       "nor moves the card") {
