@@ -108,10 +108,11 @@ def run_gate(sf_dir: Path, out: Path, artifact: Path, reps: int,
                                                time.gmtime())}
         sys.stdout.write(proc.stdout[-4000:])
         for line in proc.stderr.splitlines():
-            # Verify prints "[verify] <name> ok in <t>s" per query
+            # Verify prints "[verify] <name> ok in <t>s (<rows> rows)"
+            # per query (the rows suffix landed in round 15)
             if line.startswith("[verify] ") and " ok in " in line:
                 name, t = line[len("[verify] "):].split(" ok in ")
-                timings[name] = float(t.rstrip("s"))
+                timings[name] = float(t.split("s", 1)[0])
                 print(line)
             elif line.startswith("[verify] "):
                 print(line)
