@@ -55,7 +55,12 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # argmax election and source_divergence's token-grain pair
          # explosion get their 100x hash evidence
          "heavy_hitters", "pack_shards_lpt", "url_dedup",
-         "source_divergence", "url_dedup_incremental"}
+         "source_divergence", "url_dedup_incremental",
+         # round 15: the line-grain quality pass (explode + one doc-grain
+         # agg — the only new oracle-backed key) plus the perceptual
+         # dedup pair (rows-only here as at driver scale; their ≡-pins
+         # are LlmSpec's) — banded-join 100x evidence at image grain
+         "line_quality", "perceptual_neardup", "perceptual_incremental"}
 
 
 def main() -> int:
