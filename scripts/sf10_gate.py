@@ -59,7 +59,14 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # round 15: the line-grain quality pass (explode + one doc-grain
          # agg — the only new oracle-backed key) plus the perceptual
          # dedup pair (rows-only here as at driver scale; their ≡-pins
-         # are LlmSpec's) — banded-join 100x evidence at image grain
+         # are LlmSpec's) — banded-join 100x evidence at image grain.
+         # perceptual_neardup's ~27M pairs at sf10 are the TRUE answer on
+         # this corpus: make_sf1 replicates each doc ~100x, so every
+         # replica family is a C(100,2) near-dup clique (~5k families x
+         # 4950 pairs) — quadratic by corpus construction, not a plan
+         # blowup; production caps template families via maxBucket, and
+         # perceptual_incremental carries the O(batch)-decisions 100x
+         # evidence (233k rows for a 233k-doc batch).
          "line_quality", "perceptual_neardup", "perceptual_incremental"}
 
 
