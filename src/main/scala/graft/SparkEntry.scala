@@ -1926,6 +1926,87 @@ object SparkEntry {
         .orderBy("shard", "pos_in_shard")
     }),
 
+    // §2 #50g — curation CAPSTONE v5: the COMPLETE RefinedWeb-shaped
+    // chain — URL-grain keep-best dedup FIRST (the crawl-snapshot stage
+    // the published pipelines run before any content filtering), then
+    // normalize → Gopher doc rules → LINE-wise corrections (#34g: nav
+    // bullets / numeric counters injected on doc strata are flagged and
+    // removed; char-weighted drop) → 8-gram decontamination → span dedup
+    // → repeated-gram trim → near-dup clustering → DSIR selection →
+    // shard shuffle. TEN library stages, one run, end-to-end oracled
+    // (the URL canonicalization and line CTEs join v4's recursive
+    // oracle).
+    "corpus_pipeline_v5" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(". - subscribe now..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(". 12 345 6789"))
+            .otherwise(lit(""))))
+      // stage 0: one rendition per canonical address
+      val urls = Dedup.urlKeepBest(d.withColumn("url", synthUrl),
+          col("url"), quality = col("n_chars"))
+        .select(col("keep_id").as("doc_id"))
+      val norm = d.join(urls, "doc_id")
+        .withColumn("text", TextAnalysis.normalize(col("text")))
+      val benchmark = norm.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val corpus = norm.where(col("doc_id") % 10 =!= 0)
+      val gated = TextAnalysis.gopherRules(corpus)
+        .where(col("pass_gopher") === 1).select("doc_id", "text", "source")
+      // NEW stage: line-wise corrections — flagged lines removed, docs
+      // whose flagged lines carry > half their chars drop
+      val lined = TextAnalysis.lineQualityRules(gated,
+          sepRegex = "\\. ", joinSep = ". ")
+        .where(col("keep_doc") === 1 && col("kept_text") =!= "")
+        .select(col("doc_id"), col("kept_text").as("text"),
+          col("n_flagged").as("n_line_flagged"))
+        .join(gated.select("doc_id", "source"), "doc_id")
+      val contaminated =
+        Dedup.contaminationNgram(benchmark, lined.select("doc_id", "text"),
+            n = 8)
+          .where(col("share_frac") >= 0.3)
+          .select(col("test_id").as("doc_id"))
+      // same stage boundaries as v3/v4
+      val clean = lined.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val span = Dedup.spanDedup(clean.select("doc_id", "text"))
+        .where(col("kept_text") =!= "")
+        .join(clean.select("doc_id", "source", "n_line_flagged"), "doc_id")
+        .localCheckpoint(true)
+      val trimmed = Dedup.repeatedNgramTrim(
+          span.select(col("doc_id"), col("kept_text").as("text")),
+          n = 10, minCount = 2)
+        .select(col("doc_id"),
+          col("n_removed_tokens").as("n_trim_removed"),
+          col("kept_text").as("trim_text"))
+        .where(col("trim_text") =!= "")
+      val stage = trimmed
+        .join(span.select("doc_id", "source", "n_spans", "n_removed",
+          "n_line_flagged"), "doc_id")
+        .localCheckpoint(true)
+      val clusters = Cluster.nearDupClusters(
+          stage.select(col("doc_id"), col("trim_text").as("text")))
+        .where(col("is_canonical") === 1)
+        .select(col("doc_id"), col("cluster_size"))
+      val canon = stage.join(clusters, "doc_id")
+      val selected = Selection.importanceSample(
+          canon.select(col("doc_id"), col("trim_text").as("text"),
+            col("source")),
+          isTarget = col("source").isin("src0", "src1"), quantile = 0.5)
+        .where(col("kept") === 1)
+        .select(col("doc_id"), col("avg_log_weight"))
+      val kept = canon.join(selected, "doc_id")
+      Sampling.shardShuffle(kept, "doc_id", nShards = 4, seed = "v5")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          col("cluster_size"), col("n_spans"), col("n_removed"),
+          col("n_line_flagged"), col("n_trim_removed"),
+          col("avg_log_weight"),
+          size(TextAnalysis.tokens(col("trim_text"))).as("n_tokens"))
+        .orderBy("shard", "pos_in_shard")
+    }),
+
     // §2 #35 — token counting: whitespace + BPE-ish regex pre-tokenizer.
     "token_count" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -5857,6 +5938,300 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY shard
         |            ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard,
         |       cluster_size, n_spans, n_removed, n_trim_removed,
+        |       avg_log_weight,
+        |       CAST(len(string_split_regex(trim_text, '\s+')) AS INTEGER)
+        |         AS n_tokens
+        |FROM sh23 ORDER BY 2, 3""".stripMargin,
+
+    "corpus_pipeline_v5" ->
+      """WITH RECURSIVE inj AS (
+        |  SELECT doc_id, source, n_chars,
+        |         text
+        |         || (CASE WHEN doc_id % 7 = 0
+        |                  THEN '. - subscribe now...' ELSE '' END)
+        |         || (CASE WHEN doc_id % 11 = 0
+        |                  THEN '. 12 345 6789' ELSE '' END) AS text
+        |  FROM documents),
+        |u5 AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'Data.Example.COM'
+        |             ELSE 'data.example.com' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/corpus/doc-' || (doc_id // 3)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?id=' || (doc_id // 3) || '&v=2&utm_source=feed'
+        |             WHEN doc_id % 3 = 1
+        |             THEN '?v=2&utm_source=feed&id=' || (doc_id // 3)
+        |             ELSE '?utm_medium=rss&id=' || (doc_id // 3) || '&v=2'
+        |        END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || doc_id ELSE '' END)
+        |      AS url
+        |  FROM inj),
+        |q5 AS (
+        |  SELECT doc_id, n_chars, url,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)='))),
+        |      '&') AS qq
+        |  FROM u5),
+        |c5 AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(regexp_replace(regexp_replace(trim(url),
+        |        '#.*$', ''), '\?.*$', ''),
+        |        '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1)),
+        |      '^(http://[^/:]+):80$', '\1'), '^(https://[^/:]+):443$', '\1')
+        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         trim(url), '#.*$', ''), '\?.*$', ''),
+        |         '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', ''), '/+$', '')
+        |    || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+        |      AS canonical_url
+        |  FROM q5),
+        |surv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY canonical_url
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM c5)
+        |  WHERE rn = 1),
+        |norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |                 '&lt;', '<', 'g'),
+        |               '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
+        |           '[\x00-\x1f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS text
+        |  FROM inj JOIN surv USING (doc_id)),
+        |bench AS (SELECT doc_id, text FROM norm WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, text FROM norm WHERE doc_id % 10 <> 0),
+        |gt AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM corp),
+        |gate AS (
+        |  SELECT doc_id, text FROM gt
+        |  WHERE len(toks) BETWEEN 50 AND 100000
+        |    AND coalesce(CAST(list_sum(list_transform(toks,
+        |          x -> length(x))) AS DOUBLE) / nullif(len(toks), 0)
+        |        BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(CAST(length(text)
+        |          - length(replace(text, '#', ''))
+        |          + (length(text) - length(replace(text, '...', ''))) // 3
+        |          AS DOUBLE) / nullif(len(toks), 0) <= 0.1, false)
+        |    AND coalesce(CAST(len(list_filter(toks,
+        |          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / nullif(len(toks), 0) >= 0.8, false)),
+        |ln5 AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS line
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS pieces
+        |        FROM gate)),
+        |fl5 AS (
+        |  SELECT doc_id, pos, line,
+        |         CAST(length(line) AS BIGINT) AS chars,
+        |         CASE WHEN regexp_matches(trim(line), '^[-*•]')
+        |              THEN 1 ELSE 0 END AS fb,
+        |         CASE WHEN regexp_matches(trim(line), '(\.\.\.|…)$')
+        |              THEN 1 ELSE 0 END AS fe,
+        |         CASE WHEN len(list_filter(
+        |                string_split_regex(trim(line), '\s+'),
+        |                x -> x <> '')) < 3 THEN 1 ELSE 0 END AS fs,
+        |         CASE WHEN length(regexp_replace(line, '[^A-Za-z]', '', 'g')) > 0
+        |               AND CAST(length(regexp_replace(line, '[^A-Z]', '', 'g'))
+        |                        AS DOUBLE)
+        |                   / length(regexp_replace(line, '[^A-Za-z]', '', 'g'))
+        |                   > 0.6
+        |              THEN 1 ELSE 0 END AS fu,
+        |         CASE WHEN regexp_matches(trim(line), '^[0-9\s.,;:%()\-]+$')
+        |               AND regexp_matches(trim(line), '[0-9]')
+        |              THEN 1 ELSE 0 END AS fn
+        |  FROM ln5),
+        |f25 AS (
+        |  SELECT *, CASE WHEN fb + fe + fs + fu + fn > 0 THEN 1 ELSE 0 END
+        |              AS flag
+        |  FROM fl5),
+        |lq AS (
+        |  SELECT doc_id,
+        |         CAST(sum(flag) AS BIGINT) AS n_line_flagged,
+        |         coalesce(string_agg(CASE WHEN flag = 0 THEN line END, '. '
+        |                             ORDER BY pos), '') AS text
+        |  FROM f25 GROUP BY 1
+        |  HAVING round(coalesce(
+        |           CAST(sum(CASE WHEN flag = 1 THEN chars END) AS DOUBLE)
+        |             / nullif(sum(chars), 0), 0.0), 6) <= 0.5
+        |     AND coalesce(string_agg(CASE WHEN flag = 0 THEN line END, '. '
+        |                             ORDER BY pos), '') <> ''),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |           CASE WHEN len(w) >= 8 THEN
+        |             list_distinct(list_transform(range(len(w) - 7),
+        |               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                    w[i+7] || ' ' || w[i+8]))
+        |           ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS w
+        |        FROM bench)),
+        |cg AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(w) >= 8 THEN
+        |            list_distinct(list_transform(range(len(w) - 7),
+        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+        |                   w[i+7] || ' ' || w[i+8]))
+        |          ELSE [array_to_string(w, ' ')] END AS sh
+        |        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+')
+        |                AS w FROM lq))),
+        |contaminated AS (
+        |  SELECT cg.doc_id FROM cg JOIN bg ON bg.g = cg.g
+        |  GROUP BY cg.doc_id, cg.n
+        |  HAVING round(count(*) * 1.0 / cg.n, 6) >= 0.3),
+        |clean AS (
+        |  SELECT doc_id, text FROM lq
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sp AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS span
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS pieces
+        |        FROM clean)),
+        |flag AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY lower(trim(span))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |sd AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_removed,
+        |         coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '. '
+        |                             ORDER BY pos), '') AS kept_text
+        |  FROM flag GROUP BY 1),
+        |sv AS (
+        |  SELECT sd.doc_id, sd.n_spans, sd.n_removed, sd.kept_text,
+        |         d.source, l.n_line_flagged
+        |  FROM sd JOIN documents d USING (doc_id)
+        |  JOIN lq l USING (doc_id)
+        |  WHERE sd.kept_text <> ''),
+        |trt AS (
+        |  SELECT doc_id, string_split_regex(kept_text, '\s+') AS w,
+        |         string_split_regex(lower(kept_text), '\s+') AS lw
+        |  FROM sv),
+        |trp AS (
+        |  SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(lw) - 9),
+        |      i -> {'pos': i + 1,
+        |            'gram': array_to_string(lw[i+1:i+10], ' ')})) AS s
+        |    FROM trt WHERE len(lw) >= 10)),
+        |trdup AS (SELECT gram FROM trp GROUP BY gram HAVING count(*) >= 2),
+        |trst AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |         FROM trp JOIN trdup USING (gram) GROUP BY doc_id),
+        |trj AS (SELECT trt.doc_id, w,
+        |          coalesce(trst.starts, CAST([] AS BIGINT[])) AS starts
+        |        FROM trt LEFT JOIN trst ON trt.doc_id = trst.doc_id),
+        |trk AS (SELECT doc_id, len(w) AS n_tokens,
+        |          list_filter(list_transform(range(len(w)),
+        |              q -> {'p': q + 1, 'tok': w[CAST(q + 1 AS INTEGER)]}),
+        |            s -> len(list_filter(starts,
+        |              z -> s['p'] >= z AND s['p'] < z + 10)) = 0) AS kept
+        |        FROM trj),
+        |trv AS (
+        |  SELECT doc_id,
+        |         CAST(n_tokens - len(kept) AS INTEGER) AS n_trim_removed,
+        |         array_to_string(list_transform(kept, s -> s['tok']), ' ')
+        |           AS trim_text
+        |  FROM trk
+        |  WHERE len(kept) > 0),
+        |tk3 AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(trim_text), '\s+') AS toks
+        |  FROM trv),
+        |sha3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 5 THEN
+        |             list_distinct(list_transform(range(len(toks) - 4),
+        |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                    || ' ' || toks[i+4] || ' ' || toks[i+5]))
+        |           ELSE [array_to_string(toks, ' ')] END AS sharr
+        |  FROM tk3),
+        |sh3 AS (SELECT doc_id, unnest(sharr) AS s FROM sha3),
+        |dfq3 AS (SELECT s FROM sh3 GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+        |r3 AS (SELECT sh3.doc_id, sh3.s FROM sh3 JOIN dfq3 USING (s)),
+        |cand3 AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM r3 a JOIN r3 b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e3 AS (
+        |  SELECT c.id1, c.id2
+        |  FROM cand3 c
+        |  JOIN sha3 x ON x.doc_id = c.id1
+        |  JOIN sha3 y ON y.doc_id = c.id2
+        |  WHERE CAST(len(list_intersect(x.sharr, y.sharr)) AS DOUBLE)
+        |        / nullif(len(list_distinct(list_concat(x.sharr, y.sharr))), 0)
+        |        >= 0.5),
+        |sym3 AS (SELECT id1 AS src, id2 AS dst FROM e3
+        |         UNION ALL SELECT id2, id1 FROM e3),
+        |reach3(id, root) AS (
+        |  SELECT doc_id, doc_id FROM trv
+        |  UNION
+        |  SELECT sym3.dst, reach3.root
+        |  FROM reach3 JOIN sym3 ON sym3.src = reach3.id),
+        |lab3 AS (SELECT id AS doc_id, min(root) AS cluster_id
+        |         FROM reach3 GROUP BY 1),
+        |sz3 AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |        FROM lab3 GROUP BY 1),
+        |canon AS (
+        |  SELECT trv.doc_id, trv.n_trim_removed, trv.trim_text,
+        |         sv.n_spans, sv.n_removed, sv.n_line_flagged, sv.source,
+        |         sz3.cluster_size
+        |  FROM trv JOIN sv USING (doc_id)
+        |  JOIN lab3 USING (doc_id) JOIN sz3 USING (cluster_id)
+        |  WHERE trv.doc_id = lab3.cluster_id),
+        |tok3 AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+        |         unnest(string_split_regex(lower(trim_text), '\s+')) AS w
+        |  FROM canon),
+        |lm3 AS (
+        |  SELECT w, count(*) AS cr,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM tok3 GROUP BY 1),
+        |tot3 AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm3),
+        |pd3 AS (SELECT doc_id, w, count(*) AS c FROM tok3 GROUP BY 1, 2),
+        |iw3 AS (
+        |  SELECT pd3.doc_id,
+        |         round(sum(pd3.c * (ln((lm3.ct + 1.0) / (tot3.nt + 1.0 * tot3.v))
+        |                   - ln((lm3.cr + 1.0) / (tot3.nr + 1.0 * tot3.v))))
+        |               / sum(pd3.c), 6) + 0.0 AS avg_log_weight
+        |  FROM pd3 JOIN lm3 USING (w) CROSS JOIN tot3
+        |  GROUP BY 1),
+        |thr3 AS (SELECT quantile_cont(avg_log_weight, 0.5) AS thr FROM iw3),
+        |fin AS (
+        |  SELECT c.doc_id, c.n_spans, c.n_removed, c.n_line_flagged,
+        |         c.n_trim_removed,
+        |         c.trim_text, c.cluster_size, i.avg_log_weight,
+        |         md5('v5' || ':' || CAST(c.doc_id AS VARCHAR)) AS skey
+        |  FROM canon c
+        |  JOIN iw3 i USING (doc_id) CROSS JOIN thr3 t
+        |  WHERE i.avg_log_weight >= t.thr),
+        |sh23 AS (
+        |  SELECT *, CAST(CAST('0x' || substr(skey, 1, 8) AS UBIGINT) % 4
+        |                 AS INTEGER) AS shard
+        |  FROM fin)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |            ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard,
+        |       cluster_size, n_spans, n_removed, n_line_flagged,
+        |       n_trim_removed,
         |       avg_log_weight,
         |       CAST(len(string_split_regex(trim_text, '\s+')) AS INTEGER)
         |         AS n_tokens
