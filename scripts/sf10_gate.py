@@ -67,7 +67,9 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # blowup; production caps template families via maxBucket, and
          # perceptual_incremental carries the O(batch)-decisions 100x
          # evidence (233k rows for a 233k-doc batch).
-         "line_quality", "perceptual_neardup", "perceptual_incremental"}
+         "line_quality", "perceptual_neardup", "perceptual_incremental",
+         # round 15 capstone: the 10-stage RefinedWeb-shaped chain
+         "corpus_pipeline_v5"}
 
 
 def main() -> int:
