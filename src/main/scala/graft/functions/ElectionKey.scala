@@ -40,7 +40,12 @@ object ElectionKey {
 
   def pack(s: Long, id: Long): Decimal = {
     if (id < 0) throw new IllegalArgumentException(
-      s"election_pack: id must be non-negative, got $id")
+      s"election_pack: id must be non-negative, got $id. The packed " +
+        "election key reserves a 63-bit id slot (exact 64-bit quality + " +
+        "full signed 64-bit id would need 128 bits; DECIMAL(38,0) holds " +
+        "~127.2). For corpora with signed external ids use the " +
+        "struct-election twins graft.llm.Dedup.urlKeepBestFullRange / " +
+        "exactKeepBestFullRange, which cover the entire Long range.")
     val bi = java.math.BigInteger.valueOf(s).shiftLeft(63)
       .add(java.math.BigInteger.valueOf(Long.MaxValue - id))
     Decimal(new java.math.BigDecimal(bi), 38, 0)

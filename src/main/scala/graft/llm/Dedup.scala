@@ -25,7 +25,18 @@ object Dedup {
     * O(n log n) per-task sort on the group key at scale (the round-14
     * verdict's top item). DedupSpec pins value-equivalence to the
     * struct reference form including null-quality and tie groups;
-    * PlanAuditSpec pins the no-SortAggregate plan. */
+    * PlanAuditSpec pins the no-SortAggregate plan.
+    *
+    * CONTRACT: ids must be NON-NEGATIVE. An exact 64-bit quality plus a
+    * full signed 64-bit id needs 128 bits, and DECIMAL(38,0) tops out at
+    * ~127.2 (10^38), so the packed key reserves a 63-bit id slot —
+    * enough for every real crawl/doc id scheme, enforced with a loud
+    * error by [[graft.functions.ElectionPack]] rather than a silent
+    * wrong winner. Corpora with signed external ids take the
+    * `...FullRange` struct-election twins ([[urlKeepBestFullRange]],
+    * [[exactKeepBestFullRange]]) — same semantics over the entire Long
+    * range, SortAggregate plan (measured a perf wash at bench scale;
+    * the packed form ships for plan shape). */
   private def electionKey(quality: Column, id: Column): Column =
     GraftBridge.column(graft.functions.ElectionPack(
       GraftBridge.expression(quality.cast("double")),
@@ -130,7 +141,11 @@ object Dedup {
     * winner-fetch join, no sort-based fallback); the exact
     * distinct-raw-form count rides the same aggregation and is bounded
     * by the group size (duplicate cardinality, not corpus
-    * cardinality). */
+    * cardinality).
+    *
+    * Ids must be non-negative (fails loudly otherwise — the
+    * [[electionKey]] contract); signed external ids take
+    * [[urlKeepBestFullRange]]. */
   def urlKeepBest(docs: DataFrame, url: Column, quality: Column,
                   idCol: String = "doc_id"): DataFrame = {
     docs.withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
@@ -145,12 +160,17 @@ object Dedup {
         electionQuality(col("_best")).as("keep_quality"))
   }
 
-  /** Struct-form reference twin of [[urlKeepBest]] — the pre-round-15
-    * `max(struct(q, -id))` formulation, kept ONLY as the equivalence
-    * anchor for the packed-primitive election (DedupSpec pins ≡ on
-    * duplicates, ties, negative/NaN qualities). Plans as SortAggregate;
-    * never call it from a contract query. */
-  private[graft] def urlKeepBestStructRef(docs: DataFrame, url: Column,
+  /** Full-signed-id-range twin of [[urlKeepBest]] — the struct-election
+    * formulation for corpora whose external doc ids may be NEGATIVE
+    * (the packed [[electionKey]] reserves a 63-bit id slot and fails
+    * loudly on signed ids; see its contract note). The id tiebreak rides
+    * `bitwise_not(id)` = −id−1, total and order-reversing on the ENTIRE
+    * Long range including Long.MinValue (plain `-id` overflows there).
+    * Plans as SortAggregate (struct buffer) — measured a wash vs the
+    * packed form at bench scale, so this is a semantics fallback, not a
+    * perf cliff. Also the DedupSpec equivalence anchor for the packed
+    * election (≡ on duplicates, ties, negative/NaN qualities). */
+  def urlKeepBestFullRange(docs: DataFrame, url: Column,
       quality: Column, idCol: String = "doc_id"): DataFrame = {
     docs.withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
       .withColumn("_raw_url", url)
@@ -159,11 +179,17 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         countDistinct(col("_raw_url")).as("n_raw_forms"),
         max(struct(quality.cast("double").as("q"),
-          (-col(idCol)).as("_negid"))).as("_best"))
+          bitwise_not(col(idCol).cast("long")).as("_notid"))).as("_best"))
       .select(col("canonical_url"), col("n_copies"), col("n_raw_forms"),
-        (-col("_best._negid")).cast("long").as("keep_id"),
+        bitwise_not(col("_best._notid")).as("keep_id"),
         col("_best.q").as("keep_quality"))
   }
+
+  /** Pre-round-15 name of [[urlKeepBestFullRange]], kept for the
+    * DedupSpec equivalence pins. */
+  private[graft] def urlKeepBestStructRef(docs: DataFrame, url: Column,
+      quality: Column, idCol: String = "doc_id"): DataFrame =
+    urlKeepBestFullRange(docs, url, quality, idCol)
 
   /** Incremental URL-grain keep-best dedup — the growing-crawl production
     * shape of [[urlKeepBest]]: a new fetch batch elects its within-batch
@@ -334,7 +360,11 @@ object Dedup {
     * DECIMAL, mutable buffer → hash-planned), whose partial aggregation
     * collapses each duplicate group map-side (no window, no per-group
     * sort, no second join to fetch the winner's payload). Same
-    * one-shuffle posture as [[exact]]. */
+    * one-shuffle posture as [[exact]].
+    *
+    * Ids must be non-negative (fails loudly otherwise — the
+    * [[electionKey]] contract); signed external ids take
+    * [[exactKeepBestFullRange]]. */
   def exactKeepBest(docs: DataFrame, quality: Column,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
@@ -348,21 +378,28 @@ object Dedup {
         electionQuality(col("_best")).as("keep_quality"))
   }
 
-  /** Struct-form reference twin of [[exactKeepBest]] (see
-    * [[urlKeepBestStructRef]]): kept only to pin the packed election's
-    * equivalence in DedupSpec. */
-  private[graft] def exactKeepBestStructRef(docs: DataFrame, quality: Column,
+  /** Full-signed-id-range twin of [[exactKeepBest]] (see
+    * [[urlKeepBestFullRange]] for the contract and encoding): the
+    * struct-election fallback for corpora with signed external ids;
+    * also the DedupSpec equivalence anchor for the packed election. */
+  def exactKeepBestFullRange(docs: DataFrame, quality: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
     fp.groupBy(col("fingerprint"))
       .agg(
         count(lit(1)).as("n_copies"),
         max(struct(quality.cast("double").as("q"),
-          (-col(idCol)).as("_negid"))).as("_best"))
+          bitwise_not(col(idCol).cast("long")).as("_notid"))).as("_best"))
       .select(col("fingerprint"), col("n_copies"),
-        (-col("_best._negid")).cast("long").as("keep_id"),
+        bitwise_not(col("_best._notid")).as("keep_id"),
         col("_best.q").as("keep_quality"))
   }
+
+  /** Pre-round-15 name of [[exactKeepBestFullRange]], kept for the
+    * DedupSpec equivalence pins. */
+  private[graft] def exactKeepBestStructRef(docs: DataFrame, quality: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exactKeepBestFullRange(docs, quality, idCol, textCol)
 
   /** Near-dup candidate generation over WINNOWING fingerprints
     * ([[TextAnalysis.winnowFingerprints]]) — the MOSS index-join step:

@@ -287,14 +287,17 @@ object Ingest {
     * the index. `foreachBatch` because the index is cross-batch state
     * (same reasoning as [[nearDupWriter]]).
     *
-    * Delivery: committed batch ids are skipped outright; index rows are
-    * batch_id-tagged and the dedup EXCLUDES the current batch's own rows
-    * when reading the index (the [[trimWriter]] pattern), so a
-    * crash-window replay (index appended, marker missing) recomputes
-    * against exactly the pre-batch index view — its own residue cannot
-    * masquerade as history and flag the whole batch dup_of_index — and
-    * own-subdir decision overwrite keeps the log residue-free
-    * (StreamingSpec pins stream ≡ batch loop and replay identity). */
+    * Delivery: committed batch ids are skipped outright; index slices
+    * live in per-batch `index/batch_id=N/` subdirectories OVERWRITTEN in
+    * place, and the dedup additionally EXCLUDES the current batch's own
+    * partition when reading the index, so a crash-window replay (index
+    * written, marker missing) recomputes against exactly the pre-batch
+    * index view — its own residue cannot masquerade as history, cannot
+    * persist as duplicate rows (which would inflate maxBucket's
+    * per-(band, chunk) population counts for every later batch), and
+    * cannot flag the whole batch dup_of_index — and own-subdir decision
+    * overwrite keeps the log residue-free (StreamingSpec pins stream ≡
+    * batch loop and replay identity). */
   def perceptualDedupWriter(docs: DataFrame, indexRoot: String,
                             maxHamming: Int = 10, idCol: String = "doc_id",
                             payloadCol: String = "payload",
@@ -309,8 +312,9 @@ object Ingest {
 
   /** One idempotent micro-batch of [[perceptualDedupWriter]]: dedup
     * against the index (own residue excluded) → overwrite
-    * `decisions/batch_id=N` → append accepted hashes → commit marker.
-    * Returns false (and writes nothing) when already committed. */
+    * `decisions/batch_id=N` → overwrite the accepted hashes' own
+    * `index/batch_id=N` slice → commit marker. Returns false (and
+    * writes nothing) when already committed. */
   def perceptualDedupBatch(batch: DataFrame, batchId: Long,
                            indexRoot: String, maxHamming: Int = 10,
                            idCol: String = "doc_id",
@@ -341,11 +345,17 @@ object Ingest {
     val acceptedIds = spark.read.parquet(new org.apache.hadoop.fs.Path(
         indexRoot, s"decisions/batch_id=$batchId").toString)
       .where(col("status") === "accepted").select(col(idCol))
+    // own-subdir OVERWRITE (the urlDedupBatch state/batch_id=N pattern),
+    // NOT a flat append: a crash-window replay rewrites its identical
+    // slice in place instead of appending duplicate dHash rows — which
+    // would persist forever and, under maxBucket, inflate the combined
+    // per-(band, chunk) population so later batches silently drop real
+    // candidates. batch_id stays visible to readers as the partition col.
     Multimodal.buildDHashIndex(batch.join(acceptedIds, Seq(idCol)),
         idCol, payloadCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(indexPath.toString)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexPath, s"batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
     true
@@ -362,15 +372,16 @@ object Ingest {
     * index is cross-batch state (same reasoning as [[nearDupWriter]]).
     *
     * Delivery: committed batch ids are skipped outright. The crash window
-    * (index appended, marker missing) is handled by tagging index rows
-    * with their batch_id and having the trim EXCLUDE the current batch's
-    * own rows when reading the index — a replay therefore recomputes
-    * against exactly the pre-crash index view and emits byte-identical
-    * trimmed rows (no double-counting of the batch's own grams, which
-    * would otherwise trim unique text on replay); the index append is
-    * also idempotent under keep-one-per-(gram, batch_id) compaction, and
-    * duplicate identical trimmed rows distinct away (StreamingSpec pins
-    * both). */
+    * (index written, marker missing) is handled by storing index slices
+    * in per-batch `gram_index/batch_id=N/` subdirectories OVERWRITTEN in
+    * place and having the trim EXCLUDE the current batch's own partition
+    * when reading the index — a replay therefore recomputes against
+    * exactly the pre-crash index view and emits byte-identical trimmed
+    * rows (no double-counting of the batch's own grams, which would
+    * otherwise trim unique text on replay), and no duplicate index rows
+    * can persist (the incremental trim SUMS counts per gram, so flat
+    * append residue would double-count history for every later batch;
+    * StreamingSpec pins replay identity). */
   def repeatedTrimWriter(docs: DataFrame, indexRoot: String, n: Int = 10,
                          minCount: Int = 2, idCol: String = "doc_id",
                          textCol: String = "text",
@@ -407,15 +418,20 @@ object Ingest {
     // the trimmed write is the ONLY consumer of the old-index plan and it
     // executes before the index append mutates the directory, so no
     // checkpoint pin is needed — the batch stays block-manager-clean
+    // own-subdir OVERWRITE for both outputs (the urlDedupBatch pattern):
+    // replays rewrite their identical slices in place. A flat gram-index
+    // append would leave duplicate (gram, count) rows after a replay, and
+    // the incremental trim SUMS index counts per gram — double-counted
+    // history would trim unique text in every later batch.
     Dedup.repeatedNgramTrimIncremental(batch, index, n, minCount, idCol,
         textCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "trimmed").toString)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"trimmed/batch_id=$batchId").toString)
     Dedup.buildGramIndex(batch, n, idCol, textCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(indexPath.toString)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexPath, s"batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
     true
@@ -435,14 +451,14 @@ object Ingest {
     * (the operator doc spells out the swap).
     *
     * Delivery: committed batch ids are skipped outright. The crash window
-    * (index appended, marker missing) is handled exactly like
-    * [[repeatedTrimWriter]]: index rows are tagged with their batch_id
-    * and the read EXCLUDES the current batch's own rows — a replay
-    * therefore dedups against the pre-crash index view and emits
-    * byte-identical rows (without the exclusion the batch's own hashes
-    * would be "history" and the replay would wipe every span); appended
-    * duplicate rows distinct away under keep-one-per-(hash, batch_id)
-    * compaction. */
+    * (index written, marker missing) is handled exactly like
+    * [[repeatedTrimWriter]]: index slices live in per-batch
+    * `span_index/batch_id=N/` subdirectories OVERWRITTEN in place and the
+    * read EXCLUDES the current batch's own partition — a replay therefore
+    * dedups against the pre-crash index view and emits byte-identical
+    * rows (without the exclusion the batch's own hashes would be
+    * "history" and the replay would wipe every span), and replays leave
+    * zero residue. */
   def spanDedupWriter(docs: DataFrame, indexRoot: String,
                       fpp: Double = 0.01, idCol: String = "doc_id",
                       textCol: String = "text",
@@ -479,14 +495,18 @@ object Ingest {
     // executes before the index append mutates the directory (the
     // operator's Bloom build also runs its index actions here), so no
     // checkpoint pin is needed — the batch stays block-manager-clean
+    // own-subdir OVERWRITE for both outputs (the urlDedupBatch pattern):
+    // replays rewrite their identical slices in place instead of leaving
+    // duplicate rows (harmless to span membership semantics, but
+    // unbounded residue growth per replay)
     Dedup.spanDedupIncremental(batch, index, fpp, idCol, textCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "deduped").toString)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"deduped/batch_id=$batchId").toString)
     Dedup.spanHashes(batch, textCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(indexPath.toString)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexPath, s"batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
     true
@@ -557,6 +577,43 @@ object Ingest {
       .foldLeft(-1L)(math.max)
   }
 
+  /** Fail loudly on a commitId/compaction-state mismatch: compaction
+    * markers are commitId-scoped but `compacted/upto=K` bases are not,
+    * so reading an already-compacted state directory under a DIFFERENT
+    * commitId sees baseK = -1 and would silently fold only the surviving
+    * deltas — omitting all compacted history (the folded deltas were
+    * deleted). A compacted base invisible to `commitId` (K > baseK) but
+    * COMMITTED under another commitId is exactly that mismatch; an
+    * unmarked base is legitimate crash residue (base written, marker
+    * missing — its deltas all survive) and stays readable. */
+  private def assertCompactionVisible(fs: org.apache.hadoop.fs.FileSystem,
+                                      stateRoot: String, commitId: String,
+                                      baseK: Long): Unit = {
+    val compacted = new org.apache.hadoop.fs.Path(stateRoot, "compacted")
+    if (!fs.exists(compacted)) return
+    val invisible = fs.listStatus(compacted)
+      .map(_.getPath.getName).filter(_.startsWith("upto="))
+      .map(_.stripPrefix("upto=").toLong).filter(_ > baseK)
+    if (invisible.isEmpty) return
+    val marksRoot = new org.apache.hadoop.fs.Path(
+      stateRoot, "_compaction_marks")
+    val foreign =
+      if (!fs.exists(marksRoot)) Array.empty[(String, Long)]
+      else for {
+        cid <- fs.listStatus(marksRoot).map(_.getPath.getName)
+          if cid != commitId
+        k <- fs.listStatus(new org.apache.hadoop.fs.Path(marksRoot, cid))
+          .map(_.getPath.getName.toLong) if invisible.contains(k)
+      } yield (cid, k)
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"URL-dedup state at $stateRoot was compacted under commitId(s) " +
+        foreign.map(_._1).distinct.mkString("[", ", ", "]") +
+        s" (bases upto=${foreign.map(_._2).distinct.sorted.mkString(",")})" +
+        s" but is being read with commitId '$commitId', which cannot see " +
+        "them — the fold would silently omit all compacted history " +
+        "(its deltas were deleted). Use the writer's commitId.")
+  }
+
   /** The queryable URL index of a [[urlDedupWriter]] state directory:
     * the monoid fold of the newest COMMITTED compacted base plus every
     * newer delta — exactly one full-pass
@@ -570,6 +627,7 @@ object Ingest {
     val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
     val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     val baseK = committedBaseId(fs, stateRoot, commitId)
+    assertCompactionVisible(fs, stateRoot, commitId, baseK)
     val hasDeltas = fs.exists(statePath) &&
       fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
     val deltas =
@@ -615,6 +673,7 @@ object Ingest {
     if (fs.exists(marker)) return false
     val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
     val baseK = committedBaseId(fs, stateRoot, commitId)
+    assertCompactionVisible(fs, stateRoot, commitId, baseK)
     def basePath(k: Long) = new org.apache.hadoop.fs.Path(
       stateRoot, s"compacted/upto=$k")
     val empty = Dedup.urlKeepBest(batch.limit(0), col(urlCol),
@@ -673,11 +732,19 @@ object Ingest {
           stateRoot, s"_compaction_marks/$commitId/$batchId")
         val mo = fs.create(mark, true)
         try mo.write(Array.emptyByteArray) finally mo.close()
-        // space reclamation only — readers never look below the marker
-        deltaIds.foreach { k =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            statePath, s"batch_id=$k"), true)
-        }
+        // space reclamation only — readers never look below the marker.
+        // Re-list and delete EVERY delta at or below the new base, not
+        // just the ids folded this round: a crash between a previous
+        // marker and its deletions leaves ≤-old-base leftovers that the
+        // deltaIds filter (k > baseK) would otherwise never reclaim.
+        fs.listStatus(statePath)
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .filter(_ <= batchId)
+          .foreach { k =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              statePath, s"batch_id=$k"), true)
+          }
         if (baseK >= 0) {
           fs.delete(basePath(baseK), true)
           fs.delete(new org.apache.hadoop.fs.Path(

@@ -410,6 +410,68 @@ class CurationOpsSpec extends SparkTestBase {
     assert(p2.exceptAll(r2).count() == 0 && r2.exceptAll(p2).count() == 0)
   }
 
+  test("urlKeepBestIncremental: a null-quality history winner that stands" +
+      " reports 'kept' (injective-key equality, not null-propagating)") {
+    import spark.implicits._
+    // history index row with NULL keep_quality (every copy so far had a
+    // null score) — the standing winner must report 'kept', not
+    // 'improved', when a batch copy with null quality and a HIGHER id
+    // loses the election
+    val index = Seq((Option.empty[Double], 1L, 1L, "https://n.com/p"))
+      .toDF("keep_quality", "keep_id", "n_copies", "canonical_url")
+    val batch = Seq((5L, "https://n.com/p", Option.empty[Double]))
+      .toDF("doc_id", "url", "quality")
+    val out = Dedup.urlKeepBestIncremental(batch, index, col("url"),
+      col("quality")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("status") == "kept")
+    assert(out.head.getAs[Long]("keep_id") == 1L)
+    assert(out.head.isNullAt(out.head.fieldIndex("keep_quality")))
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+    // and the mirror: a LOWER-id null-quality batch copy beats the
+    // null-quality history winner → 'improved'
+    val batch2 = Seq((0L, "https://n.com/p", Option.empty[Double]))
+      .toDF("doc_id", "url", "quality")
+    val out2 = Dedup.urlKeepBestIncremental(batch2, index, col("url"),
+      col("quality")).collect()
+    assert(out2.head.getAs[String]("status") == "improved" &&
+      out2.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("packed election id contract: negative ids fail loudly and the" +
+      " FullRange twins cover the entire signed range") {
+    import spark.implicits._
+    val signed = Seq(
+      (Long.MinValue, "https://s.com/a", 5.0),  // tie → MinValue is LOWEST
+      (-7L, "https://s.com/a", 5.0),
+      (2L, "https://s.com/a?utm_source=x", 4.0),
+      (-1L, "https://t.com/b", 1.0),
+      (Long.MaxValue, "https://t.com/b#f", 9.0))
+      .toDF("doc_id", "url", "quality")
+    // packed path: loud contract error, pointing at the remedy
+    val err = intercept[org.apache.spark.SparkException] {
+      Dedup.urlKeepBest(signed, col("url"), col("quality")).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(err).contains("FullRange"), rootMsg(err))
+    // FullRange twin: total over signed ids, incl. Long.MinValue (plain
+    // -id overflows there); quality desc, ties to the LOWEST id
+    val out = Dedup.urlKeepBestFullRange(signed, col("url"), col("quality"))
+      .orderBy("canonical_url").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == Long.MinValue &&
+      out(0).getAs[Double]("keep_quality") == 5.0)
+    assert(out(1).getAs[Long]("keep_id") == Long.MaxValue &&
+      out(1).getAs[Double]("keep_quality") == 9.0)
+    val textDocs = signed.withColumn("text", col("url"))
+    val exactOut = Dedup.exactKeepBestFullRange(textDocs, col("quality"))
+    // MinValue and -7 share identical text (quality tie) → one group,
+    // and the LOWEST signed id (MinValue) wins the tie
+    assert(exactOut.count() == 4)
+    assert(exactOut.where(col("keep_id") === Long.MinValue).count() == 1)
+  }
+
   test("packed election: merge/incremental agree with the full pass and" +
       " the winner's quality round-trips exactly") {
     import spark.implicits._

@@ -830,20 +830,25 @@ class StreamingSpec extends SparkTestBase {
       n = 3, minCount = 2))
     assert(spark.read.parquet(s"$root/trimmed").count() == trimCount)
     // crash-window replay: remove batch 1's marker and re-run — the index
-    // read excludes batch 1's own rows, so the recomputation sees exactly
-    // the pre-crash view and emits byte-identical rows (distinct
-    // unchanged); the appended duplicate rows compact away
+    // read excludes batch 1's own partition, so the recomputation sees
+    // exactly the pre-crash view and emits byte-identical rows, and the
+    // own-subdir overwrite leaves ZERO residue (a flat append would leave
+    // duplicate gram counts that double-count history for later batches)
     val marker = new org.apache.hadoop.fs.Path(
       root, "_committed_batches/stream/1")
     marker.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(marker, false)
+    val gramIxCount = spark.read.parquet(s"$root/gram_index").count()
     assert(Ingest.repeatedTrimBatch(w2, batchId = 1L, root,
       n = 3, minCount = 2))
     val after = spark.read.parquet(s"$root/trimmed")
-    assert(after.count() == trimCount + wave2.size)
-    assert(after.drop("batch_id").distinct().collect().map(_.toSeq).toSet
-      == expected,
+    assert(after.count() == trimCount,
+      "replay must overwrite its own slice, not append residue")
+    assert(after.drop("batch_id").collect().map(_.toSeq).toSet == expected,
       "replayed rows must be byte-identical to the originals")
+    // the gram index carries no duplicate rows either — a later batch's
+    // count merge would otherwise see doubled history
+    assert(spark.read.parquet(s"$root/gram_index").count() == gramIxCount)
     // and the replayed batch did not double-count its own grams: doc 12
     // stays untouched on replay too
     assert(after.where(col("doc_id") === 12L)
@@ -894,19 +899,22 @@ class StreamingSpec extends SparkTestBase {
     assert(!Ingest.spanDedupBatch(w2, batchId = 1L, root))
     assert(spark.read.parquet(s"$root/deduped").count() == n0)
     // crash-window replay: remove batch 1's marker and re-run — the index
-    // read excludes batch 1's own rows, so the batch's own span hashes
-    // cannot masquerade as history (which would wipe every span on
-    // replay) and the rows come back byte-identical
+    // read excludes batch 1's own partition, so the batch's own span
+    // hashes cannot masquerade as history (which would wipe every span on
+    // replay), the rows come back byte-identical, and the own-subdir
+    // overwrite leaves zero residue
     val marker = new org.apache.hadoop.fs.Path(
       root, "_committed_batches/stream/1")
     marker.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(marker, false)
+    val spanIxCount = spark.read.parquet(s"$root/span_index").count()
     assert(Ingest.spanDedupBatch(w2, batchId = 1L, root))
     val after = spark.read.parquet(s"$root/deduped")
-    assert(after.count() == n0 + wave2.size)
-    assert(after.drop("batch_id").distinct().collect().map(_.toSeq).toSet
-      == expected,
+    assert(after.count() == n0,
+      "replay must overwrite its own slice, not append residue")
+    assert(after.drop("batch_id").collect().map(_.toSeq).toSet == expected,
       "replayed rows must be byte-identical to the originals")
+    assert(spark.read.parquet(s"$root/span_index").count() == spanIxCount)
   }
 
   test("streaming URL dedup loop: decisions equal the batch operator, the " +
@@ -1041,6 +1049,25 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet == dPlain)
     assert(Ingest.urlIndexSnapshot(spark, compactRoot)
       .collect().map(_.toSeq).toSet == full)
+
+    // commitId mismatch on a compacted state fails LOUDLY: markers are
+    // commitId-scoped but compacted bases are not, so a foreign commitId
+    // would see baseK = -1 and silently fold only the surviving deltas —
+    // omitting all compacted history whose deltas were deleted
+    val mismatch = intercept[IllegalStateException] {
+      Ingest.urlIndexSnapshot(spark, compactRoot, commitId = "other")
+    }
+    assert(mismatch.getMessage.contains("commitId") &&
+      mismatch.getMessage.contains("stream"), mismatch.getMessage)
+    val mismatch2 = intercept[IllegalStateException] {
+      Ingest.urlDedupBatch(w, 999L, compactRoot, commitId = "other",
+        compactEvery = 2)
+    }
+    assert(mismatch2.getMessage.contains("commitId"))
+    // the writer's own commitId still reads fine (crash residue —
+    // an UNMARKED newer base — must not trip the guard either way)
+    assert(Ingest.urlIndexSnapshot(spark, compactRoot)
+      .collect().map(_.toSeq).toSet == full)
   }
 
   test("streaming perceptual dedup loop: decisions equal the batch " +
@@ -1095,6 +1122,12 @@ class StreamingSpec extends SparkTestBase {
     assert(Ingest.perceptualDedupBatch(w2, 1L, root))
     assert(spark.read.parquet(s"$root/decisions/batch_id=1")
       .collect().map(_.toSeq).toSet == expected2)
+    // the replay OVERWROTE its own index/batch_id=1 slice — no duplicate
+    // dHash rows persist (a flat append would inflate maxBucket's
+    // per-(band, chunk) population counts for every later batch)
+    val idxAfter = spark.read.parquet(s"$root/index")
+    assert(idxAfter.where(col("batch_id") === 1).count() == acc2.toLong)
+    assert(idxAfter.count() == idxAfter.dropDuplicates("doc_id").count())
   }
 
   test("streaming overlap data card: 3-batch stream state is bit-identical " +
