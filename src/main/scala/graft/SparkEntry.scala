@@ -80,6 +80,46 @@ object SparkEntry {
         .otherwise(""))
   }
 
+  /** Capstone stage-boundary materialization, parameterized by the
+    * session conf `graft.stage.boundary` so one code path serves both the
+    * bench box and a real cluster:
+    *
+    *  - `local` (default): eager `localCheckpoint` — fastest, but blocks
+    *    are UNREPLICATED executor-local storage, so on a multi-executor
+    *    cluster one executor loss mid-capstone fails the job and the
+    *    truncated lineage cannot recompute. The right trade at local[32]
+    *    and for minutes-long runs.
+    *  - `reliable`: eager reliable `checkpoint` into
+    *    `spark.sparkContext`'s checkpoint directory (must be set) — the
+    *    cluster-durable stage write every published pipeline performs
+    *    between its per-doc prefix and cross-doc suffix; survives
+    *    executor loss, tasks retry from the checkpoint files
+    *    (FaultToleranceSpec injects first-attempt task failures through
+    *    a reliable-boundary capstone and pins identical output).
+    *  - `none`: passthrough — plan-shape A/Bs and debugging.
+    *
+    * At 100 TB the `reliable` files land on the cluster's checkpoint
+    * store (HDFS/object store) exactly like the lake-materialized stage
+    * dirs the streaming loops write — same durability class, chosen by
+    * conf instead of a code fork. */
+  private[graft] def stageBoundary(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("graft.stage.boundary", "local") match {
+      case "local" => df.localCheckpoint(true)
+      case "reliable" =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "graft.stage.boundary=reliable requires " +
+            "spark.sparkContext.setCheckpointDir(...)")
+        df.checkpoint(eager = true)
+      case "none" => df
+      case other => throw new IllegalArgumentException(
+        s"graft.stage.boundary must be local|reliable|none, got '$other'")
+    }
+
+  /** Chained-call form of [[stageBoundary]]. */
+  private[graft] implicit class StageBoundaryOps(df: DataFrame) {
+    def stagePin(): DataFrame = stageBoundary(df)
+  }
+
   /** embeddings ∪ seeded near-dups (every 5th vector, position-dependent
     * jitter, id offset +1000000), all cast to array<double>. */
   private def embeddingsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -1317,7 +1357,7 @@ object SparkEntry {
       // the span-hash index is the STORED lake relation in production;
       // materialize once here (three consumers: size count, Bloom build,
       // exact-verify probe)
-      val idx = Dedup.spanHashes(hist).localCheckpoint(true)
+      val idx = Dedup.spanHashes(hist).stagePin()
       Dedup.spanDedupIncremental(batch, idx, fpp = 0.01)
         .orderBy("doc_id")
     }),
@@ -1595,6 +1635,47 @@ object SparkEntry {
           pruneFrac = 0.25, outlierFrac = 0.10, refineIters = 1)
         .orderBy("vec_id")),
 
+    // §2 #57d — embedding-stage CAPSTONE: the SemDeDup/D4 published chain
+    // as ONE declarative plan over the seeded corpus — JL compression
+    // 64→32 (#31c, components 6dp-rounded so every downstream cosine has
+    // engine-identical inputs) → within-cell semantic dedup at tau=0.9
+    // over the PROJECTED store (#56+#57: the jittered twins stay ≥0.98
+    // after projection, organics ≤0.76 — but the oracle match is
+    // threshold-independent: both engines compute identical rounded sims)
+    // → SSL-prototype prune on the survivors (#57c: fresh lowest-id init
+    // + 1 Lloyd iteration over the DEDUPED corpus, the D4 ordering —
+    // prune after dedup so clone mass cannot crown itself prototypical)
+    // → cluster-balanced cap (#57b, 30/cell by md5 rank). Stage
+    // boundaries materialize via stageBoundary (reliable-checkpoint mode
+    // for clusters): the projected store feeds the dedup's assignment +
+    // pair join + the survivor join; the survivor store feeds the
+    // prune's init collect, Lloyd passes, and final assignment. Scale:
+    // 2x less cosine bandwidth than raw 64-dim, pairwise work confined
+    // to cells, every exchange carries 32-double vectors or verdicts.
+    "embed_pipeline" -> ((s, dir) => {
+      val e = embeddingsWithNearDups(s, dir)
+      val proj = e.select(col("vec_id"),
+          transform(
+            Similarity.projectVec(col("embedding"), inDim = 64,
+              outDim = 32, seed = "jl"),
+            x => round(x, 6)).as("embedding"))
+        .stagePin()
+      val verdicts = Similarity.semanticDedup(proj, k = 8, tau = 0.9)
+      val survivors = proj.join(
+          verdicts.where(col("kept") === 1).select("vec_id"), "vec_id")
+        .stagePin()
+      val pruned = Similarity.prototypePrune(survivors, k = 8,
+        pruneFrac = 0.25, outlierFrac = 0.10, refineIters = 1)
+      Sampling.clusterBalancedSample(
+          pruned.where(col("kept") === 1)
+            .select("vec_id", "cluster", "centroid_sim", "proto_rank",
+              "n_cell"),
+          "vec_id", "cluster", perCellCap = 30)
+        .select(col("vec_id"), col("cluster"), col("centroid_sim"),
+          col("proto_rank"), col("n_cell"), col("cell_rank"))
+        .orderBy("vec_id")
+    }),
+
     // §2 #26b — composed corpus-cleaning pipeline: exact-dedup survivors
     // (lowest id per canonical form) that pass quality and language gates —
     // the LLM training-data filter chain as one declarative plan.
@@ -1787,7 +1868,7 @@ object SparkEntry {
       // input twice internally (span census + rebuild join), so the
       // regex-heavy decontaminated prefix materializes once
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+        .stagePin()
       val deduped = Dedup.spanDedup(clean).where(col("kept_text") =!= "")
       Sampling.shardShuffle(deduped, "doc_id", nShards = 4, seed = "v2")
         .select(col("doc_id"), col("shard"), col("pos_in_shard"),
@@ -1827,7 +1908,7 @@ object SparkEntry {
       // reference inside one action (measured 3.4 -> 0.5+1.9 s warm at
       // sf0.1 for the combined prefix+span stages)
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+        .stagePin()
       // second stage boundary: everything above is a linear per-doc
       // pipeline; everything below consumes it repeatedly (the clustering
       // stage iterates, and `canon` fans out to selection AND the final
@@ -1839,7 +1920,7 @@ object SparkEntry {
       val span = Dedup.spanDedup(clean.select("doc_id", "text"))
         .where(col("kept_text") =!= "")
         .join(clean.select("doc_id", "source"), "doc_id")
-        .localCheckpoint(true)
+        .stagePin()
       val clusters = Cluster.nearDupClusters(
           span.select(col("doc_id"), col("kept_text").as("text")))
         .where(col("is_canonical") === 1)
@@ -1886,11 +1967,11 @@ object SparkEntry {
       // materializes once before its double consumption in the span
       // stage, and the span output once before the trim suffix
       val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+        .stagePin()
       val span = Dedup.spanDedup(clean.select("doc_id", "text"))
         .where(col("kept_text") =!= "")
         .join(clean.select("doc_id", "source"), "doc_id")
-        .localCheckpoint(true)
+        .stagePin()
       // NEW stage: corpus-wide repeated-gram trim on the span-dedup
       // survivors; fully-boilerplate docs (trimmed to nothing) drop here
       val trimmed = Dedup.repeatedNgramTrim(
@@ -1905,7 +1986,7 @@ object SparkEntry {
       val stage = trimmed
         .join(span.select("doc_id", "source", "n_spans", "n_removed"),
           "doc_id")
-        .localCheckpoint(true)
+        .stagePin()
       val clusters = Cluster.nearDupClusters(
           stage.select(col("doc_id"), col("trim_text").as("text")))
         .where(col("is_canonical") === 1)
@@ -1970,11 +2051,11 @@ object SparkEntry {
           .select(col("test_id").as("doc_id"))
       // same stage boundaries as v3/v4
       val clean = lined.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+        .stagePin()
       val span = Dedup.spanDedup(clean.select("doc_id", "text"))
         .where(col("kept_text") =!= "")
         .join(clean.select("doc_id", "source", "n_line_flagged"), "doc_id")
-        .localCheckpoint(true)
+        .stagePin()
       val trimmed = Dedup.repeatedNgramTrim(
           span.select(col("doc_id"), col("kept_text").as("text")),
           n = 10, minCount = 2)
@@ -1985,7 +2066,7 @@ object SparkEntry {
       val stage = trimmed
         .join(span.select("doc_id", "source", "n_spans", "n_removed",
           "n_line_flagged"), "doc_id")
-        .localCheckpoint(true)
+        .stagePin()
       val clusters = Cluster.nearDupClusters(
           stage.select(col("doc_id"), col("trim_text").as("text")))
         .where(col("is_canonical") === 1)
@@ -2065,7 +2146,7 @@ object SparkEntry {
       val fpIndex = TextAnalysis
         .winnowFingerprints(d.where(col("doc_id") % 7 =!= 0))
         .select(col("doc_id"), col("gram_hash")).distinct()
-        .localCheckpoint(true)
+        .stagePin()
       val toks = split(col("text"), "\\s+")
       val batch = d.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -2513,7 +2594,7 @@ object SparkEntry {
           col("text"))
       // materialized once for the state's documented two-pass scan, as in
       // the incremental key below
-      Dedup.sourceOverlapSketch(d.unionByName(copies).localCheckpoint(true),
+      Dedup.sourceOverlapSketch(d.unionByName(copies).stagePin(),
           k = 128)
         .orderBy("src_a", "src_b")
     }),
@@ -2538,7 +2619,7 @@ object SparkEntry {
       // documented two-pass sig+HLL shape) and need the SAME columns, so
       // unlike a column-pruned lazy index this re-synthesis (4x regex
       // seeding) has no pruning to save it — measured 2.3 -> 1.6 s
-      val seeded = d.unionByName(copies).localCheckpoint(true)
+      val seeded = d.unionByName(copies).stagePin()
       val hist = Dedup.sourceOverlapState(seeded.where(col("doc_id") % 3 =!= 0))
       val batch = Dedup.sourceOverlapState(seeded.where(col("doc_id") % 3 === 0))
       Dedup.overlapFromState(Dedup.mergeOverlapStates(hist, batch))
@@ -5007,6 +5088,106 @@ object SparkEntry {
         |                   OR proto_rank > n_cell - floor(0.10 * n_cell)
         |            THEN 0 ELSE 1 END AS INTEGER) AS kept
         |FROM r ORDER BY vec_id""".stripMargin,
+
+    // The embedding capstone chain: seeded corpus → JL 64→32 (the
+    // embed_project matrix at 32 dims, 6dp-rounded components) →
+    // lowest-id-init assignment + within-cell dedup at 0.9 (the
+    // semantic_dedup shape over projected vectors) → survivor re-init +
+    // 1 Lloyd iteration + prototypicality rank (the prototype_prune
+    // chain over survivors) → md5-rank cap 30/cell (cluster_sample).
+    "embed_pipeline" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(len(v)),
+        |           i -> v[i+1] + 0.01 * ((i % 7) - 3)) AS v
+        |  FROM e0 WHERE vec_id % 5 = 0),
+        |eraw AS (SELECT * FROM e0 UNION ALL SELECT * FROM aug),
+        |p AS (
+        |  SELECT vec_id, list_transform(range(32), j ->
+        |    round(list_sum(list_transform(v, (x, i) ->
+        |      x * (CAST(CAST('0x' ||
+        |             substr(md5('jl:' || j || ':' || i), 1, 1)
+        |           AS INTEGER) % 2 AS INTEGER) * 2 - 1))) / sqrt(32), 6))
+        |    AS v
+        |  FROM eraw),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |  FROM (SELECT * FROM p ORDER BY vec_id LIMIT 8)),
+        |sims AS (
+        |  SELECT p.vec_id, c.cell,
+        |         round(list_cosine_similarity(p.v, c.cv), 6) AS sim
+        |  FROM p CROSS JOIN cent c),
+        |best AS (SELECT vec_id, max(sim) AS best FROM sims GROUP BY 1),
+        |asg AS (
+        |  SELECT q.vec_id, CAST(min(q.cell) AS INTEGER) AS cluster
+        |  FROM sims q JOIN best b ON b.vec_id = q.vec_id AND q.sim = b.best
+        |  GROUP BY 1),
+        |av AS (SELECT a.vec_id, a.cluster, p.v
+        |       FROM asg a JOIN p USING (vec_id)),
+        |dup AS (
+        |  SELECT a.vec_id
+        |  FROM av a JOIN av b ON a.cluster = b.cluster
+        |       AND b.vec_id < a.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        |  GROUP BY 1),
+        |surv AS (
+        |  SELECT p.vec_id, p.v FROM p LEFT JOIN dup USING (vec_id)
+        |  WHERE dup.vec_id IS NULL),
+        |cent2 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |  FROM (SELECT * FROM surv ORDER BY vec_id LIMIT 8)),
+        |sims2 AS (
+        |  SELECT surv.vec_id, c.cell,
+        |         round(list_cosine_similarity(surv.v, c.cv), 6) AS sim
+        |  FROM surv CROSS JOIN cent2 c),
+        |best2 AS (SELECT vec_id, max(sim) AS best FROM sims2 GROUP BY 1),
+        |asg2 AS (
+        |  SELECT q.vec_id, CAST(min(q.cell) AS INTEGER) AS cluster
+        |  FROM sims2 q JOIN best2 b ON b.vec_id = q.vec_id AND q.sim = b.best
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT a.cluster,
+        |         unnest(list_transform(range(len(surv.v)),
+        |           i -> struct_pack(pos := i, x := surv.v[i+1])),
+        |           recursive := true)
+        |  FROM asg2 a JOIN surv USING (vec_id)),
+        |m AS (SELECT cluster, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT ct.cell, coalesce(mm.v1, ct.cv) AS cv
+        |  FROM cent2 ct LEFT JOIN (
+        |    SELECT cluster AS cell, list(cx ORDER BY pos) AS v1
+        |    FROM m GROUP BY 1) mm USING (cell)),
+        |sims3 AS (
+        |  SELECT surv.vec_id, c.cell,
+        |         round(list_cosine_similarity(surv.v, c.cv), 6) AS sim
+        |  FROM surv CROSS JOIN c1 c),
+        |best3 AS (SELECT vec_id, max(sim) AS best FROM sims3 GROUP BY 1),
+        |l AS (
+        |  SELECT q.vec_id, CAST(min(q.cell) AS INTEGER) AS cluster,
+        |         max(q.sim) AS centroid_sim
+        |  FROM sims3 q JOIN best3 b ON b.vec_id = q.vec_id AND q.sim = b.best
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT vec_id, cluster, centroid_sim,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY centroid_sim DESC, vec_id) AS proto_rank,
+        |         count(*) OVER (PARTITION BY cluster) AS n_cell
+        |  FROM l),
+        |keep AS (
+        |  SELECT * FROM r
+        |  WHERE NOT (proto_rank <= ceil(0.25 * n_cell)
+        |             OR proto_rank > n_cell - floor(0.10 * n_cell))),
+        |cb AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+        |    AS cell_rank
+        |  FROM keep)
+        |SELECT vec_id, cluster, centroid_sim + 0.0 AS centroid_sim,
+        |       CAST(proto_rank AS BIGINT) AS proto_rank,
+        |       CAST(n_cell AS BIGINT) AS n_cell, cell_rank
+        |FROM cb WHERE cell_rank <= 30 ORDER BY vec_id""".stripMargin,
 
     "contamination_ngram" ->
       """WITH t AS (

@@ -84,4 +84,75 @@ class FaultToleranceSpec extends AnyFunSuite {
       assert(wrote, s"no reliable checkpoint files under $ckptDir")
     } finally spark.stop()
   }
+
+  test("reliable capstone stage boundaries survive injected task failures " +
+      "with identical output") {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    val spark = GraftSession.configure(
+        SparkSession.builder().appName("graft-fault-capstone")
+          .master("local[4, 2]"), "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val ckptDir = Files.createTempDirectory(
+        Paths.get("target"), "ckpt-capstone").toString
+      spark.sparkContext.setCheckpointDir(ckptDir)
+
+      // (1) the REAL embedding capstone, boundary=local vs boundary=
+      // reliable: identical rows, and the reliable run wrote checkpoint
+      // files — the conf is a durability knob with zero semantics drift
+      val dir = "/root/testdata/sf0.001"
+      val local = SparkEntry.queries("embed_pipeline")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      spark.conf.set("graft.stage.boundary", "reliable")
+      val reliable =
+        try SparkEntry.queries("embed_pipeline")(spark, dir)
+          .collect().map(_.toSeq).toSet
+        finally spark.conf.unset("graft.stage.boundary")
+      assert(reliable == local,
+        "reliable-boundary capstone output diverged from local-boundary")
+      assert(Files.walk(Paths.get(ckptDir)).count() > 1,
+        s"no reliable checkpoint files under $ckptDir")
+
+      // (2) fault injection THROUGH a reliable boundary: a capstone-shaped
+      // chain (span dedup -> stage boundary -> repeated-gram trim) whose
+      // input throws on first-attempt tasks; local[4, 2] gives each task
+      // one retry, and the post-boundary suffix recomputes from the
+      // checkpoint FILES (exactly what localCheckpoint's unreplicated
+      // blocks cannot do after an executor loss)
+      val docs = (0L until 400L).map { i =>
+        val boiler = "the shared boilerplate sentence is long enough here"
+        val body = s"unique body $i token stream ${i * 31} " +
+          s"alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        (i, if (i % 3 == 0) s"$boiler. $body" else s"$body. end $i")
+      }.toDF("doc_id", "text")
+      def chain(input: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+        val span = graft.llm.Dedup.spanDedup(input)
+          .where(col("kept_text") =!= "")
+          .select(col("doc_id"), col("kept_text").as("text"),
+            col("n_removed"))
+        val stage = SparkEntry.stageBoundary(span)
+        graft.llm.Dedup.repeatedNgramTrim(
+            stage.select(col("doc_id"), col("text")), n = 5, minCount = 4)
+          .select(col("doc_id"), col("n_removed_tokens"), col("kept_text"))
+          .join(stage.select(col("doc_id"), col("n_removed")), "doc_id")
+          .collect().map(_.toSeq).toSet
+      }
+      spark.conf.set("graft.stage.boundary", "reliable")
+      try {
+        val cleanRun = chain(docs)
+        FaultInjector.arm(3)
+        val flaky = docs.as[(Long, String)]
+          .mapPartitions { it => FaultInjector.maybeFail(); it }
+          .toDF("doc_id", "text")
+        val faulted = chain(flaky)
+        assert(FaultInjector.injected.get() >= 1,
+          "no task failure was actually injected — the test proved nothing")
+        assert(faulted == cleanRun,
+          "capstone chain diverged between clean and fault-retried runs")
+      } finally spark.conf.unset("graft.stage.boundary")
+    } finally spark.stop()
+  }
 }

@@ -682,6 +682,62 @@ class LlmSpec extends SparkTestBase {
     assert(plain.exists(_.last == 0))
   }
 
+  test("embed_pipeline capstone: per-cell cap + contiguous ranks, twin " +
+      "recall >= 90%, escapees are cell-blocking (not threshold) misses, " +
+      "boundary=none is plan-shape-identical") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("embed_pipeline")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // cluster-balance cap engaged: every cell <= 30 survivors, ranks
+    // contiguous from 1 (the md5-rank window is total per cell)
+    val byCell = out.groupBy(_.getAs[Int]("cluster"))
+    assert(byCell.values.forall(_.length <= 30))
+    assert(byCell.values.forall(rs =>
+      rs.map(_.getAs[Int]("cell_rank")).sorted.toSeq == (1 to rs.length)))
+    // the seeded twins (ids >= 1e6, projected cosine to source >= 0.98,
+    // far above tau=0.9) dedup in-cell: >= 90% recall end to end
+    val twins = out.map(_.getAs[Long]("vec_id")).filter(_ >= 1000000L)
+    assert(twins.length <= 12, s"${twins.length} twins survived the chain")
+    // every escapee survived by CELL assignment, not by similarity: its
+    // projected cosine to the source clears tau, so the only escape is
+    // landing in a different k-means cell than its source — the
+    // documented SemDeDup blocking trade (cell-local pairs, never
+    // corpus-pairwise)
+    if (twins.nonEmpty) {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val aug = e.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + lit(0.01) * (pmod(i, lit(7)) - lit(3)))
+            .as("embedding"))
+      val proj = e.unionByName(aug).select(col("vec_id"),
+        transform(
+          Similarity.projectVec(col("embedding"), inDim = 64, outDim = 32,
+            seed = "jl"),
+          x => round(x, 6)).as("embedding"))
+      val cells = Similarity.kmeansAssign(proj, k = 8).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+      twins.foreach { t =>
+        assert(cells(t) != cells(t - 1000000L),
+          s"twin $t shares its source's cell yet survived — a real miss")
+      }
+    }
+    // graft.stage.boundary=none: same rows, no materialization — the
+    // boundary is a durability/perf knob, never a semantics knob
+    spark.conf.set("graft.stage.boundary", "none")
+    try {
+      val none = SparkEntry.queries("embed_pipeline")(spark, dir).collect()
+      assert(none.map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+    } finally spark.conf.unset("graft.stage.boundary")
+    // invalid boundary mode fails loudly
+    spark.conf.set("graft.stage.boundary", "bogus")
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("embed_pipeline")(spark, dir).collect()
+    } finally spark.conf.unset("graft.stage.boundary")
+  }
+
   test("random projection: hand signs, JL distance preservation, determinism") {
     // hand case: dim 2 -> 1, matrix entry signs from md5('jl:0:1'),
     // md5('jl:0:2') — recompute here independently
