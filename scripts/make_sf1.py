@@ -82,11 +82,32 @@ COPY (
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["embeddings", "lineitem", "orders", "customer", "supplier",
+# Embeddings replicate too (round 16: unreplicated copies made every
+# embedding-family key's 10x/100x run re-measure sf0.1 — vacuous scale
+# evidence). Replicas get a deterministic per-(vector, dim, replica)
+# jitter large enough (+-0.4/dim) that they are DISTINCT vectors in the
+# same region, not near-dup clones — the seeded +1e6 query twins stay the
+# only intentional near-dups, and the id algebra (r*1e7 offsets, %5 twin
+# selection, +1e6 twin offset < 1e7) stays collision-free. Element type
+# stays FLOAT[] so the parquet schema matches the source table.
+con.execute(f"""
+COPY (
+  SELECT vec_id + r.r * 10000000 AS vec_id,
+         CASE WHEN r.r = 0 THEN embedding
+              ELSE CAST(list_transform(embedding, (x, i) ->
+                     x + 0.05 * (((vec_id * 7 + i * 13 + r.r * 31) % 17) - 8))
+                   AS FLOAT[]) END AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', range({REPS}) r(r)
+  ORDER BY vec_id
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ["lineitem", "orders", "customer", "supplier",
           "part", "nation", "region"]:
     shutil.copy(SRC / f"{t}.parquet", DST / f"{t}.parquet")
 
-for t in ["events", "documents"]:
+for t in ["events", "documents", "embeddings"]:
     n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
     print(f"[make_sf1] {t}: {n} rows")
 print(f"[make_sf1] wrote {DST}")

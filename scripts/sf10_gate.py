@@ -69,7 +69,27 @@ HEAVY = {"dedup_clusters", "corpus_pipeline_v2", "corpus_pipeline_v3",
          # evidence (233k rows for a 233k-doc batch).
          "line_quality", "perceptual_neardup", "perceptual_incremental",
          # round 15 capstone: the 10-stage RefinedWeb-shaped chain
-         "corpus_pipeline_v5"}
+         "corpus_pipeline_v5",
+         # round 16: make_sf1 now REPLICATES embeddings (jittered,
+         # distinct vectors — previously copied unreplicated, so every
+         # embedding key's 100x run re-measured sf0.1). The ANN ladder
+         # gets its 100x evidence at 240k vectors: ann_topk/embed_kmeans/
+         # prototype_prune are oracle-backed anchors; ann_lsh/ann_ivf/
+         # ann_pq/ann_ivf_pq/embed_pq are rows-only here as at driver
+         # scale (their recall-vs-brute pins are LlmSpec's).
+         # semantic_dedup and embed_pipeline stay excluded at THIS scale:
+         # their within-cell pair joins are O(c^2) and k is fixed at 8 by
+         # the contract query, so 100x data means 10,000x pairs (~3.6B
+         # cosines) — measuring a fixed-k query at 100x measures the
+         # wrong thing (production scales k with the corpus; SemDeDup
+         # uses ~50k cells at web scale). Their 10x hash evidence is in
+         # CORRECTNESS_SF1.
+         "ann_topk", "embed_kmeans", "prototype_prune",
+         "ann_lsh", "ann_ivf", "ann_pq", "ann_ivf_pq", "embed_pq",
+         # round 16: lake-maintenance parity at 100x — the two heaviest
+         # financial keys without sf10 entries (incremental checkpointed
+         # aggregation; per-TF completeness audit)
+         "tf_incremental", "audit_derived"}
 
 
 def main() -> int:

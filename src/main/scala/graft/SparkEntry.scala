@@ -2185,6 +2185,43 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // §2 #37h — perceptual near-dup over REAL container bytes: the
+    // #37c/#37e header parses (PNG fixed offsets, JPEG marker walk)
+    // locate each payload's decoded region + pixel width, and the dHash
+    // grid tiles THAT region row-major (DHash64Container) — so the
+    // variable-length JPEG comment a re-save rewrites never smears into
+    // the fingerprint. Even ids ride PNG containers; odd ids ride JPEG
+    // with an id-keyed comment LENGTH, so every twin's header offset
+    // differs from its source's — the drift case the opaque byte-stream
+    // hash cannot survive and the container hash ignores. Rows-only
+    // (grid+marker-walk hashing has no SQL oracle); LlmSpec pins recall
+    // on seeded in-place edits across both container families plus the
+    // hand-built fixture battery in MultimodalSpec-style asserts.
+    "perceptual_container" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // % 5, not % 10: multiples of 10 are all EVEN, which would starve
+      // the odd-id JPEG family of twins entirely
+      val twins = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          overlay(col("text"), lit("Q"),
+            greatest(length(col("text")) / 2, lit(1))).as("text"))
+      val all = d.unionByName(twins)
+      val png = Multimodal.withPngPayload(
+        all.where(pmod(col("doc_id"), lit(2)) === 0))
+      val jpg = Multimodal.withPayload(
+          all.where(pmod(col("doc_id"), lit(2)) === 1))
+        .withColumn("payload", Multimodal.jpegHeader(
+          col("meta.width"), col("meta.height"),
+          concat(lit("resave-comment-padding-padding-"), col("doc_id"))
+            .substr(lit(1), (lit(5) + pmod(col("doc_id"), lit(23))).cast("int")),
+          encode(col("text"), "utf-8")))
+      Multimodal.perceptualNearDupContainers(
+          png.select("doc_id", "payload")
+            .unionByName(jpg.select("doc_id", "payload")),
+          maxHamming = 10)
+        .orderBy("id1", "id2")
+    }),
+
     // §2 #37c — REAL PNG container round-trip: build a signature+IHDR-
     // faithful payload (big-endian dims via unhex(lpad(hex))), then parse
     // it back with actual PNG header parsing (magic check + fixed IHDR

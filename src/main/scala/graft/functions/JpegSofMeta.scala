@@ -49,6 +49,38 @@ object JpegSofMeta {
   private def isSof(m: Int): Boolean =
     m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
 
+  /** Byte offset just past the first SOFn segment — where the
+    * container-aware dHash ([[DHash64Container]]) starts gridding the
+    * payload region — or -1 under exactly [[pack]]'s failure conditions.
+    * Same walk as pack (the length field of the SOF segment bounds it). */
+  def sofEnd(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 4) return -1
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return -1
+    var pos = 2
+    while (pos + 3 < bytes.length) {
+      if ((bytes(pos) & 0xFF) != 0xFF) return -1
+      var markerAt = pos + 1
+      while (markerAt + 2 < bytes.length && (bytes(markerAt) & 0xFF) == 0xFF)
+        markerAt += 1
+      val marker = bytes(markerAt) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return -1
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        pos = markerAt + 1
+      } else {
+        if (markerAt + 2 >= bytes.length) return -1
+        val len = ((bytes(markerAt + 1) & 0xFF) << 8) |
+          (bytes(markerAt + 2) & 0xFF)
+        if (len < 2) return -1
+        if (isSof(marker)) {
+          if (markerAt + 8 >= bytes.length) return -1
+          return markerAt + 1 + len
+        }
+        pos = markerAt + 1 + len
+      }
+    }
+    -1
+  }
+
   /** Walk the marker stream from SOI to the first SOFn and pack its
     * fields; -1 when `bytes` is not a JPEG, the stream is corrupt or
     * truncated, or scan data / EOI arrives before any SOF. Shared by

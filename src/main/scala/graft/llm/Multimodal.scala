@@ -302,6 +302,41 @@ object Multimodal {
         .select(col(idCol), col("dhash")),
       maxHamming, idCol, "dhash", maxBucket)
 
+  /** CONTAINER-AWARE dHash over real PNG/JPEG payload bytes
+    * ([[graft.functions.DHash64Container]]): the #37c/#37e header parses
+    * (PNG fixed offsets, JPEG marker walk) locate the decoded-payload
+    * region and its pixel width, and the 9×8 dHash grid tiles THAT
+    * region row-major at the parsed width — the real pipeline's
+    * geometry, where an in-place edit perturbs exactly the grid cells
+    * covering its pixel rectangle and the variable-length JPEG header
+    * (comment/EXIF drift) never smears into the hash. Non-container
+    * payloads fall back to the opaque whole-payload [[withDHash]] grid,
+    * so one hash column serves a mixed corpus. Map-only native codegen;
+    * empty payloads/regions hash to null and never pair. */
+  def withContainerDHash(withPayloads: DataFrame,
+                         payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    withPayloads.withColumn("dhash", GraftBridge.column(
+      graft.functions.DHash64Container(
+        GraftBridge.expression(col(payloadCol)))))
+  }
+
+  /** [[perceptualNearDup]] with the container-aware fingerprint — same
+    * Hamming-banded join, hashes from [[withContainerDHash]]. The pair
+    * an opaque hash CANNOT catch: the same pixels behind different-length
+    * headers (a re-save that rewrote the JPEG comment shifts every body
+    * byte, smearing the opaque byte-stream grid; the container grid is
+    * offset-anchored and identical). */
+  def perceptualNearDupContainers(withPayloads: DataFrame,
+                                  maxHamming: Int = 10,
+                                  idCol: String = "doc_id",
+                                  payloadCol: String = "payload",
+                                  maxBucket: Option[Int] = None): DataFrame =
+    SimHash.nearDupPairsOnFingerprint(
+      withContainerDHash(withPayloads, payloadCol)
+        .select(col(idCol), col("dhash")),
+      maxHamming, idCol, "dhash", maxBucket)
+
   /** The perceptual INDEX relation for [[perceptualNearDupIncremental]]:
     * one row per accepted image with its 64-bit dHash — 8 bytes/doc, a
     * vanishing fraction of payload bytes, and every later batch dedups

@@ -302,38 +302,39 @@ object Ingest {
                             maxHamming: Int = 10, idCol: String = "doc_id",
                             payloadCol: String = "payload",
                             maxBucket: Option[Int] = None,
-                            commitId: String = "stream"): DataStreamWriter[Row] =
+                            commitId: String = "stream",
+                            compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         perceptualDedupBatch(batch.toDF(), batchId, indexRoot, maxHamming,
-          idCol, payloadCol, maxBucket, commitId)
+          idCol, payloadCol, maxBucket, commitId, compactEvery)
         ()
       }
 
   /** One idempotent micro-batch of [[perceptualDedupWriter]]: dedup
     * against the index (own residue excluded) → overwrite
     * `decisions/batch_id=N` → overwrite the accepted hashes' own
-    * `index/batch_id=N` slice → commit marker. Returns false (and
-    * writes nothing) when already committed. */
+    * `index/batch_id=N` slice → commit marker → (optionally) compact the
+    * index (identity fold: each accepted doc's dHash lives in exactly
+    * one batch slice, so compaction just bounds the file count). Returns
+    * false (and writes nothing) when already committed. */
   def perceptualDedupBatch(batch: DataFrame, batchId: Long,
                            indexRoot: String, maxHamming: Int = 10,
                            idCol: String = "doc_id",
                            payloadCol: String = "payload",
                            maxBucket: Option[Int] = None,
-                           commitId: String = "stream"): Boolean = {
+                           commitId: String = "stream",
+                           compactEvery: Int = 0): Boolean = {
     import graft.llm.Multimodal
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       indexRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "index")
-    val index =
-      if (fs.exists(indexPath))
-        spark.read.parquet(indexPath.toString)
-          .where(col("batch_id") =!= batchId) // replay: drop own residue
-          .select(col(idCol), col("dhash"))
-      else Multimodal.buildDHashIndex(batch.limit(0), idCol, payloadCol)
+    def emptyIndex = Multimodal.buildDHashIndex(
+      batch.limit(0), idCol, payloadCol)
+    val index = deltaSnapshot(spark, indexRoot, "index", commitId,
+      excludeBatch = Some(batchId), emptyIndex, Seq(idCol, "dhash"))
     val decisions = Multimodal.perceptualNearDupIncremental(batch, index,
       maxHamming, idCol, payloadCol, maxBucket)
     // decisions execute (write) BEFORE the index append mutates the
@@ -355,9 +356,11 @@ object Ingest {
         idCol, payloadCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
-        indexPath, s"batch_id=$batchId").toString)
+        indexRoot, s"index/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, indexRoot, "index", commitId, batchId,
+      compactEvery, identity, emptyIndex, Seq(idCol, "dhash"))
     true
   }
 
@@ -385,36 +388,38 @@ object Ingest {
   def repeatedTrimWriter(docs: DataFrame, indexRoot: String, n: Int = 10,
                          minCount: Int = 2, idCol: String = "doc_id",
                          textCol: String = "text",
-                         commitId: String = "stream"): DataStreamWriter[Row] =
+                         commitId: String = "stream",
+                         compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         repeatedTrimBatch(batch.toDF(), batchId, indexRoot, n, minCount,
-          idCol, textCol, commitId)
+          idCol, textCol, commitId, compactEvery)
         ()
       }
 
   /** One idempotent micro-batch of [[repeatedTrimWriter]]: trim against
     * the index (minus any of this batch's own replayed rows) → write
-    * trimmed rows → append this batch's gram counts → commit marker.
-    * Returns false (and writes nothing) when the batch id is already
-    * committed. */
+    * trimmed rows → write this batch's gram counts → commit marker →
+    * (optionally) compact the index, folding per-(gram_hash, gram) count
+    * SUMS into a versioned base — the non-idempotent fold is safe under
+    * [[maybeCompactState]]'s read-side >K discipline exactly like the
+    * URL index's n_copies. Returns false (and writes nothing) when the
+    * batch id is already committed. */
   def repeatedTrimBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                         n: Int = 10, minCount: Int = 2,
                         idCol: String = "doc_id", textCol: String = "text",
-                        commitId: String = "stream"): Boolean = {
+                        commitId: String = "stream",
+                        compactEvery: Int = 0): Boolean = {
     import graft.llm.Dedup
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       indexRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "gram_index")
-    val index =
-      if (fs.exists(indexPath))
-        spark.read.parquet(indexPath.toString)
-          .where(col("batch_id") =!= batchId) // replay: drop own residue
-          .drop("batch_id")
-      else Dedup.buildGramIndex(batch.limit(0), n, idCol, textCol)
+    def emptyIndex = Dedup.buildGramIndex(batch.limit(0), n, idCol, textCol)
+    val gramCols = Seq("gram_hash", "gram", "n_occurrences")
+    val index = deltaSnapshot(spark, indexRoot, "gram_index", commitId,
+      excludeBatch = Some(batchId), emptyIndex, gramCols)
     // the trimmed write is the ONLY consumer of the old-index plan and it
     // executes before the index append mutates the directory, so no
     // checkpoint pin is needed — the batch stays block-manager-clean
@@ -431,9 +436,14 @@ object Ingest {
     Dedup.buildGramIndex(batch, n, idCol, textCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
-        indexPath, s"batch_id=$batchId").toString)
+        indexRoot, s"gram_index/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, indexRoot, "gram_index", commitId, batchId,
+      compactEvery,
+      _.groupBy(col("gram_hash"), col("gram"))
+        .agg(sum(col("n_occurrences")).as("n_occurrences")),
+      emptyIndex, gramCols)
     true
   }
 
@@ -462,37 +472,39 @@ object Ingest {
   def spanDedupWriter(docs: DataFrame, indexRoot: String,
                       fpp: Double = 0.01, idCol: String = "doc_id",
                       textCol: String = "text",
-                      commitId: String = "stream"): DataStreamWriter[Row] =
+                      commitId: String = "stream",
+                      compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         spanDedupBatch(batch.toDF(), batchId, indexRoot, fpp, idCol,
-          textCol, commitId)
+          textCol, commitId, compactEvery)
         ()
       }
 
   /** One idempotent micro-batch of [[spanDedupWriter]]: dedup against the
     * index (minus any of this batch's own replayed rows) → write rebuilt
-    * docs → append this batch's span hashes → commit marker. Returns
-    * false (and writes nothing) when the batch id is already committed. */
+    * docs → write this batch's span hashes → commit marker →
+    * (optionally) compact the index with `distinct()` as the fold (a
+    * span seen by several batches has one hash row per batch; membership
+    * semantics make the dedup exact either way, compaction just bounds
+    * index rows and file count). Returns false (and writes nothing) when
+    * the batch id is already committed. */
   def spanDedupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                      fpp: Double = 0.01, idCol: String = "doc_id",
                      textCol: String = "text",
-                     commitId: String = "stream"): Boolean = {
+                     commitId: String = "stream",
+                     compactEvery: Int = 0): Boolean = {
     import graft.llm.Dedup
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       indexRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "span_index")
-    val index =
-      if (fs.exists(indexPath))
-        spark.read.parquet(indexPath.toString)
-          .where(col("batch_id") =!= batchId) // replay: drop own residue
-          .select("span_hash")
-      else Dedup.spanHashes(batch.limit(0), textCol)
+    def emptyIndex = Dedup.spanHashes(batch.limit(0), textCol)
+    val index = deltaSnapshot(spark, indexRoot, "span_index", commitId,
+      excludeBatch = Some(batchId), emptyIndex, Seq("span_hash"))
     // the deduped write is the ONLY consumer of the old-index plan and it
-    // executes before the index append mutates the directory (the
+    // executes before the index write mutates the directory (the
     // operator's Bloom build also runs its index actions here), so no
     // checkpoint pin is needed — the batch stays block-manager-clean
     // own-subdir OVERWRITE for both outputs (the urlDedupBatch pattern):
@@ -506,9 +518,11 @@ object Ingest {
     Dedup.spanHashes(batch, textCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
-        indexPath, s"batch_id=$batchId").toString)
+        indexRoot, s"span_index/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, indexRoot, "span_index", commitId, batchId,
+      compactEvery, _.distinct(), emptyIndex, Seq("span_hash"))
     true
   }
 
@@ -606,12 +620,105 @@ object Ingest {
           .map(_.getPath.getName.toLong) if invisible.contains(k)
       } yield (cid, k)
     if (foreign.nonEmpty) throw new IllegalStateException(
-      s"URL-dedup state at $stateRoot was compacted under commitId(s) " +
+      s"Delta-compacted state at $stateRoot was compacted under commitId(s) " +
         foreign.map(_._1).distinct.mkString("[", ", ", "]") +
         s" (bases upto=${foreign.map(_._2).distinct.sorted.mkString(",")})" +
         s" but is being read with commitId '$commitId', which cannot see " +
         "them — the fold would silently omit all compacted history " +
         "(its deltas were deleted). Use the writer's commitId.")
+  }
+
+  /** Queryable snapshot of a delta-compacted state directory — the shared
+    * machinery behind every foreachBatch loop's cross-batch state
+    * (URL index, overlap card states, span/gram/dHash indexes): newest
+    * COMMITTED base (`compacted/upto=K`) ∪ deltas with `batch_id > K`
+    * (minus, on the write path, the current batch's own replay residue),
+    * projected to `cols`. Correctness is READ-side: leftover ≤K deltas
+    * from a crashed deletion and unmarked bases are excluded by the >K
+    * filter / marker check, so even NON-idempotent folds (summed gram
+    * counts, n_copies) can never double-count; partition pruning keeps
+    * the scan to exactly the live delta dirs. */
+  private def deltaSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            stateRoot: String, stateName: String,
+                            commitId: String, excludeBatch: Option[Long],
+                            empty: => DataFrame,
+                            cols: Seq[String]): DataFrame = {
+    val statePath = new org.apache.hadoop.fs.Path(stateRoot, stateName)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseK = committedBaseId(fs, stateRoot, commitId)
+    assertCompactionVisible(fs, stateRoot, commitId, baseK)
+    // a fully-compacted state dir can be EMPTY (every delta deleted) —
+    // parquet schema inference fails on it, so gate on dir contents
+    val hasDeltas = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
+    val deltas =
+      if (hasDeltas) {
+        val d0 = spark.read.parquet(statePath.toString)
+          .where(col("batch_id") > baseK)
+        excludeBatch.fold(d0)(b => d0.where(col("batch_id") =!= b))
+          .select(cols.map(col): _*)
+      } else empty.select(cols.map(col): _*)
+    if (baseK >= 0)
+      spark.read.parquet(new org.apache.hadoop.fs.Path(
+          stateRoot, s"compacted/upto=$baseK").toString)
+        .select(cols.map(col): _*)
+        .unionByName(deltas)
+    else deltas
+  }
+
+  /** Fold deltas ≤ `batchId` into a new VERSIONED committed base once
+    * `compactEvery` live deltas accumulate — bounding every later
+    * [[deltaSnapshot]]'s fold input by |state| + compactEvery deltas and
+    * the state dir's file count by compactEvery + 1, instead of growing
+    * with stream age forever. Crash-safe by write → mark → delete
+    * ordering plus the snapshot's read-side >K discipline: a crash
+    * between base write, marker, and deletions can only leave IGNORED
+    * leftovers, never a double-count. Reclamation re-lists and deletes
+    * EVERY delta at or below the new base (crash leftovers below the old
+    * base included), then the superseded base and its marker. */
+  private def maybeCompactState(spark: org.apache.spark.sql.SparkSession,
+                                stateRoot: String, stateName: String,
+                                commitId: String, batchId: Long,
+                                compactEvery: Int,
+                                fold: DataFrame => DataFrame,
+                                empty: => DataFrame,
+                                cols: Seq[String]): Unit = {
+    if (compactEvery <= 0) return
+    val statePath = new org.apache.hadoop.fs.Path(stateRoot, stateName)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseK = committedBaseId(fs, stateRoot, commitId)
+    def basePath(k: Long) = new org.apache.hadoop.fs.Path(
+      stateRoot, s"compacted/upto=$k")
+    val deltaIds =
+      if (!fs.exists(statePath)) Array.empty[Long]
+      else fs.listStatus(statePath)
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+    if (deltaIds.count(k => k > baseK && k <= batchId) < compactEvery) return
+    val baseRows =
+      if (baseK >= 0) spark.read.parquet(basePath(baseK).toString)
+        .select(cols.map(col): _*)
+      else empty.select(cols.map(col): _*)
+    val folded = fold(baseRows.unionByName(
+      spark.read.parquet(statePath.toString)
+        .where(col("batch_id") > baseK && col("batch_id") <= batchId)
+        .select(cols.map(col): _*)))
+    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(basePath(batchId).toString)
+    val mark = new org.apache.hadoop.fs.Path(
+      stateRoot, s"_compaction_marks/$commitId/$batchId")
+    val mo = fs.create(mark, true)
+    try mo.write(Array.emptyByteArray) finally mo.close()
+    // space reclamation only — readers never look below the marker
+    deltaIds.filter(_ <= batchId).foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(statePath, s"batch_id=$k"),
+        true)
+    }
+    if (baseK >= 0) {
+      fs.delete(basePath(baseK), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        stateRoot, s"_compaction_marks/$commitId/$baseK"), false)
+    }
   }
 
   /** The queryable URL index of a [[urlDedupWriter]] state directory:
@@ -622,36 +729,21 @@ object Ingest {
     * uncompacted ≡ full pass). */
   def urlIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
                        stateRoot: String,
-                       commitId: String = "stream"): DataFrame = {
-    import graft.llm.Dedup
-    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
-    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
-    val baseK = committedBaseId(fs, stateRoot, commitId)
-    assertCompactionVisible(fs, stateRoot, commitId, baseK)
-    val hasDeltas = fs.exists(statePath) &&
-      fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
-    val deltas =
-      if (hasDeltas) spark.read.parquet(statePath.toString)
-        .where(col("batch_id") > baseK)
-        .select(urlIndexCols.map(col): _*)
-      else {
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("canonical_url", StringType),
-            StructField("n_copies", LongType),
-            StructField("keep_id", LongType),
-            StructField("keep_quality", DoubleType))))
-      }
-    val parts =
-      if (baseK >= 0) {
-        val base = spark.read.parquet(new org.apache.hadoop.fs.Path(
-          stateRoot, s"compacted/upto=$baseK").toString)
-          .select(urlIndexCols.map(col): _*)
-        if (hasDeltas) base.unionByName(deltas) else base
-      } else deltas
-    Dedup.mergeUrlIndex(parts)
+                       commitId: String = "stream"): DataFrame =
+    graft.llm.Dedup.mergeUrlIndex(deltaSnapshot(spark, stateRoot, "state",
+      commitId, excludeBatch = None, emptyUrlIndex(spark), urlIndexCols))
+
+  /** Zero-row frame with the URL-index schema (first-batch bootstrap). */
+  private def emptyUrlIndex(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("canonical_url", StringType),
+        StructField("n_copies", LongType),
+        StructField("keep_id", LongType),
+        StructField("keep_quality", DoubleType))))
   }
 
   /** One idempotent micro-batch of [[urlDedupWriter]]: fold the prior
@@ -671,33 +763,12 @@ object Ingest {
       stateRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
-    val baseK = committedBaseId(fs, stateRoot, commitId)
-    assertCompactionVisible(fs, stateRoot, commitId, baseK)
-    def basePath(k: Long) = new org.apache.hadoop.fs.Path(
-      stateRoot, s"compacted/upto=$k")
-    val empty = Dedup.urlKeepBest(batch.limit(0), col(urlCol),
-      col(qualityCol), idCol).select(urlIndexCols.map(col): _*)
-    // deltas newer than the committed base; partition pruning keeps the
-    // scan to exactly those dirs (leftover ≤K deltas from a crashed
-    // deletion are EXCLUDED here — that filter, not the deletion, is
+    // prior index = newest committed base + later deltas, own replay
+    // residue excluded ([[deltaSnapshot]]'s read-side >K discipline is
     // what makes the non-idempotent n_copies sum safe)
-    // a fully-compacted state dir can be EMPTY (every delta deleted) —
-    // parquet schema inference fails on it, so gate on dir contents
-    val hasDeltas = fs.exists(statePath) &&
-      fs.listStatus(statePath).exists(_.getPath.getName.startsWith("batch_id="))
-    val liveDeltas =
-      if (hasDeltas)
-        spark.read.parquet(statePath.toString)
-          .where(col("batch_id") > baseK &&
-            col("batch_id") =!= batchId) // replay: drop own residue
-          .select(urlIndexCols.map(col): _*)
-      else empty
-    val baseRows =
-      if (baseK >= 0) spark.read.parquet(basePath(baseK).toString)
-        .select(urlIndexCols.map(col): _*)
-      else empty
-    val prior = Dedup.mergeUrlIndex(baseRows.unionByName(liveDeltas))
+    val prior = Dedup.mergeUrlIndex(deltaSnapshot(spark, stateRoot,
+      "state", commitId, excludeBatch = Some(batchId),
+      emptyUrlIndex(spark), urlIndexCols))
     // decisions execute against the PRIOR index before the delta append
     // mutates the state directory; own-subdir overwrite keeps replays
     // residue-free (the overlapCardBatch pattern)
@@ -710,48 +781,12 @@ object Ingest {
       .select(urlIndexCols.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
-        statePath, s"batch_id=$batchId").toString)
+        stateRoot, s"state/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
-
-    if (compactEvery > 0) {
-      val deltaIds = fs.listStatus(statePath)
-        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong)
-        .filter(k => k > baseK && k <= batchId)
-      if (deltaIds.length >= compactEvery) {
-        // fold base + every delta through this batch into the new base;
-        // versioned dir + marker-after-write makes any crash window safe
-        val folded = Dedup.mergeUrlIndex(baseRows.unionByName(
-          spark.read.parquet(statePath.toString)
-            .where(col("batch_id") > baseK && col("batch_id") <= batchId)
-            .select(urlIndexCols.map(col): _*)))
-        folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(basePath(batchId).toString)
-        val mark = new org.apache.hadoop.fs.Path(
-          stateRoot, s"_compaction_marks/$commitId/$batchId")
-        val mo = fs.create(mark, true)
-        try mo.write(Array.emptyByteArray) finally mo.close()
-        // space reclamation only — readers never look below the marker.
-        // Re-list and delete EVERY delta at or below the new base, not
-        // just the ids folded this round: a crash between a previous
-        // marker and its deletions leaves ≤-old-base leftovers that the
-        // deltaIds filter (k > baseK) would otherwise never reclaim.
-        fs.listStatus(statePath)
-          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toLong)
-          .filter(_ <= batchId)
-          .foreach { k =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              statePath, s"batch_id=$k"), true)
-          }
-        if (baseK >= 0) {
-          fs.delete(basePath(baseK), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            stateRoot, s"_compaction_marks/$commitId/$baseK"), false)
-        }
-      }
-    }
+    maybeCompactState(spark, stateRoot, "state", commitId, batchId,
+      compactEvery, Dedup.mergeUrlIndex, emptyUrlIndex(spark),
+      urlIndexCols)
     true
   }
 
@@ -773,45 +808,67 @@ object Ingest {
     * stream-state ≡ one-shot full-pass state bit-identically). */
   def overlapCardWriter(docs: DataFrame, stateRoot: String, k: Int = 128,
                         srcCol: String = "source", textCol: String = "text",
-                        commitId: String = "stream"): DataStreamWriter[Row] =
+                        commitId: String = "stream",
+                        compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         overlapCardBatch(batch.toDF(), batchId, stateRoot, k, srcCol,
-          textCol, commitId)
+          textCol, commitId, compactEvery)
         ()
       }
 
   /** One idempotent micro-batch of [[overlapCardWriter]]: fold the batch
-    * to its per-source state → overwrite `state/batch_id=N` → merge all
-    * stored states → write the refreshed card → commit marker. Returns
-    * false (and writes nothing) when the batch id is already committed. */
+    * to its per-source state → overwrite `state/batch_id=N` → merge the
+    * stored states → write the refreshed card → commit marker →
+    * (optionally) compact. Returns false (and writes nothing) when the
+    * batch id is already committed.
+    *
+    * Compaction (`compactEvery` > 0): without it the refresh merges one
+    * |sources|-row state dir per batch forever — tiny rows, but the FILE
+    * count (and the merge's input fan-in) grows with stream age. The
+    * shared [[maybeCompactState]] machinery folds every ≤-batch state
+    * into a versioned `compacted/upto=K` base (the fold IS
+    * [[graft.llm.Dedup.mergeOverlapStates]] — elementwise slot-min +
+    * HLL-union are associative and idempotent, so a compacted base
+    * merged with later deltas is bit-identical to merging every raw
+    * per-batch state; StreamingSpec pins compacted ≡ uncompacted card
+    * and the file-count bound), and every later refresh reads base +
+    * ≤compactEvery deltas. */
   def overlapCardBatch(batch: DataFrame, batchId: Long, stateRoot: String,
                        k: Int = 128, srcCol: String = "source",
                        textCol: String = "text",
-                       commitId: String = "stream"): Boolean = {
+                       commitId: String = "stream",
+                       compactEvery: Int = 0): Boolean = {
     import graft.llm.Dedup
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       stateRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val statePath = new org.apache.hadoop.fs.Path(stateRoot, "state")
+    def emptyState = Dedup.sourceOverlapState(
+      batch.limit(0), k, srcCol, textCol)
     // Overwrite of the batch's OWN hive subdirectory: a replay rewrites
     // the identical per-batch state in place instead of appending residue
     Dedup.sourceOverlapState(batch, k, srcCol, textCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
-        statePath, s"batch_id=$batchId").toString)
-    val merged = Dedup.mergeOverlapStates(
-      spark.read.parquet(statePath.toString).drop("batch_id"))
+        stateRoot, s"state/batch_id=$batchId").toString)
+    val merged = Dedup.mergeOverlapStates(deltaSnapshot(spark, stateRoot,
+      "state", commitId, excludeBatch = None, emptyState,
+      overlapStateCols))
     Dedup.overlapFromState(merged)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
         stateRoot, s"card/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, stateRoot, "state", commitId, batchId,
+      compactEvery, df => Dedup.mergeOverlapStates(df), emptyState,
+      overlapStateCols)
     true
   }
+
+  private val overlapStateCols = Seq("_src", "_sig", "_hll")
 
   /** Streaming serving of the relation-model DSIR scorer
     * ([[graft.llm.Selection.scoreWithRelation]]): train the model on

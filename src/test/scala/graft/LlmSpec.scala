@@ -432,6 +432,116 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.9, s"seeded perceptual recall: $recall ($hit/$nSeeded)")
   }
 
+  test("container-aware dHash: hand-built PNG/JPEG fixtures (grid anchored " +
+      "to the parsed region, header drift invisible, opaque fallback, " +
+      "nulls) and seeded in-place-edit recall on real containers") {
+    import spark.implicits._
+    import graft.functions.DHash64
+    val base = "pixel row payload bytes standing in for luminance " * 8
+    val one = Seq((1L, base)).toDF("doc_id", "text")
+    def containerHash(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+      val r = Multimodal.withContainerDHash(df).select("dhash")
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    def opaqueHash(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+      val r = Multimodal.withDHash(df).select("dhash").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // PNG: the expression's hash IS the row-major grid at the IHDR width
+    // over the post-header region (recomputed here via the static helper)
+    val png = Multimodal.withPngPayload(one)
+    val pngBytes = png.select("payload").collect().head.getAs[Array[Byte]](0)
+    val ihdrW = ((pngBytes(16) & 0xFF) << 24) | ((pngBytes(17) & 0xFF) << 16) |
+      ((pngBytes(18) & 0xFF) << 8) | (pngBytes(19) & 0xFF)
+    assert(containerHash(png).contains(
+      DHash64.hashImage(pngBytes, 33, ihdrW).longValue()))
+    // JPEG: same body + dims under two different comment LENGTHS — the
+    // re-save drift. Container hashes identical (region is offset-
+    // anchored past the SOF); the opaque byte-stream hash smears.
+    def jpeg(comment: String) = Multimodal.withPayload(one)
+      .withColumn("payload", Multimodal.jpegHeader(
+        col("meta.width"), col("meta.height"), lit(comment),
+        encode(col("text"), "utf-8")))
+    val j1 = jpeg("short")
+    val j2 = jpeg("a much longer resave comment written by a second tool")
+    assert(containerHash(j1) == containerHash(j2),
+      "JPEG header drift moved the container hash")
+    assert(opaqueHash(j1) != opaqueHash(j2),
+      "fixture too weak: the opaque hash did not smear under drift")
+    // the TRUE grid path (region fills the declared geometry): a 16-px-
+    // wide, 32-row image — a point edit flips only the bits of the grid
+    // cells covering its pixel rectangle, never one bit per row
+    def pngOf(body: String) = one.select(col("doc_id"),
+      Multimodal.pngHeader(lit(16), lit(32),
+        encode(lit(body), "utf-8")).as("payload"))
+    val wide = "rowmajorpixels.." * 32 // 512 bytes = 16 x 32
+    val hw1 = containerHash(pngOf(wide)).get
+    val hw2 = containerHash(pngOf(wide.updated(100, 'Z'))).get
+    assert(java.lang.Long.bitCount(hw1 ^ hw2) <= 2,
+      s"grid-path point edit flipped ${java.lang.Long.bitCount(hw1 ^ hw2)}")
+    // appended pixel ROWS leave the upper grid signs mostly intact
+    // (offset-anchored geometry; a byte-stream grid would rescale every
+    // cell boundary)
+    val hw3 = containerHash(pngOf(wide + "appendedrowbytes" * 4)).get
+    assert(java.lang.Long.bitCount(hw1 ^ hw3) <= 16,
+      s"row append flipped ${java.lang.Long.bitCount(hw1 ^ hw3)}")
+
+    // non-container payloads fall back to the opaque whole-payload grid
+    val raw = Multimodal.withPayload(one)
+    assert(containerHash(raw) == opaqueHash(raw))
+    // nulls: empty payload, and a container whose decoded region is empty
+    val emptyPayload = one.select(col("doc_id"),
+      encode(lit(""), "utf-8").as("payload"))
+    assert(containerHash(emptyPayload).isEmpty)
+    val headerOnlyPng = one.select(col("doc_id"),
+      Multimodal.pngHeader(lit(40), lit(30),
+        encode(lit(""), "utf-8")).as("payload"))
+    assert(containerHash(headerOnlyPng).isEmpty,
+      "empty decoded region must hash to null, not to a header hash")
+
+    // seeded recall on real containers: even ids ride PNG, odd ids ride
+    // JPEG with an id-keyed comment length (every twin's header offset
+    // differs from its source's) — the contract key's corpus
+    val pairs = SparkEntry.queries("perceptual_container")(spark, sfDir)
+    assertNoCartesian(pairs)
+    val found = pairs.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val seeded = d.where(col("doc_id") % 5 === 0)
+      .collect().map(_.getLong(0)).map(i => (i, i + 1000000L))
+    val recall = seeded.count(found.contains).toDouble / seeded.length
+    assert(recall >= 0.9,
+      s"container perceptual recall: $recall over ${seeded.length} twins")
+    // and the JPEG half is exactly the population the OPAQUE hash loses
+    // under header drift: rebuild the key's JPEG corpus and run the
+    // opaque-fingerprint join — container recall must strictly beat it
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val twins = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        overlay(col("text"), lit("Q"),
+          greatest(length(col("text")) / 2, lit(1))).as("text"))
+    val jpgAll = Multimodal.withPayload(
+        docs.unionByName(twins).where(pmod(col("doc_id"), lit(2)) === 1))
+      .withColumn("payload", Multimodal.jpegHeader(
+        col("meta.width"), col("meta.height"),
+        concat(lit("resave-comment-padding-padding-"), col("doc_id"))
+          .substr(lit(1), (lit(5) + pmod(col("doc_id"), lit(23))).cast("int")),
+        encode(col("text"), "utf-8")))
+      .select("doc_id", "payload")
+    val jpgSeeded = seeded.filter(_._1 % 2 == 1)
+    assert(jpgSeeded.nonEmpty)
+    val opaqueFound = Multimodal.perceptualNearDup(jpgAll, maxHamming = 10)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val containerJpgRecall =
+      jpgSeeded.count(found.contains).toDouble / jpgSeeded.length
+    val opaqueJpgRecall =
+      jpgSeeded.count(opaqueFound.contains).toDouble / jpgSeeded.length
+    assert(containerJpgRecall > opaqueJpgRecall,
+      s"container recall $containerJpgRecall must beat opaque " +
+        s"$opaqueJpgRecall on header-drifted JPEGs")
+  }
+
   test("perceptualNearDupIncremental: dup_of_index ≡ full-pass restriction," +
       " statuses exercised, replay cannot grow the corpus") {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

@@ -1190,4 +1190,132 @@ class StreamingSpec extends SparkTestBase {
     assert(cardReplay.exceptAll(mergedNow).count() == 0 &&
       mergedNow.exceptAll(cardReplay).count() == 0)
   }
+
+  test("overlap-card compaction: compacted card ≡ uncompacted card ≡ " +
+      "one-shot, state file count bounded, replay across the boundary " +
+      "safe, foreign commitId rejected") {
+    import spark.implicits._
+    import graft.llm.Dedup
+
+    // five batches; cross-batch overlap (A's tokens reappear under B/C in
+    // later batches) so the card depends on history surviving compaction
+    val waves = (0 until 5).map { b =>
+      Seq((b * 10L + 1, "A", s"tok$b alpha shared phrase"),
+        (b * 10L + 2, "B", s"tok${math.max(b - 1, 0)} alpha shared phrase"),
+        (b * 10L + 3, if (b % 2 == 0) "A" else "C", s"solo$b gamma delta"))
+    }
+    val plainRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ovl-plain").toString
+    val compactRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ovl-compact").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val df = w.toDF("doc_id", "source", "text")
+      assert(Ingest.overlapCardBatch(df, i.toLong, plainRoot, k = 16))
+      assert(Ingest.overlapCardBatch(df, i.toLong, compactRoot, k = 16,
+        compactEvery = 2))
+    }
+    // final refreshed cards identical, and both equal the one-shot card
+    val cardPlain = spark.read.parquet(s"$plainRoot/card/batch_id=4")
+    val cardCompact = spark.read.parquet(s"$compactRoot/card/batch_id=4")
+    assert(cardPlain.exceptAll(cardCompact).count() == 0 &&
+      cardCompact.exceptAll(cardPlain).count() == 0)
+    val oneShot = Dedup.overlapFromState(Dedup.sourceOverlapState(
+      waves.flatten.toDF("doc_id", "source", "text"), k = 16))
+    assert(oneShot.exceptAll(cardCompact).count() == 0 &&
+      cardCompact.exceptAll(oneShot).count() == 0)
+    // compaction ran and bounded the state dir: a committed base exists,
+    // live deltas < compactEvery + this batch, total dirs bounded
+    val fs = new org.apache.hadoop.fs.Path(compactRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(new org.apache.hadoop.fs.Path(
+      compactRoot, "_compaction_marks/stream")).map(_.getPath.getName.toLong)
+    assert(marks.nonEmpty)
+    val k9 = marks.max
+    val liveDeltas = fs.listStatus(new org.apache.hadoop.fs.Path(
+        compactRoot, "state")).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(liveDeltas.forall(_ > k9), liveDeltas.mkString(","))
+    assert(liveDeltas.length <= 2,
+      s"state dir not bounded: ${liveDeltas.length} live deltas")
+    // replay across the compaction boundary: byte-identical card, no
+    // state growth
+    val last = waves.last.toDF("doc_id", "source", "text")
+    val marker = new org.apache.hadoop.fs.Path(
+      compactRoot, "_committed_batches/stream/4")
+    fs.delete(marker, false)
+    assert(Ingest.overlapCardBatch(last, 4L, compactRoot, k = 16,
+      compactEvery = 2))
+    val cardAfter = spark.read.parquet(s"$compactRoot/card/batch_id=4")
+    assert(cardAfter.exceptAll(cardPlain).count() == 0 &&
+      cardPlain.exceptAll(cardAfter).count() == 0)
+    // a foreign commitId cannot silently read past the compaction
+    val boom = intercept[IllegalStateException] {
+      Ingest.overlapCardBatch(last, 99L, compactRoot, k = 16,
+        commitId = "other")
+    }
+    assert(boom.getMessage.contains("commitId"))
+  }
+
+  test("trim-index compaction: bounded gram-index file count; trimmed " +
+      "rows and cross-batch catches identical to the uncompacted loop") {
+    import spark.implicits._
+
+    // the shared phrase appears ONCE in batch 0 and once in batch 4 —
+    // batch 4 can only trim it if batch 0's gram counts survived the
+    // compactions at batches 1 and 3
+    val phrase = "w1 w2 w3"
+    val waves = Seq(
+      Seq((1L, s"$phrase a0 b0 c0"), (2L, "x0 y0 z0 q0")),
+      Seq((11L, "x1 y1 z1 q1"), (12L, "r1 s1 t1 u1")),
+      Seq((21L, "x2 y2 z2 q2")),
+      Seq((31L, "x3 y3 z3 q3")),
+      Seq((41L, s"m4 n4 $phrase o4"), (42L, "x4 y4 z4 q4")))
+    val plainRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "trim-plain").toString
+    val compactRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "trim-compact").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val df = w.toDF("doc_id", "text")
+      assert(Ingest.repeatedTrimBatch(df, i.toLong, plainRoot,
+        n = 3, minCount = 2))
+      assert(Ingest.repeatedTrimBatch(df, i.toLong, compactRoot,
+        n = 3, minCount = 2, compactEvery = 2))
+    }
+    // per-batch trimmed rows byte-identical across the two loops
+    val tPlain = spark.read.parquet(s"$plainRoot/trimmed")
+      .collect().map(_.toSeq).toSet
+    val tCompact = spark.read.parquet(s"$compactRoot/trimmed")
+      .collect().map(_.toSeq).toSet
+    assert(tCompact == tPlain)
+    // the cross-batch catch REALLY rode the compacted base: doc 41 lost
+    // the phrase that entered the index at batch 0
+    val d41 = spark.read.parquet(s"$compactRoot/trimmed")
+      .where(col("doc_id") === 41L)
+      .select("kept_text").as[String].collect().head
+    assert(d41 == "m4 n4 o4", d41)
+    // gram-index file count bounded: live deltas above the newest mark,
+    // at most compactEvery of them, plus exactly one compacted base
+    val fs = new org.apache.hadoop.fs.Path(compactRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(new org.apache.hadoop.fs.Path(
+      compactRoot, "_compaction_marks/stream")).map(_.getPath.getName.toLong)
+    assert(marks.nonEmpty)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(
+        compactRoot, "gram_index")).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(live.forall(_ > marks.max) && live.length <= 2,
+      live.mkString(","))
+    val bases = fs.listStatus(new org.apache.hadoop.fs.Path(
+      compactRoot, "compacted")).map(_.getPath.getName)
+    assert(bases.length == 1 && bases.head == s"upto=${marks.max}",
+      bases.mkString(","))
+    // and the uncompacted loop still carries one delta dir per batch
+    // (the growth the compaction exists to bound)
+    val plainDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        plainRoot, "gram_index")).map(_.getPath.getName)
+      .count(_.startsWith("batch_id="))
+    assert(plainDirs == waves.length)
+  }
 }
