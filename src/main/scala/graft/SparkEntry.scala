@@ -1625,6 +1625,31 @@ object SparkEntry {
           tau = 0.95)
         .orderBy("vec_id")),
 
+    // §2 #57e — INCREMENTAL SemDeDup (the growing-corpus production
+    // shape, completing the batch+incremental pairing of every other
+    // dedup family): history (2/3 of the seeded corpus) bootstraps the
+    // FROZEN codebook (lowest-id init — production freezes clustering at
+    // index bootstrap; re-clustering would reshuffle every historical
+    // cell) and dedups itself into the kept-vector index; the batch
+    // (1/3) assigns under the same codebook, dedups against the index
+    // cell-confined, then the survivors run the within-batch keep-first
+    // rule. Statuses dup_of_index (min kept partner + that pair's 6dp
+    // cosine) / dup_in_batch / accepted — the accepted rows are what the
+    // lake appends, so the loop composes with itself (the streaming pair
+    // is Ingest.semanticDedupWriter).
+    "semantic_dedup_incremental" -> ((s, dir) => {
+      val e = embeddingsWithNearDups(s, dir)
+      val hist = e.where(col("vec_id") % 3 =!= 0)
+      val batch = e.where(col("vec_id") % 3 === 0)
+      val centers = Similarity.trainCodebook(hist, k = 8)
+      val kept = Similarity.semanticDedupWith(hist, centers, tau = 0.95)
+        .where(col("kept") === 1).select("vec_id", "cluster")
+      val keptIdx = hist.join(kept, "vec_id")
+      Similarity.semanticDedupIncremental(batch, keptIdx, centers,
+          tau = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // §2 #57c — SSL-prototype pruning (Sorscher et al. 2022): rank every
     // vector by cosine to its (1-Lloyd-iteration) cluster centroid, drop
     // the most prototypical 25% of each cell and flag the least
@@ -5085,6 +5110,78 @@ object SparkEntry {
         |       CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
         |         AS kept
         |FROM av LEFT JOIN p USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // Incremental SemDeDup: history's lowest-id codebook (FROZEN),
+    // history self-dedup → kept index, batch assignment under the same
+    // codebook, cell-confined index probe, within-batch keep-first.
+    "semantic_dedup_incremental" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(len(v)),
+        |           i -> v[i+1] + 0.01 * ((i % 7) - 3)) AS v
+        |  FROM e0 WHERE vec_id % 5 = 0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM aug),
+        |hist AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+        |bat AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |  FROM (SELECT * FROM hist ORDER BY vec_id LIMIT 8)),
+        |sh AS (
+        |  SELECT h.vec_id, c.cell,
+        |         round(list_cosine_similarity(h.v, c.cv), 6) AS sim
+        |  FROM hist h CROSS JOIN cent c),
+        |bh AS (SELECT vec_id, max(sim) AS best FROM sh GROUP BY 1),
+        |ah AS (
+        |  SELECT q.vec_id, CAST(min(q.cell) AS INTEGER) AS cluster
+        |  FROM sh q JOIN bh b ON b.vec_id = q.vec_id AND q.sim = b.best
+        |  GROUP BY 1),
+        |avh AS (SELECT a.vec_id, a.cluster, h.v
+        |        FROM ah a JOIN hist h USING (vec_id)),
+        |kepth AS (
+        |  SELECT x.* FROM avh x
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM avh y
+        |    WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+        |      AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.95)),
+        |sb AS (
+        |  SELECT t.vec_id, c.cell,
+        |         round(list_cosine_similarity(t.v, c.cv), 6) AS sim
+        |  FROM bat t CROSS JOIN cent c),
+        |bb2 AS (SELECT vec_id, max(sim) AS best FROM sb GROUP BY 1),
+        |ab AS (
+        |  SELECT q.vec_id, CAST(min(q.cell) AS INTEGER) AS cluster
+        |  FROM sb q JOIN bb2 b ON b.vec_id = q.vec_id AND q.sim = b.best
+        |  GROUP BY 1),
+        |avb AS (SELECT a.vec_id, a.cluster, t.v
+        |        FROM ab a JOIN bat t USING (vec_id)),
+        |di AS (
+        |  SELECT x.vec_id, min(y.vec_id) AS match_id,
+        |         arg_min(round(list_cosine_similarity(x.v, y.v), 6),
+        |                 y.vec_id) AS sim
+        |  FROM avb x JOIN kepth y ON x.cluster = y.cluster
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.95
+        |  GROUP BY 1),
+        |rest AS (
+        |  SELECT * FROM avb
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM di)),
+        |db AS (
+        |  SELECT x.vec_id, min(y.vec_id) AS match_id,
+        |         arg_min(round(list_cosine_similarity(x.v, y.v), 6),
+        |                 y.vec_id) AS sim
+        |  FROM rest x JOIN rest y
+        |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.95
+        |  GROUP BY 1)
+        |SELECT a.vec_id, a.cluster,
+        |       CASE WHEN di.vec_id IS NOT NULL THEN 'dup_of_index'
+        |            WHEN db.vec_id IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'accepted' END AS status,
+        |       coalesce(di.match_id, db.match_id) AS match_id,
+        |       coalesce(di.sim, db.sim) + 0.0 AS sim
+        |FROM avb a LEFT JOIN di USING (vec_id) LEFT JOIN db USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     // same 1-Lloyd-iteration chain as embed_kmeans_lloyd, then the
     // per-cell prototypicality window: rank by 6dp sim DESC, id ASC

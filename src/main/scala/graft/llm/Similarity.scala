@@ -456,6 +456,21 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    assignWith(v, trainCodebook(vecs, k, iters, idCol, vecCol))
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
+  }
+
+  /** Train and RETURN the codebook (k×dim doubles — a bounded driver
+    * artifact, the IVF-codebook posture): deterministic lowest-id init +
+    * `iters` distributed Lloyd iterations ([[kmeansLloyd]]'s loop). The
+    * entry point for pipelines that FREEZE the clustering — the
+    * incremental SemDeDup loop bootstraps its codebook once and every
+    * later batch assigns under it, because re-clustering would reshuffle
+    * every historical cell assignment. */
+  def trainCodebook(vecs: DataFrame, k: Int = 8, iters: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[Array[Double]] = {
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     var centers = initCenters(v, k, idCol)
     for (_ <- 0 until iters) {
       val means = assignWith(v, centers)
@@ -469,9 +484,19 @@ object Similarity {
       centers = centers.indices.map(c =>
         means.get(c).map(_.toArray).getOrElse(centers(c))).toArray
     }
-    assignWith(v, centers)
-      .select(col(idCol), col("cluster"), col("centroid_sim"))
+    centers
   }
+
+  /** [[kmeansAssign]] under an EXPLICIT frozen codebook — the assignment
+    * every batch of the incremental SemDeDup loop runs (map-only fused
+    * [[graft.functions.NearestCentroid]] pass, zero shuffle). */
+  def kmeansAssignWith(vecs: DataFrame, centers: Array[Array[Double]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    assignWith(
+        vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+        centers)
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
 
   /** SemDeDup within-cluster semantic dedup: inside each k-means cell,
     * a vector is a duplicate if some LOWER-id cell-mate has cosine >=
@@ -507,8 +532,25 @@ object Similarity {
   def semanticDedup(vecs: DataFrame, k: Int = 8, tau: Double = 0.95,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxCell: Option[Int] = None): DataFrame = {
-    val a = assigned(vecs, k, idCol, vecCol)
+                    maxCell: Option[Int] = None): DataFrame =
+    semanticDedupCore(assigned(vecs, k, idCol, vecCol), tau, idCol, maxCell)
+
+  /** [[semanticDedup]] under an EXPLICIT frozen codebook (see
+    * [[trainCodebook]]) — the full-pass reference the incremental loop's
+    * ≡-pin restricts, and the batch operator a pipeline with a stored
+    * clustering runs. */
+  def semanticDedupWith(vecs: DataFrame, centers: Array[Array[Double]],
+                        tau: Double = 0.95, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxCell: Option[Int] = None): DataFrame =
+    semanticDedupCore(
+      assignWith(
+        vecs.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+        centers),
+      tau, idCol, maxCell)
+
+  private def semanticDedupCore(a: DataFrame, tau: Double, idCol: String,
+                                maxCell: Option[Int]): DataFrame = {
     val (lhs, rhs, joinKeys) = maxCell match {
       case None =>
         (a.select(col(idCol).as("_ida"), col("cluster"), col("_v").as("_va")),
@@ -537,6 +579,108 @@ object Similarity {
         coalesce(col("n_dups_prev"), lit(0L)).as("n_dups_prev"),
         col("max_sim_prev"),
         col("n_dups_prev").isNull.cast("int").as("kept"))
+  }
+
+  /** Incremental SemDeDup — the growing-corpus production shape of
+    * [[semanticDedup]], completing the batch+incremental pairing every
+    * other dedup family here already has (exact / URL / span / MinHash /
+    * SimHash / perceptual): each new embedding batch is assigned under
+    * the FROZEN codebook `centers` (bootstrapped once via
+    * [[trainCodebook]] — production freezes the clustering because
+    * re-clustering would reshuffle every historical cell), compared
+    * against the accumulated KEPT-vector index restricted to its own
+    * cells, and the index-survivors then run the within-batch keep-first
+    * rule among themselves. Decisions are per-batch-final, like every
+    * incremental dedup here.
+    *
+    * Output per batch row: (idCol, cluster, status, match_id, sim) with
+    * status ∈ {dup_of_index, dup_in_batch, accepted}; match_id is the
+    * MIN matching kept id (sim = that pair's 6dp cosine) for
+    * dup_of_index, the min lower-id surviving batch cellmate for
+    * dup_in_batch, null otherwise. The accepted rows (with their cluster
+    * and vector) are what a lake appends to the index, so the loop
+    * composes with itself — `keptIndex` carries (idCol, cluster,
+    * vecCol).
+    *
+    * LlmSpec pins a hand case covering all three statuses with exact
+    * match provenance, 100% dup_of_index on seeded twins whose kept
+    * source shares their cell, replay-cannot-grow (a re-ingested
+    * accepted vector matches ITSELF at cosine 1), and maxCell ≡ plain;
+    * the oracle pins the full decision frame cross-engine. Like every
+    * keep-first dedup, decisions are survivor-relative: a batch vector
+    * whose only close pair was itself dropped (non-transitivity of
+    * cosine) is accepted — the published incremental semantics, same as
+    * [[MinHashLsh.nearDupIncremental]].
+    *
+    * Scale posture: assignment is map-only against the broadcast frozen
+    * codebook; the index join is cell-confined (equi-join on cluster —
+    * never corpus-pairwise; `maxCell` salt-blocks a hot cell exactly
+    * like the batch operator); historical vectors ship once per
+    * MATCHED cell from the index relation (bucketed on cluster in the
+    * lake, the join co-locates); per-batch cost is O(batch + matched
+    * cells), independent of corpus age. */
+  def semanticDedupIncremental(batch: DataFrame, keptIndex: DataFrame,
+                               centers: Array[Array[Double]],
+                               tau: Double = 0.95,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxCell: Option[Int] = None): DataFrame = {
+    val b = assignWith(
+      batch.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+      centers)
+    val idx = keptIndex.select(col(idCol).as("_kid"), col("cluster"),
+      col(vecCol).cast("array<double>").as("_kv"))
+    // batch × kept-index, cell-confined; optional hot-cell salt blocks
+    // (index side hashed into m blocks, batch side replicated per block —
+    // the semanticDedup maxCell pattern on a two-sided join)
+    val (bSide, iSide, keys) = maxCell match {
+      case None =>
+        (b.select(col(idCol), col("cluster"), col("_v")), idx, Seq("cluster"))
+      case Some(cap) =>
+        require(cap >= 1, "maxCell must be >= 1")
+        val m = idx.groupBy(col("cluster"))
+          .agg(ceil(count(lit(1)).cast("double") / cap).cast("int").as("_m"))
+        (b.select(col(idCol), col("cluster"), col("_v"))
+           .join(broadcast(m), Seq("cluster"), "left")
+           .withColumn("_blk", explode(
+             sequence(lit(0), greatest(coalesce(col("_m"), lit(1)), lit(1)) - 1)))
+           .drop("_m"),
+         idx.join(broadcast(m), Seq("cluster"))
+           .withColumn("_blk", pmod(xxhash64(col("_kid")), col("_m")).cast("int"))
+           .drop("_m"),
+         Seq("cluster", "_blk"))
+    }
+    val dupIdx = bSide.join(iSide, keys)
+      .withColumn("_sim", round(cos(col("_v"), col("_kv")), 6))
+      .where(col("_sim") >= tau)
+      .groupBy(col(idCol))
+      .agg(min(col("_kid")).as("match_id"),
+        min_by(col("_sim"), col("_kid")).as("sim"))
+    // index-survivors run the batch operator's keep-first rule among
+    // THEMSELVES (direct lower-id pairs, not transitive — exactly
+    // semanticDedup's election)
+    val rest = b.join(dupIdx.select(col(idCol)), Seq(idCol), "left_anti")
+    val dupBatch = rest.select(col(idCol).as("_ida"), col("cluster"),
+        col("_v").as("_va"))
+      .join(rest.select(col(idCol).as("_idb"), col("cluster"),
+        col("_v").as("_vb")), Seq("cluster"))
+      .where(col("_idb") < col("_ida"))
+      .withColumn("_sim", round(cos(col("_va"), col("_vb")), 6))
+      .where(col("_sim") >= tau)
+      .groupBy(col("_ida"))
+      .agg(min(col("_idb")).as("match_id"),
+        min_by(col("_sim"), col("_idb")).as("sim"))
+    val decided = dupIdx
+      .select(col(idCol), lit("dup_of_index").as("status"),
+        col("match_id"), col("sim"))
+      .unionByName(dupBatch
+        .select(col("_ida").as(idCol), lit("dup_in_batch").as("status"),
+          col("match_id"), col("sim")))
+    b.select(col(idCol), col("cluster"))
+      .join(decided, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("status"), lit("accepted")).as("status"),
+        col("match_id"), col("sim"))
   }
 
   /** SSL-prototype data pruning ("Beyond neural scaling laws: beating

@@ -364,6 +364,104 @@ object Ingest {
     true
   }
 
+  /** Streaming incremental SEMANTIC dedup — the production loop around
+    * [[graft.llm.Similarity.semanticDedupIncremental]] (growing-corpus
+    * SemDeDup): the FIRST batch bootstraps the frozen codebook
+    * ([[graft.llm.Similarity.trainCodebook]], written once to
+    * `indexRoot/codebook` behind its own marker — deterministic, so a
+    * crash-window replay retrains the identical codebook from the same
+    * replayed batch), and every batch then assigns under it, dedups
+    * against the accumulated kept-vector index at `indexRoot/index`
+    * (per-batch `batch_id=N` subdirs — the shared [[deltaSnapshot]] /
+    * [[maybeCompactState]] machinery, `compactEvery` bounds file count),
+    * writes decisions to `decisions/batch_id=N`, and stores its accepted
+    * vectors back to the index. `foreachBatch` because the index and
+    * codebook are cross-batch state (the [[nearDupWriter]] reasoning).
+    *
+    * Delivery: committed batch ids are skipped outright; own-subdir
+    * overwrite + own-partition exclusion on the index read make a
+    * crash-window replay byte-identical (StreamingSpec pins stream ≡
+    * batch loop and replay identity). */
+  def semanticDedupWriter(docs: DataFrame, indexRoot: String, k: Int = 8,
+                          tau: Double = 0.95, iters: Int = 0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          maxCell: Option[Int] = None,
+                          commitId: String = "stream",
+                          compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        semanticDedupBatch(batch.toDF(), batchId, indexRoot, k, tau, iters,
+          idCol, vecCol, maxCell, commitId, compactEvery)
+        ()
+      }
+
+  /** One idempotent micro-batch of [[semanticDedupWriter]]: load (or
+    * bootstrap) the frozen codebook → dedup against the index (own
+    * residue excluded) → overwrite `decisions/batch_id=N` → overwrite
+    * the accepted vectors' own `index/batch_id=N` slice → commit marker
+    * → (optionally) compact. Returns false when already committed. */
+  def semanticDedupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                         k: Int = 8, tau: Double = 0.95, iters: Int = 0,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCell: Option[Int] = None,
+                         commitId: String = "stream",
+                         compactEvery: Int = 0): Boolean = {
+    import graft.llm.Similarity
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_committed_batches/$commitId/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    // frozen codebook: bootstrap from the first batch, then load forever
+    val cbPath = new org.apache.hadoop.fs.Path(indexRoot, "codebook")
+    val cbMark = new org.apache.hadoop.fs.Path(
+      indexRoot, s"_codebook_mark/$commitId")
+    val centers: Array[Array[Double]] =
+      if (fs.exists(cbMark))
+        spark.read.parquet(cbPath.toString).orderBy(col("cell"))
+          .collect().map(_.getSeq[Double](1).toArray)
+      else {
+        val c = Similarity.trainCodebook(batch, k, iters, idCol, vecCol)
+        import spark.implicits._
+        c.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
+          .toDF("cell", "cv")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(cbPath.toString)
+        val mo = fs.create(cbMark, true)
+        try mo.write(Array.emptyByteArray) finally mo.close()
+        c
+      }
+    def emptyIndex = batch.limit(0).select(col(idCol),
+      lit(0).cast("int").as("cluster"),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val index = deltaSnapshot(spark, indexRoot, "index", commitId,
+      excludeBatch = Some(batchId), emptyIndex,
+      Seq(idCol, "cluster", vecCol))
+    Similarity.semanticDedupIncremental(batch, index, centers, tau,
+        idCol, vecCol, maxCell)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+    val accepted = spark.read.parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+      .where(col("status") === "accepted")
+      .select(col(idCol), col("cluster"))
+    batch.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .join(accepted, Seq(idCol))
+      .select(col(idCol), col("cluster"), col(vecCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"index/batch_id=$batchId").toString)
+    val out = fs.create(marker, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, indexRoot, "index", commitId, batchId,
+      compactEvery, identity, emptyIndex, Seq(idCol, "cluster", vecCol))
+    true
+  }
+
   /** Streaming incremental repeated-gram TRIM — the production loop
     * around [[graft.llm.Dedup.repeatedNgramTrimIncremental]], completing
     * the batch+streaming pairing the exact and near-dup incremental

@@ -767,6 +767,94 @@ class LlmSpec extends SparkTestBase {
     assert(out == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1))
   }
 
+  test("semanticDedupIncremental: hand-case statuses + match provenance, " +
+      "twin recall against the kept index, replay cannot grow the corpus, " +
+      "maxCell split identical") {
+    import spark.implicits._
+    // hand case: codebook anchors 1 (cell 0) and 2 (cell 1); 3 dups 1 so
+    // the kept index is exactly {1, 2}
+    val hist = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(2.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val centers = Similarity.trainCodebook(hist, k = 2)
+    val keptH = Similarity.semanticDedupWith(hist, centers, tau = 0.95)
+      .where(col("kept") === 1).select("vec_id", "cluster")
+    assert(keptH.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    val keptIdx = hist.join(keptH, "vec_id")
+    val batch = Seq(
+      (10L, Seq(3.0, 0.0, 0.0, 0.0)),   // dup_of_index: match 1, sim 1.0
+      (11L, Seq(0.0, 0.5, 0.1, 0.0)),   // dup_of_index: match 2, .980581
+      (12L, Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal → accepted
+      (13L, Seq(0.0, 0.0, 0.9, -0.1)))  // dup_in_batch of 12 (.993884)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupIncremental(batch, keptIdx, centers,
+        tau = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("sim")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (10L, "dup_of_index", Some(1L), Some(1.0)),
+      (11L, "dup_of_index", Some(2L), Some(0.980581)),
+      (12L, "accepted", None, None),
+      (13L, "dup_in_batch", Some(12L), Some(0.993884))), out.mkString("\n"))
+    // replay-cannot-grow: append the accepted vector to the index and
+    // rerun — it matches ITSELF at cosine 1.0, so nothing re-enters
+    val cl12 = out.collectFirst { case (12L, _, _, _) => () }
+    assert(cl12.isDefined)
+    val idx2 = keptIdx.unionByName(
+      Seq((12L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+        .join(Similarity.kmeansAssignWith(
+          Seq((12L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+          centers).select("vec_id", "cluster"), "vec_id"))
+    val replay = Similarity.semanticDedupIncremental(
+        batch.where(col("vec_id") === 12L), idx2, centers, tau = 0.95)
+      .collect().head
+    assert(replay.getAs[String]("status") == "dup_of_index" &&
+      replay.getAs[Long]("match_id") == 12L &&
+      replay.getAs[Double]("sim") == 1.0)
+
+    // corpus case (the contract key's shape): every batch twin whose
+    // SOURCE is kept in the index and shares its cell must come back
+    // dup_of_index — the seeded pairs sit at cosine ≥ .99, far over tau
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val aug = e0.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + lit(0.01) * (pmod(i, lit(7)) - lit(3)))
+          .as("embedding"))
+    val corpus = e0.unionByName(aug)
+    val h2 = corpus.where(col("vec_id") % 3 =!= 0)
+    val b2 = corpus.where(col("vec_id") % 3 === 0)
+    val c2 = Similarity.trainCodebook(h2, k = 8)
+    val k2 = Similarity.semanticDedupWith(h2, c2, tau = 0.95)
+      .where(col("kept") === 1).select("vec_id", "cluster")
+    val ki2 = h2.join(k2, "vec_id")
+    val out2 = Similarity.semanticDedupIncremental(b2, ki2, c2, tau = 0.95)
+    val byId = out2.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[String]("status"))).toMap
+    val keptCells = ki2.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val crossTwins = byId.keys.filter(_ >= 1000000L)
+      .filter(t => keptCells.contains(t - 1000000L))
+    assert(crossTwins.nonEmpty, "no cross-split twins — test data too weak")
+    val sameCell = crossTwins.filter(t =>
+      keptCells(t - 1000000L) == byId(t)._1)
+    assert(sameCell.nonEmpty)
+    assert(sameCell.forall(t => byId(t)._2 == "dup_of_index"),
+      sameCell.filterNot(t => byId(t)._2 == "dup_of_index").mkString(","))
+    // maxCell salt blocks: bit-identical to the plain join
+    val split = Similarity.semanticDedupIncremental(b2, ki2, c2,
+      tau = 0.95, maxCell = Some(7))
+    assert(split.exceptAll(out2).count() == 0 &&
+      out2.exceptAll(split).count() == 0)
+  }
+
   test("semanticDedup maxCell salt-split is bit-identical to the plain join") {
     // one deliberately hot cell: 40 of 60 vectors ride the cell-0 codebook
     // direction with per-id jitter; maxCell=5 forces ceil(40/5)=8 salt

@@ -1191,6 +1191,90 @@ class StreamingSpec extends SparkTestBase {
       mergedNow.exceptAll(cardReplay).count() == 0)
   }
 
+  test("streaming semantic dedup loop: codebook bootstraps once, " +
+      "decisions equal the hand-composed batch loop, replay is " +
+      "byte-identical, compaction bounds the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Similarity
+
+    val w1 = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(2.0, 0.0, 0.0, 0.0)))   // dup of 1 within wave 1
+    val w2 = Seq(
+      (10L, Seq(3.0, 0.0, 0.0, 0.0)),  // dup_of_index (1)
+      (12L, Seq(0.0, 0.0, 1.0, 0.0)),  // accepted
+      (13L, Seq(0.0, 0.0, 0.9, -0.1))) // dup_in_batch (12)
+    val w3 = Seq(
+      (20L, Seq(0.0, 0.0, 2.0, 0.0)),  // dup_of_index (12, cross-batch)
+      (21L, Seq(1.0, 1.0, 0.0, 0.0)))  // cos .707 to anchors → accepted
+
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sem-ix").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Ingest.semanticDedupWriter(
+      input.toDF().toDF("vec_id", "embedding"), root, k = 2, tau = 0.95,
+      compactEvery = 2).start()
+    Seq(w1, w2, w3).foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+
+    // reference: the same three waves hand-composed through the batch API
+    // (codebook frozen from wave 1, index = accumulated accepted vectors)
+    def df(w: Seq[(Long, Seq[Double])]) = w.toDF("vec_id", "embedding")
+    val centers = Similarity.trainCodebook(df(w1), k = 2)
+    def emptyIdx = df(w1).limit(0).select(col("vec_id"),
+      lit(0).cast("int").as("cluster"), col("embedding"))
+    var idx = emptyIdx
+    val refs = Seq(w1, w2, w3).map { w =>
+      val d = Similarity.semanticDedupIncremental(df(w), idx, centers,
+        tau = 0.95)
+      idx = idx.unionByName(df(w).join(
+        d.where(col("status") === "accepted").select("vec_id", "cluster"),
+        "vec_id").select("vec_id", "cluster", "embedding"))
+      d.collect().map(_.toSeq).toSet
+    }
+    Seq(0, 1, 2).foreach { b =>
+      val got = spark.read.parquet(s"$root/decisions/batch_id=$b")
+        .collect().map(_.toSeq).toSet
+      assert(got == refs(b), s"batch $b decisions diverge")
+    }
+    // cross-batch catch really happened
+    assert(spark.read.parquet(s"$root/decisions/batch_id=2")
+      .where(col("vec_id") === 20L && col("status") === "dup_of_index" &&
+        col("match_id") === 12L).count() == 1)
+    // the frozen codebook was written once and round-trips
+    val cb = spark.read.parquet(s"$root/codebook").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(cb.length == 2 && cb.zip(centers).forall {
+      case (a, b2) => a.sameElements(b2) })
+    // compaction bounded the index: batches 0-1 folded into one base,
+    // only newer deltas live
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(new org.apache.hadoop.fs.Path(
+      root, "_compaction_marks/stream")).map(_.getPath.getName.toLong)
+    assert(marks.nonEmpty && marks.max >= 1L)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(root, "index"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(live.forall(_ > marks.max), live.mkString(","))
+    // committed batch id: skipped outright
+    assert(!Ingest.semanticDedupBatch(df(w3), 2L, root, k = 2, tau = 0.95,
+      compactEvery = 2))
+    // crash-window replay of an UNFOLDED batch: byte-identical decisions,
+    // index unchanged (own-partition exclusion + own-subdir overwrite)
+    val marker = new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/2")
+    fs.delete(marker, false)
+    val idxCount = spark.read.parquet(s"$root/index").count()
+    assert(Ingest.semanticDedupBatch(df(w3), 2L, root, k = 2, tau = 0.95,
+      compactEvery = 2))
+    assert(spark.read.parquet(s"$root/decisions/batch_id=2")
+      .collect().map(_.toSeq).toSet == refs(2))
+    assert(spark.read.parquet(s"$root/index").count() == idxCount)
+  }
+
   test("overlap-card compaction: compacted card ≡ uncompacted card ≡ " +
       "one-shot, state file count bounded, replay across the boundary " +
       "safe, foreign commitId rejected") {
