@@ -621,6 +621,52 @@ object ScaleProbe {
       }
       Seq(runTrim("trim_incr_ix1", nd), runTrim("trim_incr_ix2", nd * 2))
     } ++ {
+      // incremental SemDeDup: FIXED batch vs a pre-built kept-vector
+      // index. Unlike the hash-keyed incrementals, the cell probe ships
+      // the MATCHED cells' index VECTORS, so at fixed k doubling the
+      // index doubles the probe's join input — the production contract is
+      // k ∝ corpus (SemDeDup runs ~50k cells at web scale), which keeps
+      // per-cell mass bounded. The probe therefore doubles index AND k
+      // together; BASELINE.md compares the two walls (claim: ~flat).
+      // Batch = half exact-direction twins of indexed vectors (cosine
+      // 1.0 — scale-invariant — so they MUST come back dup_of_index when
+      // cells match), half fresh near-orthogonal vectors.
+      val nv = math.max(n / 64, 2000L)
+      val semBatch = math.max(nv / 8, 500L)
+      def vecsOf(m: Long, tag: Int) =
+        spark.range(m).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(31)), i =>
+            pmod(xxhash64(col("id"), i + lit(tag * 100 + 1)), lit(2000L))
+              / 1000.0 - 1.0).as("embedding"))
+      def semBatchOf(m: Long) = {
+        val twins = vecsOf(m, 0).where(col("vec_id") < semBatch / 2)
+          .select((col("vec_id") + m * 10).as("vec_id"),
+            transform(col("embedding"), x => x * 1.0001).as("embedding"))
+        val fresh = vecsOf(semBatch / 2, 7)
+          .select((col("vec_id") + m * 20).as("vec_id"), col("embedding"))
+        twins.unionByName(fresh)
+      }
+      def runSem(name: String, m: Long, k: Int): (String, Double) = {
+        if (only.nonEmpty && !only(name)) return name -> -1.0
+        val centers = graft.llm.Similarity.trainCodebook(vecsOf(m, 0), k)
+        val idx = vecsOf(m, 0).join(
+            graft.llm.Similarity.kmeansAssignWith(vecsOf(m, 0), centers)
+              .select("vec_id", "cluster"), "vec_id")
+          .cache()
+        idx.count()
+        val r = time(name) {
+          val out = graft.llm.Similarity.semanticDedupIncremental(
+            semBatchOf(m), idx, centers, tau = 0.95)
+          val matched = out.where(col("status") === "dup_of_index").count()
+          require(matched > 0, s"$name: no twin matched — probe is vacuous")
+          out.count()
+        }
+        idx.unpersist(blocking = true)
+        r
+      }
+      Seq(runSem("semdedup_incr_ix1", nv, 64),
+        runSem("semdedup_incr_ix2", nv * 2, 128))
+    } ++ {
       // cross-source overlap at corpus scale: nd docs over 20 sources,
       // every 7th doc's text duplicated into the next source. The claim:
       // the exact matrix pays ONE fingerprint-grain exchange (O(distinct
