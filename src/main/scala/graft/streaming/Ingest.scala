@@ -414,10 +414,18 @@ object Ingest {
       indexRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    // frozen codebook: bootstrap from the first batch, then load forever
+    // frozen codebook: bootstrap from the first NON-EMPTY batch, then
+    // load forever. An empty batch before bootstrap (a stream can open
+    // with one) commits as a no-op — it carries no vectors to decide and
+    // must not crash the codebook trainer or freeze a vacuous codebook.
     val cbPath = new org.apache.hadoop.fs.Path(indexRoot, "codebook")
     val cbMark = new org.apache.hadoop.fs.Path(
       indexRoot, s"_codebook_mark/$commitId")
+    if (!fs.exists(cbMark) && batch.isEmpty) {
+      val out = fs.create(marker, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      return true
+    }
     val centers: Array[Array[Double]] =
       if (fs.exists(cbMark))
         spark.read.parquet(cbPath.toString).orderBy(col("cell"))

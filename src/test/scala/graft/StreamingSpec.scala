@@ -1273,6 +1273,19 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/decisions/batch_id=2")
       .collect().map(_.toSeq).toSet == refs(2))
     assert(spark.read.parquet(s"$root/index").count() == idxCount)
+
+    // an EMPTY first batch (streams can open with one) commits as a
+    // no-op without freezing a vacuous codebook; the first non-empty
+    // batch bootstraps normally
+    val root2 = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sem-ix2").toString
+    assert(Ingest.semanticDedupBatch(df(w1).limit(0), 0L, root2, k = 2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      root2, "_codebook_mark/stream")))
+    assert(!Ingest.semanticDedupBatch(df(w1).limit(0), 0L, root2, k = 2),
+      "the empty batch must still commit its marker")
+    assert(Ingest.semanticDedupBatch(df(w1), 1L, root2, k = 2))
+    assert(spark.read.parquet(s"$root2/decisions/batch_id=1").count() == 3)
   }
 
   test("overlap-card compaction: compacted card ≡ uncompacted card ≡ " +
