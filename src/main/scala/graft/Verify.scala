@@ -74,7 +74,11 @@ object Verify {
         Files.writeString(t2, env)
         Files.move(t2, Paths.get("VERIFY_STATUS_LAST.json"),
           StandardCopyOption.REPLACE_EXISTING)
-      } catch { case _: Throwable => }
+      } catch {
+        // NonFatal only: an unwritable cwd must not fail the dump, but a
+        // dying driver (OOM, interrupt) must not be masked here either
+        case scala.util.control.NonFatal(_) =>
+      }
     }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

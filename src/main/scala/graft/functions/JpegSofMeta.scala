@@ -73,6 +73,10 @@ object JpegSofMeta {
         if (len < 2) return -1
         if (isSof(marker)) {
           if (markerAt + 8 >= bytes.length) return -1
+          // a declared SOF length extending past the payload (truncated
+          // body) must take the opaque fallback in hashContainer, not a
+          // silent null hash that never pairs
+          if (markerAt + 1 + len > bytes.length) return -1
           return markerAt + 1 + len
         }
         pos = markerAt + 1 + len

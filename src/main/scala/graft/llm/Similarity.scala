@@ -658,12 +658,30 @@ object Similarity {
         min_by(col("_sim"), col("_kid")).as("sim"))
     // index-survivors run the batch operator's keep-first rule among
     // THEMSELVES (direct lower-id pairs, not transitive — exactly
-    // semanticDedup's election)
+    // semanticDedup's election); `maxCell` salt-blocks a hot cell INSIDE
+    // the batch too (lhs replicated over blocks, rhs hashed into one —
+    // the semanticDedup self-join pattern), not just on the index probe
     val rest = b.join(dupIdx.select(col(idCol)), Seq(idCol), "left_anti")
-    val dupBatch = rest.select(col(idCol).as("_ida"), col("cluster"),
-        col("_v").as("_va"))
-      .join(rest.select(col(idCol).as("_idb"), col("cluster"),
-        col("_v").as("_vb")), Seq("cluster"))
+    val (restA, restB, restKeys) = maxCell match {
+      case None =>
+        (rest.select(col(idCol).as("_ida"), col("cluster"),
+           col("_v").as("_va")),
+         rest.select(col(idCol).as("_idb"), col("cluster"),
+           col("_v").as("_vb")),
+         Seq("cluster"))
+      case Some(cap) =>
+        val m = rest.groupBy(col("cluster"))
+          .agg(ceil(count(lit(1)).cast("double") / cap).cast("int").as("_m"))
+        val withM = rest.join(broadcast(m), Seq("cluster"))
+        (withM.select(col(idCol).as("_ida"), col("cluster"),
+           col("_v").as("_va"),
+           explode(sequence(lit(0), col("_m") - 1)).as("_blk")),
+         withM.select(col(idCol).as("_idb"), col("cluster"),
+           col("_v").as("_vb"),
+           pmod(xxhash64(col(idCol)), col("_m")).cast("int").as("_blk")),
+         Seq("cluster", "_blk"))
+    }
+    val dupBatch = restA.join(restB, restKeys)
       .where(col("_idb") < col("_ida"))
       .withColumn("_sim", round(cos(col("_va"), col("_vb")), 6))
       .where(col("_sim") >= tau)

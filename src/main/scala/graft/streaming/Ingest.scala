@@ -209,67 +209,89 @@ object Ingest {
     * [[shardWriter]]'s packing); within a batch the near-dup clustering
     * elects min-id survivors exactly as the batch operator does.
     *
-    * Delivery: batch ids that already carry a commit marker are skipped,
-    * as in [[writeShardBatch]]. The residual crash window (index appended,
-    * marker not yet written) is SELF-HEALING here: on replay the
-    * previously-accepted docs match their own index rows at Jaccard 1.0
-    * and come back `dup_of_index` with `match_id == doc_id`, so the index
-    * cannot grow twice (the replay-idempotency property LlmSpec pins for
-    * the batch API); only the decision log sees the degraded
-    * accepted→self-dup record, and `match_id == doc_id` disambiguates it
-    * as a replay, not a real duplicate. */
+    * Delivery: committed batch ids are skipped outright; decisions and
+    * index slices live in per-batch `batch_id=N/` subdirectories
+    * OVERWRITTEN in place (the [[perceptualDedupBatch]] /
+    * [[urlDedupBatch]] shape, via the shared [[deltaSnapshot]] /
+    * [[maybeCompactState]] machinery), and the dedup EXCLUDES the current
+    * batch's own partition when reading the index, so a crash-window
+    * replay (index written, marker missing) recomputes against exactly
+    * the pre-batch index view: byte-identical decisions, no duplicate
+    * signature rows (which would inflate maxBucket's combined band-bucket
+    * population for every later batch), no contradictory
+    * accepted→self-dup status flips persisting in the log. `compactEvery`
+    * bounds the index file count; a foreign commitId on a compacted
+    * index fails loudly. (A re-ingest of already-accepted docs under a
+    * genuinely NEW batch id still self-heals: they match their own index
+    * rows at Jaccard 1.0 and come back `dup_of_index` with
+    * `match_id == doc_id` — the replay-idempotency property LlmSpec pins
+    * for the batch API.) */
   def nearDupWriter(docs: DataFrame, indexRoot: String, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
                     k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                     seed: Int = 42, maxBucket: Option[Int] = None,
-                    commitId: String = "stream"): DataStreamWriter[Row] =
+                    commitId: String = "stream",
+                    compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         nearDupBatch(batch.toDF(), batchId, indexRoot, threshold, idCol,
-          textCol, k, bands, shingleN, seed, maxBucket, commitId)
+          textCol, k, bands, shingleN, seed, maxBucket, commitId,
+          compactEvery)
         ()
       }
 
   /** One idempotent micro-batch of [[nearDupWriter]]: dedup against the
-    * index → append accepted index rows → log decisions → commit marker.
-    * Returns false (and writes nothing) when the batch id is already
-    * committed. */
+    * index (own residue excluded) → overwrite `decisions/batch_id=N` →
+    * overwrite the accepted docs' own `index/batch_id=N` signature slice
+    * → commit marker → (optionally) compact the index (identity fold:
+    * each accepted doc's signature lives in exactly one batch slice, so
+    * compaction just bounds the file count). Returns false (and writes
+    * nothing) when the batch id is already committed. */
   def nearDupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    threshold: Double, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, seed: Int = 42,
                    maxBucket: Option[Int] = None,
-                   commitId: String = "stream"): Boolean = {
+                   commitId: String = "stream",
+                   compactEvery: Int = 0): Boolean = {
     import graft.llm.MinHashLsh
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       indexRoot, s"_committed_batches/$commitId/$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return false
-    val indexPath = new org.apache.hadoop.fs.Path(indexRoot, "index")
-    val index =
-      if (fs.exists(indexPath)) spark.read.parquet(indexPath.toString)
-      else MinHashLsh.buildIndex(batch.limit(0), idCol, textCol, k,
-        shingleN, seed)
+    def emptyIndex = MinHashLsh.buildIndex(batch.limit(0), idCol, textCol,
+      k, shingleN, seed)
+    val indexCols = Seq(idCol, "minhash_sig", "shingle_hashes")
+    val index = deltaSnapshot(spark, indexRoot, "index", commitId,
+      excludeBatch = Some(batchId), emptyIndex, indexCols)
     // nearDupIncremental returns an eagerly-materialized local checkpoint
     // (and has already released its internal pins), so the two writes
-    // below read settled blocks — the index append cannot re-read a
+    // below read settled blocks — the index overwrite cannot re-read a
     // half-written index through a lazy plan — and the unpersist at the
     // end of this method is the ONLY cleanup the batch needs: the stream
     // holds at most one batch's decision blocks at any time
     val decisions = MinHashLsh.nearDupIncremental(batch, index, threshold,
       idCol, textCol, k, bands, shingleN, seed, maxBucket)
-    val accepted = batch.join(
-      decisions.where(col("status") === "accepted").select(col(idCol)),
-      Seq(idCol))
-    MinHashLsh.buildIndex(accepted, idCol, textCol, k, shingleN, seed)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(indexPath.toString)
-    decisions.withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(new org.apache.hadoop.fs.Path(indexRoot, "decisions").toString)
+    // decisions land BEFORE the index write mutates the directory; the
+    // own-subdir overwrite keeps crash-window replays residue-free (the
+    // urlDedupBatch pattern — the old flat append persisted contradictory
+    // accepted→self-dup decision rows forever)
+    decisions.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+    val acceptedIds = spark.read.parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"decisions/batch_id=$batchId").toString)
+      .where(col("status") === "accepted").select(col(idCol))
+    MinHashLsh.buildIndex(batch.join(acceptedIds, Seq(idCol)), idCol,
+        textCol, k, shingleN, seed)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        indexRoot, s"index/batch_id=$batchId").toString)
     val out = fs.create(marker, true)
     try out.write(Array.emptyByteArray) finally out.close()
+    maybeCompactState(spark, indexRoot, "index", commitId, batchId,
+      compactEvery, identity, emptyIndex, indexCols)
     // releasePinned, not Dataset.unpersist: the checkpoint blocks are
     // RDD-persisted directly (LogicalRDD leaf), which CacheManager-based
     // unpersist does not touch
@@ -421,7 +443,20 @@ object Ingest {
     val cbPath = new org.apache.hadoop.fs.Path(indexRoot, "codebook")
     val cbMark = new org.apache.hadoop.fs.Path(
       indexRoot, s"_codebook_mark/$commitId")
+    def emptyDecisions = batch.limit(0).select(col(idCol),
+      lit(0).cast("int").as("cluster"),
+      lit(null).cast("string").as("status"),
+      col(idCol).as("match_id"),
+      lit(null).cast("double").as("sim"))
     if (!fs.exists(cbMark) && batch.isEmpty) {
+      assertCodebookOwned(fs, indexRoot, commitId, cbPath)
+      // schema-only decisions slice BEFORE the marker: every committed
+      // batch — even a pre-bootstrap empty one — must have a readable
+      // decisions/batch_id=N dir, or consumers enumerating decisions by
+      // committed batch ids hit a missing parquet path
+      emptyDecisions.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(
+          indexRoot, s"decisions/batch_id=$batchId").toString)
       val out = fs.create(marker, true)
       try out.write(Array.emptyByteArray) finally out.close()
       return true
@@ -431,6 +466,13 @@ object Ingest {
         spark.read.parquet(cbPath.toString).orderBy(col("cell"))
           .collect().map(_.getSeq[Double](1).toArray)
       else {
+        // the codebook is shared per indexRoot but marks are
+        // commitId-scoped: retraining over a FOREIGN commitId's codebook
+        // would silently OVERWRITE it, after which the stored index
+        // clusters disagree with new assignments and cell-confined
+        // probes silently miss duplicates — fail loudly instead (the
+        // assertCompactionVisible posture for the codebook)
+        assertCodebookOwned(fs, indexRoot, commitId, cbPath)
         val c = Similarity.trainCodebook(batch, k, iters, idCol, vecCol)
         import spark.implicits._
         c.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
@@ -732,6 +774,36 @@ object Ingest {
         s" but is being read with commitId '$commitId', which cannot see " +
         "them — the fold would silently omit all compacted history " +
         "(its deltas were deleted). Use the writer's commitId.")
+  }
+
+  /** Fail loudly when a frozen codebook already exists at `cbPath` but
+    * carries no `_codebook_mark/<commitId>`: [[semanticDedupBatch]] is
+    * about to (re)train and OVERWRITE it, and a codebook written under a
+    * DIFFERENT commitId is exactly the silent-destruction hazard — the
+    * stored index clusters were assigned under the old codebook, so new
+    * assignments disagree and every cell-confined probe silently misses
+    * duplicates. A codebook with NO mark under ANY commitId stays
+    * overwritable: that is the writer's own crash residue (codebook
+    * written, mark not yet — the bootstrap writes codebook → mark →
+    * index, so nothing downstream saw it), and the documented
+    * crash-window replay retrains the identical codebook from the same
+    * replayed batch; refusing would wedge the stream on its own
+    * restart. */
+  private def assertCodebookOwned(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexRoot: String, commitId: String,
+                                  cbPath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(cbPath)) return
+    val marksRoot = new org.apache.hadoop.fs.Path(indexRoot, "_codebook_mark")
+    val foreign =
+      if (!fs.exists(marksRoot)) Array.empty[String]
+      else fs.listStatus(marksRoot).map(_.getPath.getName)
+        .filter(_ != commitId)
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"Frozen codebook at $cbPath was trained under commitId(s) " +
+        foreign.mkString("[", ", ", "]") + s" but commitId '$commitId' " +
+        "is about to retrain and overwrite it — the stored index clusters " +
+        "would silently disagree with new assignments and cell-confined " +
+        "probes would miss duplicates. Use the writer's commitId.")
   }
 
   /** Queryable snapshot of a delta-compacted state directory — the shared

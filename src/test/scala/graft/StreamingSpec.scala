@@ -771,9 +771,25 @@ class StreamingSpec extends SparkTestBase {
     assert(!Ingest.nearDupBatch(wave2.toDF("doc_id", "text"), batchId = 1L,
       root, threshold = 0.3))
     assert(spark.read.parquet(s"$root/index").count() == ixCount)
-    // crash-window replay (same docs, uncommitted id): self-healing — all
-    // previously-accepted docs come back dup_of_index at jaccard 1.0 with
-    // match_id == doc_id, and the index does not grow
+    // crash-window replay of the SAME batch id: own index residue is
+    // excluded and both slices are overwritten in place → byte-identical
+    // decisions (no accepted→self-dup flips persisting in the log), index
+    // unchanged, no duplicate signature rows (a flat append would inflate
+    // maxBucket's combined band-bucket population for every later batch)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, "_committed_batches/stream/1"), false)
+    assert(Ingest.nearDupBatch(wave2.toDF("doc_id", "text"), batchId = 1L,
+      root, threshold = 0.3))
+    assert(spark.read.parquet(s"$root/decisions/batch_id=1")
+      .collect().map(_.toSeq).toSet == d2.collect().map(_.toSeq).toSet)
+    val idxAfter = spark.read.parquet(s"$root/index")
+    assert(idxAfter.count() == ixCount)
+    assert(idxAfter.count() == idxAfter.dropDuplicates("doc_id").count())
+    // re-ingest of already-accepted docs under a genuinely NEW batch id
+    // still self-heals: dup_of_index at jaccard 1.0, match_id == doc_id,
+    // index does not grow
     assert(Ingest.nearDupBatch(wave2.toDF("doc_id", "text"), batchId = 99L,
       root, threshold = 0.3))
     assert(spark.read.parquet(s"$root/index").count() == ixCount)
@@ -783,6 +799,71 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed.where(col("status") === "dup_of_index" &&
       col("match_id") === col("doc_id") && col("jaccard") === 1.0).count()
       >= accIds.count(_ >= 100))
+  }
+
+  test("near-dup loop compaction: compacted decisions ≡ uncompacted, " +
+      "index file count bounded, replay across the boundary safe, " +
+      "foreign commitId rejected") {
+    import spark.implicits._
+    import graft.llm.MinHashLsh
+
+    def mkDoc(i: Long, drop: Int = 0): (Long, String) =
+      (i, (0 until 12 - drop).map(j => s"w${(i * 7 + j * 13) % 97}")
+        .mkString(" "))
+    val wave1 = (0L until 30L).map(mkDoc(_))
+    val wave2 = (0L until 10L).map(i => mkDoc(i, drop = 2))
+      .map { case (i, t) => (i + 1000, t) } ++ (100L until 110L).map(mkDoc(_))
+    // wave 3: an exact copy of wave-1 doc 5 (J=1.0 — every band collides,
+    // so it is caught iff compacted history survives) + fresh docs
+    val wave3 = Seq((2005L, mkDoc(5)._2)) ++ (200L until 205L).map(mkDoc(_))
+    val waves = Seq(wave1, wave2, wave3)
+
+    // reference: the same three waves through the plain (uncompacted) loop
+    val plainRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "neardup-plain").toString
+    val compactRoot = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "neardup-compact").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      assert(Ingest.nearDupBatch(w.toDF("doc_id", "text"), i.toLong,
+        plainRoot, threshold = 0.3))
+      assert(Ingest.nearDupBatch(w.toDF("doc_id", "text"), i.toLong,
+        compactRoot, threshold = 0.3, compactEvery = 2))
+    }
+    val dPlain = spark.read.parquet(s"$plainRoot/decisions")
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$compactRoot/decisions")
+      .collect().map(_.toSeq).toSet == dPlain)
+    // the cross-compaction catch really happened: doc 2005 dups a BASE row
+    assert(spark.read.parquet(s"$compactRoot/decisions/batch_id=2")
+      .where(col("doc_id") === 2005L && col("status") === "dup_of_index" &&
+        col("match_id") === 5L).count() == 1)
+    // batches 0-1 folded into one committed base; only newer deltas live
+    val fs = new org.apache.hadoop.fs.Path(compactRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marks = fs.listStatus(new org.apache.hadoop.fs.Path(
+      compactRoot, "_compaction_marks/stream")).map(_.getPath.getName.toLong)
+    assert(marks.nonEmpty && marks.max >= 1L)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(
+        compactRoot, "index"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    assert(live.forall(_ > marks.max), live.mkString(","))
+    // crash-window replay of an UNFOLDED batch across the boundary:
+    // byte-identical decisions, accepted ids unchanged
+    val d2Before = spark.read.parquet(s"$compactRoot/decisions/batch_id=2")
+      .collect().map(_.toSeq).toSet
+    fs.delete(new org.apache.hadoop.fs.Path(
+      compactRoot, "_committed_batches/stream/2"), false)
+    assert(Ingest.nearDupBatch(wave3.toDF("doc_id", "text"), 2L,
+      compactRoot, threshold = 0.3, compactEvery = 2))
+    assert(spark.read.parquet(s"$compactRoot/decisions/batch_id=2")
+      .collect().map(_.toSeq).toSet == d2Before)
+    // foreign commitId on the compacted index fails loudly
+    val mismatch = intercept[IllegalStateException] {
+      Ingest.nearDupBatch(wave3.toDF("doc_id", "text"), 77L, compactRoot,
+        threshold = 0.3, commitId = "other")
+    }
+    assert(mismatch.getMessage.contains("commitId"))
   }
 
   test("streaming incremental repeated-gram trim: stream loop equals the " +
@@ -1282,10 +1363,49 @@ class StreamingSpec extends SparkTestBase {
     assert(Ingest.semanticDedupBatch(df(w1).limit(0), 0L, root2, k = 2))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       root2, "_codebook_mark/stream")))
+    // the committed empty batch still has a readable (schema-only)
+    // decisions slice — consumers enumerating decisions by committed
+    // batch ids must never hit a missing parquet path
+    val emptySlice = spark.read.parquet(s"$root2/decisions/batch_id=0")
+    assert(emptySlice.count() == 0)
+    assert(emptySlice.columns.toSeq ==
+      Seq("vec_id", "cluster", "status", "match_id", "sim"))
     assert(!Ingest.semanticDedupBatch(df(w1).limit(0), 0L, root2, k = 2),
       "the empty batch must still commit its marker")
     assert(Ingest.semanticDedupBatch(df(w1), 1L, root2, k = 2))
     assert(spark.read.parquet(s"$root2/decisions/batch_id=1").count() == 3)
+    // and the union over ALL committed slices reads cleanly
+    assert(spark.read.parquet(s"$root2/decisions").count() == 3)
+
+    // foreign commitId against an existing codebook fails LOUDLY instead
+    // of silently retraining and overwriting it (the stored index
+    // clusters would disagree with new assignments and cell-confined
+    // probes would miss duplicates)
+    val cbMismatch = intercept[IllegalStateException] {
+      Ingest.semanticDedupBatch(df(w2), 0L, root2, k = 2,
+        commitId = "other")
+    }
+    assert(cbMismatch.getMessage.contains("commitId") &&
+      cbMismatch.getMessage.contains("stream"), cbMismatch.getMessage)
+    // the writer's own commitId is unaffected
+    assert(Ingest.semanticDedupBatch(df(w2), 2L, root2, k = 2))
+    // own-commitId crash residue (codebook written, mark lost) stays
+    // self-healing: the deterministic trainer rewrites the identical
+    // codebook from the replayed batch instead of wedging the stream
+    val root3 = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sem-ix3").toString
+    assert(Ingest.semanticDedupBatch(df(w1), 0L, root3, k = 2))
+    val cb3 = spark.read.parquet(s"$root3/codebook").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root3, "_codebook_mark/stream"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root3, "_committed_batches/stream/0"), false)
+    assert(Ingest.semanticDedupBatch(df(w1), 0L, root3, k = 2))
+    val cb3b = spark.read.parquet(s"$root3/codebook").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(cb3.length == cb3b.length && cb3.zip(cb3b).forall {
+      case (a, b2) => a.sameElements(b2) })
   }
 
   test("overlap-card compaction: compacted card ≡ uncompacted card ≡ " +
