@@ -1872,6 +1872,97 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2 #33c — HTML boilerplate-block extraction (jusText class; the
+    // trafilatura stage RefinedWeb §3.1.2 / CCNet run before any quality
+    // gate): each doc is wrapped in a seeded page (title/nav/headline/two
+    // body paragraphs — the first with a stopword-rich tail so classes
+    // diversify — share-links div, footer), segmented at block tags,
+    // classified by link/stopword density and length, short/near-good
+    // blocks rescued next to good prose, and rolled up to the per-doc
+    // class census + extracted main text. Thresholds tuned to the
+    // synthetic corpus's ~6% natural stopword density.
+    "html_extract" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val ln2 = floor(length(col("text")) / 2).cast("int")
+      val page = d.select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style>p{color:red}</style><script>var x=1;</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">Archive</a> " +
+          "<a href=\"/t\">Tags</a></nav>"),
+        lit("<h1>doc "), col("doc_id"), lit(" notes</h1>"),
+        lit("<p>"), col("text").substr(lit(1), ln2),
+        lit(" the of to in is it that and a an.</p>"),
+        lit("<p>"), col("text").substr(ln2 + 1, length(col("text"))),
+        lit("</p>"),
+        lit("<div>Share: <a href=\"#\">Tweet</a> <a href=\"#\">Like</a></div>"),
+        lit("<footer>copyright 2024 "), col("source"),
+        lit(" media group</footer>"), lit("</body></html>")).as("html"))
+      TextAnalysis.htmlExtractDocs(
+        TextAnalysis.htmlExtractBlocks(page, lengthLow = 40,
+          lengthHigh = 120, stopLow = 0.06, stopHigh = 0.12,
+          maxLinkDensity = 0.25))
+        .orderBy("doc_id")
+    }),
+
+    // §2 #55c — CCNet capstone: the COMPLETE published CCNet chain
+    // (Wenzek et al. 2020) as ONE declarative plan, every stage the
+    // library operator itself: jusText HTML extraction (stage 0, the
+    // trafilatura slot; the seeded page carries a shared promo sentence
+    // in the second body paragraph so the dedup stage has real cross-doc
+    // boilerplate) → language split keeping the en shard → target-LM
+    // perplexity terciles (head/middle/tail, the src0/src1 target) →
+    // span-grain dedup run PER BUCKET (CCNet processes each shard as a
+    // separate corpus — three operator applications, prunable to one
+    // scan each when the lake partitions by bucket).
+    "ccnet_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val ln2 = floor(length(col("text")) / 2).cast("int")
+      val page = d.select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style>p{color:red}</style><script>var x=1;</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">Archive</a> " +
+          "<a href=\"/t\">Tags</a></nav>"),
+        lit("<h1>doc "), col("doc_id"), lit(" notes</h1>"),
+        lit("<p>"), col("text").substr(lit(1), ln2),
+        lit(" the of to in is it that and a an.</p>"),
+        lit("<p>subscribe to our newsletter today. "),
+        col("text").substr(ln2 + 1, length(col("text"))), lit("</p>"),
+        lit("<div>Share: <a href=\"#\">Tweet</a> <a href=\"#\">Like</a></div>"),
+        lit("<footer>copyright 2024 "), col("source"),
+        lit(" media group</footer>"), lit("</body></html>")).as("html"))
+      val extracted = TextAnalysis.htmlExtractDocs(
+        TextAnalysis.htmlExtractBlocks(page, lengthLow = 40,
+          lengthHigh = 120, stopLow = 0.06, stopHigh = 0.12,
+          maxLinkDensity = 0.25))
+        .where(col("n_good") > 0)
+        .select(col("doc_id"), col("extracted_text").as("text"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // stage boundary (the v3/v4/v5 rationale): the jusText extraction
+      // feeds the LM's four aggregation passes, the bucket join and three
+      // per-bucket dedup branches — without the pin each consumer re-runs
+      // the whole block-classification subtree
+      val en = TextAnalysis.withLangId(extracted)
+        .where(col("lang_pred") === "en")
+        .select(col("doc_id"), col("text"), col("source"))
+        .stagePin()
+      val buckets = Selection.ccnetBuckets(en,
+        isTarget = col("source").isin("src0", "src1"), alpha = 0.1)
+      val withB = en.join(
+        buckets.select(col("doc_id"), col("ppl"), col("bucket")), Seq("doc_id"))
+        .stagePin()
+      val deduped = Seq("head", "middle", "tail").map { b =>
+        Dedup.spanDedup(withB.where(col("bucket") === b),
+          sepRegex = "\\n|\\. ", joinSep = ". ")
+      }.reduce(_ unionByName _)
+      withB.select(col("doc_id"), col("ppl"), col("bucket"))
+        .join(deduped, Seq("doc_id"))
+        .select(col("doc_id"), col("ppl"), col("bucket"), col("n_spans"),
+          col("n_removed"), col("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     // §2 #50d — curation CAPSTONE v2, composing the round-9 surface as ONE
     // declarative plan with an end-to-end oracle: normalize -> split off
     // the held-out benchmark (every 10th doc) -> Gopher gate -> 8-gram
@@ -6576,6 +6667,234 @@ object SparkEntry {
         |       CAST(length(raw) AS BIGINT) AS n_chars_raw,
         |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM n ORDER BY 1""".stripMargin,
+
+    "html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || doc_id || '</title>'
+        |         || '<style>p{color:red}</style><script>var x=1;</script></head><body>'
+        |         || '<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/t">Tags</a></nav>'
+        |         || '<h1>doc ' || doc_id || ' notes</h1>'
+        |         || '<p>' || substr(text, 1, CAST(floor(length(text)/2) AS INT))
+        |         || ' the of to in is it that and a an.</p>'
+        |         || '<p>' || substr(text, CAST(floor(length(text)/2) AS INT) + 1, length(text)) || '</p>'
+        |         || '<div>Share: <a href="#">Tweet</a> <a href="#">Like</a></div>'
+        |         || '<footer>copyright 2024 ' || source || ' media group</footer>'
+        |         || '</body></html>' AS html
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(html,
+        |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        |  FROM page),
+        |bl AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS block_idx,
+        |         unnest(pieces) AS raw
+        |  FROM (SELECT doc_id, string_split(regexp_replace(h,
+        |          '(?i)</?(?:header|head|footer|title|html|body|table|tr|td|section|article|nav|div|p|h[1-6]|li|ul|ol|br)\b[^>]*>',
+        |          chr(1), 'g'), chr(1)) AS pieces
+        |        FROM ns)),
+        |nb AS (
+        |  SELECT doc_id, block_idx, raw,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |                 '&lt;', '<', 'g'),
+        |               '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
+        |           '[\x00-\x1f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS block_text
+        |  FROM bl),
+        |sc AS (
+        |  SELECT doc_id, block_idx, block_text,
+        |         length(block_text) AS n_chars,
+        |         len(string_split_regex(lower(block_text), '\s+')) AS n_words,
+        |         round(CAST(len(list_filter(string_split_regex(lower(block_text), '\s+'),
+        |             x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |           / len(string_split_regex(lower(block_text), '\s+')), 6) AS stop_frac,
+        |         round(least(CAST(coalesce(list_sum(list_transform(
+        |             regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |             x -> length(trim(regexp_replace(x, '<[^>]*>', ' ', 'g'))))), 0) AS DOUBLE)
+        |           / length(block_text), 1.0), 6) AS link_density
+        |  FROM nb WHERE block_text <> ''),
+        |cf AS (
+        |  SELECT *, CASE WHEN link_density > 0.25 THEN 'bad'
+        |                 WHEN n_chars < 40 THEN 'short'
+        |                 WHEN stop_frac >= 0.12 AND n_chars >= 120 THEN 'good'
+        |                 WHEN stop_frac >= 0.06 THEN 'neargood'
+        |                 ELSE 'bad' END AS cls_free
+        |  FROM sc),
+        |cx AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN cls_free IN ('good','bad') THEN cls_free END IGNORE NULLS)
+        |           OVER (PARTITION BY doc_id ORDER BY block_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def,
+        |         first_value(CASE WHEN cls_free IN ('good','bad') THEN cls_free END IGNORE NULLS)
+        |           OVER (PARTITION BY doc_id ORDER BY block_idx
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_def
+        |  FROM cf),
+        |fin AS (
+        |  SELECT *, CASE WHEN cls_free IN ('good','bad') THEN cls_free
+        |                 WHEN prev_def = 'good' OR next_def = 'good' THEN 'good'
+        |                 ELSE 'bad' END AS cls_final
+        |  FROM cx)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(count(CASE WHEN cls_free = 'good' THEN 1 END) AS BIGINT) AS n_free_good,
+        |       CAST(count(CASE WHEN cls_free = 'neargood' THEN 1 END) AS BIGINT) AS n_neargood,
+        |       CAST(count(CASE WHEN cls_free = 'short' THEN 1 END) AS BIGINT) AS n_short,
+        |       CAST(count(CASE WHEN cls_final = 'good' THEN 1 END) AS BIGINT) AS n_good,
+        |       coalesce(string_agg(CASE WHEN cls_final = 'good' THEN block_text END,
+        |         chr(10) ORDER BY block_idx), '') AS extracted_text,
+        |       CAST(length(coalesce(string_agg(CASE WHEN cls_final = 'good' THEN block_text END,
+        |         chr(10) ORDER BY block_idx), '')) AS BIGINT) AS extract_chars
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ccnet_pipeline" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || doc_id || '</title>'
+        |         || '<style>p{color:red}</style><script>var x=1;</script></head><body>'
+        |         || '<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/t">Tags</a></nav>'
+        |         || '<h1>doc ' || doc_id || ' notes</h1>'
+        |         || '<p>' || substr(text, 1, CAST(floor(length(text)/2) AS INT))
+        |         || ' the of to in is it that and a an.</p>'
+        |         || '<p>subscribe to our newsletter today. '
+        |         || substr(text, CAST(floor(length(text)/2) AS INT) + 1, length(text)) || '</p>'
+        |         || '<div>Share: <a href="#">Tweet</a> <a href="#">Like</a></div>'
+        |         || '<footer>copyright 2024 ' || source || ' media group</footer>'
+        |         || '</body></html>' AS html
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(html,
+        |           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        |  FROM page),
+        |bl AS (
+        |  SELECT doc_id, generate_subscripts(pieces, 1) - 1 AS block_idx,
+        |         unnest(pieces) AS raw
+        |  FROM (SELECT doc_id, string_split(regexp_replace(h,
+        |          '(?i)</?(?:header|head|footer|title|html|body|table|tr|td|section|article|nav|div|p|h[1-6]|li|ul|ol|br)\b[^>]*>',
+        |          chr(1), 'g'), chr(1)) AS pieces
+        |        FROM ns)),
+        |nb AS (
+        |  SELECT doc_id, block_idx, raw,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |                 '&lt;', '<', 'g'),
+        |               '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
+        |           '[\x00-\x1f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS block_text
+        |  FROM bl),
+        |sc AS (
+        |  SELECT doc_id, block_idx, block_text,
+        |         length(block_text) AS n_chars,
+        |         round(CAST(len(list_filter(string_split_regex(lower(block_text), '\s+'),
+        |             x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |           / len(string_split_regex(lower(block_text), '\s+')), 6) AS stop_frac,
+        |         round(least(CAST(coalesce(list_sum(list_transform(
+        |             regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |             x -> length(trim(regexp_replace(x, '<[^>]*>', ' ', 'g'))))), 0) AS DOUBLE)
+        |           / length(block_text), 1.0), 6) AS link_density
+        |  FROM nb WHERE block_text <> ''),
+        |cf AS (
+        |  SELECT *, CASE WHEN link_density > 0.25 THEN 'bad'
+        |                 WHEN n_chars < 40 THEN 'short'
+        |                 WHEN stop_frac >= 0.12 AND n_chars >= 120 THEN 'good'
+        |                 WHEN stop_frac >= 0.06 THEN 'neargood'
+        |                 ELSE 'bad' END AS cls_free
+        |  FROM sc),
+        |cx AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN cls_free IN ('good','bad') THEN cls_free END IGNORE NULLS)
+        |           OVER (PARTITION BY doc_id ORDER BY block_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def,
+        |         first_value(CASE WHEN cls_free IN ('good','bad') THEN cls_free END IGNORE NULLS)
+        |           OVER (PARTITION BY doc_id ORDER BY block_idx
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_def
+        |  FROM cf),
+        |fin AS (
+        |  SELECT *, CASE WHEN cls_free IN ('good','bad') THEN cls_free
+        |                 WHEN prev_def = 'good' OR next_def = 'good' THEN 'good'
+        |                 ELSE 'bad' END AS cls_final
+        |  FROM cx),
+        |ex AS (
+        |  SELECT f.doc_id,
+        |         string_agg(CASE WHEN cls_final = 'good' THEN block_text END,
+        |           chr(10) ORDER BY block_idx) AS text
+        |  FROM fin f GROUP BY 1
+        |  HAVING count(CASE WHEN cls_final = 'good' THEN 1 END) > 0),
+        |endocs AS (
+        |  SELECT ex.doc_id, ex.text, d.source IN ('src0','src1') AS tgt
+        |  FROM ex JOIN documents d USING (doc_id)
+        |  WHERE len(list_filter(string_split_regex(lower(ex.text), '\s+'),
+        |          x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x)))
+        |        >= greatest(
+        |          len(list_filter(string_split_regex(lower(ex.text), '\s+'),
+        |            x -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], x))),
+        |          len(list_filter(string_split_regex(lower(ex.text), '\s+'),
+        |            x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))),
+        |          len(list_filter(string_split_regex(lower(ex.text), '\s+'),
+        |            x -> list_contains(['el','la','los','y','de','un','una','es','que','por'], x))))),
+        |dd AS (
+        |  SELECT doc_id, tgt, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM endocs),
+        |bgf AS (
+        |  SELECT doc_id, tgt,
+        |         unnest(list_transform(range(len(ws) - 1),
+        |           i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2])),
+        |           recursive := true)
+        |  FROM dd WHERE len(ws) >= 2),
+        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf WHERE tgt GROUP BY 1, 2),
+        |b1 AS (SELECT w1, sum(c2) AS c1 FROM b2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM dd WHERE tgt)),
+        |pd AS (SELECT doc_id, w1, w2, count(*) AS c FROM bgf GROUP BY 1, 2, 3),
+        |lms AS (
+        |  SELECT pd.doc_id,
+        |         round(exp(sum(-pd.c * ln((coalesce(b2.c2, 0) + 0.1)
+        |                 / (coalesce(b1.c1, 0) + 0.1 * (v.v + 1))))
+        |               / sum(pd.c)), 6) + 0.0 AS ppl
+        |  FROM pd LEFT JOIN b2 USING (w1, w2) LEFT JOIN b1 USING (w1)
+        |       CROSS JOIN v
+        |  GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(ppl, 1.0/3) AS c1,
+        |         quantile_cont(ppl, 2.0/3) AS c2
+        |  FROM lms),
+        |bk AS (
+        |  SELECT l.doc_id, l.ppl,
+        |         CASE WHEN l.ppl <= c.c1 THEN 'head'
+        |              WHEN l.ppl <= c.c2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM lms l CROSS JOIN cuts c),
+        |sp AS (
+        |  SELECT e.doc_id, b.ppl, b.bucket,
+        |         generate_subscripts(pieces, 1) - 1 AS pos,
+        |         unnest(pieces) AS span
+        |  FROM (SELECT doc_id, string_split_regex(text, '\n|\. ') AS pieces
+        |        FROM endocs) e JOIN bk b USING (doc_id)),
+        |flag AS (
+        |  SELECT doc_id, ppl, bucket, pos, span,
+        |         row_number() OVER (PARTITION BY bucket, lower(trim(span))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM sp)
+        |SELECT doc_id, ppl, bucket,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '. '
+        |                           ORDER BY pos), '') AS kept_text
+        |FROM flag GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH seen AS (

@@ -800,6 +800,84 @@ class CurationOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("weights must be positive"))
   }
 
+  // ---------------------------------------------------------- htmlExtract
+
+  test("htmlExtract: script/style vanish with content, class battery, " +
+      "short-block rescue, all-boilerplate and plain-text docs") {
+    val good = ("the market is strong and the data is clean and " * 4).trim
+    val noise = Seq.fill(20)("zz").mkString(" ")
+    val page1 =
+      "<html><head><title>T</title><style>body{c:red}</style>" +
+        "<script>alert(1)</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a></nav>" +
+        "<h1>short heading</h1>" +
+        s"<p>$good</p>" +
+        s"<p>$noise</p>" +
+        "<footer>contact us</footer></body></html>"
+    // all-boilerplate page: every block link-dense -> nothing extracted
+    val page2 = "<div><a href=\"/\">x</a></div><div><a href=\"/\">y</a></div>"
+    // plain text, no tags at all: ONE block, classified by its own
+    // features; with no definite neighbor a neargood block stays dropped
+    val page3 = "the data is good and it is that good and the work " +
+      "is done for all of them now"
+    val d = Seq((1L, page1), (2L, page2), (3L, page3), (4L, ""))
+      .toDF("doc_id", "html")
+    val blocks = TextAnalysis.htmlExtractBlocks(d, lengthLow = 20,
+      lengthHigh = 100, stopLow = 0.2, stopHigh = 0.4, maxLinkDensity = 0.3)
+
+    val b1 = blocks.where(col("doc_id") === 1).orderBy("block_idx").collect()
+    assert(b1.map(_.getAs[String]("block_text")).toSeq ==
+      Seq("T", "Home Blog", "short heading", good, noise, "contact us"))
+    assert(b1.map(_.getAs[String]("cls_free")).toSeq ==
+      Seq("short", "bad", "short", "good", "bad", "short"))
+    // context pass: the heading is rescued by the good paragraph AFTER
+    // it; the title (next definite = link-dense nav) and the footer
+    // (prev definite = the zz paragraph) both resolve bad
+    assert(b1.map(_.getAs[String]("cls_final")).toSeq ==
+      Seq("bad", "bad", "good", "good", "bad", "bad"))
+    // link density measured on the RAW block: 8 anchor chars / 9 text
+    assert(math.abs(b1(1).getAs[Double]("link_density") - 0.888889) < 1e-9)
+    assert(b1(3).getAs[Double]("stop_frac") == 0.6)
+    // script/style bodies are gone WITH their content, not just the tags
+    assert(!blocks.collect().exists(
+      _.getAs[String]("block_text").contains("alert")))
+
+    val rollup = TextAnalysis.htmlExtractDocs(blocks).orderBy("doc_id")
+      .collect()
+    // the empty doc has no blocks and is absent (caller's drop decision)
+    assert(rollup.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    val r1 = rollup(0)
+    assert(r1.getAs[Long]("n_blocks") == 6 && r1.getAs[Long]("n_good") == 2)
+    assert(r1.getAs[Long]("n_free_good") == 1 &&
+      r1.getAs[Long]("n_short") == 3 && r1.getAs[Long]("n_neargood") == 0)
+    assert(r1.getAs[String]("extracted_text") == "short heading\n" + good)
+    assert(r1.getAs[Long]("extract_chars") ==
+      ("short heading\n" + good).length.toLong)
+    // all-boilerplate doc surfaces with n_good = 0 and an empty extract
+    val r2 = rollup(1)
+    assert(r2.getAs[Long]("n_good") == 0 &&
+      r2.getAs[String]("extracted_text") == "")
+    // the lone plain-text doc: one neargood block, no definite neighbor
+    val b3 = blocks.where(col("doc_id") === 3).collect()
+    assert(b3.length == 1 && b3(0).getAs[String]("cls_free") == "neargood" &&
+      b3(0).getAs[String]("cls_final") == "bad")
+  }
+
+  test("htmlExtract: link density caps at 1.0 and cls ordering puts " +
+      "link-dense before short") {
+    // anchor text longer than the normalized block (nested markup inside
+    // the anchor collapses differently) must cap, not exceed, 1.0; and a
+    // 1-char link-dense block is bad (link rule first), not short
+    val d = Seq((1L, "<div><a href=\"/\"><b>x</b></a></div>"))
+      .toDF("doc_id", "html")
+    val b = TextAnalysis.htmlExtractBlocks(d, lengthLow = 20,
+      lengthHigh = 100, stopLow = 0.2, stopHigh = 0.4, maxLinkDensity = 0.3)
+      .collect()
+    assert(b.length == 1)
+    assert(b(0).getAs[Double]("link_density") == 1.0)
+    assert(b(0).getAs[String]("cls_free") == "bad")
+  }
+
   // ------------------------------------------------------------- hygiene
 
   test("new ops leave no persisted blocks and no cartesian products") {
