@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Features
-import graft.llm.{Bpe, Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Cluster, Curation, Dedup, MinHashLsh, Multimodal, Sampling, Selection, SimHash, Similarity, TextAnalysis, Unigram}
 import graft.ml.{MlFilter, QualityClassifier, RegimeEval}
 import graft.operators.{AsOf, Audit, Backtest, Canonical, EmaTrend, FlatLevels, Flow, Funding, Gaps, Ichimoku, IchimokuMtf, IchimokuParams, LowPlus, Profile, RangeBoxes, Regime, RegimeCases, RegimeParams, Resample, RouterGate, Semi, Sessions, Stats, StickyState, TfAggregate, VolRegime}
 import graft.sources.{Bars, Lake, Tables}
@@ -2840,6 +2840,28 @@ object SparkEntry {
         .orderBy("merge_rank")
     }),
 
+    // §2 #41f — unigram-LM tokenizer seeding (Kudo 2018 / SentencePiece):
+    // substring-piece frequencies over the word relation, the exact
+    // oracle-checkable half of the trainer (the bpe_pairs counterpart).
+    "unigram_seed" -> ((s, dir) => {
+      Unigram.seedStats(Tables.documents(s, dir), k = 100, maxPieceLen = 4)
+        .orderBy("seed_rank")
+    }),
+
+    // §2 #41g — unigram-LM tokenizer training: seed → Viterbi-EM over the
+    // bounded word-frequency dict → char-preserving prune (the
+    // SentencePiece --model_type=unigram algorithm; one distributed
+    // corpus pass, the Bpe.trainBounded posture). Rows-only (iterative
+    // EM has no SQL oracle); UnigramSpec pins the vocabulary against an
+    // independent reference implementation, encode-≡-training, and
+    // partitioning determinism.
+    "unigram_vocab" -> ((s, dir) => {
+      Unigram.trainBounded(Tables.documents(s, dir), vocabSize = 80,
+          emIters = 2, seedSize = 400, maxPieceLen = 4)
+        .withColumn("logprob", round(col("logprob"), 6))
+        .orderBy("rank")
+    }),
+
     // §2 #42 — distinct-cardinality profile per symbol (exact; the HLL
     // approx_count_distinct column is the at-scale path, pinned in tests).
     "distinct_users" -> ((s, dir) => {
@@ -5630,6 +5652,29 @@ object SparkEntry {
         |  FROM agg)
         |SELECT pair_rank, left_sym, right_sym, pair_count
         |FROM rk WHERE pair_rank <= 100 ORDER BY pair_rank""".stripMargin,
+
+    "unigram_seed" ->
+      """WITH wd AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |pos AS (
+        |  SELECT word, cnt, unnest(range(length(word))) AS i FROM wd),
+        |pieces AS (
+        |  SELECT cnt,
+        |         unnest(list_transform(
+        |           range(1, least(4, length(word) - i) + 1),
+        |           l -> substr(word, i + 1, CAST(l AS INT)))) AS piece
+        |  FROM pos),
+        |pf AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+        |       FROM pieces GROUP BY 1),
+        |rk AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece ASC)
+        |         AS INT) AS seed_rank, piece, freq
+        |  FROM pf)
+        |SELECT seed_rank, piece, freq
+        |FROM rk WHERE seed_rank <= 100 ORDER BY 1""".stripMargin,
 
     "distinct_users" ->
       """SELECT event_type AS symbol,
