@@ -1573,6 +1573,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2 #31g — OPQ rotation rung (Ge et al. 2014 / faiss OPQMatrix):
+    // a driver-trained orthogonal rotation (bounded sample, the codebook
+    // posture) balances variance across the PQ subspaces before encode —
+    // same m·log2(ksub) bits/vector as embed_pq, lower reconstruction
+    // error. Rows-only; LlmSpec pins rmse(OPQ) ≤ rmse(PQ) at equal
+    // m/ksub, R orthogonality, and determinism.
+    "embed_opq" -> ((s, dir) => {
+      Similarity.quantizeOpqReport(
+          Tables.embeddings(s, dir).repartition(32), inDim = 64, m = 8,
+          ksub = 16, opqIters = 3)
+        .orderBy("vec_id")
+    }),
+
+    // §2 #31h — OPQ-compressed ANN (ADC under the learned rotation):
+    // coarse cos(R·query, decode(codes)) over rotated-code
+    // reconstructions, exact float re-rank of the shortlist. Rows-only;
+    // LlmSpec pins recall ≥ ann_pq at equal m/ksub vs brute.
+    "ann_opq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKOpq(e.repartition(32), e.where(col("vec_id") < 30),
+          k = 5, inDim = 64, m = 8, ksub = 16, shortlist = 50, opqIters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // §2 #30 — embedding cosine near-dup via hyperplane-LSH buckets on the
     // seeded corpus.
     "embed_neardup" -> ((s, dir) => {

@@ -1062,6 +1062,184 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Apply a d×d rotation literal to a vector column: one `transform`
+    * over the rotation rows, each row a `zip_with` dot product —
+    * map-side O(d²) per vector, the [[projectVec]] matmul shape with a
+    * square learned matrix instead of the random sign matrix. */
+  private def rotateVec(vec: Column, r: Seq[Seq[Double]]): Column = {
+    val mLit = typedLit(r)
+    val v = vec.cast("array<double>")
+    transform(sequence(lit(0), lit(r.size - 1)), j =>
+      aggregate(zip_with(v, element_at(mLit, j + 1), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t))
+  }
+
+  /** Driver-side nearest-centroid encode+reconstruct of one vector under
+    * PQ sub-codebooks — the [[graft.functions.PqCodes]]/PqDecode
+    * semantics (strict-< argmin, ties to the lowest code) in plain
+    * Scala, for the OPQ trainer's sample loop. */
+  private def pqReconstructLocal(y: Array[Double],
+                                 books: Array[Array[Array[Double]]])
+      : Array[Double] = {
+    val m = books.length
+    val sub = y.length / m
+    val out = new Array[Double](y.length)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(j).length) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val t = y(j * sub + i) - books(j)(c)(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      System.arraycopy(books(j)(best), 0, out, j * sub, sub)
+      j += 1
+    }
+    out
+  }
+
+  /** OPQ rotation training (Ge et al. 2014, the non-parametric
+    * alternation faiss ships as OPQMatrix): alternate (a) PQ codebook
+    * training + encode/reconstruct of the ROTATED sample and (b) the
+    * orthogonal-Procrustes rotation update — maximize tr(R·A) with
+    * A = Σ xᵢ x̂ᵢᵀ over orthogonal R, solved by R = V·Uᵀ from
+    * svd(A) = U·S·Vᵀ (breeze, a d×d driver-local decomposition). The
+    * rotation redistributes variance across the m subspaces so each
+    * sub-codebook quantizes a balanced slice, cutting reconstruction
+    * error at the SAME bytes/vector — LlmSpec pins rmse(OPQ) ≤ rmse(PQ)
+    * and RᵀR = I. Runs on the bounded deterministic sample (the
+    * codebook posture); returns (rotation, sub-codebooks trained under
+    * the final rotation). */
+  private[graft] def opqTrain(sample: Array[Array[Double]], inDim: Int,
+                              m: Int, ksub: Int, seed: Long, iters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(sample.nonEmpty, "opqTrain: empty sample")
+    var r = Array.tabulate(inDim, inDim)((i, j) => if (i == j) 1.0 else 0.0)
+    def rot(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](inDim)
+      var i = 0
+      while (i < inDim) {
+        var s = 0.0; var j = 0
+        while (j < inDim) { s += r(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    var t = 0
+    while (t < iters) {
+      val ys = sample.map(rot)
+      val books = pqCodebooks(ys, inDim, m, ksub, seed)
+      val yhat = ys.map(pqReconstructLocal(_, books))
+      val a = DenseMatrix.zeros[Double](inDim, inDim)
+      var i = 0
+      while (i < sample.length) {
+        var p = 0
+        while (p < inDim) {
+          var q = 0
+          while (q < inDim) {
+            a(p, q) += sample(i)(p) * yhat(i)(q); q += 1
+          }
+          p += 1
+        }
+        i += 1
+      }
+      val svd.SVD(u, _, vt) = svd(a)
+      val rm = vt.t * u.t
+      r = Array.tabulate(inDim, inDim)((x, y2) => rm(x, y2))
+      t += 1
+    }
+    (r, pqCodebooks(sample.map(rot), inDim, m, ksub, seed))
+  }
+
+  /** OPQ report — the fourth rung of the embedding memory ladder
+    * (float → SQ8 → PQ → OPQ): identical bytes/vector to
+    * [[quantizePqReport]] (m·log2(ksub) bits), lower reconstruction
+    * error because the learned orthogonal rotation balances variance
+    * across subspaces before the sub-codebooks quantize them. The
+    * rotation and codebooks are bounded driver artifacts; rotation +
+    * encode are one map-side projection, no shuffle. Rows-only contract
+    * key; `rmse` is measured in the rotated space, which equals the
+    * original-space error exactly (orthogonality preserves norms), so
+    * the OPQ-vs-PQ comparison is like for like. */
+  def quantizeOpqReport(vecs: DataFrame, inDim: Int, m: Int = 8,
+                        ksub: Int = 16, opqIters: Int = 3,
+                        sampleN: Int = 2048, seed: Long = 7L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sample = vecs.orderBy(col(idCol)).limit(sampleN)
+      .select(v).collect().map(_.getSeq[Double](0).toArray)
+    val (r, books) = opqTrain(sample, inDim, m, ksub, seed, opqIters)
+    val rSeq: Seq[Seq[Double]] = r.map(_.toSeq).toSeq
+    val withCodes = vecs
+      .withColumn("_rot", rotateVec(col(vecCol), rSeq))
+      .withColumn("pq_codes", pqEncode(col("_rot"), books, inDim))
+      .withColumn("_dec", pqDecode(col("pq_codes"), books))
+    withCodes.select(
+      col(idCol), lit(m).as("m"), lit(ksub).as("ksub"),
+      aggregate(col("pq_codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+      round(sqrt(aggregate(zip_with(col("_rot"), col("_dec"),
+        (x, d) => (x - d) * (x - d)), lit(0.0), (acc, t) => acc + t)
+        / lit(inDim)), 6).as("rmse"))
+  }
+
+  /** OPQ-compressed ANN with asymmetric-distance scoring — [[annTopKPq]]
+    * with the learned rotation applied to both sides of the coarse
+    * stage: the index holds m-byte codes of ROTATED candidates, the
+    * coarse score is cos(R·query, decode(codes)) (cosine is
+    * rotation-invariant, so this estimates the same similarity with
+    * less quantization noise), and the per-query shortlist re-ranks
+    * EXACTLY on the original floats via equi-join. Same skeleton, same
+    * bytes, better recall at equal m/ksub — LlmSpec pins
+    * recall(OPQ) ≥ recall(PQ) on the seeded corpus. */
+  def annTopKOpq(candidates: DataFrame, queries: DataFrame, k: Int,
+                 inDim: Int, m: Int = 8, ksub: Int = 16,
+                 shortlist: Int = 50, opqIters: Int = 3,
+                 sampleN: Int = 2048, seed: Long = 7L,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val sample = cv.orderBy(col("neighbor_id")).limit(sampleN)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      return annTopKBrute(candidates, queries, k, idCol, vecCol)
+    val (r, books) = opqTrain(sample, inDim, m, ksub, seed, opqIters)
+    val rSeq: Seq[Seq[Double]] = r.map(_.toSeq).toSeq
+
+    val index = cv
+      .withColumn("_codes",
+        pqEncode(rotateVec(col("_cv"), rSeq), books, inDim))
+      .withColumn("_dec", pqDecode(col("_codes"), books))
+      .select(col("neighbor_id"), col("_dec"))
+    val qp = broadcast(queries.select(col(idCol).as("query_id"),
+      rotateVec(col(vecCol), rSeq).as("_qr")))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_psim").desc, col("neighbor_id").asc)
+    val short = index.crossJoin(qp)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_psim", round(cos(col("_qr"), col("_dec")), 6))
+      .withColumn("_prank", row_number().over(wCoarse))
+      .where(col("_prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short.join(cv, "neighbor_id").join(broadcast(queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))), "query_id")
+      .withColumn("sim", round(cos(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the memory ladder
     * under the ANN family: a 100 TB float32 embedding store is 25 TB at
     * int8, which is the difference between an IVF codebook sweep that fits

@@ -1222,6 +1222,61 @@ class LlmSpec extends SparkTestBase {
     assert(full == bruteFull)
   }
 
+  test("OPQ: rotation orthogonal, rmse ≤ PQ at equal bytes, codes in " +
+      "range, deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = emb.orderBy("vec_id").limit(2048)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val (r, _) = Similarity.opqTrain(sample, 64, 8, 16, seed = 7L, iters = 3)
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dot = (0 until 64).map(k2 => r(k2)(i) * r(k2)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RtR[$i][$j] = $dot")
+    }
+    val opq = Similarity.quantizeOpqReport(emb, inDim = 64, m = 8,
+      ksub = 16, opqIters = 3)
+    val pq = Similarity.quantizePqReport(emb, inDim = 64, m = 8, ksub = 16)
+    val mo = opq.agg(avg("rmse")).head.getDouble(0)
+    val mp = pq.agg(avg("rmse")).head.getDouble(0)
+    assert(mo <= mp, s"OPQ rmse $mo must not exceed PQ rmse $mp")
+    val rows = opq.orderBy("vec_id").collect()
+    assert(rows.forall { r2 =>
+      val cs = r2.getAs[Long]("code_sum"); cs >= 0 && cs <= 8L * 15 })
+    val b = Similarity.quantizeOpqReport(emb.repartition(13), inDim = 64,
+        m = 8, ksub = 16, opqIters = 3)
+      .orderBy("vec_id").collect()
+    assert(rows.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("OPQ ANN: recall ≥ PQ at equal m/ksub, corpus-wide shortlist " +
+      "≡ brute") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 30)
+    val brute = Similarity.annTopKBrute(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.annTopKPq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, shortlist = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val opq = Similarity.annTopKOpq(emb, q, k = 5, inDim = 64, m = 8,
+      ksub = 16, shortlist = 50, opqIters = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rPq = brute.intersect(pq).size.toDouble / brute.size
+    val rOpq = brute.intersect(opq).size.toDouble / brute.size
+    assert(rOpq >= rPq, s"OPQ recall $rOpq must not trail PQ recall $rPq")
+    assert(rOpq >= 0.6, s"OPQ recall vs brute: $rOpq")
+    // shortlist = corpus: the rotation only reorders the coarse stage;
+    // exact re-rank recovers brute
+    val full = Similarity.annTopKOpq(emb, q, k = 5, inDim = 64,
+      shortlist = emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val bruteFull = Similarity.annTopKBrute(emb, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == bruteFull)
+  }
+
   test("IVF-SQ8 composed ANN: recall vs brute, full-probe ≡ brute ladder, plan") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 30)
