@@ -1402,7 +1402,15 @@ object SparkEntry {
       val v2 = d.where(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat_ws(" ", slice(toks, lit(2), size(toks) - 1)).as("text"))
+      // stage boundary on the index: production reads a STORED lake
+      // relation here (the streaming loop probes a parquet deltaSnapshot);
+      // built inline for the bench key it is referenced by TWO
+      // differently-keyed consumers (the band-bucket derivation and the
+      // shingle-hash verify side), which re-ran the signature+shingle map
+      // over 6/7 of the corpus once each — materialize it once, exactly
+      // the relation the lake would hold
       val index = MinHashLsh.buildIndex(d.where(col("doc_id") % 7 =!= 0))
+        .stagePin()
       MinHashLsh.nearDupIncremental(v1.unionByName(v2), index, threshold = 0.3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_id")
@@ -1976,10 +1984,12 @@ object SparkEntry {
       val withB = en.join(
         buckets.select(col("doc_id"), col("ppl"), col("bucket")), Seq("doc_id"))
         .stagePin()
-      val deduped = Seq("head", "middle", "tail").map { b =>
-        Dedup.spanDedup(withB.where(col("bucket") === b),
-          sepRegex = "\\n|\\. ", joinSep = ". ")
-      }.reduce(_ unionByName _)
+      // per-bucket dedup as ONE scoped pass: electing first occurrences
+      // within (bucket, span-hash) is bit-identical to three independent
+      // per-bucket spanDedup runs unioned (buckets partition the docs),
+      // for one explode + one election exchange instead of three of each
+      val deduped = Dedup.spanDedup(withB, sepRegex = "\\n|\\. ",
+        joinSep = ". ", scopeCols = Seq("bucket"))
       withB.select(col("doc_id"), col("ppl"), col("bucket"))
         .join(deduped, Seq("doc_id"))
         .select(col("doc_id"), col("ppl"), col("bucket"), col("n_spans"),

@@ -84,26 +84,40 @@ object Dedup {
     * Output: (idCol, n_spans, n_removed, kept_text) — kept_text is ''
     * (never null) when every span was removed.
     *
-    * Scale: one span explode (map-side), ONE genuinely hash-planned
-    * aggregation keyed on the 8-byte span hash to elect first
-    * occurrences (min over the packed [[spanFirstKey]] — a combinable
-    * primitive-buffer agg, never a posting list, never the struct
-    * form's SortAggregate fallback), one equi-join back on the hash,
-    * and a per-doc rebuild aggregation whose buffer is one document's
-    * spans. Exchanges carry hashes and packed (id, pos) keys, never
-    * span text, except the final rebuild which carries each doc's own
-    * surviving spans once. Canonicalization for matching is
+    * Scale: one span explode (map-side, evaluated ONCE), the
+    * first-occurrence election as a MIN window (min over the packed
+    * [[spanFirstKey]]) over ONE span-hash-keyed exchange — the former
+    * aggregate-plus-join-back shape re-ran the explode for the probe
+    * side and shuffled the same rows anyway — and a per-doc rebuild
+    * aggregation whose buffer is one document's spans. Two exchanges
+    * total (span hash, doc id). Canonicalization for matching is
     * lower(trim(span)); reconstruction uses the original span text. */
   def spanDedup(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", sepRegex: String = "\\. ",
-                joinSep: String = ". "): DataFrame = {
-    val spans = docs.select(col(idCol),
-        posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_span")))
+                joinSep: String = ". ",
+                scopeCols: Seq[String] = Nil): DataFrame = {
+    // scopeCols: doc-constant columns that PARTITION the corpus (e.g. the
+    // CCNet head/middle/tail bucket); the first-occurrence election then
+    // runs independently within each scope — bit-identical to calling
+    // spanDedup once per scope value and unioning, for ONE explode and one
+    // election exchange instead of |scopes| of each (the ccnet_pipeline
+    // capstone ran three full per-bucket passes before this).
+    val spans = docs.select(col(idCol) +: scopeCols.map(col) :+
+        posexplode(split(col(textCol), sepRegex)).as(Seq("_pos", "_span")): _*)
       .withColumn("_h", xxhash64(lower(trim(col("_span")))))
-    val first = spans.groupBy(col("_h"))
-      .agg(min(spanFirstKey(col(idCol), col("_pos"))).as("_first"))
+    // The first-occurrence election is a MIN over the span-hash group,
+    // computed as a window over ONE span-keyed exchange instead of the
+    // old aggregate-then-join-back: the join's probe side re-ran the
+    // regex-split explode (the expensive map pass) a second time and at
+    // corpus scale shuffled every span by _h anyway for the SMJ — the
+    // window moves the same rows through one exchange, runs the explode
+    // once, and drops the join node entirely (guide §2.4). A mega-hot
+    // span buffers its group in the window exactly as the SMJ sort
+    // buffered it; no new skew class.
+    val w = Window.partitionBy(scopeCols.map(col) :+ col("_h"): _*)
     spans
-      .join(first, Seq("_h"))
+      .withColumn("_first",
+        min(spanFirstKey(col(idCol), col("_pos"))).over(w))
       .withColumn("_keep",
         spanFirstKey(col(idCol), col("_pos")) === col("_first"))
       .groupBy(col(idCol))
@@ -796,13 +810,12 @@ object Dedup {
     * score, which cannot see cross-document repetition at all.
     *
     * Spark-first: per-doc distinct grams reduce map-side to 8-byte hashes,
-    * ONE hash aggregation computes each gram's document frequency, and the
-    * (doc, gram) relation joins the df relation on the SAME hash it was
-    * aggregated on — so the join needs no repartitioning beyond the
-    * aggregation's own exchange (AQE broadcasts the smaller side at test
-    * scale; at lake scale both sides are already co-partitioned on the
-    * gram hash). Everything through the exchanges is O(tokens) of 8-byte
-    * hashes, never text, and nothing is pairwise in documents. */
+    * each gram's document frequency is a COUNT window over ONE
+    * gram-hash-keyed exchange (the former aggregate-plus-join-back shape
+    * re-ran the shingle explode for the probe side and shuffled the same
+    * rows anyway), and the per-doc rollup is one doc-keyed aggregation.
+    * Everything through the exchanges is O(tokens) of 8-byte hashes,
+    * never text, and nothing is pairwise in documents. */
   def boilerplateProfile(docs: DataFrame, n: Int = 8, minDf: Int = 2,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
@@ -811,8 +824,14 @@ object Dedup {
       .select(col(idCol), size(col("_gs")).as("n_ngrams"),
         explode(col("_gs")).as("_g"))
       .select(col(idCol), col("n_ngrams"), xxhash64(col("_g")).as("_gh"))
-    val df = dg.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
-    dg.join(df, "_gh")
+    // gram frequency as a COUNT window over one gram-keyed exchange
+    // instead of aggregate-then-join-back: the join's probe side re-ran
+    // the shingle explode and shuffled every gram position by _gh anyway
+    // — the window moves the same 8-byte-hash rows through one exchange,
+    // runs the explode once, and removes the join (guide §2.4). Hot-gram
+    // groups buffer in the window exactly as the SMJ sort buffered them.
+    dg.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("_gh"))))
       .groupBy(col(idCol), col("n_ngrams"))
       .agg(sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_common"))
       .withColumn("boilerplate_frac",
@@ -835,8 +854,8 @@ object Dedup {
     *
     * Spark-first plan (the suffix array is a single-box construct; this is
     * the shuffle-algebra equivalent at fixed gram grain): positional grams
-    * hash map-side to 8 bytes; ONE hash aggregation counts gram
-    * occurrences and NOMINATES duplicated gram hashes; the nominated
+    * hash map-side to 8 bytes; ONE count window over the gram-hash-keyed
+    * exchange NOMINATES positions of duplicated gram hashes; the nominated
     * positions then rebuild their gram STRINGS (suspect docs only) and an
     * exact string-grain count CONFIRMS them — a 64-bit collision here
     * would silently DELETE unique text (unlike the count-only inflation
@@ -886,14 +905,20 @@ object Dedup {
           gramHash(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
         .as("_g"))
       .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
-    val dup = pos.groupBy(col("_gh"))
-      .agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= minCount)
-      .select(col("_gh"))
-    // exact-string confirm over the nominated subset: suspect docs rebuild
+    // nomination as a COUNT window over one gram-keyed exchange instead of
+    // aggregate-then-semi-join: the join's probe side re-ran the positional
+    // gram explode (tokenize + n slices per position — the expensive map
+    // pass) a second time, and at corpus scale shuffled every position by
+    // _gh anyway — the window moves the same (id, pos, hash) rows through
+    // one exchange, runs the explode once, and removes the join node
+    // (guide §2.4). A boilerplate mega-gram buffers its group in the
+    // window exactly as the SMJ sort buffered it; no new skew class.
+    // Exact-string confirm over the nominated subset: suspect docs rebuild
     // their nominated grams from the token array (the doc ships once per
-    // suspect doc, not once per position)
-    val suspectStarts = pos.join(dup, "_gh")
+    // suspect doc, not once per position).
+    val suspectStarts = pos
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("_gh"))))
+      .where(col("_c") >= minCount)
       .groupBy(col(idCol))
       .agg(collect_list(col("_pos")).as("_sp"))
     val suspectGram = base.select(col(idCol), col("_lw"))

@@ -410,11 +410,15 @@ object Multimodal {
          capped.where(!col("_isBatch")).select(col("_id").as("index_id"),
            col("_fp").as("_fp_index_id"), col("band"), col("chunk")))
     }
+    // no distinct before the aggregation: a pair matching in several band
+    // chunks emits duplicate (batch_id, index_id, hamming) rows, but min /
+    // min_by are duplicate-insensitive (hamming is a function of the pair),
+    // so the distinct's exchange was pure overhead — the verify here is a
+    // map-side bit_count, not a join worth deduplicating candidates for
     val dupIdx = bb.join(ib, Seq("band", "chunk"))
       .select(col("batch_id"), col("index_id"),
         bit_count(col("_fp_batch_id").bitwiseXOR(col("_fp_index_id")))
           .as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
       .groupBy(col("batch_id"))
       .agg(min(col("index_id")).as("match_id"),

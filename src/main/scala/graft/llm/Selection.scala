@@ -60,15 +60,25 @@ object Selection {
       .select(col(idCol), col("_tgt"),
         explode(tokens(lower(col(textCol)))).as("_w"))
       .select(col(idCol), col("_tgt"), xxhash64(col("_w")).as("_wh"))
+    // ONE corpus-grain pass: the (doc, token) aggregation is the only
+    // consumer of the token explode, and the vocabulary LM derives from
+    // ITS output (Σ per-doc counts ≡ raw occurrence counts; _tgt is
+    // doc-constant so first() is exact). Both LM consumers and the final
+    // join hang off the same (id, _wh) exchange, so the expensive
+    // tokenize/explode/hash map stage runs once and is served from
+    // shuffle files (ReusedExchange) — previously the lm and perDoc
+    // branches each re-ran it (guide §2.3: aggregate before you shuffle,
+    // share the pass).
+    val perDoc = tok.groupBy(col(idCol), col("_wh"))
+      .agg(count(lit(1)).as("_c"), first(col("_tgt")).as("_tgt"))
     // one vocabulary-sized aggregation carries BOTH corpus counts
-    val lm = tok.groupBy(col("_wh")).agg(
-      count(lit(1)).as("_cr"),
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val lm = perDoc.groupBy(col("_wh")).agg(
+      sum(col("_c")).as("_cr"),
+      sum(when(col("_tgt"), col("_c")).otherwise(0L)).as("_ct"))
     val totals = lm.agg(
       sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"),
       count(lit(1)).as("_v"))
-    val perDoc = tok.groupBy(col(idCol), col("_wh")).agg(count(lit(1)).as("_c"))
-    perDoc.join(lm, "_wh")
+    perDoc.drop("_tgt").join(lm, "_wh")
       .crossJoin(broadcast(totals))
       .withColumn("_llr", col("_c") *
         (log((col("_ct") + lit(alpha)) / (col("_nt") + lit(alpha) * col("_v"))) -
@@ -288,19 +298,31 @@ object Selection {
       .select(col(idCol), col("_tgt"),
         xxhash64(col("_bg._w1"), col("_bg._w2")).as("_bh"),
         xxhash64(col("_bg._w1")).as("_uh"))
-    val bigramLm = bg.where(col("_tgt"))
-      .groupBy(col("_bh")).agg(count(lit(1)).as("_c2"))
+    // ONE corpus-grain pass: the (doc, bigram) aggregation is the only
+    // consumer of the bigram explode; both LM count tables derive from its
+    // (much smaller, doc-distinct-grain) output — Σ per-doc counts ≡ raw
+    // occurrence counts, _uh/_tgt are group-constant so first() is exact.
+    // All three consumers hang off the same (id, _bh) exchange, so the
+    // tokenize/zip/explode/hash map stage runs once and is served from
+    // shuffle files (ReusedExchange) — previously bigramLm, unigramLm and
+    // perDoc each re-ran it (guide §2.3/2.4: share the pass; three
+    // corpus-grain explodes → one).
+    val perDoc = bg.groupBy(col(idCol), col("_bh"))
+      .agg(count(lit(1)).as("_c"), first(col("_uh")).as("_uh"),
+        first(col("_tgt")).as("_tgt"))
+    val bigramLm = perDoc.where(col("_tgt"))
+      .groupBy(col("_bh")).agg(sum(col("_c")).as("_c2"))
     // context counts = bigram positions sharing the context token: the
     // same quantity as summing _c2 over the context, one agg either way
-    val unigramLm = bg.where(col("_tgt"))
-      .groupBy(col("_uh")).agg(count(lit(1)).as("_c1"))
+    val unigramLm = perDoc.where(col("_tgt"))
+      .groupBy(col("_uh")).agg(sum(col("_c")).as("_c1"))
     // vocab = distinct target unigrams incl. the final token of each doc
+    // (the bigram stream misses a doc's last token, so this stays its own
+    // TARGET-subset pass — the target side is the small one by design)
     val vocab = base.where(col("_tgt"))
       .select(explode(tokens(lower(col(textCol)))).as("_w"))
       .agg(countDistinct(col("_w")).as("_v"))
-    val perDoc = bg.groupBy(col(idCol), col("_bh"))
-      .agg(count(lit(1)).as("_c"), first(col("_uh")).as("_uh"))
-    perDoc
+    perDoc.drop("_tgt")
       .join(bigramLm, Seq("_bh"), "left")
       .join(unigramLm, Seq("_uh"), "left")
       .crossJoin(broadcast(vocab))
