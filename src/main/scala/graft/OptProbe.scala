@@ -44,6 +44,22 @@ object OptProbe {
       df.write.format("noop").mode("overwrite").save()
 
     val stages: Seq[(String, () => Unit)] = Seq(
+      // A/B: the v3 prefix with `norm` stage-pinned once (normalize regex
+      // runs 1x instead of 2x, at the cost of one materialization job)
+      "prefix_pin_norm" -> (() => {
+        val d = docs
+        val norm = SparkEntry.stageBoundary(
+          d.withColumn("text", TextAnalysis.normalize(col("text"))))
+        val benchmark = norm.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+        val corpus = norm.where(col("doc_id") % 10 =!= 0)
+        val gated = TextAnalysis.gopherRules(corpus)
+          .where(col("pass_gopher") === 1).select("doc_id", "text", "source")
+        val contaminated =
+          Dedup.contaminationNgram(benchmark, gated.select("doc_id", "text"), n = 8)
+            .where(col("share_frac") >= 0.3)
+            .select(col("test_id").as("doc_id"))
+        noop(gated.join(contaminated, Seq("doc_id"), "left_anti"))
+      }),
       "norm_gopher" -> (() => noop(
         TextAnalysis.gopherRules(
           docs.withColumn("text", TextAnalysis.normalize(col("text"))))

@@ -215,14 +215,22 @@ object Cluster {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym.join(labels, col("_src") === col("id"))
-        .groupBy(col("_dst"))
-        .agg(min(col("cluster_id")).as("_nbr"))
-      // (1) min-label propagation over neighbors
-      val propPlan = labels.join(nbrMin, col("id") === col("_dst"), "left")
-        .select(col("id"), col("cluster_id").as("_old"),
-          least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
-            .as("_mid"))
+      // (1) min-label propagation over neighbors, as ONE aggregation over
+      // the tagged union of neighbor contributions and self rows instead
+      // of the old join → agg(_dst) → left-join-back chain: exactly one
+      // self row exists per active id (so max(_s) recovers the old label;
+      // contribution rows carry null there), and min(_l) over the union is
+      // min(own, neighbors) — the same _mid. One exchange per round
+      // instead of two (AQE schedules a stage per exchange, so exchange
+      // count IS the loop's fixed cost).
+      val contrib = sym.join(labels, col("_src") === col("id"))
+        .select(col("_dst").as("id"), col("cluster_id").as("_l"),
+          lit(null).cast("long").as("_s"))
+      val selfRows = labels.select(col("id"), col("cluster_id").as("_l"),
+        col("cluster_id").as("_s"))
+      val propPlan = contrib.unionByName(selfRows).groupBy(col("id"))
+        .agg(min(col("_l")).as("_mid"), max(col("_s")).as("_old"))
+        .select(col("id"), col("_old"), col("_mid"))
       // (2) pointer jumping from round 3 on: label ← label(label); every
       // label is a vertex id present in prop, so the left lookup always
       // matches (coalesce is belt-and-braces). The jump self-joins prop, so

@@ -762,7 +762,11 @@ object Dedup {
     require(n >= 2, s"contaminationScrub: n must be >= 2, got $n")
     val base = corpus.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_w"),
-      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+      // _lw as an elementwise lower of _w (lowercasing never alters \\s+
+      // boundaries), NOT a second tokens(lower(text)): subexpression
+      // elimination then runs the regex split ONCE per row instead of
+      // twice in every evaluation of this projection
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("_lw"))
     val pos = base
       .where(size(col("_lw")) >= n)
       .select(col(idCol), explode(transform(
@@ -893,7 +897,11 @@ object Dedup {
     require(minCount >= 2, s"repeatedNgramTrim: minCount must be >= 2")
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_w"),
-      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+      // _lw as an elementwise lower of _w (lowercasing never alters \\s+
+      // boundaries), NOT a second tokens(lower(text)): subexpression
+      // elimination then runs the regex split ONCE per row instead of
+      // twice in every evaluation of this projection
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("_lw"))
     // positional grams only for docs long enough to have any (sequence()
     // would run DESCENDING for start > stop, so the guard is correctness,
     // not just economy)
@@ -1069,7 +1077,11 @@ object Dedup {
     require(minCount >= 2, "repeatedNgramTrimIncremental: minCount >= 2")
     val base = batch.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_w"),
-      TextAnalysis.tokens(lower(col(textCol))).as("_lw"))
+      // _lw as an elementwise lower of _w (lowercasing never alters \\s+
+      // boundaries), NOT a second tokens(lower(text)): subexpression
+      // elimination then runs the regex split ONCE per row instead of
+      // twice in every evaluation of this projection
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("_lw"))
     // hash-only positional stream (the per-occurrence relation stays
     // 8-byte-keyed, as in the batch path) ...
     val pos = base

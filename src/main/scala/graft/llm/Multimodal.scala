@@ -377,8 +377,38 @@ object Multimodal {
                                    idCol: String = "doc_id",
                                    payloadCol: String = "payload",
                                    maxBucket: Option[Int] = None): DataFrame = {
+    val (res, release) = perceptualNearDupIncrementalPinned(batch, dhashIndex,
+      maxHamming, idCol, payloadCol, maxBucket)
+    // eager local checkpoint + release — the [[MinHashLsh.nearDupIncremental]]
+    // lifecycle: the returned frame is O(batch) decision rows with severed
+    // lineage, and the internal pins (batch fingerprint map, index-match
+    // relation, component labels) are dropped before returning, so a
+    // long-running stream holds at most one batch's blocks at a time
+    val out = res.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The lazy plan behind [[perceptualNearDupIncremental]] plus a release
+    * thunk for its block-manager pins (the
+    * [[MinHashLsh.nearDupIncrementalPinned]] contract): the batch dHash map
+    * and the index-match relation are each read by several separate actions
+    * (the component loop's rounds plus the final union) and exchange reuse
+    * only dedupes within one plan, so without the pins the dHash pass ran
+    * ~4x and the index-side map ~3x per batch. Callers must run ALL actions
+    * before calling release. */
+  private[graft] def perceptualNearDupIncrementalPinned(
+      batch: DataFrame, dhashIndex: DataFrame,
+      maxHamming: Int = 10,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload",
+      maxBucket: Option[Int] = None): (DataFrame, () => Unit) = {
+    // O(batch) rows: id + 8-byte hash; the id-keyed repartition gives the
+    // cached scan the partitioning the id-keyed anti-joins reuse
     val fps = withDHash(batch, payloadCol)
       .select(col(idCol), col("dhash"))
+      .repartition(col(idCol))
+      .cache()
     val hashable = fps.where(col("dhash").isNotNull)
     def chunks(df: DataFrame, id: String, as: String) =
       df.select(col(id).as(as), col("dhash"),
@@ -415,6 +445,10 @@ object Multimodal {
     // min_by are duplicate-insensitive (hamming is a function of the pair),
     // so the distinct's exchange was pure overhead — the verify here is a
     // map-side bit_count, not a join worth deduplicating candidates for
+    // cached for the cross-action reason above: the anti-join, the
+    // component loop's edge chain and the final union each read this
+    // relation from a different action, and its upstream holds the one
+    // INDEX-side dHash map of the call. O(batch dups) rows.
     val dupIdx = bb.join(ib, Seq("band", "chunk"))
       .select(col("batch_id"), col("index_id"),
         bit_count(col("_fp_batch_id").bitwiseXOR(col("_fp_index_id")))
@@ -423,6 +457,7 @@ object Multimodal {
       .groupBy(col("batch_id"))
       .agg(min(col("index_id")).as("match_id"),
         min_by(col("hamming"), col("index_id")).as("hamming"))
+      .cache()
     // survivors of the index pass near-dup-cluster WITHIN the batch;
     // the min-id member of each component survives
     val rest = hashable.join(
@@ -444,7 +479,16 @@ object Multimodal {
           .as("status"),
         lit(null).cast("long").as("match_id"),
         lit(null).cast("int").as("hamming"))
-    decided.unionByName(accepted)
+    val result = decided.unionByName(accepted)
+    val release = () => {
+      fps.unpersist(blocking = false)
+      dupIdx.unpersist(blocking = false)
+      // activeComponents returns a pinned local checkpoint; without this
+      // the streaming loop leaks one labels relation per micro-batch (the
+      // exact hygiene fix the MinHash loop received in r16)
+      org.apache.spark.sql.GraftBridge.releasePinned(comps)
+    }
+    (result, release)
   }
 
   /** Batched per-partition "decode" over the binary payload — the real
