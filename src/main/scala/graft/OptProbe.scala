@@ -74,6 +74,33 @@ object OptProbe {
         val clean = SparkEntry.stageBoundary(prefix.select("doc_id", "text"))
         noop(Dedup.repeatedNgramTrim(clean, n = 10, minCount = 2))
       }),
+      // HOF-twin A/B for the fused native gram-hash pass (same JVM)
+      "ngram_trim_hof" -> (() => {
+        val clean = SparkEntry.stageBoundary(prefix.select("doc_id", "text"))
+        noop(Dedup.repeatedNgramTrimHashed(clean, 10, 2, "doc_id", "text",
+          Some(g => org.apache.spark.sql.functions.xxhash64(g))))
+      }),
+      // long-doc twins: 16x self-concatenated text (≈2-3k tokens/doc) —
+      // the per-position constant dominates here, not the fixed job cost
+      "trim_long" -> (() => {
+        val long = docs.select(col("doc_id"),
+          concat_ws(" ", (0 until 16).map(_ => col("text")): _*).as("text"))
+        noop(Dedup.repeatedNgramTrim(long, n = 10, minCount = 2))
+      }),
+      "trim_long_hof" -> (() => {
+        val long = docs.select(col("doc_id"),
+          concat_ws(" ", (0 until 16).map(_ => col("text")): _*).as("text"))
+        noop(Dedup.repeatedNgramTrimHashed(long, 10, 2, "doc_id", "text",
+          Some(g => org.apache.spark.sql.functions.xxhash64(g))))
+      }),
+      // trim WITHOUT the prefix pin cost: raw documents in, noop out
+      "trim_raw" -> (() => noop(
+        Dedup.repeatedNgramTrim(docs.select(col("doc_id"), col("text")),
+          n = 10, minCount = 2))),
+      "trim_raw_hof" -> (() => noop(
+        Dedup.repeatedNgramTrimHashed(docs.select(col("doc_id"), col("text")),
+          10, 2, "doc_id", "text",
+          Some(g => org.apache.spark.sql.functions.xxhash64(g))))),
       "edges" -> (() => noop(
         Cluster.rareShingleEdges(docs.select(col("doc_id"), col("text"))))),
       "components" -> (() => {

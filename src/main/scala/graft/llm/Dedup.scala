@@ -767,14 +767,7 @@ object Dedup {
       // elimination then runs the regex split ONCE per row instead of
       // twice in every evaluation of this projection
       transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("_lw"))
-    val pos = base
-      .where(size(col("_lw")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("_lw")) - n + 1),
-        p => struct(p.as("pos"),
-          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
-        .as("_g"))
-      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    val pos = posGramStream(base, n, None, idCol)
     // exact-length benchmark grams only (a shorter-than-n benchmark doc
     // can never equal an n-token corpus gram, so it nominates nothing)
     val benchGrams = benchmark
@@ -879,22 +872,58 @@ object Dedup {
     * spans' COMPLEMENT intervals — O(tokens + spans) per row, linear even
     * for a wall-to-wall self-repeated document (one fused span) — no
     * pairwise document comparison anywhere. */
+  /** The positional n-gram hash stream (idCol, _pos [1-based], _gh) over a
+    * tokenized (idCol, ..., _lw) frame — shared by the trim family and
+    * [[contaminationScrub]]. `gramHashOpt = None` (production) runs the
+    * fused native [[graft.functions.PositionalGramHashes]] pass and takes
+    * positions from `posexplode`; `Some(h)` keeps the layered-HOF
+    * formulation with the injectable hash (the collision test seam and the
+    * native-equivalence pin). */
+  private def posGramStream(base: DataFrame, n: Int,
+                            gramHashOpt: Option[Column => Column],
+                            idCol: String): DataFrame =
+    gramHashOpt match {
+      case None =>
+        base
+          .where(size(col("_lw")) >= n)
+          .select(col(idCol), posexplode(GraftBridge.column(
+            graft.functions.PositionalGramHashes(
+              GraftBridge.expression(col("_lw")), n)))
+            .as(Seq("_p0", "_gh")))
+          .select(col(idCol), (col("_p0") + 1).as("_pos"), col("_gh"))
+      case Some(gh) =>
+        base
+          .where(size(col("_lw")) >= n)
+          .select(col(idCol), explode(transform(
+            sequence(lit(1), size(col("_lw")) - n + 1),
+            p => struct(p.as("pos"),
+              gh(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
+            .as("_g"))
+          .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    }
+
   def repeatedNgramTrim(docs: DataFrame, n: Int = 10, minCount: Int = 2,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =
-    repeatedNgramTrimHashed(docs, n, minCount, idCol, textCol, xxhash64(_))
+    repeatedNgramTrimHashed(docs, n, minCount, idCol, textCol, None)
 
   /** [[repeatedNgramTrim]] with the NOMINATION hash injectable — test-only
-    * seam: a deliberately weak hash forces hash collisions so the
-    * exact-string confirm's collided branch (unreachable with real
+    * seam: a deliberately weak hash (`Some(weak)`) forces hash collisions
+    * so the exact-string confirm's collided branch (unreachable with real
     * xxhash64 at test scale) executes and provably restores exact
-    * semantics. Production always nominates with xxhash64. */
+    * semantics; `Some(xxhash64(_))` keeps the layered-HOF formulation for
+    * the native-equivalence pin. Production (`None`) nominates with the
+    * fused native [[graft.functions.PositionalGramHashes]] pass —
+    * bit-identical hashes (same bytes, same xxhash64 seed), one
+    * imperative loop instead of an interpreted lambda + array slice +
+    * string concat per position. */
   private[graft] def repeatedNgramTrimHashed(
       docs: DataFrame, n: Int, minCount: Int,
       idCol: String, textCol: String,
-      gramHash: Column => Column): DataFrame = {
+      gramHashOpt: Option[Column => Column]): DataFrame = {
     require(n >= 2, s"repeatedNgramTrim: n must be >= 2, got $n")
     require(minCount >= 2, s"repeatedNgramTrim: minCount must be >= 2")
+    val gramHash = gramHashOpt.getOrElse((c: Column) => xxhash64(c))
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_w"),
       // _lw as an elementwise lower of _w (lowercasing never alters \\s+
@@ -905,14 +934,7 @@ object Dedup {
     // positional grams only for docs long enough to have any (sequence()
     // would run DESCENDING for start > stop, so the guard is correctness,
     // not just economy)
-    val pos = base
-      .where(size(col("_lw")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("_lw")) - n + 1),
-        p => struct(p.as("pos"),
-          gramHash(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
-        .as("_g"))
-      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    val pos = posGramStream(base, n, gramHashOpt, idCol)
     // nomination as a COUNT window over one gram-keyed exchange instead of
     // aggregate-then-semi-join: the join's probe side re-ran the positional
     // gram explode (tokenize + n slices per position — the expensive map
@@ -1083,15 +1105,8 @@ object Dedup {
       // twice in every evaluation of this projection
       transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("_lw"))
     // hash-only positional stream (the per-occurrence relation stays
-    // 8-byte-keyed, as in the batch path) ...
-    val pos = base
-      .where(size(col("_lw")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("_lw")) - n + 1),
-        p => struct(p.as("pos"),
-          xxhash64(concat_ws(" ", slice(col("_lw"), p, lit(n)))).as("gh"))))
-        .as("_g"))
-      .select(col(idCol), col("_g.pos").as("_pos"), col("_g.gh").as("_gh"))
+    // 8-byte-keyed, as in the batch path) — the fused native pass
+    val pos = posGramStream(base, n, None, idCol)
     // ... while the string-grain census is batch-DISTINCT-gram sized
     val bCensus = base
       .where(size(col("_lw")) >= n)

@@ -1554,7 +1554,7 @@ class LlmSpec extends SparkTestBase {
       (4L, "m n o p q r s t")                        // must survive intact
     ).toDF("doc_id", "text")
     val weak = Dedup.repeatedNgramTrimHashed(d, 3, 2, "doc_id", "text",
-      g => lit(0L) + length(g) * 0L) // constant hash: total collision
+      Some(g => lit(0L) + length(g) * 0L)) // constant hash: total collision
     val real = Dedup.repeatedNgramTrim(d, n = 3, minCount = 2)
     assert(weak.exceptAll(real).count() == 0 &&
       real.exceptAll(weak).count() == 0,
@@ -1563,6 +1563,42 @@ class LlmSpec extends SparkTestBase {
     assert(kept(2).getString(4) == "unique tokens only here now friend")
     assert(kept(3).getString(4) == "m n o p q r s t")
     assert(kept(0).getString(4) == "" && kept(1).getString(4) == "")
+  }
+
+  test("repeated ngram trim: fused native gram-hash pass ≡ the layered-HOF " +
+      "xxhash64 formulation (bytes equal ⇒ hash equal)") {
+    // exercises multi-space runs (empty tokens survive split), unicode
+    // width changes under lower(), within-doc AND cross-doc repeats, a
+    // doc shorter than one gram, and an exactly-n-token doc
+    val d = Seq(
+      (1L, "The  Quick   brown FOX jumps over the quick brown fox"),
+      (2L, "the quick brown fox also appears here the quick brown fox"),
+      (3L, "İstanbul Straße ÇOK güzel İstanbul Straße ÇOK güzel ok"),
+      (4L, "too short"),
+      (5L, "exactly three tokens")
+    ).toDF("doc_id", "text")
+    val native = Dedup.repeatedNgramTrim(d, n = 3, minCount = 2)
+    val hof = Dedup.repeatedNgramTrimHashed(d, 3, 2, "doc_id", "text",
+      Some(g => xxhash64(g)))
+    assert(native.exceptAll(hof).count() == 0 &&
+      hof.exceptAll(native).count() == 0,
+      "native positional-gram-hash pass must be bit-identical to the HOF twin")
+    // the native expression itself: hashes equal xxhash64(concat_ws(" ", slice))
+    val toks = org.apache.spark.sql.functions.split(lower(col("text")), "\\s+")
+    val pair = d.select(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PositionalGramHashes(
+          org.apache.spark.sql.GraftBridge.expression(toks), 3)).as("a"),
+      when(size(toks) >= 3, transform(
+        sequence(lit(1), size(toks) - 2),
+        p => xxhash64(concat_ws(" ", slice(toks, p, lit(3))))))
+        .otherwise(array().cast("array<long>")).as("b"))
+      .collect()
+    pair.foreach { r =>
+      val a = r.getSeq[Long](0)
+      val b = r.getSeq[Long](1)
+      assert(a == b, s"native=$a hof=$b")
+    }
   }
 
   test("incremental repeated ngram trim ≡ full pass restricted to the " +
